@@ -1,0 +1,398 @@
+package graft
+
+/** DuckDB oracle SQL for [[SparkEntry.queries]].
+  *
+  * Exactness contract with the Spark plans:
+  *  - epoch seconds via exact integer division (`epoch_ns // 1e9` here,
+  *    `ts div 1000000000` in Spark);
+  *  - money sums accumulate in DECIMAL and cast back to double;
+  *  - ratios are double divisions of exact integer counts in the same order;
+  *  - vector math mirrors the same left-to-right sequential fold in double;
+  *  - every query ORDER BYs a deterministic key set.
+  */
+object OracleSql {
+
+  private val T0 = 1704412800L
+  private val T1 = 1705017599L
+  private val tsS = "(epoch_ns(ts) // 1000000000)"
+
+  private val tsdbRangeScan =
+    s"""SELECT CAST(user_id AS BIGINT) AS user_id, $tsS AS ts_s, value
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |ORDER BY user_id, ts_s, value""".stripMargin
+
+  private val tsdbRangeRegex =
+    s"""SELECT CAST(user_id AS BIGINT) AS user_id, $tsS AS ts_s, value
+       |FROM events
+       |WHERE event_type = 'purchase'
+       |  AND regexp_full_match(CAST(user_id AS VARCHAR), '(?:1.*)')
+       |  AND $tsS BETWEEN $T0 AND $T1
+       |ORDER BY user_id, ts_s, value""".stripMargin
+
+  private val tsdbSeries =
+    s"""WITH sm AS (
+       |  SELECT event_type, user_id,
+       |         min($tsS) AS mn, max($tsS) AS mx
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, user_id FROM sm
+       |WHERE mn <= $T1 AND mx >= $T0
+       |  AND regexp_full_match(event_type, '(?:click|view)')
+       |ORDER BY event_type, user_id""".stripMargin
+
+  private val tsdbLabelValues =
+    s"""SELECT DISTINCT CAST(user_id AS VARCHAR) AS value
+       |FROM events WHERE $tsS BETWEEN $T0 AND $T1
+       |ORDER BY value""".stripMargin
+
+  private val bucketAggCore =
+    s"""SELECT event_type,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |       min(value) AS min_v, max(value) AS max_v
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val tsdbBucketAgg =
+    s"""$bucketAggCore
+       |ORDER BY event_type, bucket_start""".stripMargin
+
+  private val tsdbDelta =
+    s"""WITH b AS ($bucketAggCore)
+       |SELECT event_type, bucket_start, delta FROM (
+       |  SELECT event_type, bucket_start,
+       |         sum_v - lag(sum_v) OVER (PARTITION BY event_type
+       |                                  ORDER BY bucket_start) AS delta
+       |  FROM b)
+       |WHERE delta IS NOT NULL
+       |ORDER BY event_type, bucket_start""".stripMargin
+
+  private val q1Agg =
+    """SELECT l_returnflag, l_linestatus,
+      |       SUM(l_quantity) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |       SUM(l_quantity) / COUNT(*) AS avg_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val q3Topk =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  private val q5RegionRevenue =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val qSemiJoin =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_suppkey = s_suppkey
+      |    AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val qAntiJoin =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  private val qWindowTopn =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  private val qSetOps =
+    """SELECT o_custkey FROM (
+      |  (SELECT DISTINCT o_custkey FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |     AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |   INTERSECT
+      |   SELECT DISTINCT o_custkey FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |     AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderstatus = 'F'
+      |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00') t
+      |ORDER BY o_custkey""".stripMargin
+
+  private val qAsofJoin =
+    s"""SELECT c.user_id AS user_id, c.event_id AS event_id,
+       |       (epoch_ns(c.ts) // 1000000000) AS ts_s,
+       |       (epoch_ns(p.ts) // 1000000000) AS p_ts_s,
+       |       p.value AS p_value
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON c.user_id = p.user_id AND c.ts >= p.ts
+       |ORDER BY user_id, event_id""".stripMargin
+
+  private val qSessionize =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, $tsS AS ts_s, value FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL THEN 1
+       |                 WHEN ts_s - lag(ts_s) OVER w > 1800 THEN 1
+       |                 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |g AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+       |                             ORDER BY ts_s, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM f)
+       |SELECT user_id, session_seq,
+       |       min(ts_s) AS session_start, max(ts_s) AS session_end,
+       |       count(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |FROM g GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  private val dedupExact =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared shingle-pair core: 3-word shingles, inverted-index join,
+    * exact Jaccard. Used by both the exact join and the MinHash query
+    * (whose verified output equals the exact result).
+    */
+  private val jaccardPairs =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        for i in range(1, len(ws) - 1)]) AS s
+      |  FROM w),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+      |p AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
+      |         any_value(a.n) AS n1, any_value(b.n) AS n2
+      |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, round(c / (n1 + n2 - c), 6) AS jaccard
+      |FROM p WHERE c / (n1 + n2 - c) >= 0.8
+      |ORDER BY id1, id2""".stripMargin
+
+  /** SimHash oracle: portable 60-bit token hash (first 15 hex digits of
+    * md5, base-16 decoded via sequential fold), per-bit majority vote,
+    * all-pairs Hamming <= 3. The Spark plan computes the identical bits.
+    */
+  private val dedupSimhash: String = {
+    val bitTerms = (0 until 60).map { j =>
+      val p = 1L << j
+      s"CASE WHEN SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN ${p} ELSE 0 END"
+    }.mkString(" +\n         ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         list_reduce(
+       |           list_transform(range(1, 16),
+       |             i -> strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1),
+       |           (a, x) -> a * 16 + x) AS th
+       |  FROM toks),
+       |s AS (
+       |  SELECT doc_id,
+       |         $bitTerms AS sh
+       |  FROM h GROUP BY doc_id)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |       bit_count(xor(a.sh, b.sh)) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Embedding CTE: double-cast vectors + sequential-fold norms. */
+  private val embNorm =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, e,
+      |         sqrt(list_reduce(list_transform(e, x -> x * x),
+      |                          (a, b) -> a + b)) AS nrm
+      |  FROM v)""".stripMargin
+
+  private val dedupEmbedding =
+    s"""$embNorm,
+       |p AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |         list_reduce(
+       |           list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]),
+       |           (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT id1, id2, round(cs, 6) AS cosine
+       |FROM p WHERE cs >= 0.45
+       |ORDER BY id1, id2""".stripMargin
+
+  private val annTopk =
+    s"""$embNorm,
+       |p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         round(list_reduce(
+       |           list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),
+       |           (x, y) -> x + y) / (q.nrm * c.nrm), 6) AS sim
+       |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |SELECT qid, rank, nid, sim FROM (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY sim DESC, nid) AS rank
+       |  FROM p)
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private def langCount(markers: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  private val textLangid: String = {
+    val markers = graft.functions.TextFunctions.LangMarkers
+    val scoreDefs = markers.map { case (lang, m) =>
+      s"${langCount(m)} AS s_$lang"
+    }.mkString(",\n         ")
+    val best = s"greatest(${markers.map("s_" + _._1).mkString(", ")})"
+    val cases = markers.map { case (lang, _) =>
+      s"WHEN s_$lang > 0 AND s_$lang = $best THEN '$lang'"
+    }.mkString("\n            ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |         $scoreDefs
+       |  FROM t)
+       |SELECT doc_id,
+       |       CASE $cases
+       |            ELSE 'und' END AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  private val textQuality: String = {
+    val en = graft.functions.TextFunctions.LangMarkers.head._2
+      .map(m => s"'$m'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         length(text) AS n_chars,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
+       |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                         t -> t IN ($en))) AS stops,
+       |         length(regexp_replace(text, '\\s+', '', 'g')) AS nospace
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_words,
+       |       round(CAST(nospace AS DOUBLE) / n_words, 6) AS mean_word_len,
+       |       round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       |       round(CAST(stops AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       |       round(least(n_words / 100.0, 1.0) * 0.5 +
+       |             (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.3 +
+       |             least(CAST(stops AS DOUBLE) / n_words * 5.0, 1.0) * 0.2, 6) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  private val textTokens =
+    s"""SELECT doc_id,
+       |       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+       |       len(regexp_extract_all(text,
+       |           '${graft.functions.TextFunctions.BpePattern}')) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val textFingerprint =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents)
+      |SELECT doc_id, md5(norm) AS fp_md5,
+      |       list_reduce(
+      |         list_transform(range(1, length(norm) + 1),
+      |           i -> CAST(ascii(substring(norm, i, 1)) AS BIGINT)),
+      |         (a, c) -> (a * 31 + c) % 1000000007) AS fp_poly
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  private val multimodalMetaCore =
+    """SELECT doc_id,
+      |       strlen(text) AS n_bytes,
+      |       32 + (ascii(substring(text, 1, 1)) % 8) * 16 AS width,
+      |       32 + (ascii(substring(text, 2, 1)) % 8) * 16 AS height,
+      |       1 + (ascii(substring(text, 1, 1)) + ascii(substring(text, 2, 1))) % 3 AS channels,
+      |       1 + strlen(text) // 128 AS n_frames
+      |FROM documents""".stripMargin
+
+  private val multimodalMeta =
+    s"""$multimodalMetaCore
+       |ORDER BY doc_id""".stripMargin
+
+  private val multimodalFrames =
+    s"""WITH m AS ($multimodalMetaCore)
+       |SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx,
+       |       unnest(range(0, n_frames, 2)) * 128 AS byte_offset
+       |FROM m ORDER BY doc_id, frame_idx""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "tsdb_range_scan" -> tsdbRangeScan,
+    "tsdb_range_regex" -> tsdbRangeRegex,
+    "tsdb_series" -> tsdbSeries,
+    "tsdb_label_values" -> tsdbLabelValues,
+    "tsdb_bucket_agg" -> tsdbBucketAgg,
+    "tsdb_delta" -> tsdbDelta,
+    "q1_agg" -> q1Agg,
+    "q3_topk" -> q3Topk,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "q_semijoin" -> qSemiJoin,
+    "q_antijoin" -> qAntiJoin,
+    "q_window_topn" -> qWindowTopn,
+    "q_setops" -> qSetOps,
+    "q_asof_join" -> qAsofJoin,
+    "q_sessionize" -> qSessionize,
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> jaccardPairs,
+    "dedup_minhash_lsh" -> jaccardPairs,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding,
+    "ann_topk" -> annTopk,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_frames" -> multimodalFrames)
+}

@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.LabelFunctions._
+import graft.model.{LabelMatcher, TsdbConf}
+
+/** Spark-native TSDB with the reference's query surface (SURVEY §2):
+  * `insertRows` / `queryRange` / `querySeries` / `queryLabelValues` plus
+  * retention expiry — re-expressed as declarative DataFrame plans so
+  * Catalyst provides partition pruning (the reference's segment pruning,
+  * segment.go:48-85), parquet predicate pushdown (the per-series iterator
+  * early-break, series.go:42-58), and partial/final aggregation (the
+  * cross-segment merge, tsdb.go:295-321) for free.
+  *
+  * Storage layout: `dataPath/samples/seg=<bucket>/…parquet` — the `seg`
+  * partition column is `floor(ts / segmentDuration)`, replacing the
+  * reference's `seg-<minTs>-<maxTs>` directories (tsdb.go:154-156).
+  * A small `dataPath/series_meta` dimension table replaces the inverted
+  * index (index.go): matcher evaluation against it yields candidate sids
+  * that semi-join the fact table — the Spark form of the reference's
+  * union/intersect of sid sets (index.go:111-143).
+  *
+  * Scale design: at 100 TB the fact table is only ever touched through
+  * (a) `seg` partition pruning, (b) pushed-down `ts`/`sid` predicates, and
+  * (c) one hash aggregation keyed by `sid` when point-array shaping is
+  * requested. No collect-to-driver anywhere; `series_meta` is small (one
+  * row per series) and broadcastable.
+  */
+class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
+  import Tsdb._
+
+  spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+  private val samplesPath = s"${conf.dataPath}/samples"
+  private val metaPath = s"${conf.dataPath}/series_meta"
+
+  /** onlyMemoryMode head: accumulated in-memory batches (the reference's
+    * memory segment, memory_segment.go). Batch appends only; the streaming
+    * path writes through `insertRows` via foreachBatch.
+    */
+  private var memHead: Option[DataFrame] = None
+
+  // ---------------------------------------------------------------- ingest
+
+  /** Normalize `(metric, labels, ts, value)` rows into the internal sample
+    * shape: labels filtered (label.go:190-203), metric folded as `__name__`
+    * (label.go:221-228), `sid` and `seg` derived.
+    */
+  def normalize(df: DataFrame): DataFrame = {
+    val folded = foldMetric(col("metric"),
+      normalizeLabels(coalesce(col("labels"),
+        expr("cast(map() as map<string,string>)"))))
+    df.withColumn("labels", folded)
+      .withColumn("sid", sidOf(col("labels")))
+      .withColumn("seg", segOf(col("ts"), conf.segmentDuration))
+      .select("sid", "metric", "labels", "seg", "ts", "value")
+  }
+
+  /** Batch insert (reference InsertRows, tsdb.go:205-216). Expects columns
+    * `metric: string, labels: map<string,string>, ts: long (s), value:
+    * double`. Appends time-partitioned parquet + upserts series metadata.
+    * Out-of-order and late points are a non-issue in batch storage — Parquet
+    * partitions are unordered collections and reads sort as needed (the
+    * reference's outdated-list machinery, memory_segment.go:104-111, exists
+    * only because its Gorilla blocks are append-only).
+    */
+  def insertRows(df: DataFrame): Unit = {
+    val norm = normalize(df)
+    if (conf.onlyMemoryMode) {
+      val cur = memHead
+      memHead = Some(cur.map(_.unionByName(norm)).getOrElse(norm))
+    } else {
+      norm.write
+        .mode("append")
+        .option("compression", conf.compression)
+        .partitionBy("seg")
+        .parquet(samplesPath)
+      norm
+        .groupBy("sid")
+        .agg(
+          first("metric").as("metric"),
+          first("labels").as("labels"),
+          min("ts").as("minTs"),
+          max("ts").as("maxTs"))
+        .write
+        .mode("append")
+        .option("compression", conf.compression)
+        .parquet(metaPath)
+    }
+  }
+
+  // ---------------------------------------------------------------- tables
+
+  /** The long-format sample table (sid, metric, labels, seg, ts, value). */
+  def samples: DataFrame = memHead match {
+    case Some(m) => m
+    case None => spark.read.parquet(samplesPath)
+  }
+
+  /** Series dimension: one row per sid with label set + time bounds.
+    * Persisted appends are compacted at read (min/max re-merge) — the same
+    * partial/final merge the reference does across segments.
+    */
+  def seriesMeta: DataFrame = {
+    val raw = memHead match {
+      case Some(m) =>
+        m.groupBy("sid").agg(
+          first("metric").as("metric"), first("labels").as("labels"),
+          min("ts").as("minTs"), max("ts").as("maxTs"))
+      case None => spark.read.parquet(metaPath)
+    }
+    raw
+      .groupBy("sid")
+      .agg(
+        first("metric").as("metric"),
+        first("labels").as("labels"),
+        min("minTs").as("minTs"),
+        max("maxTs").as("maxTs"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** QueryRange (reference tsdb.go:278-293): long-format result
+    * `(sid, labels, ts, value)` filtered to the metric, matchers and
+    * inclusive `[start, end]` range. The `seg` predicate prunes partitions;
+    * `ts` pushes into parquet row-group stats.
+    */
+  def queryRange(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long): DataFrame = {
+    val all = LabelMatcher.eq(MetricLabel, metric) +: matchers
+    samples
+      .where(segPredicate(start, end))
+      .where(col("ts").between(start, end))
+      .where(matcherPredicate(col("labels"), all))
+      .select("sid", "labels", "ts", "value")
+  }
+
+  /** QueryRange shaped like the reference's `MetricRet` (tsdb.go:273-276):
+    * one row per series with a ts-sorted points array. The sort_array of
+    * collected structs is the reference's concat+sort merge
+    * (tsdb.go:295-321) expressed as one hash aggregation. Optional terminal
+    * step — at 100 TB keep the long format (SURVEY §7.4).
+    */
+  def queryRangeShaped(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long): DataFrame =
+    queryRange(metric, matchers, start, end)
+      .groupBy("sid")
+      .agg(
+        first("labels").as("labels"),
+        sort_array(collect_list(struct(col("ts"), col("value")))).as("points"))
+
+  /** QuerySeries (reference tsdb.go:323-350): distinct matching label sets
+    * whose series overlap `[start, end]`. Runs on the small series_meta
+    * dimension only — never touches the fact table.
+    */
+  def querySeries(
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long): DataFrame =
+    seriesMeta
+      .where(col("minTs") <= end && col("maxTs") >= start)
+      .where(matcherPredicate(col("labels"), matchers))
+      .select("sid", "metric", "labels")
+
+  /** QueryLabelValues (reference tsdb.go:352-370): sorted distinct values of
+    * one label within the time range. The reference honors the range only at
+    * segment granularity (SURVEY §7.4); we implement exact `ts`-range
+    * semantics — strictly more correct — by scanning the pruned fact table.
+    */
+  def queryLabelValues(label: String, start: Long, end: Long): DataFrame =
+    samples
+      .where(segPredicate(start, end))
+      .where(col("ts").between(start, end))
+      .select(col("labels").getItem(label).as("value"))
+      .where(col("value").isNotNull)
+      .distinct()
+      .orderBy("value")
+
+  /** Retention expiry (reference tsdb.go:384-406): whole-partition drop of
+    * buckets older than `retention` — the "all-in" delete the reference
+    * performs per segment, here a partition-directory removal.
+    */
+  def removeExpires(nowSeconds: Long): Seq[Long] = {
+    if (conf.onlyMemoryMode) {
+      val cutoffSeg = (nowSeconds - conf.retention) / conf.segmentDuration
+      memHead = memHead.map(_.where(col("seg") >= cutoffSeg))
+      return Seq.empty
+    }
+    val cutoffSeg = (nowSeconds - conf.retention) / conf.segmentDuration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(samplesPath)
+    if (!fs.exists(base)) return Seq.empty
+    val dropped = fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("seg=")) {
+          val seg = name.stripPrefix("seg=").toLong
+          // expire when the bucket's max possible ts is older than cutoff,
+          // i.e. the whole segment is out of retention (tsdb.go:393-396)
+          if ((seg + 1) * conf.segmentDuration <= nowSeconds - conf.retention) {
+            fs.delete(st.getPath, true)
+            Some(seg)
+          } else None
+        } else None
+      }
+    dropped
+  }
+
+  // ------------------------------------------------------------- predicates
+
+  private def segPredicate(start: Long, end: Long): Column = {
+    val s = Math.floorDiv(start, conf.segmentDuration)
+    val e = Math.floorDiv(end, conf.segmentDuration)
+    // inclusive bounds on both sides — the reference's strict-comparison
+    // overlap test misses exactly-aligned boundaries (segment.go:71-85);
+    // we deliberately do not replicate that off-by-one (SURVEY §7.4).
+    col("seg").between(s, e)
+  }
+
+  /** Conjunctive matcher predicate over a label map column — the Spark form
+    * of the reference's per-matcher UNION + cross-matcher INTERSECT over sid
+    * sets (index.go:111-143). Regex patterns are anchored `^(?:v)$` like the
+    * reference (label.go:88). Negative matchers (not in the reference)
+    * match series where the label is absent, Prometheus-style.
+    */
+  def matcherPredicate(labels: Column, matchers: Seq[LabelMatcher]): Column =
+    matchers.foldLeft(lit(true)) { (acc, m) =>
+      val v = labels.getItem(m.name)
+      val pos =
+        if (m.isRegex) v.isNotNull && v.rlike("^(?:" + m.value + ")$")
+        else v.isNotNull && v === m.value
+      acc && (if (m.negate) !coalesce(pos, lit(false)) else pos)
+    }
+}
+
+object Tsdb {
+  val MetricLabel: String = graft.functions.LabelFunctions.MetricLabel
+
+  /** Attach an existing long-format DataFrame as an in-memory TSDB — used to
+    * run the TSDB query surface over external tables (e.g. the shared
+    * `events` table) without copying storage.
+    */
+  def attach(
+      spark: SparkSession,
+      rows: DataFrame,
+      conf: TsdbConf = TsdbConf(dataPath = "", onlyMemoryMode = true)): Tsdb = {
+    val t = new Tsdb(spark, conf.copy(onlyMemoryMode = true))
+    t.insertRows(rows)
+    t
+  }
+}

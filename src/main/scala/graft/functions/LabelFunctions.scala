@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Label-set handling for the TSDB core.
+  *
+  * Mirrors the reference semantics (capability, not code):
+  *  - drop empty label names/values (reference label.go:190-203)
+  *  - fold the metric name into the label set as `__name__`
+  *    (reference segment.go:126, label.go:221-228)
+  *  - stable series identity from metric + sorted labels
+  *    (reference tsdb.go:166-168, label.go:235-251)
+  *
+  * A Spark `MapType(String, String)` column already guarantees unique label
+  * names, so only empty-entry filtering is needed for normalization; sorting
+  * happens in [[canonicalLabels]] at hash time.
+  */
+object LabelFunctions {
+
+  /** Reserved label carrying the metric name (reference label.go:12). */
+  val MetricLabel = "__name__"
+
+  /** Drop entries with empty/null name or value (reference label.go:190-203). */
+  def normalizeLabels(labels: Column): Column =
+    map_filter(labels, (k, v) =>
+      k.isNotNull && v.isNotNull && k =!= "" && v =!= "")
+
+  /** Fold the metric name into the label map as `__name__`.
+    * Callers must run under `spark.sql.mapKeyDedupPolicy=LAST_WIN` so a
+    * user-supplied `__name__` label is overwritten, like the reference
+    * (label.go:221-228 replaces rather than duplicates).
+    */
+  def foldMetric(metric: Column, labels: Column): Column =
+    map_concat(labels, map(lit(MetricLabel), metric))
+
+  /** Canonical `k=v,k=v` rendering, sorted by label name. Sorting an
+    * `array<struct<key,value>>` sorts by key first, which is exactly the
+    * name-ordering the reference maintains (label.go:230-232).
+    */
+  def canonicalLabels(labels: Column): Column =
+    concat_ws(",", transform(sort_array(map_entries(labels)),
+      e => concat_ws("=", e.getField("key"), e.getField("value"))))
+
+  /** Stable 64-bit series id over the folded, sorted label set.
+    * The reference uses xxhash(metric) + "/-/" + xxhash(sorted labels)
+    * (tsdb.go:166-168); a single xxhash64 over the canonical rendering is
+    * an equivalent stable identity.
+    */
+  def sidOf(labels: Column): Column = xxhash64(canonicalLabels(labels))
+
+  /** Time-bucket (segment) id: `floor(tsSeconds / segmentDuration)`.
+    * Replaces the reference's `seg-<minTs>-<maxTs>` directories
+    * (tsdb.go:154-156) with a partition column Catalyst can prune on.
+    */
+  def segOf(tsSeconds: Column, segmentDuration: Long): Column =
+    floor(tsSeconds / lit(segmentDuration)).cast("long")
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data-pipeline operators:
+  * tokenization, shingling, fingerprinting, language-ID scoring, quality
+  * metrics. Everything is a codegen'd builtin expression (no UDFs), and every
+  * formula is chosen to be expressible 1:1 in ANSI/DuckDB SQL so the driver
+  * oracle can verify results exactly (integer counts, sequential integer
+  * folds, double divisions in a fixed order).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed string. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct k-word shingles ("w1 w2 w3"). Docs with fewer than k words get
+    * an empty shingle set. Mirrors the classic shingling used for MinHash /
+    * Jaccard near-dup detection.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val w = wsTokens(text)
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", (0 until k).map(j => get(w, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-alnum
+    * non-space characters. The pattern is RE2/Java-regex compatible.
+    */
+  val BpePattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Whitespace-normalized lowercase form used for fingerprinting. */
+  def normalizedText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** 128-bit content fingerprint: md5 of the normalized text. */
+  def md5Fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the codepoints of the
+    * normalized text — a Karp-Rabin-style fingerprint computed with exact
+    * integer arithmetic, so it is engine-portable bit-for-bit.
+    */
+  def polyFingerprint(text: Column): Column = {
+    val n = normalizedText(text)
+    val codes = transform(sequence(lit(1), length(n)), i => ascii(n.substr(i, lit(1))))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+  }
+
+  /** Portable 60-bit token hash: first 15 hex digits of md5, base-16 decoded.
+    * Used by SimHash so the oracle can reproduce the exact same bits.
+    */
+  def tokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** Language marker sets for the n-gram/stopword language-ID heuristic.
+    * Deterministic scoring: fraction of tokens found in each language's
+    * marker list; argmax with fixed priority order, `und` when all zero.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "es", "y", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "he2", "you3", "wo3"))
+
+  def langScore(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(markers)))
+
+  /** Predicted language: argmax of marker counts, first-wins on ties in the
+    * order of [[LangMarkers]]; `und` if every score is zero.
+    */
+  def langId(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(toks, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.model
+
+/** Core data model of the engine (SURVEY §1.4).
+  *
+  * The reference's write unit is `(metric, labels, ts, value)`
+  * (tsdb.go:159-163); internally the metric folds into the label set as
+  * `__name__` so a row is just a label set + point. We keep both the folded
+  * map and the derived `sid`/`seg` columns explicit.
+  */
+final case class Sample(
+    sid: Long,
+    metric: String,
+    labels: Map[String, String],
+    seg: Long,
+    ts: Long, // epoch seconds (reference Point.Ts, tsdb.go:145-148)
+    value: Double)
+
+/** One row per series: identity + label set + observed time bounds.
+  * Plays the role of the reference's inverted index + per-segment label
+  * value store (index.go, label.go:40-77): metadata queries and matcher
+  * pre-filtering run against this small dimension table instead of the
+  * sample fact table.
+  */
+final case class SeriesMeta(
+    sid: Long,
+    metric: String,
+    labels: Map[String, String],
+    minTs: Long,
+    maxTs: Long)
+
+/** Label predicate (reference label.go:283-290). The reference only supports
+  * equality and anchored regex; we additionally expose negation (`!=` / `!~`)
+  * because it is free in Spark — oracle-checked queries stick to the
+  * reference-expressible subset.
+  */
+final case class LabelMatcher(
+    name: String,
+    value: String,
+    isRegex: Boolean = false,
+    negate: Boolean = false)
+
+object LabelMatcher {
+  def eq(name: String, value: String): LabelMatcher = LabelMatcher(name, value)
+  def re(name: String, pattern: String): LabelMatcher =
+    LabelMatcher(name, pattern, isRegex = true)
+  def neq(name: String, value: String): LabelMatcher =
+    LabelMatcher(name, value, negate = true)
+  def nre(name: String, pattern: String): LabelMatcher =
+    LabelMatcher(name, pattern, isRegex = true, negate = true)
+}
+
+/** Engine configuration (reference tsdb.go:24-48 option surface).
+  *
+  * Unlike the reference — where `enableOutdated` and `maxRowsPerSegment`
+  * are stored but never consulted (SURVEY §2.1 fidelity note) — these knobs
+  * are honored.
+  */
+final case class TsdbConf(
+    dataPath: String,
+    segmentDuration: Long = 2L * 3600, // 2h, tsdb.go:40
+    retention: Long = 7L * 86400, // 7d, tsdb.go:41
+    compression: String = "zstd", // compressor.go codecs: none|zstd|snappy
+    onlyMemoryMode: Boolean = false,
+    writeListenerTimeoutSec: Long = 30L) // tsdb.go:42 (streaming trigger bound)

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics the reference's data model implies but never
+  * implements (SURVEY §2.2: no windows, no joins): tumbling-window
+  * aggregation, session windows (gaps-and-islands), and as-of join.
+  * All are single-shuffle plans keyed by the entity id.
+  */
+object EventOps {
+
+  /** Tumbling-window aggregation over epoch-second rows: the batch
+    * equivalent of the Structured Streaming windowed aggregation in
+    * [[graft.streaming.Ingest]]. `bucket = ts_s div windowSec`.
+    */
+  def tumblingAgg(
+      events: DataFrame,
+      keyCol: String,
+      tsSecCol: String,
+      valueCol: String,
+      windowSec: Long): DataFrame =
+    events
+      .groupBy(
+        col(keyCol),
+        (col(tsSecCol) - pmod(col(tsSecCol), lit(windowSec))).as("bucket_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Sessionization with an inactivity gap (gaps-and-islands): a new session
+    * starts when the time since the previous event of the same key exceeds
+    * `gapSec`. One shuffle on the key; two window passes, same partitioning.
+    * Tie-break on `idCol` makes ordering deterministic for equal timestamps.
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      tsSecCol: String,
+      idCol: String,
+      valueCol: String,
+      gapSec: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsSecCol), col(idCol))
+    val newSession =
+      when(col(tsSecCol) - lag(col(tsSecCol), 1).over(byKey) > gapSec, 1)
+        .when(lag(col(tsSecCol), 1).over(byKey).isNull, 1)
+        .otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_seq",
+        sum(col("new_s")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        min(col(tsSecCol)).as("session_start"),
+        max(col(tsSecCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_v"))
+  }
+
+  /** As-of (backward, inclusive) join: for each left row, the most recent
+    * right row with `right.ts <= left.ts` for the same key.
+    *
+    * Implemented as the union-sort-window plan: tag both sides, union,
+    * window by key ordered by (ts, side) and carry the last non-null right
+    * payload forward, then keep left rows. ONE shuffle on the key — no
+    * range-join explosion, no per-key skew beyond the data's own — this is
+    * the plan that survives 100 TB, unlike a naive
+    * `left.ts >= right.ts` theta-join.
+    *
+    * @param rightPayload (name -> column-of-right) values carried to matches
+    */
+  def asOfJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val payType = org.apache.spark.sql.types.StructType(
+      right.select(rightPayload.map(col): _*).schema.fields)
+    val leftCols = left.columns
+    val lSel = left
+      .withColumn("__side", lit(1))
+      .withColumn("__pay", lit(null).cast(payType))
+    val rSel = right
+      .select(col(keyCol), col(tsCol),
+        struct(rightPayload.map(col): _*).as("__pay"))
+      .withColumn("__side", lit(0))
+    // at equal ts the right row sorts first (__side 0 < 1), so a left row
+    // matches a right row with exactly-equal ts: backward-INCLUSIVE.
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lSel
+      .unionByName(rSel, allowMissingColumns = true)
+      .withColumn("matched", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select((leftCols.map(col) :+ col("matched")): _*)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and implement decode /
+  * feature-extract / frame-sample as distributed column operators.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode step is a clearly-marked DETERMINISTIC STUB: it derives fake
+  * (width, height, channels, frame count) metadata from the payload's
+  * leading bytes. Everything around the stub — the binary schema, the
+  * per-row metadata extraction, the frame-index explosion, partitioning —
+  * is real Spark plumbing that a real codec UDF would drop into (e.g. a
+  * `mapInArrow`/`mapPartitions` batch decode at the marked point).
+  */
+object Multimodal {
+
+  /** Attach an opaque binary payload column (here: the utf-8 bytes of the
+    * text column, standing in for image/audio bytes).
+    */
+  def withBinaryPayload(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** STUB DECODER: deterministic fake media metadata from payload bytes.
+    * b0/b1 are the first two bytes (the "header"); a real implementation
+    * would replace this expression block with a codec call over the binary
+    * column (batched via mapPartitions/mapInArrow) — the output schema and
+    * everything downstream stays identical.
+    */
+  def decodeMetadata(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nBytes = octet_length(t)
+    val b0 = ascii(substring(t, 1, 1))
+    val b1 = ascii(substring(t, 2, 1))
+    docs.select(
+      col(idCol).as("doc_id"),
+      nBytes.as("n_bytes"),
+      (lit(32) + (b0 % 8) * 16).as("width"),
+      (lit(32) + (b1 % 8) * 16).as("height"),
+      (lit(1) + (b0 + b1) % 3).as("channels"),
+      (lit(1) + floor(nBytes / lit(128)).cast("long")).as("n_frames"))
+  }
+
+  /** Frame sampling: one row per sampled frame index with its byte offset —
+    * the explode pattern a video pipeline uses to fan decoded frames out to
+    * executors. `frame_idx` steps by `stride`.
+    */
+  def sampleFrames(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stride: Int = 1): DataFrame =
+    decodeMetadata(docs, idCol, textCol)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .withColumn("byte_offset", col("frame_idx") * 128)
+}

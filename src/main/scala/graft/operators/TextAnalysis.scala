@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document-level text analysis: language-ID, quality scoring, token
+  * counting, fingerprinting. Pure map-side column expressions — no shuffle,
+  * no UDFs; scales linearly and stays inside WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  /** Language-ID via the stopword/marker heuristic of
+    * [[graft.functions.TextFunctions.langId]].
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), langId(col(textCol)).as("lang_pred"))
+
+  /** Quality metrics: char/word counts, mean word length, punctuation and
+    * stopword ratios, and a composite [0,1] quality score. All ratios are
+    * double divisions of exact integer counts in a fixed order.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = wsTokens(t)
+    val nChars = length(t)
+    val nWords = size(toks)
+    val punct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    val stops = langScore(toks, LangMarkers.head._2) // english markers
+    val meanWordLen = (length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
+    val punctRatio = punct.cast("double") / nChars
+    val stopRatio = stops.cast("double") / nWords
+    // composite: reward moderate length + low punctuation + some stopwords
+    val score =
+      least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 +
+        (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.2
+    docs.select(
+      col(idCol).as("doc_id"),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(wsTokens(col(textCol))).as("n_ws_tokens"),
+      bpeTokenCount(col(textCol)).as("n_bpe_tokens"))
+
+  /** Fingerprints: md5 of normalized text + portable rolling polynomial
+    * hash (base 31 mod 1e9+7) — see TextFunctions for the exact fold.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      md5Fingerprint(col(textCol)).as("fp_md5"),
+      polyFingerprint(col(textCol)).as("fp_poly"))
+}

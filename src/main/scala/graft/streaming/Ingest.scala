@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Tsdb
+
+/** Structured Streaming ingest path (reference O1, tsdb.go:205-233):
+  * the bounded-channel + worker-pool write pipeline becomes
+  * `readStream → foreachBatch(insertRows)` — micro-batch commits replace
+  * the async flush goroutine (tsdb.go:242-265), checkpointing replaces the
+  * WAL the reference explicitly lacks (README.md:39), and back-pressure
+  * replaces the 30 s enqueue timeout.
+  */
+object Ingest {
+
+  /** Continuously ingest a streaming DataFrame of
+    * `(metric, labels, ts, value)` rows into a [[Tsdb]].
+    */
+  def ingestStream(
+      tsdb: Tsdb,
+      src: DataFrame,
+      checkpoint: String,
+      triggerMs: Long = 1000L): StreamingQuery =
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        tsdb.insertRows(batch)
+      }
+      .start()
+
+  /** Streaming tumbling-window aggregation with late-data handling: the
+    * watermark is the principled form of the reference's out-of-order
+    * side-list (memory_segment.go:104-111) — late points within the
+    * watermark merge into their window; later ones are dropped, mirroring
+    * the reference's silent drop into frozen segments
+    * (disk_segment.go:149-151).
+    */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDur: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+}

@@ -1,0 +1,32 @@
+package graft
+
+/** Smoke tests of the driver contract: entry() returns rows; every
+  * registered query runs and returns rows at sf0.001; every oracle entry
+  * has a matching query.
+  */
+class EntrySpec extends SparkSuite {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"orphan oracles: ${o.diff(q)}")
+    // only the intentionally-approximate query lacks an oracle
+    assert(q.diff(o) == Set("ann_topk_lsh"))
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, sf0001).count()
+        if (n > 0) None else Some(s"$name: 0 rows")
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+}

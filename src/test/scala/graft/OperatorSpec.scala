@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, EventOps, Similarity}
+import graft.sources.Tables
+
+/** Operator-level tests over the shared sf0.001 tables: near-dup detection
+  * agreement across methods, ANN recall, as-of join vs naive reference.
+  */
+class OperatorSpec extends SparkSuite {
+
+  lazy val docs = Tables.documents(spark, sf0001)
+  lazy val emb = Tables.embeddings(spark, sf0001)
+
+  lazy val exactPairs: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("ngram jaccard finds the planted near-dup pairs") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("minhash LSH + exact verification equals the exact jaccard join") {
+    val lsh = Dedup.minHashPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exactPairs)
+  }
+
+  test("simhash near-dups are a subset-consistent view of true near-dups") {
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash(hamming<=3) is a different similarity notion; require that it
+    // (a) finds something and (b) mostly agrees with true jaccard near-dups
+    assert(sim.nonEmpty)
+    val overlap = sim.intersect(exactPairs).size.toDouble / sim.size
+    assert(overlap >= 0.8, s"simhash precision vs jaccard pairs = $overlap")
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val n = Dedup.exact(docs, "doc_id", "text").count()
+    assert(n == docs.select("text").distinct().count())
+  }
+
+  test("ANN LSH top-k has reasonable recall vs brute force") {
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"LSH recall vs brute force = $recall")
+    // every LSH result must at least be a real corpus pair, rank <= 5
+    assert(lsh.nonEmpty)
+  }
+
+  test("as-of join matches a naive per-row reference") {
+    val e = Tables.events(spark, sf0001)
+    val clicks = e.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("p_value"))
+    val got = EventOps.asOfJoinBackward(clicks, purchases, "user_id", "ts",
+        Seq("p_value"))
+      .select(col("event_id"), col("matched").getField("p_value").as("p_value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // naive reference computed on the driver (small sf only)
+    val cl = clicks.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pu = purchases.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    cl.foreach { case (uid, eid, ts) =>
+      val cand = pu.filter(p => p._1 == uid && p._2 <= ts)
+      val expected = if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3)
+      assert(got(eid) == expected, s"event $eid")
+    }
+  }
+
+  test("sessionize splits on gaps and covers all events") {
+    val e = Tables.events(spark, sf0001)
+    val sessions = EventOps.sessionize(e, "user_id", "ts_s", "event_id", "value", 1800L)
+    val nEvents = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(nEvents == e.count())
+    // session bounds are consistent
+    val bad = sessions.where(col("session_end") < col("session_start")).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.model.{LabelMatcher, TsdbConf}
+
+/** End-to-end TSDB tests on the mandodb-shaped synthetic grid
+  * (FIXTURES.md §A): metrics × nodes × dcs, 60 s step, value == ts —
+  * replicating the reference's own test assertions
+  * (tsdb_test.go:37-90, 92-121, 123-147).
+  */
+class TsdbSpec extends SparkSuite {
+
+  val Start = 1600000000L
+  val Steps = 240 // 4h at 60s => crosses the 2h segment boundary
+  val Metrics = Seq(
+    "cpu.busy", "cpu.load1",
+    "disk.write.ops", "disk.read.ops", "disk.used",
+    "mem.used", "net.in.bytes", "net.out.bytes")
+
+  /** Deterministic self-checking grid: value == ts (tsdb_test.go:21-35). */
+  def grid(): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      m <- Metrics
+      node <- 0 until 3
+      dc <- 0 until 4
+      step <- 0 until Steps
+    } yield (m, Map("node" -> s"vm$node", "dc" -> dc.toString),
+      Start + step * 60L, (Start + step * 60L).toDouble)
+    rows.toDF("metric", "labels", "ts", "value")
+  }
+
+  def mkTsdb(memory: Boolean): Tsdb = {
+    val conf = TsdbConf(
+      dataPath = tempDir("tsdb"),
+      segmentDuration = 7200L,
+      compression = "zstd",
+      onlyMemoryMode = memory)
+    val t = new Tsdb(spark, conf)
+    t.insertRows(grid())
+    t
+  }
+
+  lazy val disk: Tsdb = mkTsdb(memory = false)
+  lazy val mem: Tsdb = mkTsdb(memory = true)
+
+  def assertRangeQuery(t: Tsdb): Unit = {
+    // reference tsdb_test.go:63-82: exact labels + exact 3-point sequence
+    val got = t.queryRangeShaped(
+      "cpu.busy",
+      Seq(LabelMatcher.eq("node", "vm1"), LabelMatcher.eq("dc", "0")),
+      Start, Start + 120)
+      .collect()
+    assert(got.length == 1)
+    val labels = got(0).getAs[Map[String, String]]("labels")
+    assert(labels == Map("__name__" -> "cpu.busy", "node" -> "vm1", "dc" -> "0"))
+    val points = got(0).getAs[scala.collection.Seq[Row]]("points")
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(points == Seq(
+      (Start, Start.toDouble),
+      (Start + 60, (Start + 60).toDouble),
+      (Start + 120, (Start + 120).toDouble)))
+  }
+
+  test("queryRange returns exact points (disk)") { assertRangeQuery(disk) }
+  test("queryRange returns exact points (memory)") { assertRangeQuery(mem) }
+
+  test("queryRange trailing window returns expected count") {
+    // reference tsdb_test.go:84-89 shape: [end-120, end] => 3 aligned points
+    val end = Start + (Steps - 1) * 60L
+    val got = disk.queryRange(
+      "cpu.busy",
+      Seq(LabelMatcher.eq("node", "vm1"), LabelMatcher.eq("dc", "0")),
+      end - 120, end)
+    assert(got.count() == 3)
+  }
+
+  test("querySeries with regex matcher finds exactly the disk.* series") {
+    // reference tsdb_test.go:92-121: 3 series for disk.* + node/dc equality
+    val got = disk.querySeries(
+      Seq(
+        LabelMatcher.re(Tsdb.MetricLabel, "disk.*"),
+        LabelMatcher.eq("node", "vm1"),
+        LabelMatcher.eq("dc", "0")),
+      Start, Start + 120)
+    assert(got.count() == 3)
+    val metrics = got.select("metric").collect().map(_.getString(0)).toSet
+    assert(metrics == Set("disk.write.ops", "disk.read.ops", "disk.used"))
+  }
+
+  test("queryLabelValues returns sorted distinct values") {
+    // reference tsdb_test.go:123-147: node domain == [vm0 vm1 vm2] sorted
+    val got = disk.queryLabelValues("node", Start, Start + 120)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("vm0", "vm1", "vm2"))
+  }
+
+  test("negative matchers (beyond reference capability)") {
+    val got = disk.querySeries(
+      Seq(
+        LabelMatcher.re(Tsdb.MetricLabel, "disk.*"),
+        LabelMatcher.neq("node", "vm1"),
+        LabelMatcher.eq("dc", "0")),
+      Start, Start + 120)
+    assert(got.count() == 6) // 3 disk metrics x {vm0, vm2}
+  }
+
+  test("label normalization drops empty entries; sid is label-order independent") {
+    import spark.implicits._
+    val a = Seq(("m", Map("b" -> "2", "a" -> "1", "" -> "x", "c" -> ""), 0L, 1.0))
+      .toDF("metric", "labels", "ts", "value")
+    val b = Seq(("m", Map("a" -> "1", "b" -> "2"), 0L, 1.0))
+      .toDF("metric", "labels", "ts", "value")
+    val t = new Tsdb(spark, TsdbConf(dataPath = "", onlyMemoryMode = true))
+    val sa = t.normalize(a).select("sid").head().getLong(0)
+    val sb = t.normalize(b).select("sid").head().getLong(0)
+    assert(sa == sb)
+    val labels = t.normalize(a).select("labels").head().getAs[Map[String, String]](0)
+    assert(labels == Map("__name__" -> "m", "a" -> "1", "b" -> "2"))
+  }
+
+  test("storage is seg-partitioned and retention drops expired partitions") {
+    val t = disk
+    val fs = new java.io.File(t.conf.dataPath + "/samples")
+    val segDirs = fs.listFiles().filter(_.getName.startsWith("seg=")).map(_.getName)
+    // 4h of data at 2h segmentDuration => exactly 2 buckets + boundary
+    assert(segDirs.length >= 2)
+    // retention: "now" far in the future expires everything
+    val dropped = t.removeExpires(Start + 100L * 86400)
+    assert(dropped.nonEmpty)
+    val left = fs.listFiles().filter(_.getName.startsWith("seg=")).map(_.getName)
+    assert(left.isEmpty)
+  }
+}
