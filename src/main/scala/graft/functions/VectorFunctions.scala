@@ -19,9 +19,14 @@ object VectorFunctions {
 
   def toDoubleArray(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Sequential dot product: ((0 + a1*b1) + a2*b2) + ... */
-  def dotSeq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential dot product: ((0 + a1*b1) + a2*b2) + ...
+    * Delegates to the native codegen'd [[graft.plans.DotProduct]] — the
+    * same left-to-right double fold as
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)`, compiled to a primitive
+    * loop (the HOF form allocates per element; this is the hot inner loop
+    * of the O(pairs × dim) similarity operators).
+    */
+  def dotSeq(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
 
   def normSeq(a: Column): Column = sqrt(dotSeq(a, a))
 

@@ -72,23 +72,26 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signature column: for each of `numHashes` hash functions,
-    * the minimum over the doc's shingle hashes. One pass over the shingle
-    * array with a sequential fold carrying the running minima — no explode,
-    * no shuffle; signatures are computed map-side.
-    * Hash family: xxhash64(shingle, seed=i) via per-i column hashing.
+  /** MinHash signatures as `numHashes` parallel `min` aggregations over the
+    * exploded shingle hashes: one string xxhash64 per shingle, then the
+    * hash family `h_i = xxhash64(h, i)` over the 8-byte base hash (cheap,
+    * ANSI-safe — no overflowing arithmetic). The groupBy gets map-side
+    * partial aggregation and whole-stage codegen — far cheaper than a
+    * per-row higher-order fold carrying a 128-element array state.
+    * Returns (doc_id, sig array<long>).
     */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    val init = array_repeat(lit(Long.MaxValue), numHashes)
-    aggregate(
-      shingles,
-      init,
-      (acc, tok) => {
-        val hashes = transform(
-          sequence(lit(0), lit(numHashes - 1)),
-          i => xxhash64(tok, i))
-        zip_with(acc, hashes, (a, h) => least(a, h))
-      })
+  def minHashSignatures(
+      sets: DataFrame, // (doc_id, shingles)
+      numHashes: Int): DataFrame = {
+    val h = xxhash64(col("tok"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(h, lit(i))).as(s"m$i"))
+    sets
+      .select(col("doc_id"), explode(col("shingles")).as("tok"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup pairs: signature → `bands` buckets of
@@ -111,12 +114,11 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, k)
       .where(size(col("shingles")) > 0)
       .withColumn("n", size(col("shingles")))
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-    val banded = sets.select(
-      col("doc_id"), col("n"), col("shingles"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
+    val sigs = minHashSignatures(sets, numHashes)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val a = banded.as("a")
@@ -125,13 +127,17 @@ object Dedup {
       .join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.shingles").as("s1"), col("b.shingles").as("s2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    // exact-Jaccard verification of the (small) candidate set: broadcast the
+    // shingle dimension back in
+    val dim = broadcast(sets.select(col("doc_id"), col("shingles"), col("n")))
     val common = size(array_intersect(col("s1"), col("s2")))
     cands
+      .join(dim.select(col("doc_id").as("id1"),
+        col("shingles").as("s1"), col("n").as("n1")), "id1")
+      .join(dim.select(col("doc_id").as("id2"),
+        col("shingles").as("s2"), col("n").as("n2")), "id2")
       .withColumn("common", common)
       .withColumn("jaccard",
         round(col("common") / (col("n1") + col("n2") - col("common")), 6))
@@ -143,21 +149,26 @@ object Dedup {
     * portable 60-bit md5-derived token hash so the oracle can reproduce the
     * exact bits: bit j of the simhash is 1 iff
     * `sum over tokens of (bit_j(hash) ? +1 : -1) >= 0`.
-    * Computed per-doc with 60 conditional sums over the token array —
-    * map-side only, no shuffle.
+    * Computed as 60 parallel conditional-sum aggregations over the exploded
+    * tokens — map-side partial aggregation + codegen, one shuffle keyed by
+    * doc. Returns (doc_id, sh long).
     */
   val SimHashBits = 60
 
-  def simHash(text: Column): Column = {
-    val toks = wsTokens(text)
-    val hashes = transform(toks, t => tokenHash60(t))
-    (0 until SimHashBits).map { j =>
-      val vote = aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote >= 0, pow2(j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = tokenHash60(col("tok"))
+    val votes = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"v$j"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(wsTokens(col(textCol))).as("tok"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimHashBits).map(j =>
+          when(col(s"v$j") >= 0, pow2(j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
   }
 
   private def pow2(j: Int): Column = lit(1L << j)
@@ -175,7 +186,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = SimHashBits / nBands
-    val hashed = docs.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
+    val hashed = simHashes(docs, idCol, textCol)
     val bandCols = (0 until nBands).map(b =>
       shiftrightunsigned(col("sh"), b * bandBits)
         .bitwiseAND(lit((1L << bandBits) - 1)))
@@ -209,10 +220,14 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    // precompute each vector's norm ONCE (identical double value to
+    // recomputing it per pair, so oracle-exactness is preserved), then the
+    // per-pair work is a single native dot product.
     val v = emb.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("vec"))
+      .withColumn("nrm", normSeq(col("vec")))
     val a = v.as("a")
     val b = v.as("b")
-    val cos = cosineSeq(col("a.vec"), col("b.vec"))
+    val cos = dotSeq(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
     a.join(b, col("a.id") < col("b.id"))
       .where(cos >= threshold)
       .select(

@@ -33,8 +33,11 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val cand = emb.select(col(idCol).as("nid"), toDoubleArray(col(vecCol)).as("cvec"))
+      .withColumn("cnrm", normSeq(col("cvec")))
     val q = queries.select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("qvec"))
-    val sim = round(cosineSeq(col("qvec"), col("cvec")), 6)
+      .withColumn("qnrm", normSeq(col("qvec")))
+    val sim = round(
+      dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     cand
       .crossJoin(broadcast(q))
@@ -52,20 +55,23 @@ object Similarity {
   private def planeComponent(j: Int, i: Column): Column =
     when(xxhash64(lit(j), i).bitwiseAND(1) === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Sign bit of the projection of `vec` onto plane j. */
-  private def signBit(vec: Column, j: Int): Column = {
-    val proj = aggregate(
-      zip_with(
-        vec,
-        sequence(lit(0), size(vec) - 1),
-        (x, i) => x * planeComponent(j, i)),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  /** Hyperplane LSH signatures for a whole frame: posexplode the vector,
+    * aggregate `nPlanes` signed projections per id (map-side partial agg +
+    * codegen), pack sign bits into a long. Returns (id, sig).
+    */
+  def lshSignatures(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int): DataFrame = {
+    val projs = (0 until nPlanes).map(j =>
+      sum(col("col") * planeComponent(j, col("pos"))).as(s"p$j"))
+    df.select(col(idCol).as("id"),
+        posexplode(toDoubleArray(col(vecCol))))
+      .groupBy("id")
+      .agg(projs.head, projs.tail: _*)
+      .select(col("id"),
+        (0 until nPlanes).map(j =>
+          when(col(s"p$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
   }
-
-  /** Hyperplane LSH signature: `nPlanes` sign bits packed into a long. */
-  def lshSignature(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map(j => signBit(vec, j) * lit(1L << j)).reduce(_ + _)
 
   /** ANN top-k via banded hyperplane LSH + exact rerank.
     * Candidates = corpus vectors sharing at least one signature band with
@@ -82,21 +88,26 @@ object Similarity {
       bands: Int = 4): DataFrame = {
     require(nPlanes % bands == 0)
     val bandBits = nPlanes / bands
-    def banded(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(
-          col(idCol).as(id),
-          toDoubleArray(col(vecCol)).as(vec),
-          lshSignature(toDoubleArray(col(vecCol)), nPlanes).as("sig"))
+    def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
+      val base = df.select(
+        col(idCol).as(id),
+        toDoubleArray(col(vecCol)).as(vec),
+        normSeq(toDoubleArray(col(vecCol))).as(nrm))
+      base
+        .join(lshSignatures(df, idCol, vecCol, nPlanes)
+          .withColumnRenamed("id", id), id)
         .select(
-          col(id), col(vec),
+          col(id), col(vec), col(nrm),
           posexplode(array((0 until bands).map(b =>
             shiftrightunsigned(col("sig"), b * bandBits)
               .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
-    val c = banded(emb, "nid", "cvec")
-    val q = banded(queries, "qid", "qvec")
-    val sim = round(cosineSeq(col("qvec"), col("cvec")), 6)
+    }
+    val c = banded(emb, "nid", "cvec", "cnrm")
+    val q = banded(queries, "qid", "qvec", "qnrm")
+    val sim = round(
+      dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     c.join(q, Seq("band", "bucket"))
       .where(col("qid") =!= col("nid"))

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal accessor for the `private[sql]` Column <-> Expression bridge —
+  * the standard technique for third-party Catalyst expressions on Spark 4
+  * (Column wraps a ColumnNode; `classic.ExpressionUtils` converts).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
