@@ -367,7 +367,44 @@ object OracleSql {
        |       unnest(range(0, n_frames, 2)) * 128 AS byte_offset
        |FROM m ORDER BY doc_id, frame_idx""".stripMargin
 
+  private val qRollup =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       SUM(l_quantity) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  private val qPivot =
+    s"""SELECT ($tsS // 86400) AS day,
+       |       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+       |       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+       |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+       |       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+       |       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  private val qPercentiles =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      |       round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+      |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val tsdbIngestStats =
+    s"""SELECT ($tsS // 7200) AS seg,
+       |       count(*) AS n_points,
+       |       count(DISTINCT event_type || '|' || CAST(user_id AS VARCHAR)) AS n_series,
+       |       min($tsS) AS min_ts, max($tsS) AS max_ts
+       |FROM events GROUP BY 1 ORDER BY seg""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_rollup" -> qRollup,
+    "q_pivot" -> qPivot,
+    "q_percentiles" -> qPercentiles,
+    "ann_topk_agg" -> annTopk,
+    "tsdb_ingest_stats" -> tsdbIngestStats,
     "tsdb_range_scan" -> tsdbRangeScan,
     "tsdb_range_regex" -> tsdbRangeRegex,
     "tsdb_series" -> tsdbSeries,

@@ -216,6 +216,71 @@ object SparkEntry {
         Tables.events(s, dir), "user_id", "ts_s", "event_id", "value", 1800L)
       .orderBy("user_id", "session_seq")
 
+  /** Real write-path exercise: ingest the events table into a fresh
+    * seg-partitioned store, then report per-segment stats (the reference's
+    * flush-time `Desc`, segment.go:31-36). In Bench this measures actual
+    * ingest + stats throughput.
+    */
+  private def qTsdbIngestStats(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val t = new Tsdb(s, TsdbConf(dataPath = path, compression = "zstd"))
+    t.insertRows(eventsAsSamples(s, dir))
+    t.segmentStats.orderBy("seg")
+  }
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("l_quantity").as("sum_qty"),
+        dec2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", expr("ts_s div 86400"))
+      .groupBy("day")
+      .pivot("event_type", PivotTypes)
+      .agg(dec2(col("value")))
+      .orderBy("day")
+
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
+        round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Same result as [[qAnnTopk]] but through the bounded TopKAggregator —
+    * the O(groups × k) shuffle path. Shares ann_topk's oracle.
+    */
+  private def qAnnTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cand = emb.select(col("vec_id").as("nid"),
+      graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("cvec"))
+      .withColumn("cnrm", graft.functions.VectorFunctions.normSeq(col("cvec")))
+    val q = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("qvec"))
+      .withColumn("qnrm", graft.functions.VectorFunctions.normSeq(col("qvec")))
+    val sim = round(
+      graft.functions.VectorFunctions.dotSeq(col("qvec"), col("cvec")) /
+        (col("qnrm") * col("cnrm")), 6)
+    val pairs = cand.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), sim.as("sim"), col("nid"))
+    operators.TopK.topKPerGroup(pairs, "qid", "sim", "nid", 5)
+      .select("qid", "rank", "nid", "sim")
+      .orderBy("qid", "rank")
+  }
+
   // ---------------------------------------------------------- dedup family
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -306,6 +371,11 @@ object SparkEntry {
     "q_setops" -> (qSetOps _),
     "q_asof_join" -> (qAsofJoin _),
     "q_sessionize" -> (qSessionize _),
+    "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _),
+    "q_percentiles" -> (qPercentiles _),
+    "ann_topk_agg" -> (qAnnTopkAgg _),
+    "tsdb_ingest_stats" -> (qTsdbIngestStats _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),

@@ -184,6 +184,20 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .distinct()
       .orderBy("value")
 
+  /** Per-segment stats — the reference's `Desc` metadata written at flush
+    * time (segment.go:31-36: seriesCount, dataPointsCount, minTs, maxTs) as
+    * one aggregation over the fact table. `countDistinct(sid)` is exact
+    * (not a sketch), mirroring the reference's per-segment series count.
+    */
+  def segmentStats: DataFrame =
+    samples
+      .groupBy("seg")
+      .agg(
+        count(lit(1)).as("n_points"),
+        countDistinct(col("sid")).as("n_series"),
+        min("ts").as("min_ts"),
+        max("ts").as("max_ts"))
+
   /** Retention expiry (reference tsdb.go:384-406): whole-partition drop of
     * buckets older than `retention` — the "all-in" delete the reference
     * performs per segment, here a partition-directory removal.
