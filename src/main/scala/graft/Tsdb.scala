@@ -131,13 +131,40 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       metric: String,
       matchers: Seq[LabelMatcher],
       start: Long,
-      end: Long): DataFrame = {
+      end: Long): DataFrame =
+    queryRange(metric, matchers, start, end, useSeriesIndex = true)
+
+  /** @param useSeriesIndex when true (default), matcher evaluation runs on
+    * the small series_meta dimension and the matching sids semi-join the
+    * fact table (broadcast at any realistic series cardinality) — the Spark
+    * form of the reference's inverted-index sid-set union/intersect
+    * (index.go:111-143). The fact scan then only evaluates pushed-down
+    * `seg`/`ts` predicates and an 8-byte join key, never the map lookups.
+    * `false` applies the label predicates directly to the fact rows —
+    * identical results, used as the cross-check path in tests.
+    */
+  def queryRange(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      useSeriesIndex: Boolean): DataFrame = {
     val all = LabelMatcher.eq(MetricLabel, metric) +: matchers
-    samples
+    val pruned = samples
       .where(segPredicate(start, end))
       .where(col("ts").between(start, end))
-      .where(matcherPredicate(col("labels"), all))
-      .select("sid", "labels", "ts", "value")
+    if (useSeriesIndex) {
+      val sids = seriesMeta
+        .where(matcherPredicate(col("labels"), all))
+        .select("sid")
+      pruned
+        .join(broadcast(sids), "sid")
+        .select("sid", "labels", "ts", "value")
+    } else {
+      pruned
+        .where(matcherPredicate(col("labels"), all))
+        .select("sid", "labels", "ts", "value")
+    }
   }
 
   /** QueryRange shaped like the reference's `MetricRet` (tsdb.go:273-276):
@@ -246,15 +273,37 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * sets (index.go:111-143). Regex patterns are anchored `^(?:v)$` like the
     * reference (label.go:88). Negative matchers (not in the reference)
     * match series where the label is absent, Prometheus-style.
+    *
+    * Regex fast path (the reference's Prometheus fastRegexMatcher,
+    * label.go:111-148, applied at plan-build time since the pattern is a
+    * plan-time constant): metacharacter-free patterns become equality;
+    * `lit.*` / `.*lit` / `.*lit.*` become StartsWith/EndsWith/Contains —
+    * codegen'd string predicates instead of regex evaluation per row.
+    * Semantics identical for newline-free label values (anchored regex).
     */
   def matcherPredicate(labels: Column, matchers: Seq[LabelMatcher]): Column =
     matchers.foldLeft(lit(true)) { (acc, m) =>
       val v = labels.getItem(m.name)
       val pos =
-        if (m.isRegex) v.isNotNull && v.rlike("^(?:" + m.value + ")$")
+        if (m.isRegex) v.isNotNull && regexFastPath(v, m.value)
         else v.isNotNull && v === m.value
       acc && (if (m.negate) !coalesce(pos, lit(false)) else pos)
     }
+
+  private def isLiteral(s: String): Boolean =
+    s.forall(c => !"\\.+*?()|[]{}^$".contains(c))
+
+  private def regexFastPath(v: Column, pattern: String): Column = pattern match {
+    case p if isLiteral(p) => v === p
+    case p if p.endsWith(".*") && isLiteral(p.dropRight(2)) =>
+      v.startsWith(p.dropRight(2))
+    case p if p.startsWith(".*") && isLiteral(p.drop(2)) =>
+      v.endsWith(p.drop(2))
+    case p if p.startsWith(".*") && p.endsWith(".*") &&
+        p.length >= 4 && isLiteral(p.substring(2, p.length - 2)) =>
+      v.contains(p.substring(2, p.length - 2))
+    case p => v.rlike("^(?:" + p + ")$")
+  }
 }
 
 object Tsdb {

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: rewrite constant-pattern `RLIKE` predicates whose
+  * pattern is (anchored) literal / prefix / suffix / infix into the
+  * equivalent codegen'd string predicates (EqualTo / StartsWith / EndsWith /
+  * Contains) — the Prometheus fastRegexMatcher optimization (reference
+  * label.go:111-148) lifted into Catalyst so it applies to any user SQL,
+  * not just the engine's own matcher API (which applies the same fast path
+  * at plan-build time in [[graft.Tsdb.matcherPredicate]]).
+  *
+  * Conservative: only fires when the pattern body is free of regex
+  * metacharacters. Java regex `find()` semantics are preserved:
+  * `^p$` → equals, `^p` → startswith, `p$` → endswith, `p` → contains
+  * (each also in the `(?:p)` non-capturing form).
+  */
+object RewriteAnchoredRegex extends Rule[LogicalPlan] {
+
+  private def isLiteralBody(s: String): Boolean =
+    s.nonEmpty && s.forall(c => !"\\.+*?()|[]{}^$".contains(c))
+
+  private[plans] def rewrite(child: Expression, pattern: String): Option[Expression] = {
+    def lit(s: String) = Literal(UTF8String.fromString(s), StringType)
+    def unwrap(s: String): String =
+      if (s.startsWith("(?:") && s.endsWith(")") && isLiteralBody(
+        s.stripPrefix("(?:").stripSuffix(")"))) s.stripPrefix("(?:").stripSuffix(")")
+      else s
+    val anchoredBoth = pattern.startsWith("^") && pattern.endsWith("$")
+    val anchoredStart = pattern.startsWith("^") && !pattern.endsWith("$")
+    val anchoredEnd = !pattern.startsWith("^") && pattern.endsWith("$")
+    if (anchoredBoth) {
+      val body = unwrap(pattern.substring(1, pattern.length - 1))
+      if (isLiteralBody(body)) Some(EqualTo(child, lit(body))) else None
+    } else if (anchoredStart) {
+      val body = unwrap(pattern.substring(1))
+      if (isLiteralBody(body)) Some(StartsWith(child, lit(body))) else None
+    } else if (anchoredEnd) {
+      val body = unwrap(pattern.substring(0, pattern.length - 1))
+      if (isLiteralBody(body)) Some(EndsWith(child, lit(body))) else None
+    } else {
+      if (isLiteralBody(pattern)) Some(Contains(child, lit(pattern))) else None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case r @ RLike(child, Literal(p: UTF8String, StringType)) =>
+        rewrite(child, p.toString).getOrElse(r)
+    }
+}
+
+/** Session extension entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteAnchoredRegex)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.RewriteAnchoredRegex
+
+/** The RLIKE→string-predicate optimizer rule rewrites anchored-literal
+  * patterns and leaves genuine regexes alone — with identical results
+  * either way. (Registered here via `experimental.extraOptimizations` on a
+  * fresh child session because `getOrCreate` in a shared test JVM would
+  * return another suite's session and silently drop `withExtensions`;
+  * production registers the same rule through [[graft.plans.GraftExtensions]].)
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("ExtensionsSpec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+      .newSession()
+    s.experimental.extraOptimizations = Seq(RewriteAnchoredRegex)
+    // keep the LocalRelation from being constant-folded away so the test
+    // can inspect the optimized predicate
+    s.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    s
+  }
+
+  private def optimized(sql: String): String = {
+    spark.sql(sql).queryExecution.optimizedPlan.toString
+  }
+
+  test("anchored literal patterns are rewritten to string predicates") {
+    import spark.implicits._
+    Seq("disk.used", "disk.read.ops", "cpu.busy", "mem")
+      .toDF("m").createOrReplaceTempView("metrics")
+    val full = optimized("SELECT * FROM metrics WHERE m RLIKE '^(?:cpu\\\\.busy)$'")
+    // the dotted literal contains a backslash-escaped dot => not literal: stays RLIKE
+    assert(full.contains("RLIKE"))
+    val eq = optimized("SELECT * FROM metrics WHERE m RLIKE '^(?:mem)$'")
+    assert(!eq.contains("RLIKE") && eq.contains("= mem"), eq)
+    val pre = optimized("SELECT * FROM metrics WHERE m RLIKE '^disk'")
+    assert(!pre.contains("RLIKE") && pre.contains("StartsWith"), pre)
+    val suf = optimized("SELECT * FROM metrics WHERE m RLIKE 'ops$'")
+    assert(!suf.contains("RLIKE") && suf.contains("EndsWith"), suf)
+    val contains = optimized("SELECT * FROM metrics WHERE m RLIKE 'read'")
+    assert(!contains.contains("RLIKE") && contains.contains("Contains"), contains)
+  }
+
+  test("rewritten predicates return identical rows") {
+    import spark.implicits._
+    Seq("disk.used", "disk.read.ops", "cpu.busy", "mem")
+      .toDF("m").createOrReplaceTempView("metrics2")
+    def rows(pred: String): Set[String] =
+      spark.sql(s"SELECT m FROM metrics2 WHERE $pred")
+        .collect().map(_.getString(0)).toSet
+    assert(rows("m RLIKE '^disk'") == Set("disk.used", "disk.read.ops"))
+    assert(rows("m RLIKE 'ops$'") == Set("disk.read.ops"))
+    assert(rows("m RLIKE 'read'") == Set("disk.read.ops"))
+    assert(rows("m RLIKE '^(?:mem)$'") == Set("mem"))
+    // genuine regex still works through the unrewritten path
+    assert(rows("m RLIKE '^disk\\\\..*ops$'") == Set("disk.read.ops"))
+  }
+}

@@ -66,4 +66,36 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains((1600000200L, 2L, 6.0)), rows.toString)
     assert(!rows.exists(_._3 >= 100.0), "late row must be dropped")
   }
+
+  test("stateful streaming sessionization closes sessions on gap and timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("user_id", "ts", "value")
+    val sessions = graft.streaming.SessionizeStream
+      .sessionize(src, gapSec = 600, watermark = "5 minutes")
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append")
+      .start()
+    def t(min: Int) = new java.sql.Timestamp(1600000000000L + min * 60000L)
+    // user 1: two bursts 30 min apart (> 10 min gap) => first closes eagerly
+    mem.addData((1L, t(0), 1.0), (1L, t(2), 2.0))
+    q.processAllAvailable()
+    mem.addData((1L, t(30), 4.0))
+    q.processAllAvailable()
+    // advance watermark far past the second burst to close it by timeout
+    mem.addData((2L, t(120), 8.0))
+    q.processAllAvailable()
+    mem.addData((2L, t(240), 16.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // first burst: events at t0 and t2, closed when t30 arrived
+    assert(got.contains((1L, 1600000000L, 1600000120L, 2L, 3.0)), got.toString)
+    // second burst closed by event-time timeout
+    assert(got.contains((1L, 1600001800L, 1600001800L, 1L, 4.0)), got.toString)
+  }
 }

@@ -121,6 +121,27 @@ class TsdbSpec extends SparkSuite {
     assert(labels == Map("__name__" -> "m", "a" -> "1", "b" -> "2"))
   }
 
+  test("series-index semi-join path equals direct predicate path") {
+    val m = Seq(LabelMatcher.re("node", "vm.*"), LabelMatcher.eq("dc", "2"))
+    val viaIndex = disk.queryRange("mem.used", m, Start, Start + 600,
+      useSeriesIndex = true).collect().map(_.toString).sorted
+    val direct = disk.queryRange("mem.used", m, Start, Start + 600,
+      useSeriesIndex = false).collect().map(_.toString).sorted
+    assert(viaIndex.nonEmpty && viaIndex.sameElements(direct))
+  }
+
+  test("regex fast path matches the anchored-regex semantics") {
+    // prefix, suffix, contains, literal, and genuine-regex forms all hit
+    // the same series as the rlike formulation
+    for (pat <- Seq("disk.*", ".*ops", ".*read.*", "disk.used", "disk\\..*ops")) {
+      val fast = disk.querySeries(
+        Seq(LabelMatcher.re(Tsdb.MetricLabel, pat)), Start, Start + 120)
+        .select("metric").distinct().collect().map(_.getString(0)).sorted.toSeq
+      val ref = Metrics.filter(_.matches("^(?:" + pat + ")$")).sorted
+      assert(fast == ref, s"pattern $pat")
+    }
+  }
+
   test("storage is seg-partitioned and retention drops expired partitions") {
     val t = disk
     val fs = new java.io.File(t.conf.dataPath + "/samples")
