@@ -399,7 +399,24 @@ object OracleSql {
        |       min($tsS) AS min_ts, max($tsS) AS max_ts
        |FROM events GROUP BY 1 ORDER BY seg""".stripMargin
 
+  private val qJsonExtract =
+    """SELECT event_type,
+      |       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n,
+      |       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val qCsvRoundtrip =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |       min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_json_extract" -> qJsonExtract,
+    "q_csv_roundtrip" -> qCsvRoundtrip,
+    "multimodal_meta_batch" -> multimodalMeta,
     "q_rollup" -> qRollup,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,

@@ -281,6 +281,42 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** JSON scalar-function path: parse the `props` JSON column. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** CSV sink + source round-trip: write a projection of events as CSV,
+    * read it back with an explicit schema, aggregate — results must equal
+    * the same aggregation over the parquet original (exercises the
+    * text-format writer/parser paths).
+    */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val e = Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    e.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true").schema(e.schema).csv(tmp)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(col("value")).as("sum_v"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  private def qMultimodalMetaBatch(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMetadataBatch(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------- dedup family
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -371,6 +407,9 @@ object SparkEntry {
     "q_setops" -> (qSetOps _),
     "q_asof_join" -> (qAsofJoin _),
     "q_sessionize" -> (qSessionize _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "multimodal_meta_batch" -> (qMultimodalMetaBatch _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
     "q_percentiles" -> (qPercentiles _),

@@ -43,6 +43,42 @@ object Multimodal {
       (lit(1) + floor(nBytes / lit(128)).cast("long")).as("n_frames"))
   }
 
+  /** Case class for the batch-decoded metadata rows. */
+  case class MediaMeta(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      channels: Int, n_frames: Long)
+
+  /** The same stub decode as [[decodeMetadata]] but through the REAL
+    * batch-decode plumbing a production codec uses: `mapPartitions` over
+    * the opaque binary payload, decoding a whole partition per task (this
+    * is where an image/audio library call would batch). Output is
+    * bit-identical to the expression path — the two formulations are
+    * cross-checked against the same oracle.
+    */
+  def decodeMetadataBatch(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withBinaryPayload(docs, textCol)
+      .select(col(idCol).as("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // >>> STUB DECODE: replace this block with the codec call <<<
+          val b0 = bytes(0) & 0xff
+          val b1 = bytes(1) & 0xff
+          MediaMeta(
+            doc_id = id,
+            n_bytes = bytes.length,
+            width = 32 + (b0 % 8) * 16,
+            height = 32 + (b1 % 8) * 16,
+            channels = 1 + (b0 + b1) % 3,
+            n_frames = 1L + bytes.length / 128)
+        }
+      }
+      .toDF()
+  }
+
   /** Frame sampling: one row per sampled frame index with its byte offset —
     * the explode pattern a video pipeline uses to fan decoded frames out to
     * executors. `frame_idx` steps by `stride`.

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model.{LabelMatcher, TsdbConf}
+
+/** Property-based tests (ScalaCheck generators, batched into single Spark
+  * jobs) for the normalization / hash / matcher laws promised in SURVEY §5:
+  * sid is insensitive to label insertion order, normalization is idempotent
+  * and drops empties, and the regex fast path agrees with Java's anchored
+  * regex semantics.
+  */
+class PropertySpec extends SparkSuite {
+
+  lazy val t = new Tsdb(spark, TsdbConf(dataPath = "", onlyMemoryMode = true))
+
+  private val labelName: Gen[String] = Gen.choose(1, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val labelValue: Gen[String] = Gen.choose(0, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val labelMap: Gen[Map[String, String]] =
+    Gen.mapOf(Gen.zip(labelName, labelValue)).map(_.take(6))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("sid is insertion-order independent; normalization idempotent, no empties") {
+    import spark.implicits._
+    val cases = samples(labelMap, 100).zipWithIndex
+    val rnd = new scala.util.Random(7)
+    val rows = cases.flatMap { case (m, i) =>
+      val perm = rnd.shuffle(m.toSeq).toMap
+      Seq((s"case$i", i.toLong, m, 0L, 1.0), (s"case$i", i.toLong, perm, 0L, 1.0))
+    }
+    val df = rows.toDF("metric", "case_id", "labels", "ts", "value")
+    val out = t.normalize(df.drop("case_id"))
+      .withColumn("case_id", col("labels").getItem("__name__"))
+    // both permutations of each case hash to one sid
+    val perCase = out.groupBy("case_id")
+      .agg(countDistinct("sid").as("k")).collect()
+    assert(perCase.forall(_.getLong(1) == 1L))
+    // idempotent: re-normalizing yields the same sids
+    val again = t.normalize(out.select("metric", "labels", "ts", "value"))
+    assert(again.select("sid").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("sid").collect().map(_.getLong(0)).sorted.toSeq)
+    // no empty keys/values survive
+    val maps = out.select("labels").collect().map(_.getAs[Map[String, String]](0))
+    assert(maps.forall(m =>
+      m.keys.forall(_.nonEmpty) && m.values.forall(_.nonEmpty)))
+  }
+
+  test("regex fast path agrees with Java anchored-regex semantics") {
+    import spark.implicits._
+    val values = Seq("", "disk", "disk.used", "disk.read.ops", "diskX",
+      "Xdisk", "cpu.busy", "ops", "readops", "a.b", "aXb") ++
+      samples(labelValue, 30)
+    val patterns = Seq("disk", "disk.*", ".*ops", ".*read.*", "a.b",
+      "disk\\.used", "cpu|mem", ".*", "disk.used", "a.*", ".*b") ++
+      samples(labelName, 10)
+    val df = values.distinct.toDF("v")
+    for (p <- patterns.distinct) {
+      val got = df.where(t.matcherPredicate(
+          map(lit("l"), col("v")), Seq(LabelMatcher.re("l", p))))
+        .collect().map(_.getString(0)).toSet
+      val expect = values.filter(_.matches("^(?:" + p + ")$")).toSet
+      assert(got == expect, s"pattern '$p'")
+    }
+  }
+
+  test("matcher conjunction equals intersection of single-matcher results") {
+    import spark.implicits._
+    val rows = for {
+      node <- 0 to 3; dc <- 0 to 3
+    } yield ("m", Map("node" -> s"vm$node", "dc" -> dc.toString), 0L, 1.0)
+    val tm = Tsdb.attach(spark, rows.toDF("metric", "labels", "ts", "value"))
+    def series(ms: LabelMatcher*): Set[Long] =
+      tm.querySeries(ms.toSeq, 0, 10).select("sid").collect()
+        .map(_.getLong(0)).toSet
+    val both = series(LabelMatcher.re("node", "vm[01]"), LabelMatcher.eq("dc", "2"))
+    val inter = series(LabelMatcher.re("node", "vm[01]"))
+      .intersect(series(LabelMatcher.eq("dc", "2")))
+    assert(both == inter && both.nonEmpty)
+  }
+}
