@@ -163,6 +163,19 @@ object OracleSql {
        |  ON c.user_id = p.user_id AND c.ts >= p.ts
        |ORDER BY user_id, event_id""".stripMargin
 
+  private val qRangeJoin =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, $tsS AS ts_s
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT user_id, $tsS AS c_ts
+       |  FROM events WHERE event_type = 'click')
+       |SELECT p.user_id AS user_id, p.event_id AS event_id, p.ts_s AS ts_s,
+       |       (SELECT count(*) FROM c
+       |        WHERE c.user_id = p.user_id
+       |          AND c.c_ts >= p.ts_s - 3600 AND c.c_ts < p.ts_s) AS n_clicks
+       |FROM p ORDER BY user_id, event_id""".stripMargin
+
   private val qSessionize =
     s"""WITH e AS (
        |  SELECT user_id, event_id, $tsS AS ts_s, value FROM events),
@@ -436,6 +449,7 @@ object OracleSql {
     "q_window_topn" -> qWindowTopn,
     "q_setops" -> qSetOps,
     "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
     "q_sessionize" -> qSessionize,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> jaccardPairs,

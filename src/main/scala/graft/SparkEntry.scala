@@ -211,6 +211,37 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Bucketized range join: clicks within the hour before each purchase. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_s").as("c_ts"),
+        col("event_id").as("c_id"))
+    val pairs = EventOps.rangeJoin(purchases, clicks,
+      "user_id", "ts_s", "c_ts", lower = -3600L, upper = 0L, Seq("c_id"))
+    purchases
+      .join(
+        pairs.groupBy("event_id").agg(count(lit(1)).as("n_clicks")),
+        Seq("event_id"), "left")
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** HLL++ approximate distinct — no exact cross-engine oracle exists for
+    * sketch internals, so this is a rows-only check; correctness of the
+    * sketch is asserted against exact counts in the test suite.
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(
         Tables.events(s, dir), "user_id", "ts_s", "event_id", "value", 1800L)
@@ -406,6 +437,8 @@ object SparkEntry {
     "q_window_topn" -> (qWindowTopn _),
     "q_setops" -> (qSetOps _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),

@@ -49,6 +49,17 @@ object LabelFunctions {
     */
   def sidOf(labels: Column): Column = xxhash64(canonicalLabels(labels))
 
+  /** Prometheus-style rendering `{k="v", k2="v2"}`, sorted by name —
+    * the reference's LabelSet.String() (label.go:265-280), with `__name__`
+    * excluded like the reference's Map() omits nothing but render drops
+    * none; we keep all entries for fidelity.
+    */
+  def renderLabels(labels: Column): Column =
+    concat(lit("{"),
+      concat_ws(", ", transform(sort_array(map_entries(labels)),
+        e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\"")))),
+      lit("}"))
+
   /** Time-bucket (segment) id: `floor(tsSeconds / segmentDuration)`.
     * Replaces the reference's `seg-<minTs>-<maxTs>` directories
     * (tsdb.go:154-156) with a partition column Catalyst can prune on.

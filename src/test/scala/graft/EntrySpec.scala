@@ -14,8 +14,8 @@ class EntrySpec extends SparkSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o.diff(q)}")
-    // only the intentionally-approximate query lacks an oracle
-    assert(q.diff(o) == Set("ann_topk_lsh"))
+    // only the intentionally-approximate queries lack an oracle
+    assert(q.diff(o) == Set("ann_topk_lsh", "q_approx_distinct"))
   }
 
   test("every query runs and returns rows at sf0.001") {

@@ -78,6 +78,35 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("bucketized range join matches a naive per-row reference") {
+    val e = Tables.events(spark, sf0001)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_s").as("c_ts"), col("event_id").as("c_id"))
+    val got = EventOps.rangeJoin(purchases, clicks, "user_id", "ts_s", "c_ts",
+        -3600L, 0L, Seq("c_id"))
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pu = purchases.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cl = clicks.collect().map(r => (r.getLong(0), r.getLong(1)))
+    pu.foreach { case (uid, eid, ts) =>
+      val expected = cl.count(c => c._1 == uid && c._2 >= ts - 3600 && c._2 < ts)
+      assert(got.getOrElse(eid, 0L) == expected, s"purchase $eid")
+    }
+  }
+
+  test("approx distinct is within HLL++ error of exact") {
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, sf0001)
+      .collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
   test("sessionize splits on gaps and covers all events") {
     val e = Tables.events(spark, sf0001)
     val sessions = EventOps.sessionize(e, "user_id", "ts_s", "event_id", "value", 1800L)

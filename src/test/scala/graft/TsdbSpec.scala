@@ -142,6 +142,14 @@ class TsdbSpec extends SparkSuite {
     }
   }
 
+  test("renderLabels produces the reference's {k=\"v\"} form") {
+    import spark.implicits._
+    val got = Seq(Map("b" -> "2", "a" -> "1")).toDF("labels")
+      .select(graft.functions.LabelFunctions.renderLabels($"labels"))
+      .head().getString(0)
+    assert(got == "{a=\"1\", b=\"2\"}")
+  }
+
   test("storage is seg-partitioned and retention drops expired partitions") {
     val t = disk
     val fs = new java.io.File(t.conf.dataPath + "/samples")
