@@ -201,11 +201,11 @@ object OracleSql {
       |FROM documents GROUP BY md5(text)
       |ORDER BY doc_id""".stripMargin
 
-  /** Shared shingle-pair core: 3-word shingles, inverted-index join,
-    * exact Jaccard. Used by both the exact join and the MinHash query
-    * (whose verified output equals the exact result).
+  /** Shared shingle-pair CTE chain: 3-word shingles, inverted-index join,
+    * exact Jaccard. Used by the exact join, the MinHash query (whose
+    * verified output equals the exact result), and the pipeline capstone.
     */
-  private val jaccardPairs =
+  private val jaccardCtes =
     """WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
       |  FROM documents),
@@ -219,10 +219,13 @@ object OracleSql {
       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
       |         any_value(a.n) AS n1, any_value(b.n) AS n2
       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id1, id2, round(c / (n1 + n2 - c), 6) AS jaccard
-      |FROM p WHERE c / (n1 + n2 - c) >= 0.8
-      |ORDER BY id1, id2""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardPairs =
+    s"""$jaccardCtes
+       |SELECT id1, id2, round(c / (n1 + n2 - c), 6) AS jaccard
+       |FROM p WHERE c / (n1 + n2 - c) >= 0.8
+       |ORDER BY id1, id2""".stripMargin
 
   /** SimHash oracle: portable 60-bit token hash (first 15 hex digits of
     * md5, base-16 decoded via sequential fold), per-bit majority vote,
@@ -361,6 +364,27 @@ object OracleSql {
       |         (a, c) -> (a * 31 + c) % 1000000007) AS fp_poly
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Capstone: quality-filter + near-dup removal → clean corpus. */
+  private val pipelineCleanCorpus: String = {
+    val en = graft.functions.TextFunctions.LangMarkers.head._2
+      .map(m => s"'$m'").mkString(", ")
+    s"""$jaccardCtes,
+       |dropped AS (
+       |  SELECT DISTINCT id2 AS doc_id FROM p
+       |  WHERE c / (n1 + n2 - c) >= 0.8),
+       |qual AS (
+       |  SELECT doc_id,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       |         round(least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5 +
+       |               (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.3 +
+       |               least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ($en))) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) * 5.0, 1.0) * 0.2, 6) AS quality
+       |  FROM documents)
+       |SELECT doc_id, n_words, quality FROM qual
+       |WHERE quality >= 0.5
+       |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val multimodalMetaCore =
     """SELECT doc_id,
       |       strlen(text) AS n_bytes,
@@ -406,7 +430,7 @@ object OracleSql {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   private val tsdbIngestStats =
-    s"""SELECT ($tsS // 7200) AS seg,
+    s"""SELECT ($tsS // 86400) AS seg,
        |       count(*) AS n_points,
        |       count(DISTINCT event_type || '|' || CAST(user_id AS VARCHAR)) AS n_series,
        |       min($tsS) AS min_ts, max($tsS) AS max_ts
@@ -462,5 +486,6 @@ object OracleSql {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "multimodal_meta" -> multimodalMeta,
-    "multimodal_frames" -> multimodalFrames)
+    "multimodal_frames" -> multimodalFrames,
+    "pipeline_clean_corpus" -> pipelineCleanCorpus)
 }

@@ -254,7 +254,11 @@ object SparkEntry {
     */
   private def qTsdbIngestStats(s: SparkSession, dir: String): DataFrame = {
     val path = java.nio.file.Files.createTempDirectory("graft_ingest").toString
-    val t = new Tsdb(s, TsdbConf(dataPath = path, compression = "zstd"))
+    // daily buckets: partition sizing follows data density — the events
+    // table spans a month at ~3k rows/day, where 2h buckets would create
+    // 360 tiny partitions (the small-files anti-pattern at any scale)
+    val t = new Tsdb(s, TsdbConf(dataPath = path, compression = "zstd",
+      segmentDuration = 86400L))
     t.insertRows(eventsAsSamples(s, dir))
     t.segmentStats.orderBy("seg")
   }
@@ -419,6 +423,21 @@ object SparkEntry {
         stride = 2)
       .orderBy("doc_id", "frame_idx")
 
+  /** Capstone composite pipeline: quality scoring → near-dup removal
+    * (ngram-Jaccard pairs; lower doc_id survives) → clean corpus. The shape
+    * of a production training-data cleaning job, end to end.
+    */
+  private def qPipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dropped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select(col("id2").as("doc_id")).distinct()
+    TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .where(col("quality") >= 0.5)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_words", "quality")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------- maps
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -460,7 +479,8 @@ object SparkEntry {
     "text_tokens" -> (qTextTokens _),
     "text_fingerprint" -> (qTextFingerprint _),
     "multimodal_meta" -> (qMultimodalMeta _),
-    "multimodal_frames" -> (qMultimodalFrames _))
+    "multimodal_frames" -> (qMultimodalFrames _),
+    "pipeline_clean_corpus" -> (qPipelineCleanCorpus _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted: `ann_topk_lsh` (approximate by design).

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tsdb
+import graft.model.TsdbConf
+import graft.sources.Tables
+
+/** Dev-only: where does insertRows time go at sf0.1? */
+object ProfileIngest {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val rows = Tables.events(spark, "/root/testdata/sf0.1").select(
+      col("event_type").as("metric"),
+      map(lit("user_id"), col("user_id").cast("string")).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    time("warm read")(rows.count())
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = java.nio.file.Files.createTempDirectory("pi").toString))
+    val norm = t.normalize(rows)
+    time("normalize+count")(norm.count())
+    time("samples write")(
+      norm.repartition(col("seg")).write.mode("append")
+        .option("compression", "zstd").partitionBy("seg")
+        .parquet(t.conf.dataPath + "/s2"))
+    time("meta write")(
+      norm.groupBy("sid").agg(first("metric"), first("labels"),
+        min("ts"), max("ts"))
+        .write.mode("append").parquet(t.conf.dataPath + "/m2"))
+    time("full insertRows")(t.insertRows(rows))
+    time("segmentStats")(t.segmentStats.count())
+    spark.stop()
+  }
+}
