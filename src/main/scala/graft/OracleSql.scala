@@ -412,6 +412,28 @@ object OracleSql {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  private val qCube =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  private val qWindowAnalytics =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |       o_totalprice,
+      |       rank() OVER w AS rnk,
+      |       dense_rank() OVER w AS drnk,
+      |       lag(o_totalprice) OVER w AS prev_price,
+      |       lead(o_totalprice) OVER w AS next_price,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      |       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   private val qPivot =
     s"""SELECT ($tsS // 86400) AS day,
        |       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
@@ -455,6 +477,8 @@ object OracleSql {
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "multimodal_meta_batch" -> multimodalMeta,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_window_analytics" -> qWindowAnalytics,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
     "ann_topk_agg" -> annTopk,

@@ -273,6 +273,35 @@ object SparkEntry {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dec2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Analytic window-function family over one pass: ranking, offsets,
+    * running and frame aggregates.
+    */
+  private def qWindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_total"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("n_orders"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def qPivot(s: SparkSession, dir: String): DataFrame =
@@ -463,6 +492,8 @@ object SparkEntry {
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "multimodal_meta_batch" -> (qMultimodalMetaBatch _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_window_analytics" -> (qWindowAnalytics _),
     "q_pivot" -> (qPivot _),
     "q_percentiles" -> (qPercentiles _),
     "ann_topk_agg" -> (qAnnTopkAgg _),
