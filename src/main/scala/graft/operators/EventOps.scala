@@ -60,6 +60,36 @@ object EventOps {
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_v"))
   }
 
+  /** Skew-resistant two-phase aggregation: spread each hot key over
+    * `salts` sub-keys for the first (heavy) partial aggregation, then
+    * combine the per-salt partials. Use when one key holds a large share
+    * of all rows and a single reducer would stall the stage — the manual
+    * complement to AQE's skew-join splitting, for aggregations.
+    * Supports the decomposable aggregates (count/sum/min/max).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(valueCol), monotonically_increasing_id()), lit(salts)))
+    val partial = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__sum"),
+        min(col(valueCol)).as("__min"),
+        max(col(valueCol)).as("__max"))
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__sum")).cast("double").as("sum_v"),
+        min(col("__min")).as("min_v"),
+        max(col("__max")).as("max_v"))
+  }
+
   /** Range (interval) join: pairs (l, r) with the same key and
     * `r.ts ∈ [l.ts + lower, l.ts + upper)` — implemented as a bucketized
     * equi-join, NOT a theta-join: left rows explode to the (≤ ⌈span/w⌉+1)

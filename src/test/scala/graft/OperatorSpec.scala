@@ -107,6 +107,20 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("salted aggregation equals direct aggregation") {
+    val e = Tables.events(spark, sf0001)
+    val direct = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
+        min("value").as("min_v"), max("value").as("max_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val salted = EventOps.saltedAgg(e, Seq("event_type"), "value", 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(salted == direct)
+  }
+
   test("sessionize splits on gaps and covers all events") {
     val e = Tables.events(spark, sf0001)
     val sessions = EventOps.sessionize(e, "user_id", "ts_s", "event_id", "value", 1800L)
