@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TsdbConf
+import graft.operators.EventOps
+import graft.sources.Tables
+import graft.Tsdb
+
+/** Dev-only scale smoke: replicate the sf0.1 events table 100× (10 M rows,
+  * 15 k users) by offsetting user ids per copy — per-key density stays
+  * constant, so this measures how the scale-critical plans grow with data
+  * volume, not with synthetic skew. Prints per-operator wall times for the
+  * 1× vs 100× corpus; near-linear growth (≤ ~100× time on 32 threads ⇒
+  * fixed overheads amortized) is the acceptance signal.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    def suite(tag: String, e: DataFrame): Unit = {
+      e.cache().count()
+      time(s"$tag bucket_agg")(
+        EventOps.tumblingAgg(e, "event_type", "ts_s", "value", 3600L).count())
+      time(s"$tag sessionize")(
+        EventOps.sessionize(e, "user_id", "ts_s", "event_id", "value", 1800L)
+          .count())
+      time(s"$tag asof_join") {
+        val clicks = e.where(col("event_type") === "click")
+          .select("user_id", "event_id", "ts", "ts_s")
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("ts_s").as("p_ts_s"),
+            col("value").as("p_value"))
+        EventOps.asOfJoinBackward(clicks, purchases, "user_id", "ts",
+          Seq("p_ts_s", "p_value")).count()
+      }
+      time(s"$tag range_join") {
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_s"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_s").as("c_ts"),
+            col("event_id").as("c_id"))
+        EventOps.rangeJoin(purchases, clicks, "user_id", "ts_s", "c_ts",
+          -3600L, 0L, Seq("c_id")).count()
+      }
+      time(s"$tag ingest+stats") {
+        val t = new Tsdb(spark, TsdbConf(
+          dataPath = java.nio.file.Files.createTempDirectory("scale").toString,
+          compression = "zstd", segmentDuration = 86400L))
+        t.insertRows(e.select(
+          col("event_type").as("metric"),
+          map(lit("user_id"), col("user_id").cast("string")).as("labels"),
+          col("ts_s").as("ts"), col("value")))
+        t.segmentStats.count()
+      }
+      e.unpersist()
+    }
+
+    val base = Tables.events(spark, "/root/testdata/sf0.1")
+    suite("1x  ", base)
+    val factor = 100
+    val big = base
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("event_id") * factor + col("copy")).as("event_id"),
+        (col("ts") + col("copy")).as("ts"),
+        (col("user_id") + col("copy") * 150).as("user_id"),
+        col("event_type"),
+        col("value"),
+        expr("(ts + copy) div 1000000000").as("ts_s"))
+    suite("100x", big)
+    spark.stop()
+  }
+}
