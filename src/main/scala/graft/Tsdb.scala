@@ -76,7 +76,10 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       // file per time bucket instead of (tasks × buckets) small files —
       // at fleet scale this is the difference between 1e3 and 1e6 files
       // per ingest batch
-      norm
+      val fact =
+        if (conf.storeLabelsInFact) norm
+        else norm.select("sid", "seg", "ts", "value")
+      fact
         .repartition(col("seg"))
         .write
         .mode("append")
@@ -105,10 +108,19 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     case None => spark.read.parquet(samplesPath)
   }
 
+  /** Fact rows with metric + labels attached — identity for the
+    * denormalized layout, broadcast dimension join for the normalized one.
+    */
+  def samplesWithLabels: DataFrame =
+    if (samples.columns.contains("labels")) samples
+    else samples
+      .join(broadcast(seriesMeta.select("sid", "metric", "labels")), "sid")
+      .select("sid", "metric", "labels", "seg", "ts", "value")
+
   /** Typed view of the sample table for compile-time-checked pipelines. */
   def typedSamples: org.apache.spark.sql.Dataset[graft.model.Sample] = {
     import spark.implicits._
-    samples.select("sid", "metric", "labels", "seg", "ts", "value")
+    samplesWithLabels.select("sid", "metric", "labels", "seg", "ts", "value")
       .as[graft.model.Sample]
   }
 
@@ -167,14 +179,22 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .where(segPredicate(start, end))
       .where(col("ts").between(start, end))
     if (useSeriesIndex) {
-      val sids = seriesMeta
+      // matchers run on the series dimension; matching sids (with their
+      // label sets) broadcast-join the pruned fact scan — this also
+      // reconstructs labels for the normalized fact layout
+      val matching = seriesMeta
         .where(matcherPredicate(col("labels"), all))
-        .select("sid")
+        .select("sid", "labels")
       pruned
-        .join(broadcast(sids), "sid")
+        .select("sid", "ts", "value")
+        .join(broadcast(matching), "sid")
         .select("sid", "labels", "ts", "value")
     } else {
-      pruned
+      val withLabels =
+        if (pruned.columns.contains("labels")) pruned
+        else pruned.select("sid", "ts", "value")
+          .join(broadcast(seriesMeta.select("sid", "labels")), "sid")
+      withLabels
         .where(matcherPredicate(col("labels"), all))
         .select("sid", "labels", "ts", "value")
     }
@@ -219,6 +239,9 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     samples
       .where(segPredicate(start, end))
       .where(col("ts").between(start, end))
+      .select("sid")
+      .distinct() // a sid has one label set: dedupe before the lookup
+      .join(broadcast(seriesMeta.select("sid", "labels")), "sid")
       .select(col("labels").getItem(label).as("value"))
       .where(col("value").isNotNull)
       .distinct()

@@ -61,4 +61,12 @@ final case class TsdbConf(
     retention: Long = 7L * 86400, // 7d, tsdb.go:41
     compression: String = "zstd", // compressor.go codecs: none|zstd|snappy
     onlyMemoryMode: Boolean = false,
+    /** When false (default), the fact table stores only
+      * `(sid, seg, ts, value)` and label sets live once per series in
+      * series_meta — the same normalization the reference's disk format
+      * uses (label ordinals per series, metadata.go:85-96). Queries
+      * reconstruct labels via a broadcast join. `true` denormalizes the
+      * label map onto every sample row (larger, but self-contained files).
+      */
+    storeLabelsInFact: Boolean = false,
     writeListenerTimeoutSec: Long = 30L) // tsdb.go:42 (streaming trigger bound)
