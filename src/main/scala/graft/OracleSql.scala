@@ -110,6 +110,16 @@ object OracleSql {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  private val qPromoRevenue =
+    """SELECT p_brand,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   private val qSemiJoin =
     """SELECT s_suppkey, s_name FROM supplier
       |WHERE EXISTS (
@@ -492,6 +502,7 @@ object OracleSql {
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
     "q5_region_revenue" -> q5RegionRevenue,
+    "q_promo_revenue" -> qPromoRevenue,
     "q_semijoin" -> qSemiJoin,
     "q_antijoin" -> qAntiJoin,
     "q_window_topn" -> qWindowTopn,

@@ -148,6 +148,21 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q14-shaped promo-revenue ratio over lineitem ⋈ part. */
+  private def qPromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    li.join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
   private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp_ntz") &&
@@ -480,6 +495,7 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "q3_topk" -> (q3Topk _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q_promo_revenue" -> (qPromoRevenue _),
     "q_semijoin" -> (qSemiJoin _),
     "q_antijoin" -> (qAntiJoin _),
     "q_window_topn" -> (qWindowTopn _),

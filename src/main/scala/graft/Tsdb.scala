@@ -79,8 +79,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       val fact =
         if (conf.storeLabelsInFact) norm
         else norm.select("sid", "seg", "ts", "value")
+      // sort by (sid, ts) inside each bucket: per-series point locality —
+      // parquet delta-encodes the ts run per series (the role of the
+      // reference's per-series Gorilla blocks) and sid row-group stats
+      // let the semi-join path skip row groups
       fact
         .repartition(col("seg"))
+        .sortWithinPartitions("sid", "ts")
         .write
         .mode("append")
         .option("compression", conf.compression)
