@@ -395,6 +395,32 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Winnowing: k=8 char grams (rolling poly hash), w=4 windows, distinct
+    * minima — mirrors TextFunctions.winnowFingerprints exactly.
+    */
+  private val textWinnow =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         [list_reduce(
+      |            list_transform(range(i, i + 8),
+      |              j -> CAST(ascii(substring(n, j, 1)) AS BIGINT)),
+      |            (a, c) -> (a * 31 + c) % 1000000007)
+      |          for i in range(1, length(n) - 8 + 2)] AS hs
+      |  FROM t),
+      |f AS (
+      |  SELECT doc_id,
+      |         list_distinct([list_min(hs[p:p+3])
+      |                        for p in range(1, len(hs) - 4 + 2)]) AS fps
+      |  FROM g)
+      |SELECT doc_id, len(fps) AS n_fp,
+      |       list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+      |       list_sum(fps) AS fp_sum
+      |FROM f ORDER BY doc_id""".stripMargin
+
   private val multimodalMetaCore =
     """SELECT doc_id,
       |       strlen(text) AS n_bytes,
@@ -520,6 +546,7 @@ object OracleSql {
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
+    "text_winnow" -> textWinnow,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "pipeline_clean_corpus" -> pipelineCleanCorpus)

@@ -438,6 +438,13 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  private def qAnnTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(
+        emb, emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding", 5)
+      .orderBy("qid", "rank")
+  }
+
   // ---------------------------------------------------------- text analysis
 
   private def qTextLangid(s: SparkSession, dir: String): DataFrame =
@@ -454,6 +461,10 @@ object SparkEntry {
 
   private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def qTextWinnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowSummary(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
   // -------------------------------------------------------------- multimodal
@@ -521,10 +532,12 @@ object SparkEntry {
     "dedup_embedding" -> (qDedupEmbedding _),
     "ann_topk" -> (qAnnTopk _),
     "ann_topk_lsh" -> (qAnnTopkLsh _),
+    "ann_topk_ivf" -> (qAnnTopkIvf _),
     "text_langid" -> (qTextLangid _),
     "text_quality" -> (qTextQuality _),
     "text_tokens" -> (qTextTokens _),
     "text_fingerprint" -> (qTextFingerprint _),
+    "text_winnow" -> (qTextWinnow _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "pipeline_clean_corpus" -> (qPipelineCleanCorpus _))

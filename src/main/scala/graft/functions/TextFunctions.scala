@@ -58,6 +58,32 @@ object TextFunctions {
     aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * rolling polynomial hash of every k-char gram of the normalized text,
+    * then the minimum hash of every w-gram window, distinct. The standard
+    * local fingerprinting scheme for near-dup/plagiarism detection — all
+    * exact integer arithmetic, so the oracle reproduces it bit-for-bit.
+    * Each intermediate array is bound as a lambda variable (the
+    * single-element-transform trick) so it is computed once per row.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val M = 1000000007L
+    val codes = flatten(transform(array(normalizedText(text)), n =>
+      transform(sequence(lit(1), length(n)),
+        i => ascii(n.substr(i, lit(1))).cast("long"))))
+    val grams = flatten(transform(array(codes), cs =>
+      when(size(cs) >= k,
+        transform(sequence(lit(1), size(cs) - k + 1),
+          i => aggregate(slice(cs, i, lit(k)), lit(0L),
+            (a, c) => (a * 31 + c) % M)))
+        .otherwise(array().cast("array<bigint>"))))
+    array_distinct(flatten(transform(array(grams), hs =>
+      when(size(hs) >= w,
+        transform(sequence(lit(1), size(hs) - w + 1),
+          p => array_min(slice(hs, p, lit(w)))))
+        .otherwise(array().cast("array<bigint>")))))
+  }
+
   /** Portable 60-bit token hash: first 15 hex digits of md5, base-16 decoded.
     * Used by SimHash so the oracle can reproduce the exact same bits.
     */

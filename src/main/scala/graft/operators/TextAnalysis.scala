@@ -53,6 +53,20 @@ object TextAnalysis {
       size(wsTokens(col(textCol))).as("n_ws_tokens"),
       bpeTokenCount(col(textCol)).as("n_bpe_tokens"))
 
+  /** Winnowing fingerprint summary per doc: count + min/max/sum of the
+    * distinct window-minimum gram hashes (exact integers).
+    */
+  def winnowSummary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fps = winnowFingerprints(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(fps).as("n_fp"),
+      array_min(fps).as("fp_min"),
+      array_max(fps).as("fp_max"),
+      when(size(fps) > 0,
+        aggregate(fps, lit(0L), (a, x) => a + x)).as("fp_sum"))
+  }
+
   /** Fingerprints: md5 of normalized text + portable rolling polynomial
     * hash (base 31 mod 1e9+7) — see TextFunctions for the exact fold.
     */

@@ -57,6 +57,16 @@ class OperatorSpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN has reasonable recall vs brute force") {
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall vs brute force = $recall")
+  }
+
   test("as-of join matches a naive per-row reference") {
     val e = Tables.events(spark, sf0001)
     val clicks = e.where(col("event_type") === "click")
