@@ -434,6 +434,30 @@ object OracleSql {
     s"""$multimodalMetaCore
        |ORDER BY doc_id""".stripMargin
 
+  private val multimodalFeatures: String = {
+    val bins = (0 until 16).map(b =>
+      s"len(list_filter(codes, c -> c // 16 = $b)) AS h$b").mkString(",\n       ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         [ascii(substring(text, i, 1))
+       |          for i in range(1, length(text) + 1)] AS codes
+       |  FROM documents)
+       |SELECT doc_id,
+       |       $bins
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  private val tsdbDownsample =
+    s"""SELECT CAST(user_id AS BIGINT) AS user_id,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v
+       |FROM events
+       |WHERE event_type = 'view' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2
+       |ORDER BY user_id, bucket_start""".stripMargin
+
   private val multimodalFrames =
     s"""WITH m AS ($multimodalMetaCore)
        |SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx,
@@ -549,5 +573,7 @@ object OracleSql {
     "text_winnow" -> textWinnow,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_features" -> multimodalFeatures,
+    "tsdb_downsample" -> tsdbDownsample,
     "pipeline_clean_corpus" -> pipelineCleanCorpus)
 }

@@ -473,6 +473,26 @@ object SparkEntry {
     Multimodal.decodeMetadata(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.byteHistogram(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Per-series downsampling over the TSDB surface: hourly buckets per
+    * (metric, series) — the avg_over_time/downsample shape.
+    */
+  private def qTsdbDownsample(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir)
+      .queryRange("view", Seq.empty, T0, T1)
+      .withColumn("bucket_start", col("ts") - pmod(col("ts"), lit(3600L)))
+      .groupBy(
+        col("labels").getItem("user_id").cast("long").as("user_id"),
+        col("bucket_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(col("value")).as("sum_v"),
+        (dec2(col("value")) / count(lit(1))).as("avg_v"))
+      .orderBy("user_id", "bucket_start")
+
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text",
         stride = 2)
@@ -540,6 +560,8 @@ object SparkEntry {
     "text_winnow" -> (qTextWinnow _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
+    "multimodal_features" -> (qMultimodalFeatures _),
+    "tsdb_downsample" -> (qTsdbDownsample _),
     "pipeline_clean_corpus" -> (qPipelineCleanCorpus _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -43,6 +43,22 @@ object Multimodal {
       (lit(1) + floor(nBytes / lit(128)).cast("long")).as("n_frames"))
   }
 
+  /** Feature extraction stub: a 16-bin byte histogram over the payload —
+    * the shape of a real embedding/feature extractor (fixed-length numeric
+    * vector per media object), computed with exact integer counts so the
+    * oracle verifies the plumbing end to end.
+    */
+  def byteHistogram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val codes = flatten(transform(array(t), s =>
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))))))
+    val hist = transform(sequence(lit(0), lit(15)),
+      b => size(filter(codes, c => floor(c / 16).cast("int") === b)))
+    docs.select(
+      (col(idCol).as("doc_id") +:
+        (0 until 16).map(b => get(hist, lit(b)).as(s"h$b"))): _*)
+  }
+
   /** Case class for the batch-decoded metadata rows. */
   case class MediaMeta(
       doc_id: Long, n_bytes: Int, width: Int, height: Int,
