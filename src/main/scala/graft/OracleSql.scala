@@ -237,6 +237,21 @@ object OracleSql {
        |FROM p WHERE c / (n1 + n2 - c) >= 0.8
        |ORDER BY id1, id2""".stripMargin
 
+  /** Transitive closure via recursive CTE: min reachable id per node. */
+  private val dedupComponents =
+    s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pr AS (
+       |  SELECT id1, id2 FROM p WHERE c / (n1 + n2 - c) >= 0.8),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pr
+       |  UNION SELECT id2, id1 FROM pr),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a)
+       |SELECT id AS doc_id, min(r) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** SimHash oracle: portable 60-bit token hash (first 15 hex digits of
     * md5, base-16 decoded via sequential fold), per-bit majority vote,
     * all-pairs Hamming <= 3. The Spark plan computes the identical bits.
@@ -563,6 +578,7 @@ object OracleSql {
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> jaccardPairs,
     "dedup_minhash_lsh" -> jaccardPairs,
+    "dedup_components" -> dedupComponents,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "ann_topk" -> annTopk,

@@ -417,6 +417,13 @@ object SparkEntry {
         maxHamming = 3)
       .orderBy("id1", "id2")
 
+  /** Transitive near-dup clusters: min-reachable-id component per doc. */
+  private def qDedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.8))
+      .orderBy("doc_id")
+
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.45)
@@ -549,6 +556,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_components" -> (qDedupComponents _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "ann_topk" -> (qAnnTopk _),
     "ann_topk_lsh" -> (qAnnTopkLsh _),

@@ -208,6 +208,43 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Connected components over a near-dup pair graph: label every node with
+    * the minimum doc id reachable from it, so each transitive duplicate
+    * cluster gets one canonical representative (the complete form of
+    * "keep one per near-dup group" — pairwise id2-dropping misses chains).
+    *
+    * Iterative min-label propagation to a fixpoint: each round is one
+    * join + min-aggregation, converging in O(diameter) rounds (near-dup
+    * graphs are shallow). Plans are localCheckpointed per round so the
+    * lineage does not grow unboundedly — the standard pattern for
+    * iterative DataFrame algorithms.
+    * Output: (doc_id, component) for every doc appearing in a pair.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = labels.join(edges, labels("id") === edges("a"))
+        .select(col("b").as("id"), col("comp"))
+        .unionByName(labels)
+        .groupBy("id")
+        .agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = prop.as("n")
+        .join(labels.as("o"), "id")
+        .where(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      labels = prop
+      converged = changed == 0
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs baseline). The scale
     * path for ANN-style workloads is [[Similarity.lshTopK]]'s hyperplane
     * bucketing; this exact variant is the correctness baseline and is

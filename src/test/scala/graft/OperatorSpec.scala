@@ -29,6 +29,26 @@ class OperatorSpec extends SparkSuite {
     assert(lsh == exactPairs)
   }
 
+  test("connected components equals driver-side union-find") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive union-find on the driver
+    val es = exactPairs.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    assert(got == expected)
+  }
+
   test("simhash near-dups are a subset-consistent view of true near-dups") {
     val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id1", "id2").collect()
