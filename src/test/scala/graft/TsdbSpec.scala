@@ -142,6 +142,24 @@ class TsdbSpec extends SparkSuite {
     }
   }
 
+  test("exactly-aligned segment boundaries are not skipped (reference off-by-one)") {
+    // the reference's Choose() uses strict comparisons and can miss a
+    // segment whose MinTs equals the query start (segment.go:71-85);
+    // SURVEY §7.4 mandates we do not replicate that. Points exactly at
+    // multiples of segmentDuration must be found by boundary queries.
+    import spark.implicits._
+    val boundary = 7200L * 300000 // an exact bucket start
+    val df = Seq(
+      ("m", Map("k" -> "v"), boundary, 1.0),
+      ("m", Map("k" -> "v"), boundary - 1, 2.0),
+      ("m", Map("k" -> "v"), boundary + 7199, 3.0))
+      .toDF("metric", "labels", "ts", "value")
+    val t = Tsdb.attach(spark, df)
+    assert(t.queryRange("m", Seq.empty, boundary, boundary).count() == 1)
+    assert(t.queryRange("m", Seq.empty, boundary - 1, boundary).count() == 2)
+    assert(t.queryRange("m", Seq.empty, boundary, boundary + 7199).count() == 2)
+  }
+
   test("renderLabels produces the reference's {k=\"v\"} form") {
     import spark.implicits._
     val got = Seq(Map("b" -> "2", "a" -> "1")).toDF("labels")
