@@ -67,11 +67,18 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * only because its Gorilla blocks are append-only).
     */
   def insertRows(df: DataFrame): Unit = {
-    val norm = normalize(df)
+    val norm0 = normalize(df)
     if (conf.onlyMemoryMode) {
       val cur = memHead
-      memHead = Some(cur.map(_.unionByName(norm)).getOrElse(norm))
+      memHead = Some(cur.map(_.unionByName(norm0)).getOrElse(norm0))
     } else {
+      // one normalize pass feeds both the fact write and the series-meta
+      // upsert; persisted (spillable) for the duration of the two actions —
+      // batch size bounds the footprint (micro-batches in the streaming
+      // path, caller-chosen batches otherwise)
+      val norm = norm0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // shuffle by the partition column before the partitioned write: one
       // file per time bucket instead of (tasks × buckets) small files —
       // at fleet scale this is the difference between 1e3 and 1e6 files
@@ -98,10 +105,14 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
           first("labels").as("labels"),
           min("ts").as("minTs"),
           max("ts").as("maxTs"))
+        .coalesce(4)
         .write
         .mode("append")
         .option("compression", conf.compression)
         .parquet(metaPath)
+      } finally {
+        norm.unpersist()
+      }
     }
   }
 
