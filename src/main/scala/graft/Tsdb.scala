@@ -277,6 +277,28 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         min("ts").as("min_ts"),
         max("ts").as("max_ts"))
 
+  /** Compact the append-accumulated series_meta partials into their merged
+    * form (one row per sid, few files) — the maintenance job bounding
+    * metadata growth that the reference explicitly lacks (no compaction,
+    * README.md:36-40). Materializes the merge to a sibling directory, then
+    * swaps it in.
+    */
+  def compactSeriesMeta(): Unit = {
+    if (conf.onlyMemoryMode) return
+    val tmp = metaPath + ".compact"
+    seriesMeta
+      .coalesce(4)
+      .write.mode("overwrite")
+      .option("compression", conf.compression)
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(metaPath), true)
+    fs.rename(
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(metaPath))
+  }
+
   /** Retention expiry (reference tsdb.go:384-406): whole-partition drop of
     * buckets older than `retention` — the "all-in" delete the reference
     * performs per segment, here a partition-directory removal.

@@ -168,6 +168,25 @@ class TsdbSpec extends SparkSuite {
     assert(got == "{a=\"1\", b=\"2\"}")
   }
 
+  test("series_meta compaction preserves content and bounds file count") {
+    import spark.implicits._
+    val t = new Tsdb(spark, TsdbConf(dataPath = tempDir("compact")))
+    def batch(off: Long) = Seq(
+      ("m1", Map("n" -> "a"), off, 1.0),
+      ("m2", Map("n" -> "b"), off + 60, 2.0))
+      .toDF("metric", "labels", "ts", "value")
+    (0 until 5).foreach(i => t.insertRows(batch(i * 86400L)))
+    val before = t.seriesMeta.orderBy("sid").collect().map(_.toString).toSeq
+    val metaDir = new java.io.File(t.conf.dataPath + "/series_meta")
+    val filesBefore = metaDir.listFiles.count(_.getName.endsWith(".parquet"))
+    t.compactSeriesMeta()
+    val after = t.seriesMeta.orderBy("sid").collect().map(_.toString).toSeq
+    val filesAfter = metaDir.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(after == before)
+    assert(filesAfter < filesBefore)
+    assert(after.length == 2) // 2 series, merged across 5 appends
+  }
+
   test("storage is seg-partitioned and retention drops expired partitions") {
     val t = disk
     val fs = new java.io.File(t.conf.dataPath + "/samples")
