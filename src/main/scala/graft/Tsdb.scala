@@ -233,6 +233,29 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         first("labels").as("labels"),
         sort_array(collect_list(struct(col("ts"), col("value")))).as("points"))
 
+  /** Bounded-row variant of [[queryRangeShaped]]: splits each series into
+    * chunks of at most `maxPointsPerRow` ts-ordered points, so no single
+    * output row (or aggregation buffer) grows with the range length — the
+    * scale-safe shaping for wide time ranges (SURVEY §7.4). Output adds a
+    * `chunk` ordinal per series.
+    */
+  def queryRangeShapedChunked(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      maxPointsPerRow: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy("ts")
+    queryRange(metric, matchers, start, end)
+      .withColumn("chunk",
+        floor((row_number().over(w) - 1) / maxPointsPerRow).cast("long"))
+      .groupBy("sid", "chunk")
+      .agg(
+        first("labels").as("labels"),
+        sort_array(collect_list(struct(col("ts"), col("value")))).as("points"))
+  }
+
   /** QuerySeries (reference tsdb.go:323-350): distinct matching label sets
     * whose series overlap `[start, end]`. Runs on the small series_meta
     * dimension only — never touches the fact table.

@@ -121,6 +121,22 @@ class TsdbSpec extends SparkSuite {
     assert(labels == Map("__name__" -> "m", "a" -> "1", "b" -> "2"))
   }
 
+  test("chunked shaping bounds row size and concatenates to the full series") {
+    val m = Seq(LabelMatcher.eq("node", "vm0"), LabelMatcher.eq("dc", "1"))
+    val full = disk.queryRangeShaped("cpu.busy", m, Start, Start + 60 * 50)
+      .collect()(0).getAs[scala.collection.Seq[Row]]("points")
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val chunked = disk.queryRangeShapedChunked(
+        "cpu.busy", m, Start, Start + 60 * 50, maxPointsPerRow = 20)
+      .orderBy("sid", "chunk").collect()
+    assert(chunked.forall(
+      _.getAs[scala.collection.Seq[Row]]("points").length <= 20))
+    val reassembled = chunked.flatMap(
+      _.getAs[scala.collection.Seq[Row]]("points")
+        .map(r => (r.getLong(0), r.getDouble(1)))).toSeq
+    assert(reassembled == full && full.length == 51)
+  }
+
   test("series-index semi-join path equals direct predicate path") {
     val m = Seq(LabelMatcher.re("node", "vm.*"), LabelMatcher.eq("dc", "2"))
     val viaIndex = disk.queryRange("mem.used", m, Start, Start + 600,
