@@ -38,9 +38,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
 
   /** onlyMemoryMode head: accumulated in-memory batches (the reference's
     * memory segment, memory_segment.go). Batch appends only; the streaming
-    * path writes through `insertRows` via foreachBatch.
+    * path writes through `insertRows` via foreachBatch. The union lineage
+    * is truncated with a localCheckpoint every few batches so a
+    * long-running memory head doesn't grow an unbounded plan.
     */
   private var memHead: Option[DataFrame] = None
+  private var memBatches: Int = 0
+  private val memCheckpointEvery = 8
 
   // ---------------------------------------------------------------- ingest
 
@@ -69,8 +73,11 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   def insertRows(df: DataFrame): Unit = {
     val norm0 = normalize(df)
     if (conf.onlyMemoryMode) {
-      val cur = memHead
-      memHead = Some(cur.map(_.unionByName(norm0)).getOrElse(norm0))
+      val u = memHead.map(_.unionByName(norm0)).getOrElse(norm0)
+      memBatches += 1
+      memHead = Some(
+        if (memBatches % memCheckpointEvery == 0) u.localCheckpoint()
+        else u)
     } else {
       // one normalize pass feeds both the fact write and the series-meta
       // upsert; persisted (spillable) for the duration of the two actions —

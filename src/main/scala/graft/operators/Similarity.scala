@@ -134,6 +134,11 @@ object Similarity {
     * Candidates = corpus vectors sharing at least one signature band with
     * the query. Approximate: recall < 1 by design; verified against
     * [[bruteForceTopK]] in tests.
+    *
+    * Defaults tuned with `graft.tools.AnnTune` (recall@5 vs brute force on
+    * the sf0.01 embeddings): planes=16/bands=8 → 0.96; the previous
+    * 4-band default measured 0.36. IVF at cells=16/probe=4 → 0.70,
+    * probe=8 → 0.92 (at the cost of scanning half the cells).
     */
   def lshTopK(
       emb: DataFrame,
@@ -142,7 +147,7 @@ object Similarity {
       vecCol: String,
       k: Int,
       nPlanes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 8): DataFrame = {
     require(nPlanes % bands == 0)
     val bandBits = nPlanes / bands
     def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
