@@ -227,6 +227,12 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // convergence via the monotone invariant: per-node labels only ever
+    // decrease, so sum(comp) strictly decreases until the fixpoint — one
+    // cheap aggregation per round instead of a change-detection join
+    def compSum(df: DataFrame): Long =
+      df.agg(sum("comp")).head().getLong(0)
+    var prevSum = compSum(labels)
     var converged = false
     while (!converged) {
       val prop = labels.join(edges, labels("id") === edges("a"))
@@ -235,12 +241,10 @@ object Dedup {
         .groupBy("id")
         .agg(min("comp").as("comp"))
         .localCheckpoint()
-      val changed = prop.as("n")
-        .join(labels.as("o"), "id")
-        .where(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
+      val s = compSum(prop)
       labels = prop
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
     }
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
