@@ -72,6 +72,21 @@ object ScaleSmoke {
       e.unpersist()
     }
 
+    // dedup scale-path comparison: the banded MinHash index vs the exact
+    // set-similarity join on a 20× corpus (100k docs). The synthetic corpus
+    // has a pathologically dense shingle vocabulary, which is exactly the
+    // regime where the exact inverted-index join fans out quadratically and
+    // LSH banding keeps candidate generation near-linear.
+    val docs1 = Tables.documents(spark, "/root/testdata/sf0.1")
+    time("docs 1x minhash")(graft.operators.Dedup
+      .minHashPairs(docs1, "doc_id", "text", 3, 0.8).count())
+    val docs20 = docs1
+      .withColumn("copy", explode(sequence(lit(0), lit(19))))
+      .select((col("doc_id") * 20 + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" zz"), col("copy")).as("text"))
+    time("docs 20x minhash")(graft.operators.Dedup
+      .minHashPairs(docs20, "doc_id", "text", 3, 0.8).count())
+
     val base = Tables.events(spark, "/root/testdata/sf0.1")
     suite("1x  ", base)
     val factor = 100
