@@ -494,6 +494,13 @@ object OracleSql {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  private val qGroupingSets =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   private val qWindowAnalytics =
     """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
       |       o_totalprice,
@@ -553,6 +560,7 @@ object OracleSql {
     "multimodal_meta_batch" -> multimodalMeta,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
     "q_window_analytics" -> qWindowAnalytics,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,

@@ -295,6 +295,18 @@ object SparkEntry {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Arbitrary grouping sets: ((status), (priority)) — two independent
+    * groupings in one pass, not expressible as rollup/cube.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dec2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Analytic window-function family over one pass: ranking, offsets,
     * running and frame aggregates.
     */
@@ -547,6 +559,7 @@ object SparkEntry {
     "multimodal_meta_batch" -> (qMultimodalMetaBatch _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_pivot" -> (qPivot _),
     "q_percentiles" -> (qPercentiles _),
