@@ -67,6 +67,39 @@ class StreamingSpec extends SparkSuite {
     assert(!rows.exists(_._3 >= 100.0), "late row must be dropped")
   }
 
+  test("file-source streaming ingest over micro-batches matches batch semantics") {
+    val srcDir = tempDir("stream_src")
+    graft.sources.Tables.events(spark, sf0001)
+      .select(
+        col("event_type").as("metric"),
+        map(lit("user_id"), col("user_id").cast("string")).as("labels"),
+        col("ts_s").as("ts"),
+        col("value"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+      .parquet(srcDir)
+    val tsdb = new Tsdb(spark, graft.model.TsdbConf(
+      dataPath = tempDir("stream_tsdb"), segmentDuration = 86400L))
+    val q = Ingest.ingestStream(tsdb, stream, tempDir("ck2"))
+    q.processAllAvailable()
+    q.stop()
+    assert(tsdb.samples.count() == 1000)
+    // a range query over the streamed store matches the batch computation
+    val t0 = 1704067200L
+    val t1 = t0 + 7 * 86400 - 1
+    val streamed = tsdb.queryRange("click", Seq.empty, t0, t1).count()
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .where(col("event_type") === "click" && col("ts_s").between(t0, t1))
+      .count()
+    assert(streamed == batch && streamed > 0)
+    // series metadata merged across micro-batches: one row per series
+    val sids = tsdb.seriesMeta.count()
+    assert(sids == tsdb.samples.select("sid").distinct().count())
+  }
+
   test("stateful streaming sessionization closes sessions on gap and timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
