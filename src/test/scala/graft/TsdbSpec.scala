@@ -107,6 +107,25 @@ class TsdbSpec extends SparkSuite {
     assert(got.count() == 6) // 3 disk metrics x {vm0, vm2}
   }
 
+  test("negative regex matcher and unknown-metric queries") {
+    // !~ "vm[01]" leaves only vm2 series of the disk metrics at dc=0
+    val got = disk.querySeries(
+      Seq(
+        LabelMatcher.re(Tsdb.MetricLabel, "disk.*"),
+        LabelMatcher.nre("node", "vm[01]"),
+        LabelMatcher.eq("dc", "0")),
+      Start, Start + 120)
+    assert(got.count() == 3)
+    assert(got.select("labels").collect()
+      .forall(_.getAs[Map[String, String]](0)("node") == "vm2"))
+    // unknown metric: empty result, not an error
+    assert(disk.queryRange("no.such.metric", Seq.empty, Start, Start + 120)
+      .count() == 0)
+    // matcher on a label no series carries: empty
+    assert(disk.querySeries(
+      Seq(LabelMatcher.eq("region", "mars")), Start, Start + 120).count() == 0)
+  }
+
   test("label normalization drops empty entries; sid is label-order independent") {
     import spark.implicits._
     val a = Seq(("m", Map("b" -> "2", "a" -> "1", "" -> "x", "c" -> ""), 0L, 1.0))
