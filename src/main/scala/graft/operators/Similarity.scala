@@ -139,6 +139,13 @@ object Similarity {
     * the sf0.01 embeddings): planes=16/bands=8 → 0.96; the previous
     * 4-band default measured 0.36. IVF at cells=16/probe=4 → 0.70,
     * probe=8 → 0.92 (at the cost of scanning half the cells).
+    *
+    * Caveat measured on this corpus: the synthetic embeddings are
+    * near-isotropic (max pairwise cosine ≈ 0.51), so the high-recall
+    * setting admits ~89% of pairs as candidates — no sublinear index can
+    * be simultaneously selective and high-recall on data with no cluster
+    * structure. On real embedding corpora (which cluster), the same
+    * banding is selective at high recall; tune per-corpus with AnnTune.
     */
   def lshTopK(
       emb: DataFrame,
