@@ -62,5 +62,6 @@ object RewriteAnchoredRegex extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteAnchoredRegex)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
