@@ -581,6 +581,7 @@ object OracleSql {
     "q_window_topn" -> qWindowTopn,
     "q_setops" -> qSetOps,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_join_native" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_sessionize" -> qSessionize,
     "dedup_exact" -> dedupExact,

@@ -257,6 +257,22 @@ object SparkEntry {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Same as-of semantics through the native AsOfJoinExec (custom
+    * LogicalPlan + Strategy + SparkPlan); shares q_asof_join's oracle.
+    */
+  private def qAsofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts", "ts_s")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("ts_s").as("p_ts_s"), col("value").as("p_value"))
+    graft.plans.AsOfJoinNative
+      .join(clicks, purchases, "user_id", "p_user", "ts", "p_ts")
+      .select("user_id", "event_id", "ts_s", "p_ts_s", "p_value")
+      .orderBy("user_id", "event_id")
+  }
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(
         Tables.events(s, dir), "user_id", "ts_s", "event_id", "value", 1800L)
@@ -551,6 +567,7 @@ object SparkEntry {
     "q_window_topn" -> (qWindowTopn _),
     "q_setops" -> (qSetOps _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_join_native" -> (qAsofJoinNative _),
     "q_range_join" -> (qRangeJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_sessionize" -> (qSessionize _),
