@@ -16,9 +16,11 @@ import graft.functions.Gorilla
   */
 class GorillaAggregator
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Array[Byte]] {
-  override def zero: Seq[(Long, Double)] = Seq.empty
+  override def zero: Seq[(Long, Double)] = List.empty
+  // O(1) prepend per point (finish sorts once); an append here would make
+  // buffer accumulation quadratic in points-per-series
   override def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
-    b :+ a
+    a +: b
   override def merge(b1: Seq[(Long, Double)], b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
     b1 ++ b2
   override def finish(r: Seq[(Long, Double)]): Array[Byte] =
