@@ -195,9 +195,10 @@ object OracleSql {
        |                 ELSE 0 END AS new_s
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
        |g AS (
-       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
-       |                             ORDER BY ts_s, event_id
-       |                             ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+       |                                  ORDER BY ts_s, event_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |            AS session_seq
        |  FROM f)
        |SELECT user_id, session_seq,
        |       min(ts_s) AS session_start, max(ts_s) AS session_end,
@@ -433,7 +434,7 @@ object OracleSql {
       |  FROM g)
       |SELECT doc_id, len(fps) AS n_fp,
       |       list_min(fps) AS fp_min, list_max(fps) AS fp_max,
-      |       list_sum(fps) AS fp_sum
+      |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
       |FROM f ORDER BY doc_id""".stripMargin
 
   private val multimodalMetaCore =
@@ -543,7 +544,7 @@ object OracleSql {
   private val qJsonExtract =
     """SELECT event_type,
       |       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n,
-      |       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
       |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
