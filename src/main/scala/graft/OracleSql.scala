@@ -238,6 +238,33 @@ object OracleSql {
        |FROM p WHERE c / (n1 + n2 - c) >= 0.8
        |ORDER BY id1, id2""".stripMargin
 
+  /** Df-capped Jaccard mirror (Dedup.ngramJaccardPairs maxDocFreq=5):
+    * shingles with document frequency > 5 are dropped from every doc's
+    * set and set sizes are recomputed over the capped universe.
+    */
+  private val jaccardCapped =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        for i in range(1, len(ws) - 1)]) AS s
+      |  FROM w),
+      |ex0 AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+      |hot AS (SELECT tok FROM ex0 GROUP BY tok HAVING count(*) > 5),
+      |ex AS (
+      |  SELECT doc_id, tok, count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM ex0 WHERE tok NOT IN (SELECT tok FROM hot)),
+      |p AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
+      |         any_value(a.n) AS n1, any_value(b.n) AS n2
+      |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, round(c / (n1 + n2 - c), 6) AS jaccard
+      |FROM p WHERE c / (n1 + n2 - c) >= 0.8
+      |ORDER BY id1, id2""".stripMargin
+
   /** Transitive closure via recursive CTE: min reachable id per node. */
   private val dedupComponents =
     s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -587,6 +614,7 @@ object OracleSql {
     "q_sessionize" -> qSessionize,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> jaccardPairs,
+    "dedup_ngram_capped" -> jaccardCapped,
     "dedup_minhash_lsh" -> jaccardPairs,
     "dedup_components" -> dedupComponents,
     "dedup_simhash" -> dedupSimhash,

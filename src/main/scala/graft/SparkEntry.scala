@@ -440,6 +440,17 @@ object SparkEntry {
         k = 3, threshold = 0.8)
       .orderBy("id1", "id2")
 
+  /** The 100 TB-scale form of the Jaccard join: shingles with document
+    * frequency above the cap are dropped before the inverted-index
+    * self-join, bounding the per-token fan-out at cap² — boilerplate text
+    * can no longer make the join quadratic. Oracle mirrors the capped
+    * semantics exactly.
+    */
+  private def qDedupNgramCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.8, maxDocFreq = Some(5L))
+      .orderBy("id1", "id2")
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)
@@ -584,6 +595,7 @@ object SparkEntry {
     "tsdb_ingest_stats" -> (qTsdbIngestStats _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "dedup_ngram_capped" -> (qDedupNgramCapped _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_components" -> (qDedupComponents _),

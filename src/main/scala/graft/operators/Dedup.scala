@@ -50,14 +50,36 @@ object Dedup {
       textCol: String,
       k: Int,
       threshold: Double,
-      hashTokens: Boolean = false): DataFrame = {
+      hashTokens: Boolean = false,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, k)
       .withColumn("n", size(col("shingles")))
     val tokKey: Column => Column =
       if (hashTokens) xxhash64(_) else identity
-    val ex = sets
+    val exAll = sets
       .select(col("doc_id"), col("n"), explode(col("shingles")).as("tok"))
       .withColumn("tok", tokKey(col("tok")))
+    // Hot-shingle defense for corpus scale: a shingle appearing in df docs
+    // contributes df² rows to the self-join, so boilerplate text makes the
+    // exact join quadratic. With a document-frequency cap, shingles with
+    // df > cap are dropped from every doc's set and Jaccard is computed
+    // over the capped shingle universe (the standard production near-dup
+    // trade: boilerplate-only overlap no longer pairs documents). The
+    // default (None) keeps the exact semantics for the oracle path.
+    val ex = maxDocFreq match {
+      case None => exAll
+      case Some(cap) =>
+        // distinct shingles per doc ⇒ df = row count per token. The hot set
+        // is the df>cap heavy hitters; anti-join is a plain shuffle (the
+        // hot set is *usually* tiny but is not provably broadcastable).
+        val hot = exAll.groupBy("tok")
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") > cap)
+          .select("tok")
+        exAll.join(hot, Seq("tok"), "left_anti")
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    }
     val a = ex.as("a")
     val b = ex.as("b")
     a.join(b, col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -129,9 +151,18 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    // exact-Jaccard verification of the (small) candidate set: broadcast the
-    // shingle dimension back in
-    val dim = broadcast(sets.select(col("doc_id"), col("shingles"), col("n")))
+    // exact-Jaccard verification: semi-join the shingle dimension down to
+    // the docs that actually appear in a candidate pair FIRST — the full
+    // dimension is corpus-sized (unbroadcastable at scale), but the
+    // candidate id set is output-sized, so the reduced dimension is small.
+    // The joins below then shuffle candidate-sized relations only; Catalyst
+    // (with AQE) may still choose to broadcast the *reduced* side, which is
+    // the safe direction.
+    val candIds = cands.select(col("id1").as("doc_id"))
+      .union(cands.select(col("id2").as("doc_id")))
+      .distinct()
+    val dim = sets.select(col("doc_id"), col("shingles"), col("n"))
+      .join(candIds, Seq("doc_id"), "left_semi")
     val common = size(array_intersect(col("s1"), col("s2")))
     cands
       .join(dim.select(col("doc_id").as("id1"),

@@ -46,6 +46,9 @@ object ExplainAudit {
     println("=== q_asof_join (expect single shuffle by user_id, no theta join)")
     SparkEntry.queries("q_asof_join")(spark, dir).explain("formatted")
 
+    println("=== dedup_minhash_lsh (expect NO broadcast of the full shingle dimension — verification joins only candidate-sized relations)")
+    SparkEntry.queries("dedup_minhash_lsh")(spark, dir).explain("formatted")
+
     spark.stop()
   }
 }

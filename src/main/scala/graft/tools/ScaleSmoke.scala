@@ -87,6 +87,36 @@ object ScaleSmoke {
     time("docs 20x minhash")(graft.operators.Dedup
       .minHashPairs(docs20, "doc_id", "text", 3, 0.8).count())
 
+    // hot-shingle defense: one boilerplate paragraph injected into 30% of
+    // docs makes every boilerplate shingle a df≈0.3·N heavy hitter, so the
+    // uncapped inverted-index join's fan-out grows with N² while the
+    // df-capped path drops those shingles and stays near-linear. Uncapped
+    // is run at 1×/4× only (at 20× its fan-out is ~5e9 rows — the point).
+    val boiler = "terms of service apply to all content on this site " +
+      "all rights reserved contact the administrator for details"
+    def skew(d: DataFrame): DataFrame = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(10)) < 3,
+        concat(lit(boiler + " "), col("text"))).otherwise(col("text")))
+    def rep(d: DataFrame, f: Int): DataFrame = d
+      .withColumn("copy", explode(sequence(lit(0), lit(f - 1))))
+      .select((col("doc_id") * f + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" zz"), col("copy")).as("text"))
+    val sk1 = skew(docs1)
+    time("skewed 1x  ngram uncapped")(graft.operators.Dedup
+      .ngramJaccardPairs(sk1, "doc_id", "text", 3, 0.8).count())
+    time("skewed 4x  ngram uncapped")(graft.operators.Dedup
+      .ngramJaccardPairs(skew(rep(docs1, 4)), "doc_id", "text", 3, 0.8)
+      .count())
+    time("skewed 1x  ngram capped")(graft.operators.Dedup
+      .ngramJaccardPairs(sk1, "doc_id", "text", 3, 0.8,
+        maxDocFreq = Some(100L)).count())
+    time("skewed 4x  ngram capped")(graft.operators.Dedup
+      .ngramJaccardPairs(skew(rep(docs1, 4)), "doc_id", "text", 3, 0.8,
+        maxDocFreq = Some(100L)).count())
+    time("skewed 20x ngram capped")(graft.operators.Dedup
+      .ngramJaccardPairs(skew(rep(docs1, 20)), "doc_id", "text", 3, 0.8,
+        maxDocFreq = Some(100L)).count())
+
     val base = Tables.events(spark, "/root/testdata/sf0.1")
     suite("1x  ", base)
     val factor = 100
