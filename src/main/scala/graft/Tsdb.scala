@@ -46,6 +46,46 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   private var memBatches: Int = 0
   private val memCheckpointEvery = 8
 
+  /** Rows currently buffered in the head (tracked incrementally — one count
+    * per [[insertHeadRows]] batch, never a scan of the accumulated head).
+    */
+  private var headRows: Long = 0L
+
+  /** Highest segment frozen to disk — the `enableOutdated=false` rejection
+    * boundary. Initialized lazily from the partition listing so a Tsdb
+    * attached to an existing store starts with the right boundary.
+    */
+  private var frozenMaxSeg: Long = Long.MinValue
+  private var frozenInit: Boolean = false
+  private def frozenBoundary(): Long = {
+    if (!frozenInit) {
+      frozenInit = true
+      val segs = listSegDirs().map(_._1)
+      if (segs.nonEmpty) frozenMaxSeg = math.max(frozenMaxSeg, segs.max)
+    }
+    frozenMaxSeg
+  }
+
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def pathExists(p: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p))
+
+  private def listSegDirs(): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val base = new org.apache.hadoop.fs.Path(samplesPath)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("seg="))
+          Some((name.stripPrefix("seg=").toLong, st.getPath))
+        else None
+      }
+  }
+
   // ---------------------------------------------------------------- ingest
 
   /** Normalize `(metric, labels, ts, value)` rows into the internal sample
@@ -85,50 +125,139 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       // path, caller-chosen batches otherwise)
       val norm = norm0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-      // shuffle by the partition column before the partitioned write: one
-      // file per time bucket instead of (tasks × buckets) small files —
-      // at fleet scale this is the difference between 1e3 and 1e6 files
-      // per ingest batch
-      val fact =
-        if (conf.storeLabelsInFact) norm
-        else norm.select("sid", "seg", "ts", "value")
-      // sort by (sid, ts) inside each bucket: per-series point locality —
-      // parquet delta-encodes the ts run per series (the role of the
-      // reference's per-series Gorilla blocks) and sid row-group stats
-      // let the semi-join path skip row groups
-      fact
-        .repartition(col("seg"))
-        .sortWithinPartitions("sid", "ts")
-        .write
-        .mode("append")
-        .option("compression", conf.compression)
-        .partitionBy("seg")
-        .parquet(samplesPath)
-      norm
-        .groupBy("sid")
-        .agg(
-          first("metric").as("metric"),
-          first("labels").as("labels"),
-          min("ts").as("minTs"),
-          max("ts").as("maxTs"))
-        .coalesce(4)
-        .write
-        .mode("append")
-        .option("compression", conf.compression)
-        .parquet(metaPath)
-      } finally {
-        norm.unpersist()
+      try writeNormalized(norm)
+      finally norm.unpersist()
+    }
+  }
+
+  /** Durable write of already-normalized rows: partitioned fact append +
+    * series-meta upsert. Caller persists `norm` for the two actions.
+    */
+  private def writeNormalized(norm: DataFrame): Unit = {
+    // shuffle by the partition column before the partitioned write: one
+    // file per time bucket instead of (tasks × buckets) small files —
+    // at fleet scale this is the difference between 1e3 and 1e6 files
+    // per ingest batch
+    val fact =
+      if (conf.storeLabelsInFact) norm
+      else norm.select("sid", "seg", "ts", "value")
+    // sort by (sid, ts) inside each bucket: per-series point locality —
+    // parquet delta-encodes the ts run per series (the role of the
+    // reference's per-series Gorilla blocks) and sid row-group stats
+    // let the semi-join path skip row groups
+    fact
+      .repartition(col("seg"))
+      .sortWithinPartitions("sid", "ts")
+      .write
+      .mode("append")
+      .option("compression", conf.compression)
+      .partitionBy("seg")
+      .parquet(samplesPath)
+    norm
+      .groupBy("sid")
+      .agg(
+        first("metric").as("metric"),
+        first("labels").as("labels"),
+        min("ts").as("minTs"),
+        max("ts").as("maxTs"))
+      .coalesce(4)
+      .write
+      .mode("append")
+      .option("compression", conf.compression)
+      .parquet(metaPath)
+  }
+
+  /** Head-buffered ingest — the reference's live memory segment
+    * (memory_segment.go): rows accumulate in the in-memory head, reads see
+    * disk ∪ head (head scanned last, segment.go:62-65) until [[flushHead]]
+    * — or the `maxRowsPerSegment` secondary trigger — freezes the head to
+    * parquet. With `enableOutdated=false`, rows whose segment is already
+    * frozen are rejected (returned count) instead of silently merged.
+    *
+    * @return number of rows rejected by the outdated gate (0 when
+    *         `enableOutdated=true`)
+    */
+  def insertHeadRows(df: DataFrame): Long = {
+    val norm0 = normalize(df)
+    // localCheckpoint materializes the batch once: the count below and the
+    // head union both read the materialized partitions, and the incoming
+    // lineage (often a fresh source read) is truncated
+    val all = norm0.localCheckpoint()
+    val (accepted, rejected) =
+      if (conf.enableOutdated) (all, 0L)
+      else {
+        val boundary = frozenBoundary()
+        if (boundary == Long.MinValue) (all, 0L)
+        else {
+          val ok = all.where(col("seg") > boundary).localCheckpoint()
+          (ok, all.count() - ok.count())
+        }
+      }
+    headRows += accepted.count()
+    memBatches += 1
+    memHead = Some(memHead.map(_.unionByName(accepted)).getOrElse(accepted))
+    if (memBatches % memCheckpointEvery == 0)
+      memHead = memHead.map(_.localCheckpoint())
+    if (conf.maxRowsPerSegment > 0 && headRows >= conf.maxRowsPerSegment)
+      flushHead()
+    rejected
+  }
+
+  /** Freeze the head: durable-write the buffered rows and clear the buffer
+    * (the reference's segment flush, tsdb.go:242-265). No-op in
+    * `onlyMemoryMode` (nowhere to flush) or with an empty head.
+    */
+  def flushHead(): Unit = {
+    if (conf.onlyMemoryMode) return
+    memHead.foreach { h =>
+      if (headRows > 0) {
+        val norm = h.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          writeNormalized(norm)
+          norm.agg(max("seg")).head().get(0) match {
+            case s: Long => frozenMaxSeg = math.max(frozenBoundary(), s)
+            case _ => ()
+          }
+        } finally norm.unpersist()
       }
     }
+    memHead = None
+    headRows = 0L
+    memBatches = 0
   }
 
   // ---------------------------------------------------------------- tables
 
-  /** The long-format sample table (sid, metric, labels, seg, ts, value). */
-  def samples: DataFrame = memHead match {
-    case Some(m) => m
-    case None => spark.read.parquet(samplesPath)
+  /** The long-format sample table. Unified view: when both a disk store and
+    * a live head exist (head-buffered or streaming ingest in flight), the
+    * union of the two — disk segments first, head last — so queries always
+    * see all data, matching the reference's segment list + head iteration
+    * order (segment.go:62-65). In `onlyMemoryMode` the head is the store;
+    * disk-only mode reads parquet directly. Filters push through the Union
+    * into each branch, so `seg` partition pruning on the disk side is
+    * unaffected by the head.
+    */
+  def samples: DataFrame = {
+    if (conf.onlyMemoryMode) memHead.getOrElse(spark.read.parquet(samplesPath))
+    else {
+      val factCols =
+        if (conf.storeLabelsInFact)
+          Seq("sid", "metric", "labels", "seg", "ts", "value")
+        else Seq("sid", "seg", "ts", "value")
+      val disk =
+        if (pathExists(samplesPath))
+          Some(spark.read.parquet(samplesPath).select(factCols.map(col): _*))
+        else None
+      val head = memHead.map(_.select(factCols.map(col): _*))
+      (disk, head) match {
+        case (Some(d), Some(h)) => d.unionByName(h)
+        case (Some(d), None) => d
+        case (None, Some(h)) => h
+        // neither: preserve the read-of-missing-path error surface
+        case (None, None) => spark.read.parquet(samplesPath)
+      }
+    }
   }
 
   /** Fact rows with metric + labels attached — identity for the
@@ -152,12 +281,19 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * partial/final merge the reference does across segments.
     */
   def seriesMeta: DataFrame = {
-    val raw = memHead match {
-      case Some(m) =>
-        m.groupBy("sid").agg(
-          first("metric").as("metric"), first("labels").as("labels"),
-          min("ts").as("minTs"), max("ts").as("maxTs"))
-      case None => spark.read.parquet(metaPath)
+    val headAgg = memHead.map(
+      _.groupBy("sid").agg(
+        first("metric").as("metric"), first("labels").as("labels"),
+        min("ts").as("minTs"), max("ts").as("maxTs")))
+    val diskMeta =
+      if (!conf.onlyMemoryMode && pathExists(metaPath))
+        Some(spark.read.parquet(metaPath))
+      else None
+    val raw = (diskMeta, headAgg) match {
+      case (Some(d), Some(h)) => d.unionByName(h)
+      case (Some(d), None) => d
+      case (None, Some(h)) => h
+      case (None, None) => spark.read.parquet(metaPath)
     }
     raw
       .groupBy("sid")
@@ -334,31 +470,18 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * performs per segment, here a partition-directory removal.
     */
   def removeExpires(nowSeconds: Long): Seq[Long] = {
-    if (conf.onlyMemoryMode) {
-      val cutoffSeg = (nowSeconds - conf.retention) / conf.segmentDuration
-      memHead = memHead.map(_.where(col("seg") >= cutoffSeg))
-      return Seq.empty
-    }
     val cutoffSeg = (nowSeconds - conf.retention) / conf.segmentDuration
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val base = new org.apache.hadoop.fs.Path(samplesPath)
-    if (!fs.exists(base)) return Seq.empty
-    val dropped = fs.listStatus(base).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("seg=")) {
-          val seg = name.stripPrefix("seg=").toLong
-          // expire when the bucket's max possible ts is older than cutoff,
-          // i.e. the whole segment is out of retention (tsdb.go:393-396)
-          if ((seg + 1) * conf.segmentDuration <= nowSeconds - conf.retention) {
-            fs.delete(st.getPath, true)
-            Some(seg)
-          } else None
-        } else None
-      }
-    dropped
+    // the live head (either mode) expires by filter
+    memHead = memHead.map(_.where(col("seg") >= cutoffSeg))
+    if (conf.onlyMemoryMode) return Seq.empty
+    listSegDirs().flatMap { case (seg, path) =>
+      // expire when the bucket's max possible ts is older than cutoff,
+      // i.e. the whole segment is out of retention (tsdb.go:393-396)
+      if ((seg + 1) * conf.segmentDuration <= nowSeconds - conf.retention) {
+        fs.delete(path, true)
+        Some(seg)
+      } else None
+    }
   }
 
   // ------------------------------------------------------------- predicates

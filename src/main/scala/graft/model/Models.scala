@@ -69,4 +69,22 @@ final case class TsdbConf(
       * label map onto every sample row (larger, but self-contained files).
       */
     storeLabelsInFact: Boolean = false,
-    writeListenerTimeoutSec: Long = 30L) // tsdb.go:42 (streaming trigger bound)
+    /** Reference tsdb.go:44. Honored on the head-buffered ingest path
+      * ([[graft.Tsdb.insertHeadRows]]): when false, rows whose segment is
+      * already frozen to disk are rejected (the reference's "no out-of-order
+      * into frozen segments"); when true (default) they are accepted —
+      * batch storage is order-free, so acceptance costs nothing.
+      */
+    enableOutdated: Boolean = true,
+    /** Reference tsdb.go:45 (default 19960412 rows). Honored as the
+      * secondary freeze trigger: the in-memory head auto-flushes to parquet
+      * once it holds this many rows, bounding head memory independently of
+      * `segmentDuration`. `<= 0` disables the trigger.
+      */
+    maxRowsPerSegment: Long = 19960412L,
+    /** Reference tsdb.go:42 (30 s enqueue timeout). Honored on the
+      * streaming ingest path: a micro-batch whose durable write exceeds
+      * this bound fails the query — overload is surfaced instead of
+      * queueing unboundedly. `< 0` disables the bound.
+      */
+    writeListenerTimeoutSec: Long = 30L)

@@ -15,8 +15,23 @@ import graft.Tsdb
   */
 object Ingest {
 
+  /** Overload signal for the write path — the analog of the reference's
+    * enqueue-timeout rejection (tsdb.go:205-216): a micro-batch whose
+    * durable write exceeded `writeListenerTimeoutSec` fails the streaming
+    * query instead of letting latency queue unboundedly. The batch that
+    * tripped the bound IS durable (the write completed before the check);
+    * on checkpoint restart it is re-delivered, so the engine trades the
+    * reference's data loss on timeout for at-least-once on overload.
+    */
+  final class WriteTimeoutException(elapsedSec: Double, boundSec: Long)
+      extends RuntimeException(
+        f"tsdb write took $elapsedSec%.1f s, exceeding the " +
+          s"writeListenerTimeoutSec bound of $boundSec s (overload)")
+
   /** Continuously ingest a streaming DataFrame of
-    * `(metric, labels, ts, value)` rows into a [[Tsdb]].
+    * `(metric, labels, ts, value)` rows into a [[Tsdb]]. Each micro-batch
+    * write is bounded by `tsdb.conf.writeListenerTimeoutSec` (see
+    * [[WriteTimeoutException]]); a negative bound disables the check.
     */
   def ingestStream(
       tsdb: Tsdb,
@@ -27,7 +42,12 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bound = tsdb.conf.writeListenerTimeoutSec
+        val t0 = System.nanoTime()
         tsdb.insertRows(batch)
+        val elapsedSec = (System.nanoTime() - t0) / 1e9
+        if (bound >= 0 && elapsedSec > bound)
+          throw new WriteTimeoutException(elapsedSec, bound)
       }
       .start()
 

@@ -34,6 +34,40 @@ class StreamingSpec extends SparkSuite {
     assert(segs == 2)
   }
 
+  test("writeListenerTimeoutSec bounds micro-batch writes (overload signal)") {
+    implicit val sqlCtx = spark.sqlContext
+    // bound of 0 s: any real durable write exceeds it, so the first
+    // micro-batch must fail the query with the overload exception —
+    // proving the knob is consulted (the reference stores its 30 s
+    // writeTimeout but never reads it back; SURVEY §2.1 fidelity note)
+    val mem = MemoryStream[(String, Long, Double)]
+    val src = mem.toDF().toDF("metric", "ts", "value")
+      .withColumn("labels", map(lit("node"), lit("vm0")))
+    val tsdb = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("wtimeout"), writeListenerTimeoutSec = 0L))
+    mem.addData(("cpu.busy", 1600000000L, 1.0))
+    val q = Ingest.ingestStream(tsdb, src, tempDir("ckpt_wt"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(_.isInstanceOf[Ingest.WriteTimeoutException]),
+      causes(err).map(_.getClass.getName).toString)
+    // a disabled bound (< 0) ingests the same data without complaint
+    val mem2 = MemoryStream[(String, Long, Double)]
+    val src2 = mem2.toDF().toDF("metric", "ts", "value")
+      .withColumn("labels", map(lit("node"), lit("vm0")))
+    val tsdb2 = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("wtimeout2"), writeListenerTimeoutSec = -1L))
+    mem2.addData(("cpu.busy", 1600000000L, 1.0))
+    val q2 = Ingest.ingestStream(tsdb2, src2, tempDir("ckpt_wt2"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(tsdb2.samples.count() == 1)
+  }
+
   test("watermarked tumbling window aggregates and drops very-late data") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]

@@ -222,6 +222,81 @@ class TsdbSpec extends SparkSuite {
     assert(after.length == 2) // 2 series, merged across 5 appends
   }
 
+  test("unified view: queries see disk segments plus the live head") {
+    // reference segment.go:62-65 — the segment list always yields disk
+    // segments plus the memory head, so queries span the flush boundary
+    import spark.implicits._
+    def rows(from: Int, until: Int): DataFrame =
+      (from until until).map(i =>
+        ("m", Map("k" -> "v"), Start + i * 60L, (Start + i * 60L).toDouble))
+        .toDF("metric", "labels", "ts", "value")
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("headdisk"), segmentDuration = 7200L))
+    t.insertRows(rows(0, 100)) // durable
+    t.insertHeadRows(rows(100, 240)) // live head, crosses a segment boundary
+    // a range query across the flush boundary sees every point once
+    val got = t.queryRange("m", Seq.empty, Start, Start + 239 * 60)
+      .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value")))
+      .sortBy(_._1).toSeq
+    assert(got == (0 until 240).map(i =>
+      (Start + i * 60L, (Start + i * 60L).toDouble)))
+    // metadata queries also see the head's series bounds
+    assert(t.querySeries(Seq(LabelMatcher.eq("k", "v")),
+      Start + 200 * 60, Start + 239 * 60).count() == 1)
+    // freezing the head must not change any query result
+    t.flushHead()
+    val after = t.queryRange("m", Seq.empty, Start, Start + 239 * 60)
+      .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value")))
+      .sortBy(_._1).toSeq
+    assert(after == got)
+  }
+
+  test("maxRowsPerSegment is a real freeze trigger") {
+    import spark.implicits._
+    def rows(from: Int, until: Int): DataFrame =
+      (from until until).map(i =>
+        ("m", Map("k" -> "v"), Start + i * 60L, 1.0))
+        .toDF("metric", "labels", "ts", "value")
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("maxrows"), segmentDuration = 7200L,
+      maxRowsPerSegment = 50L))
+    val samplesDir = new java.io.File(t.conf.dataPath + "/samples")
+    t.insertHeadRows(rows(0, 30))
+    assert(!samplesDir.exists()) // below the trigger: nothing durable yet
+    t.insertHeadRows(rows(30, 60)) // 60 >= 50: head auto-freezes
+    assert(samplesDir.exists())
+    assert(spark.read.parquet(samplesDir.toString).count() == 60)
+    // the head is empty again: next small batch stays in memory
+    t.insertHeadRows(rows(60, 70))
+    assert(spark.read.parquet(samplesDir.toString).count() == 60)
+    assert(t.queryRange("m", Seq.empty, Start, Start + 69 * 60).count() == 70)
+  }
+
+  test("enableOutdated=false rejects writes into frozen segments") {
+    import spark.implicits._
+    def at(i: Int): DataFrame =
+      Seq(("m", Map("k" -> "v"), Start + i * 60L, 1.0))
+        .toDF("metric", "labels", "ts", "value")
+    val conf = TsdbConf(
+      dataPath = tempDir("outdated"), segmentDuration = 7200L,
+      enableOutdated = false)
+    val t = new Tsdb(spark, conf)
+    t.insertHeadRows(at(0))
+    t.flushHead() // freezes the first 2h segment
+    // a row in the frozen segment is rejected…
+    assert(t.insertHeadRows(at(1)) == 1L)
+    // …a row in a newer segment is accepted
+    assert(t.insertHeadRows(at(130)) == 0L) // 130*60 s > 7200 s
+    assert(t.queryRange("m", Seq.empty, Start, Start + 240 * 60).count() == 2)
+    // with the default enableOutdated=true the same late row is accepted
+    val t2 = new Tsdb(spark, conf.copy(
+      dataPath = tempDir("outdated2"), enableOutdated = true))
+    t2.insertHeadRows(at(0))
+    t2.flushHead()
+    assert(t2.insertHeadRows(at(1)) == 0L)
+    assert(t2.queryRange("m", Seq.empty, Start, Start + 240 * 60).count() == 2)
+  }
+
   test("storage is seg-partitioned and retention drops expired partitions") {
     val t = disk
     val fs = new java.io.File(t.conf.dataPath + "/samples")
