@@ -81,8 +81,13 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           // >>> STUB DECODE: replace this block with the codec call <<<
-          val b0 = bytes(0) & 0xff
-          val b1 = bytes(1) & 0xff
+          // mirror the expression path exactly: ascii(substring(s, i, 1))
+          // is the first UTF-16 unit of the i-th CHARACTER (0 when the
+          // string is too short) — not a raw byte, so short and non-ASCII
+          // payloads agree between the two formulations
+          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          val b0 = if (s.length >= 1) s.charAt(0).toInt else 0
+          val b1 = if (s.length >= 2) s.charAt(1).toInt else 0
           MediaMeta(
             doc_id = id,
             n_bytes = bytes.length,

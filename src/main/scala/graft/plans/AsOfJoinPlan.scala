@@ -60,8 +60,8 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val keyCmp = AsOfJoinExec.comparatorFor(leftKey.dataType)
+    val tsCmp = AsOfJoinExec.comparatorFor(leftTs.dataType)
     val lOut = left.output
     val rOut = right.output
     val lk = leftKey
@@ -70,41 +70,54 @@ case class AsOfJoinExec(
     val rt = rightTs
     val outSchema = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyEval = UnsafeProjection.create(Seq(lk), lOut)
-      val rKeyEval = UnsafeProjection.create(Seq(rk), rOut)
-      val lTsEval = UnsafeProjection.create(Seq(lt), lOut)
-      val rTsEval = UnsafeProjection.create(Seq(rt), rOut)
+      // ONE codegen'd (key, ts) projection per side — field accesses below
+      // are primitive reads out of the projected 2-field UnsafeRow, no
+      // per-row boxing or interpreted ordering
+      val lEval = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rEval = UnsafeProjection.create(Seq(rk, rt), rOut)
       // bind right attrs as nullable: unmatched rows carry the null row
       val outProj = UnsafeProjection.create(
         outSchema, lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      // memoized (key, ts) of the right head: scans reuse one row object,
+      // so memoization is positional — invalidated on every rBuf.next()
+      var headValid = false
+      var headKT: InternalRow = null
+      def headEval(): InternalRow = {
+        if (!headValid) { headKT = rEval(rBuf.head); headValid = true }
+        headKT
+      }
+      def advanceRight(): InternalRow = { headValid = false; rBuf.next() }
       // state: the last right row whose (key, ts) is <= the current left
-      // cursor, with its evaluated key for group-change detection
+      // cursor, with its evaluated (key, ts) copy for group-change checks
       var lastMatch: InternalRow = null
-      var lastMatchKey: Any = null
+      var lastKT: InternalRow = null
       lIter.map { lRow =>
-        val lKeyRow = lKeyEval(lRow)
-        val lKeyVal = lKeyRow.get(0, lk.dataType)
-        val lTsVal = lTsEval(lRow).get(0, lt.dataType)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val hKey = rKeyEval(head).get(0, rk.dataType)
-          val c = keyOrd.asInstanceOf[Ordering[Any]].compare(hKey, lKeyVal)
-          if (c < 0) { rBuf.next() } // before our key group: skip
-          else if (c == 0 &&
-            tsOrd.asInstanceOf[Ordering[Any]].compare(
-              rTsEval(head).get(0, rt.dataType), lTsVal) <= 0) {
-            val taken = rBuf.next().copy()
-            lastMatch = taken
-            lastMatchKey = rKeyEval(taken).copy().get(0, rk.dataType)
-          } else advance = false
+        val lKT = lEval(lRow)
+        // SQL semantics: a null key or null ts never matches anything —
+        // emit the left row unmatched without touching the right cursor
+        if (lKT.isNullAt(0) || lKT.isNullAt(1)) {
+          outProj(joined(lRow, nullRight))
+        } else {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val h = headEval()
+            if (h.isNullAt(0) || h.isNullAt(1)) advanceRight() // never matches
+            else {
+              val c = keyCmp.compare(h, 0, lKT, 0)
+              if (c < 0) advanceRight() // before our key group: skip
+              else if (c == 0 && tsCmp.compare(h, 1, lKT, 1) <= 0) {
+                lastKT = h.copy()
+                lastMatch = advanceRight().copy()
+              } else advance = false
+            }
+          }
+          val matched = lastMatch != null &&
+            keyCmp.compare(lastKT, 0, lKT, 0) == 0
+          outProj(joined(lRow, if (matched) lastMatch else nullRight))
         }
-        val matched = lastMatch != null && lastMatchKey != null &&
-          keyOrd.asInstanceOf[Ordering[Any]].compare(lastMatchKey, lKeyVal) == 0
-        outProj(joined(lRow, if (matched) lastMatch else nullRight))
       }
     }
   }
@@ -112,6 +125,54 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinExec {
+  /** Field comparator between two rows, bound to a data type once at plan
+    * time. Primitive types compare via direct unboxed accessors (an abstract
+    * class, not a Function4, so the JIT sees a monomorphic unboxed call);
+    * everything else falls back to the interpreted Catalyst ordering.
+    * Callers handle nulls before comparing.
+    */
+  abstract class RowCmp extends Serializable {
+    def compare(a: InternalRow, i: Int, b: InternalRow, j: Int): Int
+  }
+
+  import org.apache.spark.sql.types._
+
+  def comparatorFor(dt: DataType): RowCmp = dt match {
+    case LongType | TimestampType | TimestampNTZType => new RowCmp {
+      def compare(a: InternalRow, i: Int, b: InternalRow, j: Int): Int =
+        java.lang.Long.compare(a.getLong(i), b.getLong(j))
+    }
+    case IntegerType | DateType => new RowCmp {
+      def compare(a: InternalRow, i: Int, b: InternalRow, j: Int): Int =
+        java.lang.Integer.compare(a.getInt(i), b.getInt(j))
+    }
+    case DoubleType => new RowCmp {
+      def compare(a: InternalRow, i: Int, b: InternalRow, j: Int): Int =
+        java.lang.Double.compare(a.getDouble(i), b.getDouble(j))
+    }
+    case FloatType => new RowCmp {
+      def compare(a: InternalRow, i: Int, b: InternalRow, j: Int): Int =
+        java.lang.Float.compare(a.getFloat(i), b.getFloat(j))
+    }
+    case ShortType => new RowCmp {
+      def compare(a: InternalRow, i: Int, b: InternalRow, j: Int): Int =
+        java.lang.Short.compare(a.getShort(i), b.getShort(j))
+    }
+    case StringType => new RowCmp {
+      def compare(a: InternalRow, i: Int, b: InternalRow, j: Int): Int =
+        a.getUTF8String(i).compareTo(b.getUTF8String(j))
+    }
+    case other =>
+      val ord = TypeUtils.getInterpretedOrdering(other)
+      new RowCmp {
+        def compare(a: InternalRow, i: Int, b: InternalRow, j: Int): Int =
+          ord.asInstanceOf[Ordering[Any]]
+            .compare(a.get(i, other), b.get(j, other))
+      }
+  }
 }
 
 /** Planner strategy mapping the logical node to the exec. Registered via

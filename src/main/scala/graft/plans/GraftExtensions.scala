@@ -25,24 +25,41 @@ object RewriteAnchoredRegex extends Rule[LogicalPlan] {
   private def isLiteralBody(s: String): Boolean =
     s.nonEmpty && s.forall(c => !"\\.+*?()|[]{}^$".contains(c))
 
+  /** Java regex (non-MULTILINE) `$` matches at the end of input OR just
+    * before a line terminator at the end of input — so `"p\n" RLIKE "p$"`
+    * is true. The `$`-anchored rewrites must therefore accept an optional
+    * final terminator; a plain EndsWith/EqualTo would silently change the
+    * result for strings with a trailing newline (this rule is injected
+    * globally and must preserve semantics for arbitrary user SQL).
+    */
+  private val FinalTerminators = Seq("\n", "\r", "\r\n", "\u0085", "\u2028", "\u2029")
+
   private[plans] def rewrite(child: Expression, pattern: String): Option[Expression] = {
     def lit(s: String) = Literal(UTF8String.fromString(s), StringType)
     def unwrap(s: String): String =
       if (s.startsWith("(?:") && s.endsWith(")") && isLiteralBody(
         s.stripPrefix("(?:").stripSuffix(")"))) s.stripPrefix("(?:").stripSuffix(")")
       else s
+    def anyOf(alts: Seq[Expression]): Expression = alts.reduce(Or(_, _))
     val anchoredBoth = pattern.startsWith("^") && pattern.endsWith("$")
     val anchoredStart = pattern.startsWith("^") && !pattern.endsWith("$")
     val anchoredEnd = !pattern.startsWith("^") && pattern.endsWith("$")
     if (anchoredBoth) {
       val body = unwrap(pattern.substring(1, pattern.length - 1))
-      if (isLiteralBody(body)) Some(EqualTo(child, lit(body))) else None
+      if (isLiteralBody(body))
+        Some(anyOf((body +: FinalTerminators.map(body + _))
+          .map(s => EqualTo(child, lit(s)))))
+      else None
     } else if (anchoredStart) {
+      // `^` (non-MULTILINE) matches only at input start: StartsWith is exact
       val body = unwrap(pattern.substring(1))
       if (isLiteralBody(body)) Some(StartsWith(child, lit(body))) else None
     } else if (anchoredEnd) {
       val body = unwrap(pattern.substring(0, pattern.length - 1))
-      if (isLiteralBody(body)) Some(EndsWith(child, lit(body))) else None
+      if (isLiteralBody(body))
+        Some(anyOf((body +: FinalTerminators.map(body + _))
+          .map(s => EndsWith(child, lit(s)))))
+      else None
     } else {
       if (isLiteralBody(pattern)) Some(Contains(child, lit(pattern))) else None
     }

@@ -65,4 +65,49 @@ class AsOfNativeSpec extends SparkSuite {
     val out = AsOfJoinNative.join(l, r, "k", "rk", "ts", "rts").collect()
     assert(out.length == 2 && out.forall(_.isNullAt(3)))
   }
+
+  test("null keys and timestamps are unmatched, not an NPE") {
+    import spark.implicits._
+    val l = Seq(
+      (Some(1L), Some(10L), "a"),
+      (None, Some(10L), "nullkey"),
+      (Some(1L), None, "nullts"),
+      (Some(2L), Some(20L), "b"))
+      .toDF("k", "ts", "tag")
+    val r = Seq(
+      (Some(1L), Some(5L), 1.0),
+      (None, Some(1L), -1.0), // null right key: never matches
+      (Some(2L), None, -2.0), // null right ts: never matches
+      (Some(2L), Some(15L), 2.0))
+      .toDF("rk", "rts", "v")
+    val out = AsOfJoinNative.join(l, r, "k", "rk", "ts", "rts")
+      .select("tag", "v").collect()
+      .map(row => (row.getString(0),
+        if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toSet
+    assert(out == Set(
+      ("a", Some(1.0)), ("b", Some(2.0)),
+      ("nullkey", None), ("nullts", None)))
+  }
+
+  test("AQE + mismatched child partition counts: EnsureRequirements co-partitions") {
+    import spark.implicits._
+    withSQLConf("spark.sql.adaptive.enabled" -> "true") {
+      val l = (0 until 500).map(i => (i % 7L, i.toLong, s"l$i"))
+        .toDF("k", "ts", "tag").repartition(7)
+      val r = (0 until 300).map(i => (i % 7L, i.toLong - 3, i * 1.0))
+        .toDF("rk", "rts", "v").repartition(13)
+      val native = AsOfJoinNative.join(l, r, "k", "rk", "ts", "rts")
+        .select("tag", "v").collect()
+        .map(row => (row.getString(0),
+          if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toSet
+      val reference = EventOps.asOfJoinBackward(
+          l, r.select(col("rk").as("k"), col("rts").as("ts"),
+            col("rts").as("m_rts"), col("v").as("m_v")),
+          "k", "ts", Seq("m_rts", "m_v"))
+        .select(col("tag"), col("matched").getField("m_v").as("v")).collect()
+        .map(row => (row.getString(0),
+          if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toSet
+      assert(native == reference && native.size == 500)
+    }
+  }
 }

@@ -65,4 +65,28 @@ class ExtensionsSpec extends AnyFunSuite {
     // genuine regex still works through the unrewritten path
     assert(rows("m RLIKE '^disk\\\\..*ops$'") == Set("disk.read.ops"))
   }
+
+  test("$-anchored rewrites preserve Java regex final-terminator semantics") {
+    import spark.implicits._
+    // Java regex `$` (find, non-MULTILINE) matches before a final line
+    // terminator: "p\n" RLIKE 'p$' is TRUE. The rewrite must agree for
+    // every terminator form and still reject non-final ones.
+    val values = Seq(
+      "p", "p\n", "p\r", "p\r\n", "p\u0085", "p\u2028", "p\u2029",
+      "p\n\n", "p\nx", "xp", "xp\n", "q", "q\n", "pq")
+    values.toDF("s").createOrReplaceTempView("nl")
+    def rows(pred: String): Set[String] =
+      spark.sql(s"SELECT s FROM nl WHERE $pred")
+        .collect().map(_.getString(0)).toSet
+    def regexRef(pat: String): Set[String] = {
+      val p = java.util.regex.Pattern.compile(pat)
+      values.filter(v => p.matcher(v).find()).toSet
+    }
+    for (pat <- Seq("p$", "^p$", "^(?:p)$")) {
+      val plan = spark.sql(s"SELECT s FROM nl WHERE s RLIKE '$pat'")
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("RLIKE"), s"$pat should be rewritten: $plan")
+      assert(rows(s"s RLIKE '$pat'") == regexRef(pat), s"pattern $pat")
+    }
+  }
 }

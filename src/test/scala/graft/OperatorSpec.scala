@@ -160,4 +160,39 @@ class OperatorSpec extends SparkSuite {
     val bad = sessions.where(col("session_end") < col("session_start")).count()
     assert(bad == 0)
   }
+
+  test("multimodal expression and batch decode paths agree on all edge inputs") {
+    import spark.implicits._
+    // empty payload, 1-char, 2-char, non-ASCII first chars, multi-byte
+    // UTF-8, and a long doc — the batch (mapPartitions) stub must be
+    // bit-identical to the expression stub on every one of them
+    val edge = Seq(
+      (1L, ""), (2L, "a"), (3L, "ab"), (4L, "é"), (5L, "éx"),
+      (6L, "€€"), (7L, "x" * 1000), (8L, "\n\t"))
+      .toDF("doc_id", "text")
+    val viaExpr = graft.operators.Multimodal
+      .decodeMetadata(edge, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaBatch = graft.operators.Multimodal
+      .decodeMetadataBatch(edge, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaExpr == viaBatch, s"\nexpr:  $viaExpr\nbatch: $viaBatch")
+  }
+
+  test("ngram df cap drops boilerplate-only pairs, keeps genuine near-dups") {
+    import spark.implicits._
+    val boiler = "copyright terms apply all rights reserved"
+    val docs = (0 until 40).map { i =>
+      // every doc shares the boilerplate; only 0/1 are genuinely similar
+      val body = if (i <= 1) s"the same long body text repeated here $i"
+      else s"unique content number $i with its own words entirely"
+      (i.toLong, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, 0.3, maxDocFreq = Some(10L))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // boilerplate shingles have df=40 > 10: dropped — so the all-pairs
+    // boilerplate clique disappears and only the genuine pair remains
+    assert(capped.toSet == Set((0L, 1L)), capped.toSeq.toString)
+  }
 }

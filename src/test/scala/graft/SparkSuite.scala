@@ -19,4 +19,17 @@ trait SparkSuite extends AnyFunSuite {
 
   def tempDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run `body` with SQL confs set, restoring prior values after. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prior = pairs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
