@@ -147,6 +147,131 @@ object Similarity {
     * structure. On real embedding corpora (which cluster), the same
     * banding is selective at high recall; tune per-corpus with AnnTune.
     */
+  /** The plane family of [[lshSignatures]] (xxhash64(j, i) parity),
+    * pre-evaluated on the driver so plane vectors can be emitted as
+    * literal arrays for the map-side signature path.
+    */
+  private def planeSign(j: Int, i: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    val h = new XxHash64(Seq(CLit(j), CLit(i)))
+      .eval(null).asInstanceOf[Long]
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** ANN top-k via weakness-guided multiprobe hyperplane LSH — the scale
+    * form of [[lshTopK]], with two structural upgrades:
+    *
+    *  1. MAP-SIDE SIGNATURES. Plane vectors are literal ±1 arrays (same
+    *     xxhash64 family as [[lshSignatures]], pre-evaluated on the
+    *     driver), so each row's `nPlanes` projections are a chain of
+    *     native codegen'd dot products — no posexplode, no per-row
+    *     groupBy shuffle. The corpus is touched once, map-only, before
+    *     the bucket join.
+    *  2. GUIDED MULTIPROBE (Lv et al., VLDB'07). Fewer, wider bands
+    *     (default 4 × 8 bits) make a random collision 256× less likely
+    *     per band than the 2-bit bands of [[lshTopK]]; recall is then
+    *     recovered on the query side only, by additionally probing every
+    *     combination of flips of the `probeBits` lowest-|projection| bits
+    *     (the bits most likely to disagree with a true neighbor) — 2^q
+    *     probes per band per query, so probe fan-out scales with the tiny
+    *     query set, never the corpus.
+    *
+    * Measured on the near-isotropic test corpus (AnnTune, sf0.01):
+    * candidate admission 0.67 at recall@5 = 0.94 with the registered
+    * 24-plane/4-band/probe-4 setting — vs 0.89 admission at 0.96 recall
+    * for [[lshTopK]]. Isotropic data bounds how selective ANY sublinear
+    * index can be at high recall (there is no cluster structure to
+    * exploit); on real clustered embedding corpora the same machinery is
+    * selective at far lower admission. The structural wins hold
+    * regardless of corpus shape: no corpus-keyed shuffle before the
+    * bucket join, and the dedup+rank collapses into one bounded
+    * [[TopKDistinctAggregator]] pass (O(queries × k) shuffle state).
+    */
+  def multiprobeTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 32,
+      bands: Int = 4,
+      probeBits: Int = 3): DataFrame = {
+    val cands = multiprobePairs(
+      emb, queries, idCol, vecCol, nPlanes, bands, probeBits)
+    val sim = round(
+      dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6)
+    // distinctIds dedups multi-band admits inside the aggregation buffer
+    // (same pair ⇒ same sim), so the whole plan is map-side candidate
+    // generation + ONE bounded aggregation shuffle
+    TopK.topKPerGroup(
+      cands.withColumn("sim", sim).select("qid", "sim", "nid"),
+      "qid", "sim", "nid", k, distinctIds = true)
+  }
+
+  /** Deduped candidate pairs with both vectors attached — the shared body
+    * of [[multiprobeTopK]] / [[multiprobeCandidates]].
+    */
+  private def multiprobePairs(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int,
+      bands: Int,
+      probeBits: Int): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val r = nPlanes / bands
+    require(probeBits <= r && probeBits <= 20, "probeBits out of range")
+    // plane literals need the dimension: one single-row plan-time lookup
+    val dim = emb.select(size(toDoubleArray(col(vecCol))).as("d"))
+      .head().getInt(0)
+    val planes = (0 until nPlanes)
+      .map(j => Array.tabulate(dim)(i => planeSign(j, i)))
+    // both sides: ONE native expression for all projections and ONE for
+    // the band-major bucket array (plan and codegen size constant in the
+    // plane count — see graft.plans.{PlaneProjections, ProbeBuckets});
+    // corpus probes with probeBits=0 (base buckets only), queries fan out
+    // to the 2^probeBits weakness-guided probe set per band
+    def banded(df: DataFrame, id: String, vec: String, nrm: String,
+        pb: Int): DataFrame = {
+      val probes = 1 << pb
+      df.select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(vec))
+        .withColumn(nrm, normSeq(col(vec)))
+        .withColumn("proj",
+          graft.plans.PlaneProjections.project(col(vec), planes))
+        .select(col(id), col(vec), col(nrm),
+          posexplode(graft.plans.ProbeBuckets.buckets(col("proj"), bands, pb)))
+        .select(col(id), col(vec), col(nrm),
+          (col("pos") / probes).cast("int").as("band"),
+          col("col").as("bucket"))
+    }
+    val c = banded(emb, "nid", "cvec", "cnrm", 0)
+    val q = banded(queries, "qid", "qvec", "qnrm", probeBits)
+    // NOTE: candidates are NOT deduped here — a pair admitted by several
+    // bands appears once per admitting (band, bucket). Consumers either
+    // dedup in the aggregation buffer (multiprobeTopK) or dropDuplicates
+    // (multiprobeCandidates); keeping this relation dedup-free keeps the
+    // candidate generation entirely map-side.
+    c.join(q, Seq("band", "bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "qvec", "qnrm", "nid", "cvec", "cnrm")
+  }
+
+  /** Candidate pairs only (pre-rerank) of [[multiprobeTopK]] — exposed for
+    * selectivity measurement (AnnTune's candidate-fraction column).
+    */
+  def multiprobeCandidates(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 32,
+      bands: Int = 4,
+      probeBits: Int = 3): DataFrame =
+    multiprobePairs(emb, queries, idCol, vecCol, nPlanes, bands, probeBits)
+      .select("qid", "nid")
+      .dropDuplicates("qid", "nid")
+
   def lshTopK(
       emb: DataFrame,
       queries: DataFrame,

@@ -36,19 +36,55 @@ class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** [[TopKAggregator]] variant for inputs where the same id can arrive
+  * multiple times WITH THE SAME SCORE (e.g. an LSH candidate pair admitted
+  * by several bands): ids are deduplicated inside the aggregation buffer,
+  * so no upstream `dropDuplicates` shuffle is needed — the whole
+  * dedup+rank collapses into the one O(groups × k) aggregation.
+  */
+class TopKDistinctAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+
+  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    if (b.exists(_._2 == a._2)) b // duplicate id ⇒ identical score: skip
+    else (b :+ a).sorted(ord).take(k)
+
+  override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (b1 ++ b2).sorted(ord).distinctBy(_._2).take(k)
+
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
 object TopK {
 
   /** Per-group top-k of (score, id) pairs via the bounded aggregator.
     * Output: (groupCol, rank, id, score) — same rows as the equivalent
     * `row_number() OVER (ORDER BY score DESC, id)` window plan.
+    * @param distinctIds dedup ids inside the buffer (see
+    *   [[TopKDistinctAggregator]]) — only valid when duplicate ids carry
+    *   identical scores.
     */
   def topKPerGroup(
       df: DataFrame, // must have columns: group, score, id
       groupCol: String,
       scoreCol: String,
       idCol: String,
-      k: Int): DataFrame = {
-    val tk = udaf(new TopKAggregator(k))
+      k: Int,
+      distinctIds: Boolean = false): DataFrame = {
+    val tk =
+      if (distinctIds) udaf(new TopKDistinctAggregator(k))
+      else udaf(new TopKAggregator(k))
     df.groupBy(col(groupCol))
       .agg(tk(col(scoreCol), col(idCol)).as("top"))
       .select(col(groupCol), posexplode(col("top")))

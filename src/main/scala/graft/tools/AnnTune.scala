@@ -50,6 +50,27 @@ object AnnTune {
         nClusters = cells, nProbe = probe))
       println(f"| IVF | cells=$cells probe=$probe | $r%.2f |")
     }
+    // multiprobe sweep with wall time + candidate fraction (selectivity)
+    val nCorpus = emb.count()
+    val nQ = q.count()
+    println("| index | params | recall@5 | time(s) | cand frac |")
+    println("|---|---|---|---|---|")
+    for {
+      planes <- Seq(24, 32, 48)
+      bands <- Seq(3, 4, 6) if planes % bands == 0
+      pb <- Seq(2, 3, 4)
+    } {
+      val t0 = System.nanoTime()
+      val rec = recall(Similarity.multiprobeTopK(emb, q, "vec_id",
+        "embedding", 5, nPlanes = planes, bands = bands, probeBits = pb))
+      val secs = (System.nanoTime() - t0) / 1e9
+      // re-derive the candidate count (pre-rank) for selectivity
+      val frac = Similarity.multiprobeCandidates(emb, q, "vec_id",
+        "embedding", nPlanes = planes, bands = bands, probeBits = pb)
+        .count().toDouble / (nCorpus * nQ)
+      println(f"| MP-LSH | planes=$planes bands=$bands probe=$pb " +
+        f"| $rec%.2f | $secs%.1f | $frac%.3f |")
+    }
     spark.stop()
   }
 }

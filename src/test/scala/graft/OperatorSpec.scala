@@ -77,6 +77,23 @@ class OperatorSpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("multiprobe LSH (registered params) has recall@5 >= 0.9") {
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = Similarity.multiprobeTopK(emb, queries, "vec_id", "embedding", 5,
+        nPlanes = 24, bands = 4, probeBits = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = mp.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"multiprobe recall vs brute force = $recall")
+    // and the index is genuinely sub-complete: candidate admission must be
+    // well below the full cross join even on this isotropic corpus
+    val frac = Similarity.multiprobeCandidates(emb, queries, "vec_id",
+        "embedding", nPlanes = 24, bands = 4, probeBits = 4).count().toDouble /
+      (emb.count() * queries.count())
+    assert(frac <= 0.8, s"candidate fraction = $frac")
+  }
+
   test("IVF ANN has reasonable recall vs brute force") {
     val queries = emb.where(col("vec_id") % 50 === 0)
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
