@@ -207,6 +207,23 @@ object OracleSql {
        |FROM g GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Salted two-phase aggregation ≡ plain GROUP BY: the salt only splits
+    * the partial aggregation; decimal partials make the re-combination
+    * exact, so the oracle is the unsalted query.
+    */
+  private val qSaltedAgg =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |       min(value) AS min_v, max(value) AS max_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Gorilla pack→unpack is lossless, so the oracle is the identity: the
+    * raw (user_id, ts, value) rows.
+    */
+  private val gorillaRoundtrip =
+    s"""SELECT CAST(user_id AS BIGINT) AS user_id, $tsS AS ts, value
+       |FROM events ORDER BY user_id, ts, value""".stripMargin
+
   private val dedupExact =
     """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text)
@@ -612,6 +629,8 @@ object OracleSql {
     "q_asof_join_native" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_sessionize" -> qSessionize,
+    "q_salted_agg" -> qSaltedAgg,
+    "gorilla_roundtrip" -> gorillaRoundtrip,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> jaccardPairs,
     "dedup_ngram_capped" -> jaccardCapped,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{LabelMatcher, TsdbConf}
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, GorillaPack, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -277,6 +277,33 @@ object SparkEntry {
     EventOps.sessionize(
         Tables.events(s, dir), "user_id", "ts_s", "event_id", "value", 1800L)
       .orderBy("user_id", "session_seq")
+
+  /** Skew-resistant two-phase aggregation over the 5-key events table —
+    * the worst-case key skew shape (each key holds ~20% of all rows).
+    * Results must be identical to the plain one-phase GROUP BY, which is
+    * exactly what the oracle checks: salting changes the plan, never the
+    * values (decimal partials make the double sum association-free).
+    */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    EventOps.saltedAgg(Tables.events(s, dir), Seq("event_type"), "value",
+        salts = 8)
+      .orderBy("event_type")
+
+  /** Gorilla round-trip as a distributed table function: pack each
+    * user's (ts, value) points into one block (GorillaAggregator), then
+    * explode every block back into points. The oracle is the identity —
+    * the raw events rows — proving decode(encode(x)) == x bit-exactly at
+    * corpus scale, with both directions running as Spark operators (the
+    * reference's flush/scan cycle, capability O20/O17).
+    */
+  private def qGorillaRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_s").as("ts"), col("value"))
+    GorillaPack.unpackToPoints(
+        GorillaPack.packPerSeries(pts, "user_id", "ts", "value"),
+        "user_id", "block")
+      .orderBy("user_id", "ts", "value")
+  }
 
   /** Real write-path exercise: ingest the events table into a fresh
     * seg-partitioned store, then report per-segment stats (the reference's
@@ -589,6 +616,8 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_sessionize" -> (qSessionize _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "gorilla_roundtrip" -> (qGorillaRoundtrip _),
     "q_json_extract" -> (qJsonExtract _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "multimodal_meta_batch" -> (qMultimodalMetaBatch _),

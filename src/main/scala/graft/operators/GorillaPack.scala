@@ -48,4 +48,27 @@ object GorillaPack {
         pack(col(tsCol), col(valueCol)).as("block"))
       .withColumn("n_bytes", octet_length(col("block")))
   }
+
+  /** Decode-side table function: explode each packed block back into its
+    * ts-sorted (ts, value) points — the segment-load/scan direction of the
+    * reference's per-series blocks (disk_segment.go iterators). Distributed
+    * flatMap: one task decodes many blocks, no driver involvement. Group
+    * keys are long (the engine's sid/user-id shape).
+    */
+  def unpackToPoints(
+      packed: DataFrame, // columns: group (long), block (binary)
+      groupCol: String,
+      blockCol: String,
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed
+      .select(col(groupCol).cast("long"), col(blockCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (g, block) =>
+        Gorilla.decode(block).map { case (ts, v) => (g, ts, v) }
+      }
+      .toDF(groupCol, tsCol, valueCol)
+  }
 }
