@@ -94,27 +94,21 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signatures as `numHashes` parallel `min` aggregations over the
-    * exploded shingle hashes: one string xxhash64 per shingle, then the
-    * hash family `h_i = xxhash64(h, i)` over the 8-byte base hash (cheap,
-    * ANSI-safe — no overflowing arithmetic). The groupBy gets map-side
-    * partial aggregation and whole-stage codegen — far cheaper than a
-    * per-row higher-order fold carrying a 128-element array state.
-    * Returns (doc_id, sig array<long>).
+  /** MinHash signatures with the hash family `h_i = xxhash64(xxhash64(tok),
+    * i)` (cheap, ANSI-safe — no overflowing arithmetic), computed by the
+    * native [[graft.plans.MinHashSignature]] expression: one pass over each
+    * row's shingle array inside the scan stage. The equivalent explode +
+    * `numHashes`-parallel-`min` groupBy formulation (spec-checked
+    * bit-identical) shuffles the whole corpus to reassemble per-doc
+    * signatures — a corpus-sized shuffle for what is logically a per-row
+    * map, which this form eliminates. Returns (doc_id, sig array<long>).
     */
   def minHashSignatures(
       sets: DataFrame, // (doc_id, shingles)
-      numHashes: Int): DataFrame = {
-    val h = xxhash64(col("tok"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(h, lit(i))).as(s"m$i"))
-    sets
-      .select(col("doc_id"), explode(col("shingles")).as("tok"))
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+      numHashes: Int): DataFrame =
+    sets.select(col("doc_id"),
+      graft.plans.MinHashSignature.signature(col("shingles"), numHashes)
+        .as("sig"))
 
   /** MinHash + LSH banding near-dup pairs: signature → `bands` buckets of
     * `numHashes / bands` rows each → candidates share any (band, bucket) →

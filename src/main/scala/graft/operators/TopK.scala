@@ -21,8 +21,16 @@ class TopKAggregator(k: Int)
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 
+  // buffer invariant: always sorted best-first and |b| <= k, so the hot
+  // per-row path is an O(1) reject of sub-worst items (the overwhelming
+  // majority once the buffer fills) or one O(k) ordered insertion — never
+  // a per-row sort
   override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-    (b :+ a).sorted(ord).take(k)
+    if (b.length >= k && ord.lteq(b.last, a)) b
+    else {
+      val (better, worse) = b.span(x => ord.lt(x, a))
+      (better ++ (a +: worse)).take(k)
+    }
 
   override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
     (b1 ++ b2).sorted(ord).take(k)
@@ -51,8 +59,12 @@ class TopKDistinctAggregator(k: Int)
   override def zero: Seq[(Double, Long)] = Seq.empty
 
   override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-    if (b.exists(_._2 == a._2)) b // duplicate id ⇒ identical score: skip
-    else (b :+ a).sorted(ord).take(k)
+    if (b.length >= k && ord.lteq(b.last, a)) b // sub-worst: O(1) reject
+    else if (b.exists(_._2 == a._2)) b // duplicate id ⇒ identical score: skip
+    else {
+      val (better, worse) = b.span(x => ord.lt(x, a))
+      (better ++ (a +: worse)).take(k)
+    }
 
   override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
     (b1 ++ b2).sorted(ord).distinctBy(_._2).take(k)

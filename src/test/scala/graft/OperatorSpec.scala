@@ -60,6 +60,25 @@ class OperatorSpec extends SparkSuite {
     assert(overlap >= 0.8, s"simhash precision vs jaccard pairs = $overlap")
   }
 
+  test("native MinHash signature equals the explode+groupBy formulation") {
+    // the hash family must be bit-identical between the one-pass native
+    // expression and the SQL form min(xxhash64(xxhash64(tok), i))
+    val numHashes = 32
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .where(size(col("shingles")) > 0)
+    val viaExpr = Dedup.minHashSignatures(sets, numHashes)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Long]](1).toSeq)).toMap
+    val h = xxhash64(col("tok"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(h, lit(i))).as(s"m$i"))
+    val viaAgg = sets
+      .select(col("doc_id"), explode(col("shingles")).as("tok"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => (r.getLong(0),
+        (0 until numHashes).map(i => r.getLong(i + 1)))).toMap
+    assert(viaExpr == viaAgg && viaExpr.nonEmpty)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val n = Dedup.exact(docs, "doc_id", "text").count()
     assert(n == docs.select("text").distinct().count())
