@@ -455,6 +455,27 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** TF-IDF top-3 terms per doc: score = tf · ln(N/df), round 6, term
+    * tie-break — mirrors TextAnalysis.tfidfTopTerms.
+    */
+  private val textTfidf =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT doc_id, tok, tf,
+      |         round(tf * ln(n_docs / df), 6) AS score
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, tok) AS rank
+      |  FROM s)
+      |SELECT doc_id, rank, tok, score FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Winnowing: k=8 char grams (rolling poly hash), w=4 windows, distinct
     * minima — mirrors TextFunctions.winnowFingerprints exactly.
     */
@@ -599,9 +620,40 @@ object OracleSql {
       |       min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** JSON round-trip is lossless for these columns, so the oracle is the
+    * same aggregation over the original rows (as with the CSV round-trip).
+    */
+  private val qJsonRoundtrip =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |       min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** PII redaction mirror: regexp_extract_all counts non-overlapping
+    * matches like Spark's regexp_count; digit runs counted after the
+    * email masking pass, matching the sequential scrub.
+    */
+  private val textRedact =
+    """SELECT doc_id,
+      |       len(regexp_extract_all(text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |       len(regexp_extract_all(
+      |           regexp_replace(text,
+      |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |             '<EMAIL>', 'g'),
+      |           '[0-9]{6,}')) AS n_nums,
+      |       length(regexp_replace(
+      |           regexp_replace(text,
+      |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |             '<EMAIL>', 'g'),
+      |           '[0-9]{6,}', '<NUM>', 'g')) AS n_chars_redacted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtract,
     "q_csv_roundtrip" -> qCsvRoundtrip,
+    "q_json_roundtrip" -> qJsonRoundtrip,
+    "text_redact" -> textRedact,
     "multimodal_meta_batch" -> multimodalMeta,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
@@ -643,6 +695,7 @@ object OracleSql {
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
+    "text_tfidf" -> textTfidf,
     "text_winnow" -> textWinnow,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,

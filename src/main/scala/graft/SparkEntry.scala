@@ -447,6 +447,46 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** JSON-lines sink + source round-trip (the columnar↔text interchange a
+    * pipeline uses for export/ingest): write a projection as JSON lines,
+    * read it back with an explicit schema, aggregate — must equal the same
+    * aggregation over the parquet original.
+    */
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val e = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    e.write.mode("overwrite").json(tmp)
+    s.read.schema(e.schema).json(tmp)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(col("value")).as("sum_v"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** PII redaction (map-side scrubbing — a standard training-corpus
+    * hygiene pass): mask email-shaped and long-digit-run substrings, then
+    * report per-doc redaction counts and the scrubbed length.
+    */
+  private def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{6,}"
+    val t = col("text")
+    val scrubbed =
+      regexp_replace(regexp_replace(t, email, "<EMAIL>"), digits, "<NUM>")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_count(t, lit(email)).as("n_emails"),
+      // digit runs counted AFTER email masking, matching the scrub order
+      regexp_count(regexp_replace(t, email, "<EMAIL>"), lit(digits))
+        .as("n_nums"),
+      length(scrubbed).as("n_chars_redacted"))
+      .orderBy("doc_id")
+  }
+
   private def qMultimodalMetaBatch(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMetadataBatch(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -547,6 +587,11 @@ object SparkEntry {
     TextAnalysis.winnowSummary(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private def qTextTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+        k = 3)
+      .orderBy("doc_id", "rank")
+
   // -------------------------------------------------------------- multimodal
 
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -620,6 +665,8 @@ object SparkEntry {
     "gorilla_roundtrip" -> (qGorillaRoundtrip _),
     "q_json_extract" -> (qJsonExtract _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "text_redact" -> (qTextRedact _),
     "multimodal_meta_batch" -> (qMultimodalMetaBatch _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -643,6 +690,7 @@ object SparkEntry {
     "text_quality" -> (qTextQuality _),
     "text_tokens" -> (qTextTokens _),
     "text_fingerprint" -> (qTextFingerprint _),
+    "text_tfidf" -> (qTextTfidf _),
     "text_winnow" -> (qTextWinnow _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),

@@ -75,4 +75,33 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       md5Fingerprint(col(textCol)).as("fp_md5"),
       polyFingerprint(col(textCol)).as("fp_poly"))
+
+  /** TF-IDF top-k terms per document (keyword extraction — the standard
+    * corpus-statistics op of a training-data pipeline):
+    * `score = tf · ln(N / df)` with `round(·, 6)` + term tie-break for
+    * cross-engine determinism.
+    *
+    * Scale shape: one shuffle keyed by (doc, term) for tf, one keyed by
+    * term for df (both with map-side partial aggregation), a broadcast of
+    * the single-row corpus count, and the per-doc rank window. The df
+    * dimension joins back on term — at corpus scale this is the shuffle
+    * join it should be (term cardinality ~ vocabulary, not corpus size).
+    */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"), explode(wsTokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "tok", "score")
+  }
 }
