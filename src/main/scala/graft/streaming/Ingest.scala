@@ -51,6 +51,35 @@ object Ingest {
       }
       .start()
 
+  /** Head-buffered streaming ingest — the closest Spark mirror of the
+    * reference's actual write architecture (tsdb.go:235-271): micro-batches
+    * land in the in-memory head ([[Tsdb.insertHeadRows]], cheap — no
+    * durable write per batch), queries against the same Tsdb see
+    * disk ∪ head throughout, and the head freezes to parquet
+    * ([[Tsdb.flushHead]]) when it crosses `flushEveryBatches` (the
+    * segment-duration trigger's micro-batch analog) — with
+    * `conf.maxRowsPerSegment` still acting as the secondary row-count
+    * trigger inside `insertHeadRows`, exactly like the reference's
+    * dual-trigger freeze. Trade vs [[ingestStream]]: lower per-batch
+    * latency and fewer files, but rows buffered since the last flush are
+    * lost on crash (the reference accepts the same: no WAL, README.md:39).
+    */
+  def ingestStreamHead(
+      tsdb: Tsdb,
+      src: DataFrame,
+      checkpoint: String,
+      triggerMs: Long = 1000L,
+      flushEveryBatches: Int = 16): StreamingQuery =
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tsdb.insertHeadRows(batch)
+        if (flushEveryBatches > 0 && (batchId + 1) % flushEveryBatches == 0)
+          tsdb.flushHead()
+      }
+      .start()
+
   /** Streaming tumbling-window aggregation with late-data handling: the
     * watermark is the principled form of the reference's out-of-order
     * side-list (memory_segment.go:104-111) — late points within the

@@ -83,4 +83,35 @@ class PropertySpec extends SparkSuite {
       .intersect(series(LabelMatcher.eq("dc", "2")))
     assert(both == inter && both.nonEmpty)
   }
+
+  test("bounded top-k aggregators equal the naive sort on random streams") {
+    // reduce keeps a sorted <=k buffer with O(1) sub-worst rejection; the
+    // law is: any interleaving of reduce/merge equals sortBy(-score, id).take(k)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 50) {
+      val k = 1 + rnd.nextInt(7)
+      val n = rnd.nextInt(60)
+      // coarse scores force ties; ids may repeat for the distinct variant
+      val items = (0 until n).map(_ =>
+        (rnd.nextInt(6).toDouble, rnd.nextInt(20).toLong))
+      val ord = Ordering.by[(Double, Long), (Double, Long)] {
+        case (s, i) => (-s, i)
+      }
+      val plain = new operators.TopKAggregator(k)
+      val (h1, h2) = items.splitAt(n / 2)
+      val viaAgg = plain.finish(plain.merge(
+        h1.foldLeft(plain.zero)(plain.reduce),
+        h2.foldLeft(plain.zero)(plain.reduce)))
+      assert(viaAgg == items.sorted(ord).take(k), s"trial $trial plain")
+      val distinct = new operators.TopKDistinctAggregator(k)
+      // distinct contract: duplicate ids carry identical scores
+      val uniq = items.distinctBy(_._2)
+      val dupped = rnd.shuffle(uniq ++ uniq.take(rnd.nextInt(uniq.size + 1)))
+      val (d1, d2) = dupped.splitAt(dupped.size / 2)
+      val viaDistinct = distinct.finish(distinct.merge(
+        d1.foldLeft(distinct.zero)(distinct.reduce),
+        d2.foldLeft(distinct.zero)(distinct.reduce)))
+      assert(viaDistinct == uniq.sorted(ord).take(k), s"trial $trial distinct")
+    }
+  }
 }

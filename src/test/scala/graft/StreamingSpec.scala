@@ -34,6 +34,38 @@ class StreamingSpec extends SparkSuite {
     assert(segs == 2)
   }
 
+  test("head-buffered streaming ingest: queries see head+disk; row trigger flushes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val src = mem.toDF().toDF("metric", "ts", "value")
+      .withColumn("labels", map(lit("node"), lit("vm0")))
+    // maxRowsPerSegment=4 so the second batch trips the row trigger
+    val tsdb = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("streamhead"), maxRowsPerSegment = 4L))
+    val q = Ingest.ingestStreamHead(tsdb, src, tempDir("ckpt_head"),
+      flushEveryBatches = 1000) // batch trigger effectively off: rows drive it
+    mem.addData(
+      ("cpu.busy", 1600000000L, 1.0),
+      ("cpu.busy", 1600000060L, 2.0))
+    q.processAllAvailable()
+    // 2 rows: still head-only (no durable files), but queries see them
+    val samplesDir = new java.io.File(tsdb.conf.dataPath + "/samples")
+    assert(!samplesDir.exists())
+    assert(tsdb.queryRange("cpu.busy", Seq.empty,
+      1600000000L, 1600010000L).count() == 2)
+    mem.addData(
+      ("cpu.busy", 1600000120L, 3.0),
+      ("cpu.busy", 1600008000L, 4.0)) // 4 rows total: row trigger fires
+    q.processAllAvailable()
+    q.stop()
+    assert(samplesDir.exists())
+    assert(spark.read.parquet(samplesDir.toString).count() == 4)
+    // unified view unchanged across the freeze
+    assert(tsdb.queryRange("cpu.busy", Seq.empty,
+      1600000000L, 1600010000L).count() == 4)
+    assert(tsdb.samples.select("seg").distinct().count() == 2)
+  }
+
   test("writeListenerTimeoutSec bounds micro-batch writes (overload signal)") {
     implicit val sqlCtx = spark.sqlContext
     // bound of 0 s: any real durable write exceeds it, so the first
