@@ -259,7 +259,7 @@ object OracleSql {
     * shingles with document frequency > 5 are dropped from every doc's
     * set and set sizes are recomputed over the capped universe.
     */
-  private val jaccardCapped =
+  private val jaccardCappedCtes =
     """WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
       |  FROM documents),
@@ -277,10 +277,13 @@ object OracleSql {
       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
       |         any_value(a.n) AS n1, any_value(b.n) AS n2
       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id1, id2, round(c / (n1 + n2 - c), 6) AS jaccard
-      |FROM p WHERE c / (n1 + n2 - c) >= 0.8
-      |ORDER BY id1, id2""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardCapped =
+    s"""$jaccardCappedCtes
+       |SELECT id1, id2, round(c / (n1 + n2 - c), 6) AS jaccard
+       |FROM p WHERE c / (n1 + n2 - c) >= 0.8
+       |ORDER BY id1, id2""".stripMargin
 
   /** Transitive closure via recursive CTE: min reachable id per node. */
   private val dedupComponents =
@@ -435,10 +438,10 @@ object OracleSql {
       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Capstone: quality-filter + near-dup removal → clean corpus. */
-  private val pipelineCleanCorpus: String = {
+  private def pipelineSql(ctes: String): String = {
     val en = graft.functions.TextFunctions.LangMarkers.head._2
       .map(m => s"'$m'").mkString(", ")
-    s"""$jaccardCtes,
+    s"""$ctes,
        |dropped AS (
        |  SELECT DISTINCT id2 AS doc_id FROM p
        |  WHERE c / (n1 + n2 - c) >= 0.8),
@@ -454,6 +457,11 @@ object OracleSql {
        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
        |ORDER BY doc_id""".stripMargin
   }
+
+  private val pipelineCleanCorpus: String = pipelineSql(jaccardCtes)
+
+  /** The capstone on the df-capped (100 TB-safe) near-dup path. */
+  private val pipelineCleanCorpusCapped: String = pipelineSql(jaccardCappedCtes)
 
   /** TF-IDF top-3 terms per doc: score = tf · ln(N/df), round 6, term
     * tie-break — mirrors TextAnalysis.tfidfTopTerms.
@@ -701,5 +709,6 @@ object OracleSql {
     "multimodal_frames" -> multimodalFrames,
     "multimodal_features" -> multimodalFeatures,
     "tsdb_downsample" -> tsdbDownsample,
-    "pipeline_clean_corpus" -> pipelineCleanCorpus)
+    "pipeline_clean_corpus" -> pipelineCleanCorpus,
+    "pipeline_clean_capped" -> pipelineCleanCorpusCapped)
 }

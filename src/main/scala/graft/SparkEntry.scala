@@ -638,6 +638,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The capstone on the df-capped near-dup path — the form that survives
+    * boilerplate-heavy corpora at 100 TB (see qDedupNgramCapped).
+    */
+  private def qPipelineCleanCapped(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dropped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxDocFreq = Some(5L))
+      .select(col("id2").as("doc_id")).distinct()
+    TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .where(col("quality") >= 0.5)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_words", "quality")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------- maps
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -696,7 +711,8 @@ object SparkEntry {
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "tsdb_downsample" -> (qTsdbDownsample _),
-    "pipeline_clean_corpus" -> (qPipelineCleanCorpus _))
+    "pipeline_clean_corpus" -> (qPipelineCleanCorpus _),
+    "pipeline_clean_capped" -> (qPipelineCleanCapped _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted: `ann_topk_lsh` (approximate by design).

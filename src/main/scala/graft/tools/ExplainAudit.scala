@@ -46,8 +46,14 @@ object ExplainAudit {
     println("=== q_asof_join (expect single shuffle by user_id, no theta join)")
     SparkEntry.queries("q_asof_join")(spark, dir).explain("formatted")
 
-    println("=== dedup_minhash_lsh (expect NO broadcast of the full shingle dimension — verification joins only candidate-sized relations)")
+    println("=== dedup_minhash_lsh (expect NO broadcast of the full shingle dimension — verification joins only candidate-sized relations; graft_minhash_sig in the scan stage, no signature shuffle)")
     SparkEntry.queries("dedup_minhash_lsh")(spark, dir).explain("formatted")
+
+    println("=== ann_topk_lsh (expect graft_plane_proj/graft_probe_buckets map-side, ONE aggregation Exchange after the bucket join)")
+    SparkEntry.queries("ann_topk_lsh")(spark, dir).explain("formatted")
+
+    println("=== text_tfidf (expect partial HashAggregates for tf/df, broadcast of the single-row corpus count)")
+    SparkEntry.queries("text_tfidf")(spark, dir).explain("formatted")
 
     spark.stop()
   }
