@@ -224,6 +224,39 @@ object OracleSql {
     s"""SELECT CAST(user_id AS BIGINT) AS user_id, $tsS AS ts, value
        |FROM events ORDER BY user_id, ts, value""".stripMargin
 
+  private val qWindowRanks =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, $tsS AS ts_s
+       |  FROM events WHERE user_id % 100 = 0)
+       |SELECT event_type, event_id, ts_s,
+       |       ntile(4) OVER w AS quartile,
+       |       round(percent_rank() OVER w, 6) AS pct_rank,
+       |       round(cume_dist() OVER w, 6) AS cume,
+       |       first_value(event_id) OVER w AS first_id
+       |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_s, event_id)
+       |ORDER BY event_type, ts_s, event_id""".stripMargin
+
+  private val tsdbIncrease =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, $tsS AS ts_s,
+       |         CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY event_type
+       |                         ORDER BY ts_s, event_id) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT event_type, ts_s - (ts_s % 3600) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d)
+       |SELECT event_type, bucket_start,
+       |       CAST(SUM(delta) AS DOUBLE) AS increase,
+       |       round(CAST(SUM(delta) AS DOUBLE) / 3600, 6) AS rate_per_sec
+       |FROM x WHERE delta IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val dedupExact =
     """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text)
@@ -288,6 +321,21 @@ object OracleSql {
   /** Transitive closure via recursive CTE: min reachable id per node. */
   private val dedupComponents =
     s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pr AS (
+       |  SELECT id1, id2 FROM p WHERE c / (n1 + n2 - c) >= 0.8),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pr
+       |  UNION SELECT id2, id1 FROM pr),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a)
+       |SELECT id AS doc_id, min(r) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Transitive closure over the df-capped pair graph (same reach CTE). */
+  private val dedupComponentsCapped =
+    s"""${jaccardCappedCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |pr AS (
        |  SELECT id1, id2 FROM p WHERE c / (n1 + n2 - c) >= 0.8),
        |edges AS (
@@ -667,6 +715,8 @@ object OracleSql {
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
     "q_window_analytics" -> qWindowAnalytics,
+    "q_window_ranks" -> qWindowRanks,
+    "tsdb_increase" -> tsdbIncrease,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
     "ann_topk_agg" -> annTopk,
@@ -696,6 +746,7 @@ object OracleSql {
     "dedup_ngram_capped" -> jaccardCapped,
     "dedup_minhash_lsh" -> jaccardPairs,
     "dedup_components" -> dedupComponents,
+    "dedup_components_capped" -> dedupComponentsCapped,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "ann_topk" -> annTopk,

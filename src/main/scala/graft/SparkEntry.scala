@@ -372,6 +372,47 @@ object SparkEntry {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution-rank window family (complements qWindowAnalytics's
+    * rank/lag/running-sum): ntile, percent_rank, cume_dist, and the
+    * running first value, all over one (key, time) window spec.
+    */
+  private def qWindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts_s"), col("event_id"))
+    Tables.events(s, dir).where(col("user_id") % 100 === 0)
+      .select(
+        col("event_type"), col("event_id"), col("ts_s"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("event_id")).over(w).as("first_id"))
+      .orderBy("event_type", "ts_s", "event_id")
+  }
+
+  /** PromQL-style `increase`/`rate` over the TSDB surface: per-key hourly
+    * counter increase that is robust to counter resets (a value drop
+    * contributes the new value, as a restarted counter does). All delta
+    * arithmetic in DECIMAL so the bucket sums are association-free and
+    * oracle-exact; the lag window crosses bucket boundaries (the PromQL
+    * lookback), one shuffle per window key.
+    */
+  private def qTsdbIncrease(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts_s"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("v") >= col("prev"), col("v") - col("prev"))
+          .otherwise(col("v")))
+      .where(col("delta").isNotNull)
+      .groupBy(col("event_type"),
+        (col("ts_s") - pmod(col("ts_s"), lit(3600))).as("bucket_start"))
+      .agg(
+        sum(col("delta")).cast("double").as("increase"),
+        round(sum(col("delta")).cast("double") / 3600, 6).as("rate_per_sec"))
+      .orderBy("event_type", "bucket_start")
+  }
+
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def qPivot(s: SparkSession, dir: String): DataFrame =
@@ -528,6 +569,12 @@ object SparkEntry {
     Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           k = 3, threshold = 0.8))
+      .orderBy("doc_id")
+
+  private def qDedupComponentsCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.8, maxDocFreq = Some(5L)))
       .orderBy("doc_id")
 
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -687,6 +734,8 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_analytics" -> (qWindowAnalytics _),
+    "q_window_ranks" -> (qWindowRanks _),
+    "tsdb_increase" -> (qTsdbIncrease _),
     "q_pivot" -> (qPivot _),
     "q_percentiles" -> (qPercentiles _),
     "ann_topk_agg" -> (qAnnTopkAgg _),
@@ -697,6 +746,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_components" -> (qDedupComponents _),
+    "dedup_components_capped" -> (qDedupComponentsCapped _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "ann_topk" -> (qAnnTopk _),
     "ann_topk_lsh" -> (qAnnTopkLsh _),
