@@ -173,6 +173,16 @@ object OracleSql {
        |  ON c.user_id = p.user_id AND c.ts >= p.ts
        |ORDER BY user_id, event_id""".stripMargin
 
+  private val qAsofForward =
+    s"""SELECT c.user_id AS user_id, c.event_id AS event_id,
+       |       (epoch_ns(c.ts) // 1000000000) AS ts_s,
+       |       (epoch_ns(p.ts) // 1000000000) AS p_ts_s,
+       |       p.value AS p_value
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON c.user_id = p.user_id AND c.ts <= p.ts
+       |ORDER BY user_id, event_id""".stripMargin
+
   private val qRangeJoin =
     s"""WITH p AS (
        |  SELECT user_id, event_id, $tsS AS ts_s
@@ -737,6 +747,8 @@ object OracleSql {
     "q_setops" -> qSetOps,
     "q_asof_join" -> qAsofJoin,
     "q_asof_join_native" -> qAsofJoin,
+    "q_asof_forward" -> qAsofForward,
+    "q_asof_forward_native" -> qAsofForward,
     "q_range_join" -> qRangeJoin,
     "q_sessionize" -> qSessionize,
     "q_salted_agg" -> qSaltedAgg,

@@ -260,6 +260,46 @@ object SparkEntry {
   /** Same as-of semantics through the native AsOfJoinExec (custom
     * LogicalPlan + Strategy + SparkPlan); shares q_asof_join's oracle.
     */
+  /** Forward as-of: each click matched to the EARLIEST purchase at or
+    * after it (union-window formulation, mirrored following frame).
+    */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts", "ts_s")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("ts_s").as("p_ts_s"), col("value").as("p_value"))
+    EventOps.asOfJoinForward(clicks, purchases, "user_id", "ts",
+        Seq("p_ts_s", "p_value"))
+      .select(
+        col("user_id"), col("event_id"), col("ts_s"),
+        col("matched").getField("p_ts_s").as("p_ts_s"),
+        col("matched").getField("p_value").as("p_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Forward as-of through the native backward exec BY COMPOSITION: a
+    * backward-inclusive merge over negated timestamps is exactly the
+    * forward-inclusive join (max of -ts = min of ts) — no second exec
+    * needed for the other direction.
+    */
+  private def qAsofForwardNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts", "ts_s")
+      .withColumn("nts", -col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), (-col("ts")).as("p_nts"),
+        col("ts_s").as("p_ts_s"), col("value").as("p_value"))
+    graft.plans.AsOfJoinNative.join(clicks, purchases,
+        "user_id", "p_user", "nts", "p_nts")
+      .select(
+        col("user_id"), col("event_id"), col("ts_s"),
+        col("p_ts_s"), col("p_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   private def qAsofJoinNative(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val clicks = e.where(col("event_type") === "click")
@@ -577,6 +617,15 @@ object SparkEntry {
           k = 3, threshold = 0.8, maxDocFreq = Some(5L)))
       .orderBy("doc_id")
 
+  /** Scale path of qDedupEmbedding — approximate (banding recall < 1 by
+    * design), so registered rows-only; OperatorSpec gates recall ≥ 0.8
+    * and subset-of-exact against the oracled all-pairs baseline.
+    */
+  private def qDedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45)
+      .orderBy("id1", "id2")
+
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.45)
@@ -724,6 +773,8 @@ object SparkEntry {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_sessionize" -> (qSessionize _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_asof_forward" -> (qAsofForward _),
+    "q_asof_forward_native" -> (qAsofForwardNative _),
     "gorilla_roundtrip" -> (qGorillaRoundtrip _),
     "q_json_extract" -> (qJsonExtract _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
@@ -748,6 +799,7 @@ object SparkEntry {
     "dedup_components" -> (qDedupComponents _),
     "dedup_components_capped" -> (qDedupComponentsCapped _),
     "dedup_embedding" -> (qDedupEmbedding _),
+    "dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "ann_topk" -> (qAnnTopk _),
     "ann_topk_lsh" -> (qAnnTopkLsh _),
     "ann_topk_ivf" -> (qAnnTopkIvf _),

@@ -281,6 +281,35 @@ object Dedup {
     * possible; cosine is the sequential-fold double arithmetic of
     * [[graft.functions.VectorFunctions]].
     */
+  /** Embedding near-dup pairs via the multiprobe-LSH scale path: the
+    * corpus is self-joined through [[Similarity.multiprobePairs]]'s
+    * weakness-guided band buckets (map-side signatures, no corpus
+    * broadcast, no all-pairs theta join) and only bucket-colliding
+    * candidates are exactly verified against the cosine threshold.
+    * Approximate by design (recall gated in OperatorSpec against
+    * [[embeddingPairs]]); the exact all-pairs form remains the oracle
+    * baseline.
+    */
+  def embeddingPairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 24,
+      bands: Int = 4,
+      probeBits: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.dotSeq
+    val cos = dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))
+    Similarity
+      .multiprobePairs(emb, emb, idCol, vecCol, nPlanes, bands, probeBits)
+      .where(col("qid") < col("nid"))
+      .dropDuplicates("qid", "nid")
+      .where(cos >= threshold)
+      .select(
+        col("qid").as("id1"), col("nid").as("id2"),
+        round(cos, 6).as("cosine"))
+  }
+
   def embeddingPairs(
       emb: DataFrame,
       idCol: String,

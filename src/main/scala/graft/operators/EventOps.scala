@@ -169,4 +169,39 @@ object EventOps {
       .where(col("__side") === 1)
       .select((leftCols.map(col) :+ col("matched")): _*)
   }
+
+  /** Forward-inclusive as-of join: for each left row, the EARLIEST right
+    * row of the same key with `r.ts >= l.ts`. Same union-window plan as
+    * [[asOfJoinBackward]] mirrored over the following frame — still one
+    * shuffle on the key. (The native AsOfJoinExec covers this direction by
+    * composition: join on negated timestamps.)
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val payType = org.apache.spark.sql.types.StructType(
+      right.select(rightPayload.map(col): _*).schema.fields)
+    val leftCols = left.columns
+    val lSel = left
+      .withColumn("__side", lit(0))
+      .withColumn("__pay", lit(null).cast(payType))
+    val rSel = right
+      .select(col(keyCol), col(tsCol),
+        struct(rightPayload.map(col): _*).as("__pay"))
+      .withColumn("__side", lit(1))
+    // at equal ts the LEFT row sorts first (__side 0 < 1), so a left row
+    // matches a right row with exactly-equal ts: forward-INCLUSIVE.
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    lSel
+      .unionByName(rSel, allowMissingColumns = true)
+      .withColumn("matched", first(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select((leftCols.map(col) :+ col("matched")): _*)
+  }
 }

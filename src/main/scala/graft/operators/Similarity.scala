@@ -209,9 +209,10 @@ object Similarity {
   }
 
   /** Deduped candidate pairs with both vectors attached — the shared body
-    * of [[multiprobeTopK]] / [[multiprobeCandidates]].
+    * of [[multiprobeTopK]] / [[multiprobeCandidates]] /
+    * [[Dedup.embeddingPairsLsh]].
     */
-  private def multiprobePairs(
+  private[operators] def multiprobePairs(
       emb: DataFrame,
       queries: DataFrame,
       idCol: String,

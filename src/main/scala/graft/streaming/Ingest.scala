@@ -80,6 +80,23 @@ object Ingest {
       }
       .start()
 
+  /** Streaming exact dedup — the streaming form of
+    * [[graft.operators.Dedup.exact]]: rows whose content hash was already
+    * seen within the watermark bound are dropped; hash state older than
+    * the watermark is evicted, so state stays bounded on unbounded
+    * streams (the requirement that distinguishes this from a naive
+    * `dropDuplicates`, whose state grows forever).
+    */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming tumbling-window aggregation with late-data handling: the
     * watermark is the principled form of the reference's out-of-order
     * side-list (memory_segment.go:104-111) — late points within the

@@ -15,7 +15,9 @@ class EntrySpec extends SparkSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o.diff(q)}")
     // only the intentionally-approximate queries lack an oracle
-    assert(q.diff(o) == Set("ann_topk_lsh", "ann_topk_ivf", "q_approx_distinct"))
+    assert(q.diff(o) == Set(
+      "ann_topk_lsh", "ann_topk_ivf", "q_approx_distinct",
+      "dedup_embedding_lsh"))
   }
 
   test("every query runs and returns rows at sf0.001") {

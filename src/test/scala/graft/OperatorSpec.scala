@@ -123,6 +123,21 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.4, s"IVF recall vs brute force = $recall")
   }
 
+  test("embedding LSH near-dup recall vs the exact all-pairs join") {
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.45)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // every LSH pair is a true pair (exact verification step)…
+    assert(lsh.subsetOf(exact), (lsh -- exact).toString)
+    // …and the banding finds nearly all of them on this corpus
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"embedding LSH recall = $recall")
+  }
+
   test("as-of join matches a naive per-row reference") {
     val e = Tables.events(spark, sf0001)
     val clicks = e.where(col("event_type") === "click")

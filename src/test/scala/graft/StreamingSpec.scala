@@ -100,6 +100,24 @@ class StreamingSpec extends SparkSuite {
     assert(tsdb2.samples.count() == 1)
   }
 
+  test("streaming dedup drops within-watermark duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val src = mem.toDF().toDF("ts", "text")
+    val q = Ingest.dedupStream(src, "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(1600000000000L + min * 60000L)
+    mem.addData((t(0), "alpha"), (t(1), "alpha"), (t(2), "beta"))
+    q.processAllAvailable()
+    mem.addData((t(3), "alpha"), (t(4), "gamma")) // alpha still a dup
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("dedup_out")
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(texts.sorted == Seq("alpha", "beta", "gamma"), texts.toString)
+  }
+
   test("watermarked tumbling window aggregates and drops very-late data") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
