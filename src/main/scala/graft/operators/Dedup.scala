@@ -303,11 +303,14 @@ object Dedup {
     Similarity
       .multiprobePairs(emb, emb, idCol, vecCol, nPlanes, bands, probeBits)
       .where(col("qid") < col("nid"))
-      .dropDuplicates("qid", "nid")
-      .where(cos >= threshold)
-      .select(
-        col("qid").as("id1"), col("nid").as("id2"),
-        round(cos, 6).as("cosine"))
+      // verify BEFORE the dedup shuffle: every duplicate admit of a pair
+      // carries the identical cosine, so filter-then-dedup equals
+      // dedup-then-filter — and only the (tiny) passing pair set, with
+      // its vectors already shed, flows into the distinct
+      .withColumn("cosine", round(cos, 6))
+      .where(col("cosine") >= threshold)
+      .select(col("qid").as("id1"), col("nid").as("id2"), col("cosine"))
+      .dropDuplicates("id1", "id2")
   }
 
   def embeddingPairs(
