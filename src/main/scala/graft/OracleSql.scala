@@ -581,6 +581,20 @@ object OracleSql {
     s"""$multimodalMetaCore
        |ORDER BY doc_id""".stripMargin
 
+  /** Fit-box resize mirror (targetW = targetH = 224): exact integer
+    * cross-multiplication decides the binding side; floor division for
+    * the scaled dim.
+    */
+  private val multimodalResize =
+    s"""WITH m AS ($multimodalMetaCore)
+       |SELECT doc_id, width, height,
+       |       CASE WHEN 224 * height <= 224 * width THEN 224
+       |            ELSE (width * 224) // height END AS out_w,
+       |       CASE WHEN 224 * height <= 224 * width
+       |            THEN (height * 224) // width
+       |            ELSE 224 END AS out_h
+       |FROM m ORDER BY doc_id""".stripMargin
+
   private val multimodalFeatures: String = {
     val bins = (0 until 16).map(b =>
       s"len(list_filter(codes, c -> c // 16 = $b)) AS h$b").mkString(",\n       ")
@@ -769,6 +783,7 @@ object OracleSql {
     "text_tfidf" -> textTfidf,
     "text_winnow" -> textWinnow,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_features" -> multimodalFeatures,
     "tsdb_downsample" -> tsdbDownsample,

@@ -694,6 +694,11 @@ object SparkEntry {
     Multimodal.decodeMetadata(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  private def qMultimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(Tables.documents(s, dir), "doc_id", "text",
+        targetW = 224, targetH = 224)
+      .orderBy("doc_id")
+
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.byteHistogram(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -811,6 +816,7 @@ object SparkEntry {
     "text_winnow" -> (qTextWinnow _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
+    "multimodal_resize" -> (qMultimodalResize _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "tsdb_downsample" -> (qTsdbDownsample _),
     "pipeline_clean_corpus" -> (qPipelineCleanCorpus _),

@@ -100,6 +100,31 @@ object Multimodal {
       .toDF()
   }
 
+  /** Fit-box resize planning: the aspect-ratio-preserving output dims for
+    * a (targetW, targetH) box — `scale = min(tw/w, th/h)` computed with
+    * exact integer cross-multiplication, so it is deterministic and
+    * oracle-expressible. This is the metadata half of a resize operator;
+    * the pixel half is the codec stub (see class doc) and would slot into
+    * the same batch-decode plumbing as [[decodeMetadataBatch]].
+    */
+  def resizePlan(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetW: Int,
+      targetH: Int): DataFrame = {
+    val w = col("width")
+    val h = col("height")
+    val widthBinds = lit(targetW) * h <= lit(targetH) * w
+    decodeMetadata(docs, idCol, textCol)
+      .select(
+        col("doc_id"), w, h,
+        when(widthBinds, lit(targetW))
+          .otherwise(floor(w * targetH / h).cast("int")).as("out_w"),
+        when(widthBinds, floor(h * targetW / w).cast("int"))
+          .otherwise(lit(targetH)).as("out_h"))
+  }
+
   /** Frame sampling: one row per sampled frame index with its byte offset —
     * the explode pattern a video pipeline uses to fan decoded frames out to
     * executors. `frame_idx` steps by `stride`.

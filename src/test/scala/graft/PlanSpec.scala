@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{LabelMatcher, TsdbConf}
+import graft.sources.Tables
+
+/** Plan-shape regression gates: the scale-critical physical-plan
+  * properties (partition pruning, predicate pushdown, broadcast vs
+  * shuffle choices, map-side native expressions, bounded shuffle counts)
+  * are asserted here so a refactor that silently loses one fails CI —
+  * the executable form of what `graft.tools.ExplainAudit` prints.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("disk queryRange prunes seg partitions and pushes ts to parquet") {
+    val t = new Tsdb(spark, TsdbConf(dataPath = tempDir("planspec")))
+    t.insertRows(Tables.events(spark, sf0001).select(
+      col("event_type").as("metric"),
+      map(lit("user_id"), col("user_id").cast("string")).as("labels"),
+      col("ts_s").as("ts"), col("value")))
+    val plan = planOf(t.queryRange("click",
+      Seq(LabelMatcher.eq("user_id", "7")), 1704412800L, 1704419999L))
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*seg".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(ts,1704412800)"), plan.take(2000))
+    // matcher evaluation runs on the broadcast series dimension, never the fact scan
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q5 joins broadcast the small dimensions") {
+    val plan = planOf(SparkEntry.queries("q5_region_revenue")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      plan.take(3000))
+  }
+
+  test("minhash verification has no corpus-dimension broadcast") {
+    val plan = planOf(SparkEntry.queries("dedup_minhash_lsh")(spark, sf0001))
+    // the dimension reduction is a shuffled semi-join…
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    // …and signatures are computed by the native expression in the scan
+    // stage (no explode+groupBy shuffle to assemble them)
+    assert(plan.contains("graft_minhash_sig"), plan.take(3000))
+  }
+
+  test("multiprobe LSH plan is map-side up to one aggregation shuffle") {
+    val plan = planOf(SparkEntry.queries("ann_topk_lsh")(spark, sf0001))
+    assert(plan.contains("graft_plane_proj"), plan.take(3000))
+    assert(plan.contains("graft_probe_buckets"), plan.take(3000))
+    // exactly ONE hash-partitioned exchange: the bounded top-k aggregation
+    // (the orderBy adds a range exchange; the query side broadcasts)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+  }
+
+  test("text_tfidf aggregations are partial (map-side combine)") {
+    val plan = planOf(SparkEntry.queries("text_tfidf")(spark, sf0001))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(3000))
+  }
+}
