@@ -435,23 +435,10 @@ object SparkEntry {
     * oracle-exact; the lag window crosses bucket boundaries (the PromQL
     * lookback), one shuffle per window key.
     */
-  private def qTsdbIncrease(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("ts_s"), col("event_id"))
-    Tables.events(s, dir)
-      .withColumn("v", col("value").cast("decimal(18,2)"))
-      .withColumn("prev", lag("v", 1).over(w))
-      .withColumn("delta",
-        when(col("prev").isNull, lit(null))
-          .when(col("v") >= col("prev"), col("v") - col("prev"))
-          .otherwise(col("v")))
-      .where(col("delta").isNotNull)
-      .groupBy(col("event_type"),
-        (col("ts_s") - pmod(col("ts_s"), lit(3600))).as("bucket_start"))
-      .agg(
-        sum(col("delta")).cast("double").as("increase"),
-        round(sum(col("delta")).cast("double") / 3600, 6).as("rate_per_sec"))
+  private def qTsdbIncrease(s: SparkSession, dir: String): DataFrame =
+    EventOps.counterIncrease(Tables.events(s, dir),
+        "event_type", "ts_s", "event_id", "value", 3600L)
       .orderBy("event_type", "bucket_start")
-  }
 
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
 

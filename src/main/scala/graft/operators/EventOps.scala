@@ -170,6 +170,37 @@ object EventOps {
       .select((leftCols.map(col) :+ col("matched")): _*)
   }
 
+  /** PromQL-style counter `increase` per (key, tumbling window): the sum
+    * of positive deltas, where a value drop contributes the new value (a
+    * restarted counter), summed per window. Delta arithmetic in DECIMAL
+    * so window sums are association-free; the lag lookback crosses
+    * window boundaries like PromQL's. One shuffle per window key.
+    */
+  def counterIncrease(
+      df: DataFrame,
+      keyCol: String,
+      tsSecCol: String,
+      idCol: String,
+      valueCol: String,
+      windowSec: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsSecCol), col(idCol))
+    df
+      .withColumn("v", col(valueCol).cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("v") >= col("prev"), col("v") - col("prev"))
+          .otherwise(col("v")))
+      .where(col("delta").isNotNull)
+      .groupBy(col(keyCol),
+        (col(tsSecCol) - pmod(col(tsSecCol), lit(windowSec)))
+          .as("bucket_start"))
+      .agg(
+        sum(col("delta")).cast("double").as("increase"),
+        round(sum(col("delta")).cast("double") / windowSec, 6)
+          .as("rate_per_sec"))
+  }
+
   /** Forward-inclusive as-of join: for each left row, the EARLIEST right
     * row of the same key with `r.ts >= l.ts`. Same union-window plan as
     * [[asOfJoinBackward]] mirrored over the following frame — still one

@@ -41,6 +41,9 @@ object ScaleSmoke {
       time(s"$tag sessionize")(
         EventOps.sessionize(e, "user_id", "ts_s", "event_id", "value", 1800L)
           .count())
+      time(s"$tag increase")(
+        EventOps.counterIncrease(e, "event_type", "ts_s", "event_id",
+          "value", 3600L).count())
       time(s"$tag asof_join") {
         val clicks = e.where(col("event_type") === "click")
           .select("user_id", "event_id", "ts", "ts_s")
