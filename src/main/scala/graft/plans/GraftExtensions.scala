@@ -72,6 +72,54 @@ object RewriteAnchoredRegex extends Rule[LogicalPlan] {
     }
 }
 
+/** SQL surface for the engine's native expressions, so `spark.sql` users
+  * can call them without the Scala API:
+  *
+  *   SELECT graft_dot(a, b)                      -- sequential dot product
+  *   SELECT graft_minhash_sig(tokens, 128)       -- MinHash signature
+  *   SELECT graft_probe_buckets(proj, 4, 3)      -- multiprobe LSH buckets
+  *
+  * Registered automatically by [[GraftExtensions]] (config path) or
+  * explicitly via [[GraftFunctions.register]] on a live session.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  private def asDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(n: Int, org.apache.spark.sql.types.IntegerType) => n
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> { args =>
+      require(args.length == 2, "graft_dot(a, b)")
+      DotProduct(asDoubleArray(args(0)), asDoubleArray(args(1)))
+    },
+    "graft_minhash_sig" -> { args =>
+      require(args.length == 2, "graft_minhash_sig(tokens, numHashes)")
+      MinHashSignature(args(0), intLit(args(1), "numHashes"))
+    },
+    "graft_probe_buckets" -> { args =>
+      require(args.length == 3, "graft_probe_buckets(proj, bands, probeBits)")
+      ProbeBuckets(args(0), intLit(args(1), "bands"),
+        intLit(args(2), "probeBits"))
+    })
+
+  /** Imperative registration on a live session (the extensions path does
+    * the same through injectFunction at session build).
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
 /** Session extension entry point:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -80,5 +128,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteAnchoredRegex)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.plans.GraftFunctions", name),
+        builder))
+    }
   }
 }

@@ -66,6 +66,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows("m RLIKE '^disk\\\\..*ops$'") == Set("disk.read.ops"))
   }
 
+  test("registered SQL functions evaluate the native expressions") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val dot = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs")
+      .head().getDouble(0)
+    assert(dot == 32.0)
+    Seq(Tuple1(Seq("alpha", "beta"))).toDF("toks")
+      .createOrReplaceTempView("toks_t")
+    // SQL form must equal the Scala column API form bit-for-bit
+    val viaSql = spark.sql(
+      "SELECT graft_minhash_sig(toks, 8) AS sig FROM toks_t")
+      .head().getAs[scala.collection.Seq[Long]](0)
+    val viaApi = spark.table("toks_t")
+      .select(graft.plans.MinHashSignature.signature(
+        org.apache.spark.sql.functions.col("toks"), 8).as("sig"))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(viaSql == viaApi && viaSql.length == 8)
+    val buckets = spark.sql(
+      "SELECT graft_probe_buckets(array(1.0d, -2.0d, 0.5d, -0.1d), 2, 1) AS b")
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(buckets.length == 4) // 2 bands x 2^1 probes
+  }
+
   test("$-anchored rewrites preserve Java regex final-terminator semantics") {
     import spark.implicits._
     // Java regex `$` (find, non-MULTILINE) matches before a final line

@@ -30,6 +30,17 @@ class GorillaSpec extends SparkSuite {
     }
   }
 
+  test("roundtrip: NaN and infinities preserve exact bit patterns") {
+    val pts = Seq(
+      (0L, Double.PositiveInfinity), (60L, Double.NegativeInfinity),
+      (120L, Double.NaN), (180L, 1.0))
+    val out = Gorilla.decode(Gorilla.encode(pts))
+    assert(out.map(_._1) == pts.map(_._1))
+    // NaN != NaN, so compare raw IEEE bits (the XOR codec is bit-exact)
+    assert(out.map(p => java.lang.Double.doubleToRawLongBits(p._2)) ==
+      pts.map(p => java.lang.Double.doubleToRawLongBits(p._2)))
+  }
+
   test("roundtrip: ScalaCheck random irregular series") {
     val g = for {
       n <- Gen.choose(0, 300)
