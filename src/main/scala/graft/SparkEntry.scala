@@ -565,9 +565,15 @@ object SparkEntry {
     Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** hashTokens: the inverted-index self-join shuffles 8-byte xxhash64
+    * keys instead of multi-word shingle strings (~2x faster, identical
+    * output barring a ~2^-64-per-pair hash collision — the standard
+    * production trade; the string-key exact form stays the operator
+    * default).
+    */
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        k = 3, threshold = 0.8)
+        k = 3, threshold = 0.8, hashTokens = true)
       .orderBy("id1", "id2")
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -583,7 +589,7 @@ object SparkEntry {
     */
   private def qDedupNgramCapped(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        k = 3, threshold = 0.8, maxDocFreq = Some(5L))
+        k = 3, threshold = 0.8, hashTokens = true, maxDocFreq = Some(5L))
       .orderBy("id1", "id2")
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -595,13 +601,13 @@ object SparkEntry {
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, threshold = 0.8))
+          k = 3, threshold = 0.8, hashTokens = true))
       .orderBy("doc_id")
 
   private def qDedupComponentsCapped(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, threshold = 0.8, maxDocFreq = Some(5L)))
+          k = 3, threshold = 0.8, hashTokens = true, maxDocFreq = Some(5L)))
       .orderBy("doc_id")
 
   /** Scale path of qDedupEmbedding — approximate (banding recall < 1 by
@@ -717,7 +723,8 @@ object SparkEntry {
     */
   private def qPipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val dropped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val dropped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        hashTokens = true)
       .select(col("id2").as("doc_id")).distinct()
     TextAnalysis.qualityScore(docs, "doc_id", "text")
       .where(col("quality") >= 0.5)
@@ -732,7 +739,7 @@ object SparkEntry {
   private def qPipelineCleanCapped(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val dropped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
-        maxDocFreq = Some(5L))
+        hashTokens = true, maxDocFreq = Some(5L))
       .select(col("id2").as("doc_id")).distinct()
     TextAnalysis.qualityScore(docs, "doc_id", "text")
       .where(col("quality") >= 0.5)

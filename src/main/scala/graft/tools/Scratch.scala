@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.Dedup
 import graft.sources.Tables
 
 /** Dev-only scratch main: schema / plan exploration. Not part of the API. */
@@ -20,19 +20,20 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    val emb = Tables.embeddings(spark, dir)
-    val q = emb.where(col("vec_id") % 50 === 0)
+    val docs = Tables.documents(spark, dir)
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    graft.SparkEntry.queries("ann_topk_lsh")(spark, dir).explain("formatted")
-    time("lsh query COLD")(
-      graft.SparkEntry.queries("ann_topk_lsh")(spark, dir).count())
-    time("lsh query warm")(
-      graft.SparkEntry.queries("ann_topk_lsh")(spark, dir).count())
-    time("agg")(graft.SparkEntry.queries("ann_topk_agg")(spark, dir).count())
+    time("ngram strings cold")(Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.8).count())
+    time("ngram hashed  cold")(Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.8, hashTokens = true).count())
+    time("ngram strings warm")(Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.8).count())
+    time("ngram hashed  warm")(Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.8, hashTokens = true).count())
     spark.stop()
   }
 }
