@@ -32,6 +32,25 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("head-and-disk union view still prunes disk partitions") {
+    import spark.implicits._
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("planspec_head"), segmentDuration = 7200L))
+    def rows(from: Int, until: Int) = (from until until).map(i =>
+      ("m", Map("k" -> "v"), 1600000000L + i * 60L, 1.0))
+      .toDF("metric", "labels", "ts", "value")
+    t.insertRows(rows(0, 120))
+    t.insertHeadRows(rows(120, 240))
+    val plan = planOf(t.queryRange("m", Seq.empty,
+      1600000000L, 1600000000L + 60 * 60))
+    // filters push through the Union into the parquet branch: the disk
+    // side keeps seg partition pruning and ts pushdown with a live head
+    assert(plan.contains("PartitionFilters"), plan.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*seg".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+    assert(plan.contains("Union"), plan.take(3000))
+  }
+
   test("q5 joins broadcast the small dimensions") {
     val plan = planOf(SparkEntry.queries("q5_region_revenue")(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
