@@ -222,6 +222,28 @@ class TsdbSpec extends SparkSuite {
     assert(after.length == 2) // 2 series, merged across 5 appends
   }
 
+  test("typedSamples reconstructs labels on the normalized disk layout") {
+    // the fact table stores only (sid, seg, ts, value); the typed view
+    // joins labels back from the broadcast series dimension. (Local copy
+    // of the bound: the typed filter closure must not capture the suite.)
+    val bound = Start + 120
+    def pick(t: Tsdb) = t.typedSamples
+      .filter(s => s.metric == "cpu.busy" &&
+        s.labels.get("node").contains("vm1") &&
+        s.labels.get("dc").contains("0") &&
+        s.ts <= bound)
+      .collect().sortBy(_.ts)
+    val got = pick(disk)
+    assert(got.length == 3)
+    assert(got.map(_.value).toSeq ==
+      Seq(Start.toDouble, (Start + 60).toDouble, (Start + 120).toDouble))
+    assert(got.forall(s =>
+      s.labels == Map("__name__" -> "cpu.busy", "node" -> "vm1", "dc" -> "0")
+        && s.seg == s.ts / 7200))
+    // memory mode: identical rows through the head path
+    assert(pick(mem).toSeq == got.toSeq)
+  }
+
   test("unified view: queries see disk segments plus the live head") {
     // reference segment.go:62-65 — the segment list always yields disk
     // segments plus the memory head, so queries span the flush boundary
