@@ -234,6 +234,22 @@ object OracleSql {
     s"""SELECT CAST(user_id AS BIGINT) AS user_id, $tsS AS ts, value
        |FROM events ORDER BY user_id, ts, value""".stripMargin
 
+  private val qOuterJoin =
+    """WITH pc AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           AS spend
+      |  FROM orders GROUP BY 1)
+      |SELECT c_mktsegment,
+      |       count(c_custkey) AS n_customers,
+      |       count(CASE WHEN o_custkey IS NULL THEN 1 END)
+      |         AS n_without_orders,
+      |       CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(COALESCE(spend, 0.0) AS DECIMAL(18,2)))
+      |            AS DOUBLE) AS total_spend
+      |FROM customer FULL OUTER JOIN pc ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val qWindowRanks =
     s"""WITH e AS (
        |  SELECT event_type, event_id, $tsS AS ts_s
@@ -756,6 +772,7 @@ object OracleSql {
     "q5_region_revenue" -> q5RegionRevenue,
     "q_promo_revenue" -> qPromoRevenue,
     "q_semijoin" -> qSemiJoin,
+    "q_outer_join" -> qOuterJoin,
     "q_antijoin" -> qAntiJoin,
     "q_window_topn" -> qWindowTopn,
     "q_setops" -> qSetOps,

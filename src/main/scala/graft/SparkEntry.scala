@@ -163,6 +163,27 @@ object SparkEntry {
       .orderBy("p_brand")
   }
 
+  /** Full-outer join + null-side accounting: customers joined with their
+    * per-customer order rollup; customers without orders keep a null
+    * right side (counted per segment). Completes the join-type family
+    * beside inner/broadcast/semi/anti/as-of/range.
+    */
+  private def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dec2(col("o_totalprice")).as("spend"))
+    Tables.customer(s, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(col("c_custkey")).as("n_customers"),
+        count(when(col("o_custkey").isNull, 1)).as("n_without_orders"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+        dec2(coalesce(col("spend"), lit(0.0))).as("total_spend"))
+      .orderBy("c_mktsegment")
+  }
+
   private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp_ntz") &&
@@ -763,6 +784,7 @@ object SparkEntry {
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q_promo_revenue" -> (qPromoRevenue _),
     "q_semijoin" -> (qSemiJoin _),
+    "q_outer_join" -> (qOuterJoin _),
     "q_antijoin" -> (qAntiJoin _),
     "q_window_topn" -> (qWindowTopn _),
     "q_setops" -> (qSetOps _),
