@@ -234,6 +234,28 @@ object OracleSql {
     s"""SELECT CAST(user_id AS BIGINT) AS user_id, $tsS AS ts, value
        |FROM events ORDER BY user_id, ts, value""".stripMargin
 
+  private val qSlidingAgg =
+    s"""WITH e AS (
+       |  SELECT event_type, $tsS AS ts_s, value FROM events),
+       |x AS (
+       |  SELECT event_type, ts_s, value,
+       |         (ts_s - (ts_s % 900)) - i * 900 AS window_start
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+       |  WHERE ts_s < (ts_s - (ts_s % 900)) - i * 900 + 3600
+       |    AND ts_s >= (ts_s - (ts_s % 900)) - i * 900)
+       |SELECT event_type, window_start, count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val qDateParts =
+    """SELECT EXTRACT(year FROM o_orderdate) AS y,
+      |       EXTRACT(quarter FROM o_orderdate) AS q,
+      |       count(*) AS n_orders,
+      |       count(DISTINCT EXTRACT(month FROM o_orderdate)) AS n_months,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val qOuterJoin =
     """WITH pc AS (
       |  SELECT o_custkey, count(*) AS n_orders,
@@ -756,6 +778,8 @@ object OracleSql {
     "q_grouping_sets" -> qGroupingSets,
     "q_window_analytics" -> qWindowAnalytics,
     "q_window_ranks" -> qWindowRanks,
+    "q_sliding_agg" -> qSlidingAgg,
+    "q_date_parts" -> qDateParts,
     "tsdb_increase" -> tsdbIncrease,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,

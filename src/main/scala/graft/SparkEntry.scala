@@ -461,6 +461,49 @@ object SparkEntry {
         "event_type", "ts_s", "event_id", "value", 3600L)
       .orderBy("event_type", "bucket_start")
 
+  /** Sliding-window aggregation (1 h windows every 15 min): the integer
+    * expansion Spark's `window(ts, dur, slide)` performs internally —
+    * each event explodes to the dur/slide windows covering it, then one
+    * hash aggregation on (key, window_start). Kept in exact epoch-second
+    * arithmetic so the oracle mirrors it without timezone concerns.
+    */
+  private def qSlidingAgg(s: SparkSession, dir: String): DataFrame = {
+    val dur = 3600L
+    val slide = 900L
+    val n = (dur / slide).toInt
+    Tables.events(s, dir)
+      .withColumn("w0",
+        col("ts_s") - pmod(col("ts_s"), lit(slide)))
+      .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("window_start",
+        col("w0") - col("i").cast("long") * slide)
+      .where(col("ts_s") < col("window_start") + dur &&
+        col("ts_s") >= col("window_start"))
+      .groupBy("event_type", "window_start")
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(col("value")).as("sum_v"))
+      .orderBy("event_type", "window_start")
+  }
+
+  /** Date-part scalar family over the orders dates: per (year, quarter)
+    * revenue rollup — exercises year/quarter/month extraction with exact
+    * decimal money sums.
+    */
+  private def qDateParts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        col("o_totalprice"))
+      .groupBy("y", "q")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("m")).as("n_months"),
+        dec2(col("o_totalprice")).as("revenue"))
+      .orderBy("y", "q")
+
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def qPivot(s: SparkSession, dir: String): DataFrame =
@@ -807,6 +850,8 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_window_ranks" -> (qWindowRanks _),
+    "q_sliding_agg" -> (qSlidingAgg _),
+    "q_date_parts" -> (qDateParts _),
     "tsdb_increase" -> (qTsdbIncrease _),
     "q_pivot" -> (qPivot _),
     "q_percentiles" -> (qPercentiles _),
