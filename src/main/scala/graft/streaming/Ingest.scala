@@ -104,19 +104,29 @@ object Ingest {
     * the reference's silent drop into frozen segments
     * (disk_segment.go:149-151).
     */
+  /** @param slide optional slide duration — when set (and smaller than
+    *   `windowDur`), windows overlap and each event contributes to
+    *   `windowDur/slide` windows (sliding-window aggregation); default
+    *   null keeps tumbling semantics.
+    */
   def windowedAgg(
       events: DataFrame,
       tsCol: String,
       keyCol: String,
       valueCol: String,
       windowDur: String,
-      watermark: String): DataFrame =
+      watermark: String,
+      slide: String = null): DataFrame = {
+    val win =
+      if (slide == null) window(col(tsCol), windowDur)
+      else window(col(tsCol), windowDur, slide)
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .groupBy(win, col(keyCol))
       .agg(
         count(lit(1)).as("n"),
         sum(col(valueCol)).as("sum_v"),
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
+  }
 }

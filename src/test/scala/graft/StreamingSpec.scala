@@ -151,6 +151,34 @@ class StreamingSpec extends SparkSuite {
     assert(!rows.exists(_._3 >= 100.0), "late row must be dropped")
   }
 
+  test("sliding streaming windows overlap: each event lands in dur/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val src = mem.toDF().toDF("ts", "key", "value")
+    val agg = Ingest.windowedAgg(src, "ts", "key", "value",
+      "10 minutes", "20 minutes", slide = "5 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("slideagg")
+      .outputMode("append")
+      .start()
+    def t(min: Int) = new java.sql.Timestamp(1600000000000L + min * 60000L)
+    mem.addData((t(2), "a", 1.0))
+    q.processAllAvailable()
+    mem.addData((t(120), "a", 8.0)) // advance watermark: close all windows
+    q.processAllAvailable()
+    mem.addData((t(240), "a", 16.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("slideagg")
+      .select(col("window.start").cast("long").as("w"), col("sum_v"))
+      .where(col("sum_v") === 1.0)
+      .collect().map(_.getLong(0)).toSet
+    // t(2) = epoch 1600000120; epoch-aligned 10-min windows sliding every
+    // 5 min that cover it start at 1599999600 and 1599999900 — exactly
+    // dur/slide = 2 windows
+    assert(rows == Set(1599999600L, 1599999900L), rows.toString)
+  }
+
   test("file-source streaming ingest over micro-batches matches batch semantics") {
     val srcDir = tempDir("stream_src")
     graft.sources.Tables.events(spark, sf0001)
