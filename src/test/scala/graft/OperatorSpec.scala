@@ -138,6 +138,13 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.8, s"embedding LSH recall = $recall")
   }
 
+  test("multiprobe LSH on an empty corpus returns an empty result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.multiprobeTopK(
+      empty, empty, "vec_id", "embedding", 5).count() == 0)
+  }
+
   test("as-of join matches a naive per-row reference") {
     val e = Tables.events(spark, sf0001)
     val clicks = e.where(col("event_type") === "click")
