@@ -165,6 +165,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .mode("append")
       .option("compression", conf.compression)
       .parquet(metaPath)
+    // advance the outdated-rejection boundary here — this serves BOTH
+    // durable paths (insertRows and flushHead), so segments frozen via
+    // direct insertRows are visible to insertHeadRows' gate
+    norm.agg(max("seg")).head().get(0) match {
+      case s: Long => frozenMaxSeg = math.max(frozenBoundary(), s)
+      case _ => ()
+    }
   }
 
   /** Head-buffered ingest — the reference's live memory segment
@@ -213,13 +220,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       if (headRows > 0) {
         val norm = h.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          writeNormalized(norm)
-          norm.agg(max("seg")).head().get(0) match {
-            case s: Long => frozenMaxSeg = math.max(frozenBoundary(), s)
-            case _ => ()
-          }
-        } finally norm.unpersist()
+        try writeNormalized(norm) // advances frozenMaxSeg
+        finally norm.unpersist()
       }
     }
     memHead = None
@@ -471,8 +473,11 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     */
   def removeExpires(nowSeconds: Long): Seq[Long] = {
     val cutoffSeg = (nowSeconds - conf.retention) / conf.segmentDuration
-    // the live head (either mode) expires by filter
+    // the live head (either mode) expires by filter; headRows must track
+    // the eviction or the maxRowsPerSegment trigger fires on ghost rows
+    // (and flushHead would write an empty append for a fully-expired head)
     memHead = memHead.map(_.where(col("seg") >= cutoffSeg))
+    if (headRows > 0) headRows = memHead.map(_.count()).getOrElse(0L)
     if (conf.onlyMemoryMode) return Seq.empty
     listSegDirs().flatMap { case (seg, path) =>
       // expire when the bucket's max possible ts is older than cutoff,

@@ -72,8 +72,14 @@ object EventOps {
       keyCols: Seq[String],
       valueCol: String,
       salts: Int): DataFrame = {
+    // salt from a hash of the full row (stable columns only): deterministic
+    // across task retries — a re-executed partition salts identically, so
+    // the partial aggregation is exactly re-creatable, unlike
+    // monotonically_increasing_id whose values depend on task scheduling.
+    // Fully duplicate rows share a salt; decomposable aggs are unaffected
+    // and the spread only degrades if one literal row dominates the key.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(valueCol), monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(

@@ -224,9 +224,12 @@ object Similarity {
     val r = nPlanes / bands
     require(probeBits <= r && probeBits <= 20, "probeBits out of range")
     // plane literals need the dimension: one single-row plan-time lookup
-    // (empty corpus ⇒ dim 1; every branch is empty anyway, so the join
-    // result is naturally empty with the right schema)
-    val dim = emb.select(size(toDoubleArray(col(vecCol))).as("d"))
+    // over non-null vectors (empty/all-null corpus ⇒ dim 1; every branch
+    // is empty anyway, so the join result is naturally empty with the
+    // right schema). Mixed-dimension corpora project over the prefix of
+    // this sampled dimension (see PlaneProjections null/short contract).
+    val dim = emb.where(col(vecCol).isNotNull)
+      .select(size(toDoubleArray(col(vecCol))).as("d"))
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
     val planes = (0 until nPlanes)
       .map(j => Array.tabulate(dim)(i => planeSign(j, i)))

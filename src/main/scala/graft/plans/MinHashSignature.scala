@@ -56,19 +56,26 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val xxh = classOf[XXH64].getName
+      // locals via freshName so duplicate instances inline safely
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val t = ctx.freshName("t")
+      val base = ctx.freshName("base")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
       s"""
-         |int n = $a.numElements();
-         |long[] sig = new long[$numHashes];
-         |java.util.Arrays.fill(sig, Long.MAX_VALUE);
-         |for (int t = 0; t < n; t++) {
-         |  long base = $xxh.hashLong(
-         |    $xxh.hashUTF8String($a.getUTF8String(t), 42L), 42L);
-         |  for (int i = 0; i < $numHashes; i++) {
-         |    long h = $xxh.hashInt(i, base);
-         |    if (h < sig[i]) sig[i] = h;
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $t = 0; $t < $n; $t++) {
+         |  long $base = $xxh.hashLong(
+         |    $xxh.hashUTF8String($a.getUTF8String($t), 42L), 42L);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $h = $xxh.hashInt($i, $base);
+         |    if ($h < $sig[$i]) $sig[$i] = $h;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sig);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
        """.stripMargin
     })
 

@@ -61,18 +61,26 @@ case class PlaneProjections(
     nullSafeCodeGen(ctx, ev, a => {
       val signsRef = ctx.addReferenceObj("planeSigns", signs, "double[]")
       val dpp = dimPerPlane
+      // locals via freshName: two instances of this expression can be
+      // inlined into one codegen'd function without block scoping
+      val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int d = java.lang.Math.min($a.numElements(), $dpp);
-         |double[] out = new double[$nPlanes];
-         |for (int j = 0; j < $nPlanes; j++) {
-         |  int off = j * $dpp;
-         |  double s = 0.0;
-         |  for (int i = 0; i < d; i++) {
-         |    s += $a.getDouble(i) * $signsRef[off + i];
+         |int $d = java.lang.Math.min($a.numElements(), $dpp);
+         |double[] $out = new double[$nPlanes];
+         |for (int $j = 0; $j < $nPlanes; $j++) {
+         |  int $off = $j * $dpp;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $s += $a.getDouble($i) * $signsRef[$off + $i];
          |  }
-         |  out[j] = s;
+         |  $out[$j] = $s;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
@@ -165,35 +173,51 @@ case class ProbeBuckets(child: Expression, bands: Int, probeBits: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val probes = 1 << probeBits
+      // locals via freshName so duplicate instances inline safely
+      val n = ctx.freshName("n")
+      val r = ctx.freshName("r")
+      val pb = ctx.freshName("pb")
+      val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val b = ctx.freshName("b")
+      val base = ctx.freshName("base")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val u = ctx.freshName("u")
+      val tmp = ctx.freshName("tmp")
+      val m = ctx.freshName("m")
+      val bucket = ctx.freshName("bucket")
+      val t2 = ctx.freshName("t2")
       s"""
-         |int n = $a.numElements();
-         |int r = n / $bands;
-         |int pb = java.lang.Math.min($probeBits, r);
-         |long[] out = new long[$bands * $probes];
-         |int[] idx = new int[r];
-         |for (int b = 0; b < $bands; b++) {
-         |  long base = 0L;
-         |  for (int i = 0; i < r; i++) {
-         |    if ($a.getDouble(b * r + i) >= 0) base |= (1L << i);
-         |    idx[i] = i;
+         |int $n = $a.numElements();
+         |int $r = $n / $bands;
+         |int $pb = java.lang.Math.min($probeBits, $r);
+         |long[] $out = new long[$bands * $probes];
+         |int[] $idx = new int[$r];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $base = 0L;
+         |  for (int $i = 0; $i < $r; $i++) {
+         |    if ($a.getDouble($b * $r + $i) >= 0) $base |= (1L << $i);
+         |    $idx[$i] = $i;
          |  }
-         |  for (int t = 0; t < pb; t++) {
-         |    int best = t;
-         |    for (int u = t + 1; u < r; u++) {
-         |      if (java.lang.Math.abs($a.getDouble(b * r + idx[u])) <
-         |          java.lang.Math.abs($a.getDouble(b * r + idx[best]))) best = u;
+         |  for (int $t = 0; $t < $pb; $t++) {
+         |    int $best = $t;
+         |    for (int $u = $t + 1; $u < $r; $u++) {
+         |      if (java.lang.Math.abs($a.getDouble($b * $r + $idx[$u])) <
+         |          java.lang.Math.abs($a.getDouble($b * $r + $idx[$best]))) $best = $u;
          |    }
-         |    int tmp = idx[t]; idx[t] = idx[best]; idx[best] = tmp;
+         |    int $tmp = $idx[$t]; $idx[$t] = $idx[$best]; $idx[$best] = $tmp;
          |  }
-         |  for (int m = 0; m < $probes; m++) {
-         |    long bucket = base;
-         |    for (int t = 0; t < pb; t++) {
-         |      if (((m >> t) & 1) == 1) bucket ^= (1L << idx[t]);
+         |  for (int $m = 0; $m < $probes; $m++) {
+         |    long $bucket = $base;
+         |    for (int $t2 = 0; $t2 < $pb; $t2++) {
+         |      if ((($m >> $t2) & 1) == 1) $bucket ^= (1L << $idx[$t2]);
          |    }
-         |    out[b * $probes + m] = bucket;
+         |    $out[$b * $probes + $m] = $bucket;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

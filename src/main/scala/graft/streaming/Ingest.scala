@@ -74,11 +74,28 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        tsdb.insertHeadRows(batch)
+        val rejected = tsdb.insertHeadRows(batch)
+        if (rejected > 0) {
+          // surface outdated-gate drops instead of losing them silently —
+          // the reference's frozen-segment drop (disk_segment.go:149-151)
+          // is equally silent; we log + count
+          rejectedRows.addAndGet(rejected)
+          log.warn(
+            s"ingestStreamHead batch $batchId: $rejected outdated row(s) " +
+              "rejected by the enableOutdated=false gate")
+        }
         if (flushEveryBatches > 0 && (batchId + 1) % flushEveryBatches == 0)
           tsdb.flushHead()
       }
       .start()
+
+  /** Total rows rejected by the outdated gate across all
+    * [[ingestStreamHead]] queries in this JVM — observable by tests and
+    * operators (the metric the reference never exposes).
+    */
+  val rejectedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Streaming exact dedup — the streaming form of
     * [[graft.operators.Dedup.exact]]: rows whose content hash was already
