@@ -318,7 +318,15 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       matchers: Seq[LabelMatcher],
       start: Long,
       end: Long): DataFrame =
-    queryRange(metric, matchers, start, end, useSeriesIndex = true)
+    // path choice by storage layout: when the fact rows already carry the
+    // label maps (denormalized store, or the in-memory attached head), the
+    // direct predicate path is one scan with zero joins — evaluating
+    // matchers via the series dimension would scan the same relation TWICE
+    // (fact + dimension aggregation). The index path pays off exactly when
+    // the fact is normalized (no labels) and the dimension is the only way
+    // to evaluate matchers without a per-row reconstruction join.
+    queryRange(metric, matchers, start, end,
+      useSeriesIndex = !samples.columns.contains("labels"))
 
   /** @param useSeriesIndex when true (default), matcher evaluation runs on
     * the small series_meta dimension and the matching sids semi-join the

@@ -48,6 +48,31 @@ object Similarity {
       .select("qid", "rank", "nid", "sim")
   }
 
+  /** [[bruteForceTopK]] through the bounded [[TopKAggregator]] instead of a
+    * window: identical rows, but the shuffle carries O(queries × k) state
+    * instead of every scored pair — the exact-search form that survives
+    * large corpora (it is still a full scan per query; the sublinear paths
+    * are [[multiprobeTopK]] / [[ivfProbeTopK]]).
+    */
+  def bruteForceTopKAgg(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val cand = emb.select(col(idCol).as("nid"), toDoubleArray(col(vecCol)).as("cvec"))
+      .withColumn("cnrm", normSeq(col("cvec")))
+    val q = queries.select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("qvec"))
+      .withColumn("qnrm", normSeq(col("qvec")))
+    val sim = round(
+      dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6)
+    val pairs = cand.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), sim.as("sim"), col("nid"))
+    TopK.topKPerGroup(pairs, "qid", "sim", "nid", k)
+      .select("qid", "rank", "nid", "sim")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * xxhash64 of (j, i) mapped to ±1.0. No Math.random — reproducible across
     * runs and engines that matter here (only Spark executes this).
@@ -73,12 +98,143 @@ object Similarity {
           .reduce(_ + _).as("sig"))
   }
 
-  /** ANN top-k via an IVF (inverted-file) index: k-means centroids
-    * partition the corpus into cells; each query probes only the `nProbe`
-    * nearest cells and reranks those candidates exactly. The standard
-    * billion-scale ANN architecture — the corpus is scanned
-    * `nProbe/nClusters` of the time, and the cell assignment is a
-    * one-off (amortized) index build. Approximate by design: recall is
+  /** Build a persistent IVF (inverted-file) index for a corpus: k-means
+    * centroids partition the vectors into cells, and BOTH halves of the
+    * index land on disk —
+    *   - `path/centroids`: (cell, centroid) — tiny, broadcast at probe time
+    *   - `path/cells`: (nid, cvec, cnrm, cell) — the corpus re-laid-out
+    *     partitioned BY CELL, so probing n cells reads n partitions
+    * This is the build-once / probe-many split of every production IVF
+    * system (the role of the reference's load-once disk index,
+    * disk_segment.go:105-110): the iterative, driver-coordinated k-means
+    * training is paid at index-build time, never per query.
+    *
+    * @param trainFraction train k-means on a sample (assignment still
+    *   covers the full corpus) — at 100 TB you never fit the trainer on
+    *   the whole corpus; centroids from a uniform sample are statistically
+    *   equivalent for partitioning purposes.
+    */
+  def buildIvfIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      path: String,
+      trainFraction: Double = 1.0): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = emb.select(col(idCol).as("nid"),
+        toDoubleArray(col(vecCol)).as("cvec"))
+      .withColumn("cnrm", normSeq(col("cvec")))
+      .withColumn("fv", array_to_vector(col("cvec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val train =
+        if (trainFraction < 1.0) corpus.sample(trainFraction, 42L) else corpus
+      val model = new KMeans()
+        .setK(nClusters).setSeed(42L).setMaxIter(10).setFeaturesCol("fv")
+        .fit(train)
+      model.transform(corpus)
+        .select(col("nid"), col("cvec"), col("cnrm"),
+          col("prediction").as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/cells")
+      model.clusterCenters.zipWithIndex
+        .map { case (v, i) => (i, v.toArray) }
+        .toSeq.toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+    } finally corpus.unpersist()
+  }
+
+  /** True when [[buildIvfIndex]] completed at `path`. */
+  def ivfIndexReady(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS"))
+  }
+
+  /** Build the index at `path` unless it already exists; returns `path`.
+    * Corpus fixtures are immutable here, so presence == freshness; a
+    * mutable corpus would key the path by a corpus fingerprint instead.
+    */
+  def ensureIvfIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      path: String,
+      trainFraction: Double = 1.0): String = synchronized {
+    if (!ivfIndexReady(emb.sparkSession, path))
+      buildIvfIndex(emb, idCol, vecCol, nClusters, path, trainFraction)
+    path
+  }
+
+  /** Probe-only IVF ANN over a prebuilt [[buildIvfIndex]] index: each query
+    * ranks the broadcast centroids, probes its `nProbe` nearest cells, and
+    * exact-cosine reranks those candidates through the bounded top-k
+    * aggregator. The plan at scale:
+    *   - centroids: one broadcast of `nClusters` rows
+    *   - cells store: read pruned to the union of probed cells (`cell` is
+    *     the partition column — unprobed cells are never read), then
+    *     map-side joined against the broadcast probe set
+    *   - ONE shuffle total: the O(queries × k) top-k aggregation
+    * No training, no corpus-sized shuffle, no corpus broadcast.
+    */
+  def ivfProbeTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(idCol).as("qid"),
+        toDoubleArray(col(vecCol)).as("qvec"))
+      .withColumn("qnrm", normSeq(col("qvec")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        dotSeq(col("qvec"), col("centroid")) /
+          (col("qnrm") * normSeq(col("centroid"))))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select("qid", "qvec", "qnrm", "cell")
+      // materialize the tiny probe set once: it feeds three consumers
+      // (probed-cell collect, the broadcast build, and the dynamic-pruning
+      // subquery) that would otherwise each recompute the centroid ranking
+      .localCheckpoint()
+    // plan-time probed-cell set: ≤ nClusters ints, drives partition pruning
+    // on the cell-partitioned store (the IVF "read only probed lists" step)
+    val cellIds = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(cellIds: _*))
+    val sim = round(
+      dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6)
+    // a corpus vector lives in exactly one cell, so (qid, nid) pairs are
+    // already distinct — plain bounded top-k suffices
+    TopK.topKPerGroup(
+      cells.join(broadcast(probes), "cell")
+        .where(col("qid") =!= col("nid"))
+        .withColumn("sim", sim)
+        .select("qid", "sim", "nid"),
+      "qid", "sim", "nid", k)
+      .select("qid", "rank", "nid", "sim")
+  }
+
+  /** ANN top-k via an in-memory IVF built for just this call — the
+    * index-less form kept for tests and one-shot use; anything repeated
+    * should [[buildIvfIndex]] once and [[ivfProbeTopK]] per query instead
+    * (k-means training inside a query is exactly the per-query cost the
+    * persistent index exists to amortize). Approximate by design: recall is
     * checked against brute force in tests.
     */
   def ivfTopK(
@@ -257,8 +413,11 @@ object Similarity {
     // bands appears once per admitting (band, bucket). Consumers either
     // dedup in the aggregation buffer (multiprobeTopK) or dropDuplicates
     // (multiprobeCandidates); keeping this relation dedup-free keeps the
-    // candidate generation entirely map-side.
-    c.join(q, Seq("band", "bucket"))
+    // candidate generation entirely map-side. The probe side is broadcast
+    // explicitly (queries × 2^probeBits × bands rows — scales with the
+    // query set, never the corpus), so the corpus side flows scan → sign →
+    // explode → join in ONE stage with no corpus-keyed exchange.
+    c.join(broadcast(q), Seq("band", "bucket"))
       .where(col("qid") =!= col("nid"))
       .select("qid", "qvec", "qnrm", "nid", "cvec", "cnrm")
   }

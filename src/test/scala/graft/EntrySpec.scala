@@ -14,10 +14,14 @@ class EntrySpec extends SparkSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o.diff(q)}")
-    // only the intentionally-approximate queries lack an oracle
+    // only the intentionally-approximate queries lack an oracle, plus the
+    // clustered-corpus bench trio whose hash-generated input is
+    // DuckDB-inexpressible (exactness is spec-gated in OperatorSpec:
+    // LSH/IVF recall vs the exact in-engine brute-force twin)
     assert(q.diff(o) == Set(
       "ann_topk_lsh", "ann_topk_ivf", "q_approx_distinct",
-      "dedup_embedding_lsh"))
+      "dedup_embedding_lsh",
+      "ann_clustered_agg", "ann_clustered_lsh", "ann_clustered_ivf"))
   }
 
   test("every query runs and returns rows at sf0.001") {

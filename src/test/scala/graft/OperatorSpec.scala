@@ -138,6 +138,45 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.8, s"embedding LSH recall = $recall")
   }
 
+  test("persisted IVF probe path matches in-memory ivfTopK recall contract") {
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the registered query: build-once index + probe-only execution
+    val ivf = SparkEntry.queries("ann_topk_ivf")(spark, sf0001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"persisted-IVF recall vs brute force = $recall")
+    // and a second invocation (index now certainly on disk) is identical —
+    // the probe is a pure function of the persisted index
+    val again = SparkEntry.queries("ann_topk_ivf")(spark, sf0001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+
+  test("clustered corpus: LSH and IVF reach recall >= 0.9 and stay selective") {
+    val exact = SparkEntry.queries("ann_clustered_agg")(spark, sf0001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val lsh = SparkEntry.queries("ann_clustered_lsh")(spark, sf0001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(lshRecall >= 0.9, s"clustered LSH recall = $lshRecall")
+    val ivf = SparkEntry.queries("ann_clustered_ivf")(spark, sf0001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(ivfRecall >= 0.9, s"clustered IVF recall = $ivfRecall")
+    // the point of the planted clusters: the SAME banding that admits ~67%
+    // of pairs on the isotropic corpus is an order of magnitude more
+    // selective when the data actually clusters
+    val c = graft.sources.ClusteredEmbeddings.ensure(spark, sf0001)
+    val queries = c.where(col("vec_id") % 50 === 0)
+    val frac = Similarity.multiprobeCandidates(c, queries, "vec_id",
+        "embedding", nPlanes = 48, bands = 4, probeBits = 2).count().toDouble /
+      (c.count() * queries.count())
+    assert(frac <= 0.1, s"clustered candidate fraction = $frac")
+  }
+
   test("multiprobe LSH on an empty corpus returns an empty result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")

@@ -77,6 +77,30 @@ class PlanSpec extends SparkSuite {
     assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
   }
 
+  test("IVF probe plan prunes cell partitions, broadcasts probes, one shuffle") {
+    val plan = planOf(SparkEntry.queries("ann_topk_ivf")(spark, sf0001))
+    // the cells store is read pruned to the probed cells only (cell is the
+    // index's partition column) …
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+    // … the probe set joins map-side (broadcast), never shuffling the corpus …
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // … and no k-means / training stage appears anywhere in the query plan
+    assert(!plan.contains("KMeans"), plan.take(3000))
+    // the corpus-side scan feeds the broadcast join directly — no exchange
+    // between the cells FileScan and the join (tree prints parent first, so
+    // the text between the join and its scan child must be exchange-free)
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    val scanAt = plan.indexOf("FileScan parquet [nid")
+    assert(joinAt >= 0 && scanAt > joinAt, plan.take(3000))
+    assert(!plan.substring(joinAt, scanAt).contains("Exchange"),
+      plan.substring(joinAt, scanAt))
+    // hash exchanges: the bounded top-k aggregation plus (at most) the two
+    // probe-side window exchanges over the tiny queries × centroids relation
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 3, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+  }
+
   test("text_tfidf aggregations are partial (map-side combine)") {
     val plan = planOf(SparkEntry.queries("text_tfidf")(spark, sf0001))
     assert(plan.contains("partial_count"), plan.take(3000))
