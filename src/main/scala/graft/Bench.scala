@@ -31,7 +31,36 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query regression gate: compare against the committed baseline for
+    // this sf (bench_baseline.json, refreshed each round) and flag >1.3×
+    // slowdowns loudly — silent per-query rot is how the round-2
+    // tsdb_downsample regression slipped through. Sub-300 ms queries are
+    // noise-dominated and skipped.
+    val regressions: Map[String, Double] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val tag = new java.io.File(sfDir).getName
+      val f = new java.io.File("bench_baseline.json")
+      if (!f.exists()) Map.empty
+      else JsonMethods.parse(f) \ tag match {
+        case JObject(fields) =>
+          val base = fields.collect { case (k, JDouble(v)) => k -> v }.toMap
+          results.toMap.collect {
+            case (name, cur)
+                if base.get(name).exists(b =>
+                  cur > 0.3 && b > 0 && cur / b > 1.3) =>
+              name -> BigDecimal(cur / base(name))
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+    regressions.foreach { case (name, ratio) =>
+      System.err.println(s"[bench-regression] $name is ${ratio}x its baseline")
+    }
+    val regs = regressions.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
