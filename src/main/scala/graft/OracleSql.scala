@@ -45,6 +45,39 @@ object OracleSql {
        |FROM events WHERE $tsS BETWEEN $T0 AND $T1
        |ORDER BY value""".stripMargin
 
+  private val tsdbAggBy =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v,
+       |       min(value) AS min_v, max(value) AS max_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val tsdbAggIncrease =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s - (ts_s % 3600) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d)
+       |SELECT cohort, bucket_start,
+       |       CAST(SUM(delta) AS DOUBLE) AS increase,
+       |       round(CAST(SUM(delta) AS DOUBLE) / 3600, 6) AS rate_per_sec
+       |FROM x WHERE delta IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val bucketAggCore =
     s"""SELECT event_type,
        |       $tsS - ($tsS % 3600) AS bucket_start,
@@ -791,6 +824,8 @@ object OracleSql {
     "tsdb_label_values" -> tsdbLabelValues,
     "tsdb_bucket_agg" -> tsdbBucketAgg,
     "tsdb_delta" -> tsdbDelta,
+    "tsdb_agg_by" -> tsdbAggBy,
+    "tsdb_agg_increase" -> tsdbAggIncrease,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
     "q5_region_revenue" -> q5RegionRevenue,

@@ -41,6 +41,36 @@ object SparkEntry {
   private def tsdbOn(s: SparkSession, dir: String): Tsdb =
     Tsdb.attach(s, eventsAsSamples(s, dir))
 
+  /** Samples with a second, coarser label (`cohort` = user_id mod 10) so
+    * label-dimension aggregation has a non-trivial grouping: series are
+    * (metric, user_id, cohort); `sum by (cohort)` folds ~N/10 series each.
+    */
+  private def eventsAsSamplesCohort(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_type").as("metric"),
+      map(
+        lit("user_id"), col("user_id").cast("string"),
+        lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"))
+        .as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+
+  /** PromQL `sum by (cohort) (click[1h])`: cross-series label-dimension
+    * aggregation — one shuffle (PlanSpec-gated).
+    */
+  private def qTsdbAggBy(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .orderBy("cohort", "bucket_start")
+
+  /** PromQL `sum by (cohort) (increase(click[1h]))`: per-series counter
+    * increase composed with the cross-series label aggregation.
+    */
+  private def qTsdbAggIncrease(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .aggregateIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .orderBy("cohort", "bucket_start")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q5_region_revenue")(spark, "/root/testdata/sf0.001")
@@ -908,6 +938,8 @@ object SparkEntry {
     "tsdb_label_values" -> (qTsdbLabelValues _),
     "tsdb_bucket_agg" -> (qTsdbBucketAgg _),
     "tsdb_delta" -> (qTsdbDelta _),
+    "tsdb_agg_by" -> (qTsdbAggBy _),
+    "tsdb_agg_increase" -> (qTsdbAggIncrease _),
     "q1_agg" -> (q1Agg _),
     "q3_topk" -> (q3Topk _),
     "q5_region_revenue" -> (q5RegionRevenue _),

@@ -409,6 +409,75 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         sort_array(collect_list(struct(col("ts"), col("value")))).as("points"))
   }
 
+  /** PromQL-style label-dimension aggregation — `sum by (labels)
+    * (metric[step])`: aggregate [[queryRange]] output ACROSS series,
+    * grouped by a label subset and a tumbling step bucket. The operator the
+    * reference lacks entirely (no aggregations, README.md:36-40) but every
+    * Prometheus user's first query needs.
+    *
+    * Plan: one hash aggregation keyed by (labels…, bucket) over the pruned
+    * range scan — label extraction and bucketing are map-side, sums
+    * accumulate in DECIMAL for oracle-exact reassociation, so the whole
+    * query is scan → project → ONE shuffle at any scale.
+    */
+  def aggregateBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long): DataFrame = {
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
+    queryRange(metric, matchers, start, end)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"))
+  }
+
+  /** `sum by (labels) (increase(metric[step]))` — the composed PromQL
+    * counter form: per-SERIES reset-robust increase (positive deltas; a
+    * drop contributes the new value, as a restarted counter does), then
+    * summed across series per (label subset, step bucket).
+    *
+    * Two stages by nature — a per-series window (shuffle on sid) feeding
+    * the cross-series hash aggregation — mirroring exactly how a
+    * distributed PromQL engine evaluates this. Delta arithmetic stays in
+    * DECIMAL until the final cast; the lag order (ts, value) is fully
+    * deterministic: rows tying on both carry equal values, so any
+    * interleaving yields the same per-bucket delta sums.
+    */
+  def aggregateIncreaseBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("ts"), col("value"))
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
+    queryRange(metric, matchers, start, end)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("v") >= col("prev"), col("v") - col("prev"))
+          .otherwise(col("v")))
+      .where(col("delta").isNotNull)
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("delta")).cast("double").as("increase"),
+        round(sum(col("delta")).cast("double") / stepSec, 6)
+          .as("rate_per_sec"))
+  }
+
   /** QuerySeries (reference tsdb.go:323-350): distinct matching label sets
     * whose series overlap `[start, end]`. Runs on the small series_meta
     * dimension only — never touches the fact table.

@@ -101,6 +101,16 @@ class PlanSpec extends SparkSuite {
     assert(hashExchanges <= 3, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
   }
 
+  test("tsdb_agg_by is scan -> project -> ONE aggregation shuffle") {
+    val plan = planOf(SparkEntry.queries("tsdb_agg_by")(spark, sf0001))
+    // label extraction + bucketing are map-side; cross-series aggregation
+    // is the single hash exchange (orderBy adds a range exchange)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum") ||
+      plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("text_tfidf aggregations are partial (map-side combine)") {
     val plan = planOf(SparkEntry.queries("text_tfidf")(spark, sf0001))
     assert(plan.contains("partial_count"), plan.take(3000))
