@@ -848,6 +848,7 @@ object OracleSql {
     "dedup_ngram_capped" -> jaccardCapped,
     "dedup_minhash_lsh" -> jaccardPairs,
     "dedup_components" -> dedupComponents,
+    "dedup_components_star" -> dedupComponents,
     "dedup_components_capped" -> dedupComponentsCapped,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,

@@ -691,6 +691,16 @@ object SparkEntry {
           k = 3, threshold = 0.8, hashTokens = true, maxDocFreq = Some(5L)))
       .orderBy("doc_id")
 
+  /** Same clusters via alternating large-star/small-star — the
+    * O(log diameter) round-complexity form for deep graphs; shares
+    * dedup_components' oracle (identical output by construction).
+    */
+  private def qDedupComponentsStar(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsStar(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.8, hashTokens = true))
+      .orderBy("doc_id")
+
   /** Scale path of qDedupEmbedding — approximate (banding recall < 1 by
     * design), so registered rows-only; OperatorSpec gates recall ≥ 0.8
     * and subset-of-exact against the oracled all-pairs baseline.
@@ -982,6 +992,7 @@ object SparkEntry {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_components" -> (qDedupComponents _),
     "dedup_components_capped" -> (qDedupComponentsCapped _),
+    "dedup_components_star" -> (qDedupComponentsStar _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "ann_topk" -> (qAnnTopk _),

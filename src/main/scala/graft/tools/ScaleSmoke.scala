@@ -120,6 +120,23 @@ object ScaleSmoke {
       .ngramJaccardPairs(skew(rep(docs1, 20)), "doc_id", "text", 3, 0.8,
         maxDocFreq = Some(100L)).count())
 
+    // connected-components round complexity: on a deep planted chain the
+    // star form's O(log d) rounds beat min-label's O(d) full-edge shuffles;
+    // on the shallow real near-dup graph both are a handful of rounds
+    {
+      import spark.implicits._
+      val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+        .repartition(32)
+      val t0 = System.nanoTime()
+      val (_, mlR) = graft.operators.Dedup.connectedComponentsRounds(chain)
+      val tMl = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (_, stR) = graft.operators.Dedup.connectedComponentsStarRounds(chain)
+      val tSt = (System.nanoTime() - t1) / 1e9
+      println(f"chain-64 components: min-label $mlR rounds ($tMl%.1f s) " +
+        f"vs star $stR rounds ($tSt%.1f s)")
+    }
+
     val base = Tables.events(spark, "/root/testdata/sf0.1")
     suite("1x  ", base)
     val factor = 100

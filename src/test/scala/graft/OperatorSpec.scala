@@ -49,6 +49,31 @@ class OperatorSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("large-star/small-star components equal min-label propagation") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val viaStar = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaMinLabel = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaMinLabel && viaStar.nonEmpty)
+  }
+
+  test("star components converge in O(log d) rounds on a 20-deep chain") {
+    import spark.implicits._
+    // planted path graph 0-1-2-…-20: diameter 20
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (starOut, starRounds) = Dedup.connectedComponentsStarRounds(chain)
+    val (mlOut, mlRounds) = Dedup.connectedComponentsRounds(chain)
+    val star = starOut.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ml = mlOut.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == (0L to 20L).map(_ -> 0L).toMap)
+    assert(star == ml)
+    // min-label needs ~diameter rounds; the star form collapses the chain
+    // in logarithmically few
+    assert(mlRounds >= 10, s"min-label rounds = $mlRounds")
+    assert(starRounds <= 7, s"star rounds = $starRounds")
+  }
+
   test("simhash near-dups are a subset-consistent view of true near-dups") {
     val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id1", "id2").collect()
