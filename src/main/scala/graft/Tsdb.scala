@@ -566,6 +566,42 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     }
   }
 
+  /** Background retention sweeper — the reference's 5-minute expiry ticker
+    * (tsdb.go:383-406, started at tsdb.go:483) as a daemon scheduled
+    * executor wrapping [[removeExpires]]. Runs on the Spark driver like any
+    * maintenance job; at cluster scale the same sweep is typically an
+    * external cron, which this replaces for long-lived driver processes.
+    *
+    * @param clock injectable now-epoch-seconds source (tests tick it)
+    */
+  def startRetentionLoop(
+      periodSec: Long = 300L,
+      clock: () => Long = () => System.currentTimeMillis() / 1000L): Unit =
+    synchronized {
+      if (retentionExec.isEmpty) {
+        val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-retention-sweep")
+            t.setDaemon(true)
+            t
+          })
+        ex.scheduleAtFixedRate(
+          () => try removeExpires(clock())
+          catch { case _: Throwable => () }, // sweep failures must not kill the ticker
+          periodSec, periodSec, java.util.concurrent.TimeUnit.SECONDS)
+        retentionExec = Some(ex)
+      }
+    }
+
+  /** Stop the [[startRetentionLoop]] ticker (idempotent). */
+  def stopRetentionLoop(): Unit = synchronized {
+    retentionExec.foreach(_.shutdownNow())
+    retentionExec = None
+  }
+
+  private var retentionExec:
+    Option[java.util.concurrent.ScheduledExecutorService] = None
+
   // ------------------------------------------------------------- predicates
 
   private def segPredicate(start: Long, end: Long): Column = {
@@ -602,6 +638,20 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   private def isLiteral(s: String): Boolean =
     s.forall(c => !"\\.+*?()|[]{}^$".contains(c))
 
+  /** `lit1.*lit2` split: Some((prefix, suffix)) when the pattern is exactly
+    * two non-empty literals joined by one `.*` — the reference's
+    * optimizeConcatRegex shape (label.go:111-148).
+    */
+  private def concatParts(p: String): Option[(String, String)] = {
+    val i = p.indexOf(".*")
+    if (i <= 0) None
+    else {
+      val (pre, suf) = (p.substring(0, i), p.substring(i + 2))
+      if (suf.nonEmpty && isLiteral(pre) && isLiteral(suf)) Some((pre, suf))
+      else None
+    }
+  }
+
   private def regexFastPath(v: Column, pattern: String): Column = pattern match {
     case p if isLiteral(p) => v === p
     case p if p.endsWith(".*") && isLiteral(p.dropRight(2)) =>
@@ -611,6 +661,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     case p if p.startsWith(".*") && p.endsWith(".*") &&
         p.length >= 4 && isLiteral(p.substring(2, p.length - 2)) =>
       v.contains(p.substring(2, p.length - 2))
+    case p if concatParts(p).isDefined =>
+      // `lit1.*lit2` (the reference's optimizeConcatRegex): exact iff the
+      // value starts with lit1, ends with lit2, AND is long enough that the
+      // two literals don't overlap — all codegen'd string ops, no regex
+      val (pre, suf) = concatParts(p).get
+      v.startsWith(pre) && v.endsWith(suf) &&
+        length(v) >= pre.length + suf.length
     case p => v.rlike("^(?:" + p + ")$")
   }
 }

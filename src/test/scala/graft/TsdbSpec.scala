@@ -331,4 +331,53 @@ class TsdbSpec extends SparkSuite {
     val left = fs.listFiles().filter(_.getName.startsWith("seg=")).map(_.getName)
     assert(left.isEmpty)
   }
+
+  test("scheduled retention loop sweeps expired segments on its ticker") {
+    import spark.implicits._
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("retention_loop"), segmentDuration = 7200L,
+      retention = 86400L))
+    t.insertRows(Seq(("m", Map("k" -> "v"), Start, 1.0))
+      .toDF("metric", "labels", "ts", "value"))
+    val dir = new java.io.File(t.conf.dataPath + "/samples")
+    def segs() = dir.listFiles().count(_.getName.startsWith("seg="))
+    assert(segs() == 1)
+    // ticker with an injected clock far past retention: the 1 s-period
+    // sweep must drop the segment without any explicit removeExpires call
+    t.startRetentionLoop(periodSec = 1L, clock = () => Start + 100L * 86400)
+    try {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (segs() > 0 && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(segs() == 0, "retention ticker did not sweep within 15 s")
+    } finally t.stopRetentionLoop()
+  }
+
+  test("concat-regex fast path (lit1.*lit2) matches anchored Java regex") {
+    import spark.implicits._
+    val values = Seq(
+      "diskops", "disk-io-ops", "disk_ops", "disk", "ops", "xdiskops",
+      "diskopsx", "disko", "kops", "diskkops", "dops", "ds", "d-s",
+      "disk.ops", "diskXops")
+    val df = values.toDF("v")
+      .withColumn("labels",
+        org.apache.spark.sql.functions.map(
+          org.apache.spark.sql.functions.lit("k"),
+          org.apache.spark.sql.functions.col("v")))
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("concat_re"), onlyMemoryMode = true))
+    for (pat <- Seq("disk.*ops", "disk.*kops", "d.*s", "di.*", ".*ops")) {
+      val m = graft.model.LabelMatcher.re("k", pat)
+      val got = df.where(t.matcherPredicate(
+          org.apache.spark.sql.functions.col("labels"), Seq(m)))
+        .select("v").collect().map(_.getString(0)).toSet
+      val p = java.util.regex.Pattern.compile("^(?:" + pat + ")$")
+      val expected = values.filter(v => p.matcher(v).find()).toSet
+      assert(got == expected, s"pattern $pat")
+      // and the fast path really bypassed regex evaluation
+      val plan = df.where(t.matcherPredicate(
+          org.apache.spark.sql.functions.col("labels"), Seq(m)))
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("rlike"), s"$pat not rewritten:\n$plan")
+    }
+  }
 }
