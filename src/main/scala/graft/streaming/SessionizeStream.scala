@@ -15,7 +15,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object SessionizeStream {
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
-  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  /** Per-session running state. `sum` accumulates in BigDecimal with the
+    * same double→decimal(·,2) rounding as the batch twin's
+    * `value.cast("decimal(18,2)")` (both go through
+    * BigDecimal.valueOf(double)), so a closed session's sum is bit-equal
+    * to [[graft.operators.EventOps.sessionize]]'s decimal-accumulated one —
+    * order-free, unlike a double fold.
+    */
+  case class SessionState(start: Long, end: Long, n: Long, sum: BigDecimal)
+
+  private def dec2(v: Double): BigDecimal = BigDecimal(
+    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP))
   case class ClosedSession(
       user_id: Long, session_start: Long, session_end: Long,
       n_events: Long, sum_v: Double)
@@ -48,7 +58,8 @@ object SessionizeStream {
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
-      return Iterator(ClosedSession(userId, s.start, s.end, s.n, s.sum))
+      return Iterator(
+        ClosedSession(userId, s.start, s.end, s.n, s.sum.toDouble))
     }
     val sorted = events.toSeq.sortBy(_.ts.getTime)
     var closed = List.empty[ClosedSession]
@@ -57,13 +68,13 @@ object SessionizeStream {
       val t = e.ts.getTime / 1000
       cur match {
         case Some(s) if t - s.end > gapSec =>
-          closed ::= ClosedSession(userId, s.start, s.end, s.n, s.sum)
-          cur = Some(SessionState(t, t, 1, e.value))
+          closed ::= ClosedSession(userId, s.start, s.end, s.n, s.sum.toDouble)
+          cur = Some(SessionState(t, t, 1, dec2(e.value)))
         case Some(s) =>
           cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
-            s.sum + e.value))
+            s.sum + dec2(e.value)))
         case None =>
-          cur = Some(SessionState(t, t, 1, e.value))
+          cur = Some(SessionState(t, t, 1, dec2(e.value)))
       }
     }
     cur.foreach { s =>

@@ -212,6 +212,74 @@ class StreamingSpec extends SparkSuite {
     assert(sids == tsdb.samples.select("sid").distinct().count())
   }
 
+  test("streaming dedup over the sf0.01 corpus equals batch exact dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf001 = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toIndexedSeq
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val q = Ingest.dedupStream(src, "ts", "text", "1 hour")
+      .writeStream.format("memory").queryName("dedup_eq")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamTexts = spark.table("dedup_eq")
+      .select("text").collect().map(_.getString(0)).toSeq
+    // exactly one representative per distinct text — the same content set
+    // (and cardinality) the oracled batch operator produces
+    assert(streamTexts.length == streamTexts.distinct.length)
+    assert(streamTexts.toSet ==
+      docs.select("text").distinct().collect().map(_.getString(0)).toSet)
+    assert(streamTexts.length ==
+      graft.operators.Dedup.exact(docs, "doc_id", "text").count())
+  }
+
+  test("streaming sessionization over sf0.01 events equals batch sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf001 = "/root/testdata/sf0.01"
+    val events = graft.sources.Tables.events(spark, sf001)
+    val data = events
+      .select(col("user_id").cast("long"), col("ts_s"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0),
+        new java.sql.Timestamp(r.getLong(1) * 1000L), r.getDouble(2)))
+      .toIndexedSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("user_id", "ts", "value")
+    val q = graft.streaming.SessionizeStream
+      .sessionize(src, gapSec = 1800L, watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    // two far-future sentinels: the first advances the watermark, the
+    // second triggers the batch in which every open session times out
+    val maxMs = data.map(_._2.getTime).max
+    mem.addData((-1L, new java.sql.Timestamp(maxMs + 100L * 86400 * 1000), 0.0))
+    q.processAllAvailable()
+    mem.addData((-1L, new java.sql.Timestamp(maxMs + 101L * 86400 * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_eq").where(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // the batch twin — the relation behind the oracled q_sessionize query
+    val batch = graft.operators.EventOps.sessionize(
+        events, "user_id", "ts_s", "event_id", "value", 1800L)
+      .select(col("user_id").cast("long"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("stateful streaming sessionization closes sessions on gap and timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
