@@ -23,7 +23,14 @@ object Bench {
     // outside the timed region, as a production system would build an index
     // once and query it for its lifetime
     SparkEntry.prewarm(spark, sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional subset for isolating per-query timings (comma-separated names)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

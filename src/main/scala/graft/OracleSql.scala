@@ -800,6 +800,107 @@ object OracleSql {
       |           '[0-9]{6,}', '<NUM>', 'g')) AS n_chars_redacted
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Decontamination mirror: distinct word 4-grams; bench = doc_id%20==0. */
+  private val textDecontam =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        || ' ' || ws[i+3]
+      |                        for i in range(1, len(ws) - 2)]) AS s
+      |  FROM w),
+      |bench AS (
+      |  SELECT DISTINCT unnest(s) AS tok FROM sh WHERE doc_id % 20 = 0),
+      |train AS (
+      |  SELECT doc_id, unnest(s) AS tok FROM sh WHERE doc_id % 20 <> 0)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM train WHERE tok IN (SELECT tok FROM bench)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Repetition mirror: dup fraction over ALL (non-distinct) 1/2/3-grams. */
+  private val textRepetition =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, ws,
+      |         [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS g2,
+      |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |          for i in range(1, len(ws) - 1)] AS g3
+      |  FROM w)
+      |SELECT doc_id,
+      |       len(ws) AS n_words,
+      |       CASE WHEN len(ws) > 0 THEN round(
+      |         CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) /
+      |         CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS dup_word_frac,
+      |       CASE WHEN len(g2) > 0 THEN round(
+      |         CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) /
+      |         CAST(len(g2) AS DOUBLE), 6) ELSE 0.0 END AS dup_2gram_frac,
+      |       CASE WHEN len(g3) > 0 THEN round(
+      |         CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) /
+      |         CAST(len(g3) AS DOUBLE), 6) ELSE 0.0 END AS dup_3gram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Quality-gate mirror: same composite quality as textQuality, then a
+    * per-language percent_rank with the bottom 20% dropped.
+    */
+  private val textQualityFilter: String = {
+    val en = graft.functions.TextFunctions.LangMarkers.head._2
+      .map(m => s"'$m'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         length(text) AS n_chars,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
+       |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                         t -> t IN ($en))) AS stops
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |         round(least(n_words / 100.0, 1.0) * 0.5 +
+       |               (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.3 +
+       |               least(CAST(stops AS DOUBLE) / n_words * 5.0, 1.0) * 0.2, 6) AS quality
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, lang, quality,
+       |         round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6) AS q_rank
+       |  FROM q)
+       |SELECT doc_id, lang, quality, q_rank FROM r
+       |WHERE q_rank >= 0.2 ORDER BY doc_id""".stripMargin
+  }
+
+  /** md5-derived u32 shared by the sampling mirrors (identical to Spark's
+    * `conv(substring(md5(salt || id), 1, 8), 16, 10)`).
+    */
+  private def mdU32(salt: String) =
+    s"""list_reduce(list_transform(range(1, 9),
+       |           i -> strpos('0123456789abcdef',
+       |                       substring(md5('$salt' || CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+       |         (a, x) -> a * 16 + x)""".stripMargin
+
+  private val mixSample =
+    s"""WITH u AS (
+       |  SELECT doc_id, source, lang, ${mdU32("mx")} AS u32
+       |  FROM documents)
+       |SELECT doc_id, source, lang FROM u
+       |WHERE u32 < CAST(FLOOR(
+       |  CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+       |       WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 0.5
+       |       ELSE 0.25 END * 4294967296) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+
+  private val mixSplit =
+    s"""WITH u AS (
+       |  SELECT doc_id, source, ${mdU32("sp")} AS u32
+       |  FROM documents)
+       |SELECT doc_id, source,
+       |       CASE WHEN u32 < CAST(FLOOR(0.8 * 4294967296) AS BIGINT) THEN 'train'
+       |            WHEN u32 < CAST(FLOOR(0.9 * 4294967296) AS BIGINT) THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM u ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtract,
     "q_csv_roundtrip" -> qCsvRoundtrip,
@@ -859,6 +960,11 @@ object OracleSql {
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf,
     "text_winnow" -> textWinnow,
+    "text_decontam" -> textDecontam,
+    "text_repetition" -> textRepetition,
+    "text_quality_filter" -> textQualityFilter,
+    "mix_sample" -> mixSample,
+    "mix_split" -> mixSplit,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,

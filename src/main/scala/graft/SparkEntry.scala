@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{LabelMatcher, TsdbConf}
-import graft.operators.{Dedup, EventOps, GorillaPack, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, GorillaPack, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.{ClusteredEmbeddings, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -871,6 +871,53 @@ object SparkEntry {
         k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Benchmark decontamination: docs with `doc_id % 20 == 0` stand in for
+    * the (small) eval suite; every other doc sharing a word 4-gram with it
+    * is flagged with its overlap count. Broadcast semi-join — the corpus
+    * side never shuffles (see [[TextAnalysis.decontaminate]]).
+    */
+  private def qTextDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.decontaminate(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+  }
+
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Per-language quantile quality gate: drop the bottom 20% by composite
+    * quality within each language.
+    */
+  private def qTextQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(Tables.documents(s, dir), "doc_id", "text",
+        "lang", dropFrac = 0.2)
+      .orderBy("doc_id")
+
+  /** Deterministic mixture sampling: sources src0-3 kept whole, src4-9 at
+    * 50%, the long tail at 25% — membership keyed on md5 so it is stable
+    * across runs/partitionings and exactly reproducible by the oracle.
+    */
+  private def qMixSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        Tables.documents(s, dir), "doc_id", "source",
+        rates = (0 to 3).map(i => s"src$i" -> 1.0).toMap ++
+          (4 to 9).map(i => s"src$i" -> 0.5).toMap,
+        defaultRate = 0.25)
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+
+  /** Reproducible 80/10/10 train/val/test assignment keyed on md5. */
+  private def qMixSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(
+        Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- multimodal
 
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -1007,6 +1054,11 @@ object SparkEntry {
     "text_fingerprint" -> (qTextFingerprint _),
     "text_tfidf" -> (qTextTfidf _),
     "text_winnow" -> (qTextWinnow _),
+    "text_decontam" -> (qTextDecontam _),
+    "text_repetition" -> (qTextRepetition _),
+    "text_quality_filter" -> (qTextQualityFilter _),
+    "mix_sample" -> (qMixSample _),
+    "mix_split" -> (qMixSplit _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_resize" -> (qMultimodalResize _),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for data-mixture construction — the operation a
+  * training pipeline runs to hit target source proportions ("20% code, 50%
+  * web, …") and to carve reproducible train/val/test splits out of a corpus.
+  *
+  * Both ops key every decision on the first 8 hex digits of
+  * `md5(salt || id)` mapped to a uniform 32-bit integer, so:
+  *  - the decision is a pure map-side filter/projection — zero shuffle,
+  *    zero state, embarrassingly parallel at 100 TB;
+  *  - membership is stable across runs, retries, cluster sizes, and
+  *    engines (md5 is bit-identical everywhere — the DuckDB oracle computes
+  *    the same u32), unlike `DataFrame.sample`, whose output depends on
+  *    partitioning;
+  *  - disjoint salts give independent decisions (sampling vs splitting).
+  */
+object Sampling {
+
+  /** Uniform u32 in [0, 2^32) from md5(salt || id). */
+  private def u32(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  private val Space = 4294967296L // 2^32
+
+  /** Per-stratum Bernoulli sampling at `rates` (default `defaultRate`):
+    * keep a row iff u32 < rate·2^32. Rows from strata with rate 1.0 always
+    * survive; rate 0.0 strata are dropped entirely.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "mx"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(u32(col(idCol), salt) < (rate * Space).cast("long"))
+  }
+
+  /** Assign each row to a named split by cumulative weight over the same
+    * u32 space (e.g. `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`).
+    * The last split absorbs any rounding remainder.
+    */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = "sp"): DataFrame = {
+    require(weights.nonEmpty, "at least one split")
+    val u = u32(col(idCol), salt)
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val assigned = weights.init.zip(cum.init).foldRight(
+      lit(weights.last._1): Column) { case (((name, _), hi), acc) =>
+      when(u < lit(math.floor(hi * Space).toLong), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -21,7 +21,11 @@ object TextAnalysis {
     * stopword ratios, and a composite [0,1] quality score. All ratios are
     * double divisions of exact integer counts in a fixed order.
     */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val toks = wsTokens(t)
     val nChars = length(t)
@@ -37,13 +41,14 @@ object TextAnalysis {
         (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
         least(stopRatio * 5.0, lit(1.0)) * 0.2
     docs.select(
-      col(idCol).as("doc_id"),
-      nChars.as("n_chars"),
-      nWords.as("n_words"),
-      round(meanWordLen, 6).as("mean_word_len"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(score, 6).as("quality"))
+      col(idCol).as("doc_id") +:
+        keep.map(col) :+
+        nChars.as("n_chars") :+
+        nWords.as("n_words") :+
+        round(meanWordLen, 6).as("mean_word_len") :+
+        round(punctRatio, 6).as("punct_ratio") :+
+        round(stopRatio, 6).as("stopword_ratio") :+
+        round(score, 6).as("quality"): _*)
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */
@@ -75,6 +80,85 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       md5Fingerprint(col(textCol)).as("fp_md5"),
       polyFingerprint(col(textCol)).as("fp_poly"))
+
+  /** Benchmark decontamination (the training-hygiene pass every LLM corpus
+    * runs before training): flag training documents that share any word
+    * `k`-gram with a benchmark/eval set, GPT-3-style n-gram overlap.
+    *
+    * Scale shape: the benchmark is small by nature (eval suites are KBs-MBs
+    * against a 100 TB corpus), so its distinct shingle set is BROADCAST and
+    * the corpus flows scan → map-side shingle explode → broadcast-hash semi
+    * join with no corpus shuffle; the only exchange is the final per-doc
+    * count (map-side partial agg on doc_id). Output: one row per
+    * contaminated doc with the number of its distinct shingles that hit the
+    * benchmark.
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    val benchToks = bench
+      .select(explode(wordShingles(col(textCol), k)).as("tok"))
+      .distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), k)).as("tok"))
+      .join(broadcast(benchToks), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Gopher-style repetition signals: the fraction of word 1/2/3-grams that
+    * are repeats within the document (`(total - distinct) / total`). High
+    * values mark boilerplate/spam docs a training pipeline drops. Pure
+    * map-side — no shuffle, linear scan, stays in WholeStageCodegen.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = wsTokens(col(textCol))
+    // all occurrences (NOT distinct — repetition is the point)
+    def grams(n: Int): Column =
+      if (n == 1) ws
+      else when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(ws, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        round((size(g) - size(array_distinct(g))).cast("double") /
+          size(g).cast("double"), 6))
+        .otherwise(lit(0.0))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(ws).as("n_words"),
+      dupFrac(grams(1)).as("dup_word_frac"),
+      dupFrac(grams(2)).as("dup_2gram_frac"),
+      dupFrac(grams(3)).as("dup_3gram_frac"))
+  }
+
+  /** Quantile quality gate: drop the lowest `dropFrac` of documents per
+    * language by composite quality score (the relative-threshold filter a
+    * mixture pipeline applies per subcorpus, rather than one absolute
+    * cutoff). Scoring is map-side (single scan — no self-join); the one
+    * shuffle is the per-language percent_rank window, and ranking is
+    * deterministic because ties share a percent_rank value.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      dropFrac: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy("quality")
+    qualityScore(docs, idCol, textCol, keep = Seq(langCol))
+      .withColumn("q_rank", round(percent_rank().over(w), 6))
+      .where(col("q_rank") >= dropFrac)
+      .select(col("doc_id"), col(langCol).as("lang"), col("quality"),
+        col("q_rank"))
+  }
 
   /** TF-IDF top-k terms per document (keyword extraction — the standard
     * corpus-statistics op of a training-data pipeline):

@@ -317,4 +317,66 @@ class OperatorSpec extends SparkSuite {
     // boilerplate clique disappears and only the genuine pair remains
     assert(capped.toSet == Set((0L, 1L)), capped.toSeq.toString)
   }
+
+  test("decontamination flags exactly the docs sharing a k-gram with bench") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta tail"), // shares a 4-gram
+      (2L, "alpha beta gamma X delta epsilon zeta"),    // only 3-gram overlap
+      (3L, "completely different content here now")
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.decontaminate(train, bench, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L), got.toString)
+  }
+
+  test("repetition stats: zero for all-distinct, computed exactly for repeats") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),          // all distinct
+      (2L, "x x x x"),          // 1-gram dup 3/4; 2-gram dup 2/3; 3-gram dup 1/2
+      (3L, "w")                 // single word: no 2/3-grams
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((0.0, 0.0, 0.0)))
+    assert(got(2L) == ((0.75, 0.666667, 0.5)), got(2L).toString)
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("quality filter drops the bottom quantile per language") {
+    val out = operators.TextAnalysis.qualityFilter(docs, "doc_id", "text", "lang", 0.2)
+    val total = docs.count()
+    val kept = out.count()
+    assert(kept < total && kept > total / 2, s"kept $kept of $total")
+    assert(out.where(col("q_rank") < 0.2).count() == 0)
+  }
+
+  test("stratified sample is deterministic and tracks the target rates") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val s1 = operators.Sampling.stratifiedSample(docs, "doc_id", "source", rates, 0.5)
+    val s2 = operators.Sampling.stratifiedSample(docs, "doc_id", "source", rates, 0.5)
+    assert(s1.select("doc_id").collect().toSeq == s2.select("doc_id").collect().toSeq)
+    val bySrc = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val origSrc0 = docs.where(col("source") === "src0").count()
+    assert(bySrc.getOrElse("src0", 0L) == origSrc0)   // rate 1.0 keeps all
+    assert(!bySrc.contains("src1"))                   // rate 0.0 drops all
+    val others = docs.where(!col("source").isin("src0", "src1")).count()
+    val keptOthers = s1.where(!col("source").isin("src0", "src1")).count()
+    assert(math.abs(keptOthers.toDouble / others - 0.5) < 0.15,
+      s"$keptOthers of $others at rate 0.5")
+  }
+
+  test("split assignment partitions every row into one named split") {
+    val out = operators.Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() == docs.count())
+    val by = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.keySet == Set("train", "val", "test"), by.toString)
+    assert(by("train") > by("val") && by("train") > by("test"))
+  }
 }
