@@ -732,9 +732,11 @@ object SparkEntry {
     */
   private def qAnnTopkLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    // nPlanes = -1: band width auto-sized from corpus cardinality so bucket
+    // occupancy (and with it candidate volume) stays flat as data grows
     Similarity.multiprobeTopK(
         emb, emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding", 5,
-        nPlanes = 24, bands = 4, probeBits = 4)
+        nPlanes = -1, bands = 4, probeBits = 4)
       .orderBy("qid", "rank")
   }
 
@@ -791,9 +793,11 @@ object SparkEntry {
     */
   private def qAnnClusteredLsh(s: SparkSession, dir: String): DataFrame = {
     val c = ClusteredEmbeddings.ensure(s, dir)
+    // targetOcc=8: this query set is 2% of the corpus (large), so verify
+    // cost is query-side-multiplied — tighter buckets pay for themselves
     Similarity.multiprobeTopK(
         c, clusteredQueries(c), "vec_id", "embedding", 5,
-        nPlanes = 48, bands = 4, probeBits = 2)
+        nPlanes = -1, bands = 4, probeBits = 2, targetOcc = 8L)
       .orderBy("qid", "rank")
   }
 
@@ -836,7 +840,7 @@ object SparkEntry {
     val one = c.where(col("vec_id") === 0)
     Similarity.bruteForceTopKAgg(c, one, "vec_id", "embedding", 5).count()
     Similarity.multiprobeTopK(
-      c, one, "vec_id", "embedding", 5, 48, 4, 2).count()
+      c, one, "vec_id", "embedding", 5, -1, 4, 2, targetOcc = 8L).count()
     Similarity.ivfProbeTopK(
       s, ivfPath(dir, "clustered", 32), one, "vec_id", "embedding", 5, 2).count()
     Similarity.ivfProbeTopK(

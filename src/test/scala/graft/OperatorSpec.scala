@@ -318,6 +318,19 @@ class OperatorSpec extends SparkSuite {
     assert(capped.toSet == Set((0L, 1L)), capped.toSeq.toString)
   }
 
+  test("auto plane sizing holds bucket occupancy flat as the corpus grows") {
+    import operators.Similarity.autoPlanes
+    assert(autoPlanes(5000, 4) < autoPlanes(50000, 4)) // grows with corpus
+    assert(autoPlanes(0, 4) == 4 * 2)                  // floor
+    assert(autoPlanes(Long.MaxValue, 4) == 4 * 16)     // cap
+    // the invariant that keeps bucket self-joins linear: expected
+    // occupancy n / 2^r stays ≤ 2·targetOcc across corpus sizes
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+      val r = autoPlanes(n, 4) / 4
+      assert(n.toDouble / (1L << r) <= 64.0, s"n=$n r=$r")
+    }
+  }
+
   test("decontamination flags exactly the docs sharing a k-gram with bench") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")

@@ -117,4 +117,42 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan.take(3000))
   }
+
+  test("decontamination broadcasts the benchmark, never shuffles the corpus") {
+    val plan = planOf(SparkEntry.queries("text_decontam")(spark, sf0001))
+    // benchmark n-gram set arrives via BroadcastExchange (its internal
+    // distinct may shuffle the SMALL side — that's fine); the corpus side's
+    // only hash exchange is the final per-doc count on doc_id
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    val docExchanges =
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(docExchanges == 1, s"$docExchanges doc_id exchanges\n${plan.take(3000)}")
+    // no corpus-keyed shuffle other than that count: every remaining hash
+    // exchange keys on the benchmark token set
+    val others = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).filterNot(_ == "doc_id").toSeq
+    assert(others.forall(_ == "tok"), s"unexpected exchanges on $others")
+  }
+
+  test("stratified sampling and split assignment are shuffle-free filters") {
+    // no hash exchange at all — the only exchange is the output orderBy range
+    val sampled = planOf(SparkEntry.queries("mix_sample")(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findFirstIn(sampled).isEmpty,
+      sampled.take(3000))
+    val split = planOf(SparkEntry.queries("mix_split")(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findFirstIn(split).isEmpty,
+      split.take(3000))
+  }
+
+  test("quality filter is one window shuffle over a single scan") {
+    val plan = planOf(SparkEntry.queries("text_quality_filter")(spark, sf0001))
+    // map-side scoring (no self-join): exactly one hash exchange (the
+    // per-language window), exactly one parquet scan of documents
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"$scans scans\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+  }
 }
