@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.TsdbConf
-import graft.streaming.Ingest
+import graft.streaming.{CorpusFilter, Ingest}
 
 /** Structured Streaming ingest + windowed aggregation tests (reference O1 /
   * O16 capability): micro-batch ingest through foreachBatch into the TSDB,
@@ -310,5 +310,53 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains((1L, 1600000000L, 1600000120L, 2L, 3.0)), got.toString)
     // second burst closed by event-time timeout
     assert(got.contains((1L, 1600001800L, 1600001800L, 1L, 4.0)), got.toString)
+  }
+
+  test("streaming decontamination equals the batch complement at sf0.01") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    // batch truth: training docs minus the flagged set
+    val flagged = graft.operators.TextAnalysis
+      .decontaminate(train, bench, "doc_id", "text", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = train.select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
+    // stream the training docs through the literal-set filter
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(train.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+    val q = CorpusFilter.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", 4)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decontam_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect,
+      s"stream minus batch: ${(got -- expect).take(5)}; " +
+        s"batch minus stream: ${(expect -- got).take(5)}")
+  }
+
+  test("streaming quality gate equals the batch absolute-threshold filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val expect = graft.operators.TextAnalysis
+      .qualityScore(docs, "doc_id", "text")
+      .where(col("quality") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+    val q = CorpusFilter.qualityFilterStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 0.5)
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("quality_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty, s"${got.size} vs ${expect.size}")
   }
 }

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Assemble bench_history_r{N}.json from Bench log files and refresh
+bench_baseline.json (the per-query regression gate) from the named runs.
+
+Usage: python3 tools/assemble_bench_history.py <round> <log> [<log> ...]
+Each log is a `sbt "runMain graft.Bench"` capture; the LAST
+{"metric":...} line in each is taken as that run's record.
+"""
+import json
+import sys
+
+
+def last_metric_line(path):
+    rec = None
+    with open(path, errors="replace") as f:
+        for line in f:
+            if '"metric"' in line:
+                payload = line.split("] ", 1)[-1].strip()
+                try:
+                    rec = json.loads(payload)
+                except json.JSONDecodeError:
+                    continue
+    if rec is None:
+        raise SystemExit(f"no metric line in {path}")
+    return rec
+
+
+def main():
+    rnd = int(sys.argv[1])
+    runs = [last_metric_line(p) for p in sys.argv[2:]]
+    hist = {
+        "round": rnd,
+        "runs": runs,
+        "note": ("per-query wall seconds, local[32], cold per query after "
+                 "prewarm; sf tags: testdata dirs plus the ScaleCorpus 10x "
+                 "replication of sf0.1"),
+    }
+    with open(f"bench_history_r{rnd}.json", "w") as f:
+        json.dump(hist, f, indent=1)
+    # baseline: keyed by dir basename, only testdata sfs (the driver benches
+    # those); keep queries as name -> seconds
+    base = {}
+    for r in runs:
+        tag = r["sf"].rstrip("/").split("/")[-1]
+        base[tag] = {k: round(v, 6) for k, v in r["queries"].items()}
+    with open("bench_baseline.json", "w") as f:
+        json.dump(base, f, indent=1)
+    for r in runs:
+        print(r["sf"], round(r["value"], 1), "s,", len(r["queries"]), "queries")
+
+
+if __name__ == "__main__":
+    main()
