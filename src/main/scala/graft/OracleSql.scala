@@ -30,6 +30,19 @@ object OracleSql {
        |  AND $tsS BETWEEN $T0 AND $T1
        |ORDER BY user_id, ts_s, value""".stripMargin
 
+  /** Negative matchers: `user_id != '7' AND user_id !~ '1.*'`. The label is
+    * always present on these series, so Prometheus absent-label semantics
+    * reduce to plain negation.
+    */
+  private val tsdbRangeNeq =
+    s"""SELECT CAST(user_id AS BIGINT) AS user_id, $tsS AS ts_s, value
+       |FROM events
+       |WHERE event_type = 'click'
+       |  AND CAST(user_id AS VARCHAR) <> '7'
+       |  AND NOT regexp_full_match(CAST(user_id AS VARCHAR), '(?:1.*)')
+       |  AND $tsS BETWEEN $T0 AND $T1
+       |ORDER BY user_id, ts_s, value""".stripMargin
+
   private val tsdbSeries =
     s"""WITH sm AS (
        |  SELECT event_type, user_id,
@@ -901,6 +914,100 @@ object OracleSql {
        |            ELSE 'test' END AS split
        |FROM u ORDER BY doc_id""".stripMargin
 
+  /** Sequence-packing mirror: naive global cumsum (the oracle can afford
+    * the single-window form the distributed operator exists to avoid).
+    * DuckDB SUM(BIGINT) yields HUGEINT — cast back. `offset` quoted (DuckDB
+    * keyword).
+    */
+  private val packSequences =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |           AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(COALESCE(SUM(n_tokens) OVER (
+      |           ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS "offset"
+      |  FROM t)
+      |SELECT doc_id, n_tokens, "offset",
+      |       "offset" // 512 AS seq_id,
+      |       "offset" % 512 AS seq_off,
+      |       ("offset" + n_tokens - 1) // 512 - "offset" // 512 + 1 AS n_seqs
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Passage-dedup mirror: aligned 3-word chunks via zipped unnest of a
+    * position range and a slice comprehension; doc-distinct df census;
+    * ordered string_agg reassembly.
+    */
+  private val dedupPassages =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, ws,
+      |         CAST(ceil(len(ws) / 3.0) AS BIGINT) AS nch
+      |  FROM w),
+      |ch AS (
+      |  SELECT doc_id,
+      |         unnest(range(0, nch)) AS idx,
+      |         unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
+      |                 for i in range(0, nch)]) AS passage
+      |  FROM n),
+      |census AS (
+      |  SELECT passage FROM ch
+      |  GROUP BY passage HAVING count(DISTINCT doc_id) < 3),
+      |agg AS (
+      |  SELECT doc_id,
+      |         string_agg(passage, ' ' ORDER BY idx) AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM ch JOIN census USING (passage)
+      |  GROUP BY doc_id)
+      |SELECT n.doc_id,
+      |       COALESCE(agg.clean_text, '') AS clean_text,
+      |       n.nch AS n_passages,
+      |       CAST(n.nch - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
+  private val corpusStats =
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |           AS n_words
+      |  FROM documents),
+      |cells AS (
+      |  SELECT source, LEAST(n_words // 50, 7) AS len_bucket,
+      |         count(*) AS n_docs,
+      |         CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+      |         min(n_words) AS min_tokens, max(n_words) AS max_tokens
+      |  FROM t GROUP BY 1, 2),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents)
+      |SELECT source, len_bucket, n_docs, sum_tokens, min_tokens, max_tokens,
+      |       round(n_docs / n_total, 6) AS doc_share
+      |FROM cells, tot
+      |ORDER BY source, len_bucket""".stripMargin
+
+  /** topk(3, sum by (cohort)(click[1h])) over the tsdbAggBy aggregation. */
+  private val tsdbTopk =
+    s"""WITH agg AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY bucket_start
+       |                               ORDER BY sum_v DESC, cohort) AS rk
+       |  FROM agg)
+       |SELECT cohort, bucket_start, rk, n, sum_v
+       |FROM r WHERE rk <= 3
+       |ORDER BY bucket_start, rk""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtract,
     "q_csv_roundtrip" -> qCsvRoundtrip,
@@ -921,6 +1028,7 @@ object OracleSql {
     "tsdb_ingest_stats" -> tsdbIngestStats,
     "tsdb_range_scan" -> tsdbRangeScan,
     "tsdb_range_regex" -> tsdbRangeRegex,
+    "tsdb_range_neq" -> tsdbRangeNeq,
     "tsdb_series" -> tsdbSeries,
     "tsdb_label_values" -> tsdbLabelValues,
     "tsdb_bucket_agg" -> tsdbBucketAgg,
@@ -965,6 +1073,10 @@ object OracleSql {
     "text_quality_filter" -> textQualityFilter,
     "mix_sample" -> mixSample,
     "mix_split" -> mixSplit,
+    "pack_sequences" -> packSequences,
+    "dedup_passages" -> dedupPassages,
+    "corpus_stats" -> corpusStats,
+    "tsdb_topk" -> tsdbTopk,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,

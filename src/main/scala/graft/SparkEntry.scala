@@ -71,6 +71,15 @@ object SparkEntry {
       .aggregateIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
       .orderBy("cohort", "bucket_start")
 
+  /** PromQL `topk(3, sum by (cohort) (click[1h]))`: top label groups per
+    * step bucket — rank window partitioned by bucket over the one-shuffle
+    * label aggregation.
+    */
+  private def qTsdbTopk(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .topKBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, k = 3)
+      .orderBy("bucket_start", "rk")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q5_region_revenue")(spark, "/root/testdata/sf0.001")
@@ -89,6 +98,20 @@ object SparkEntry {
   private def qTsdbRangeRegex(s: SparkSession, dir: String): DataFrame =
     tsdbOn(s, dir)
       .queryRange("purchase", Seq(LabelMatcher.re("user_id", "1.*")), T0, T1)
+      .select(
+        col("labels").getItem("user_id").cast("long").as("user_id"),
+        col("ts").as("ts_s"),
+        col("value"))
+      .orderBy("user_id", "ts_s", "value")
+
+  /** Negative matchers (`!=` ∧ `!~`) — the Prometheus surface beyond the
+    * reference (its LabelMatcher has no negation field, label.go:283-287).
+    */
+  private def qTsdbRangeNeq(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir)
+      .queryRange("click",
+        Seq(LabelMatcher.neq("user_id", "7"), LabelMatcher.nre("user_id", "1.*")),
+        T0, T1)
       .select(
         col("labels").getItem("user_id").cast("long").as("user_id"),
         col("ts").as("ts_s"),
@@ -715,6 +738,18 @@ object SparkEntry {
         threshold = 0.45)
       .orderBy("id1", "id2")
 
+  /** SemDeDup: cell-blocked semantic near-dup over the SAME prebuilt IVF
+    * index the ANN probes use (rows-only check; recall + subset-of-exact
+    * gated in OperatorSpec).
+    */
+  private def qDedupEmbeddingIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Similarity.ensureIvfIndex(
+      emb, "vec_id", "embedding", 16, ivfPath(dir, "emb", 16))
+    Dedup.embeddingPairsIvf(s, path, threshold = 0.45)
+      .orderBy("id1", "id2")
+  }
+
   // ------------------------------------------------------------ similarity
 
   private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
@@ -914,6 +949,35 @@ object SparkEntry {
       .select("doc_id", "source", "lang")
       .orderBy("doc_id")
 
+  /** Sequence packing at a 512-token budget: distributed two-level prefix
+    * sum (bucketWidth=64 so the sf corpora exercise multiple buckets; the
+    * ordered window runs only over the |docs|/64-row bucket table).
+    */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val docs = Tables.documents(s, dir)
+    operators.Packing.packSequences(
+        docs, "doc_id", size(wsTokens(col("text"))), budget = 512L,
+        bucketWidth = 64L)
+      .orderBy("doc_id")
+  }
+
+  /** RefinedWeb-style passage dedup: 3-word aligned passages, strip any
+    * passage present in >= 3 distinct documents, reassemble in order.
+    */
+  private def qDedupPassages(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupPassages(Tables.documents(s, dir), "doc_id", "text",
+        chunkWords = 3, maxDf = 3)
+      .orderBy("doc_id")
+
+  /** Corpus-composition histogram: per (source, 50-token length bucket),
+    * doc count / token mass / corpus share.
+    */
+  private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(Tables.documents(s, dir), "doc_id", "text",
+        "source", bucketWords = 50, maxBucket = 7)
+      .orderBy("source", "len_bucket")
+
   /** Reproducible 80/10/10 train/val/test assignment keyed on md5. */
   private def qMixSplit(s: SparkSession, dir: String): DataFrame =
     Sampling.splitAssign(
@@ -1046,6 +1110,8 @@ object SparkEntry {
     "dedup_components_star" -> (qDedupComponentsStar _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
+    "dedup_embedding_ivf" -> (qDedupEmbeddingIvf _),
+    "tsdb_range_neq" -> (qTsdbRangeNeq _),
     "ann_topk" -> (qAnnTopk _),
     "ann_topk_lsh" -> (qAnnTopkLsh _),
     "ann_topk_ivf" -> (qAnnTopkIvf _),
@@ -1063,6 +1129,10 @@ object SparkEntry {
     "text_quality_filter" -> (qTextQualityFilter _),
     "mix_sample" -> (qMixSample _),
     "mix_split" -> (qMixSplit _),
+    "pack_sequences" -> (qPackSequences _),
+    "dedup_passages" -> (qDedupPassages _),
+    "corpus_stats" -> (qCorpusStats _),
+    "tsdb_topk" -> (qTsdbTopk _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_resize" -> (qMultimodalResize _),

@@ -478,6 +478,30 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
           .as("rate_per_sec"))
   }
 
+  /** PromQL `topk(k, sum by (labels) (metric[step]))`: the k label groups
+    * with the largest per-bucket sums, per step bucket. Composes
+    * [[aggregateBy]] with a rank window PARTITIONED by bucket — state per
+    * task is bounded by the label-group cardinality of one bucket, and ties
+    * break deterministically on the label values.
+    */
+  def topKBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_start")
+      .orderBy(col("sum_v").desc +: byLabels.map(col): _*)
+    aggregateBy(metric, matchers, start, end, byLabels, stepSec)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(byLabels.map(col) ++ Seq(col("bucket_start"), col("rk"),
+        col("n"), col("sum_v")): _*)
+  }
+
   /** QuerySeries (reference tsdb.go:323-350): distinct matching label sets
     * whose series overlap `[start, end]`. Runs on the small series_meta
     * dimension only — never touches the fact table.

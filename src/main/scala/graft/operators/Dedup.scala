@@ -403,6 +403,109 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** Passage-level dedup (the RefinedWeb/C4 line-dedup pass, generalized to
+    * any fixed passage segmentation): cut each document into aligned
+    * `chunkWords`-word passages, count how many DISTINCT documents contain
+    * each passage corpus-wide, strip every passage appearing in `maxDf` or
+    * more documents (boilerplate: headers, navboxes, license blurbs), and
+    * reassemble the surviving passages in order. Unlike doc-level near-dup,
+    * this removes duplicated CONTENT from otherwise-unique documents.
+    *
+    * Scale shape: passage explode is map-side; the df census is one
+    * map-side-combined hash aggregation keyed by passage; membership is a
+    * shuffle hash join on the passage key (the df table scales with the
+    * DISTINCT passage vocabulary, not the corpus — never broadcast);
+    * reassembly is one aggregation keyed by doc. No window over more than a
+    * document, no state beyond a passage's postings. Output: `(doc_id,
+    * clean_text, n_passages, n_dropped)` for every input document —
+    * fully-boilerplate docs survive with empty `clean_text`.
+    */
+  def dedupPassages(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int,
+      maxDf: Int): DataFrame = {
+    require(chunkWords > 0 && maxDf > 1, "chunkWords > 0, maxDf > 1")
+    val ws = wsTokens(col(textCol))
+    val nch = ceil(size(ws) / lit(chunkWords.toDouble)).cast("long")
+    val chunks = transform(
+      sequence(lit(0L), nch - 1),
+      i => concat_ws(" ",
+        slice(ws, (i * chunkWords + 1).cast("int"), lit(chunkWords))))
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("idx", "passage")))
+    val dfCensus = exploded
+      .groupBy("passage")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") < maxDf)
+      .select("passage")
+    val reassembled = exploded
+      .join(dfCensus, "passage")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("passage")))),
+            s => s.getField("passage"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol).as("doc_id"), nch.as("n_passages"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_passages"),
+        (col("n_passages") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs over a PREBUILT IVF index
+    * ([[graft.operators.Similarity.buildIvfIndex]]): vectors compare only
+    * within their k-means cell (the SemDeDup blocking), exact cosine
+    * verifies each candidate. Reuses the same cell-partitioned store the
+    * ANN probes read, so one index build amortizes across search AND dedup.
+    *
+    * Approximate by blocking — a cross-cell pair is never considered
+    * (spec-gated recall vs the exact all-pairs twin). Scale: ONE shuffle
+    * keyed on cell; per-task work is bounded by cell occupancy² and cells
+    * shrink as k grows with the corpus.
+    */
+  def embeddingPairsIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      threshold: Double,
+      nAssign: Int = 2): DataFrame = {
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell").as("bcell"), col("centroid"))
+    // soft assignment (IVF spilling): re-rank the broadcast centroids and
+    // block each vector into its nAssign nearest cells — near-dups sitting
+    // on a cell boundary then still meet in at least one shared cell. The
+    // centroid scoring is map-side; the rank is one nid-keyed window.
+    val w = Window.partitionBy("nid").orderBy(col("cdist").desc, col("bcell"))
+    val assigned = cells.select("nid", "cvec", "cnrm")
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        dotSeq(col("cvec"), col("centroid")) /
+          (col("cnrm") * graft.functions.VectorFunctions.normSeq(col("centroid"))))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= nAssign)
+      .select(col("bcell").as("cell"), col("nid"), col("cvec"), col("cnrm"))
+    val b = assigned.select(col("cell"), col("nid").as("id2"),
+      col("cvec").as("v2"), col("cnrm").as("n2"))
+    assigned.select(col("cell"), col("nid").as("id1"),
+        col("cvec").as("v1"), col("cnrm").as("n1"))
+      .join(b, "cell")
+      .where(col("id1") < col("id2"))
+      // verify BEFORE dedup: duplicate admits of a pair (two shared cells)
+      // carry identical cosines, so filter-then-dedup == dedup-then-filter
+      .withColumn("cosine",
+        round(dotSeq(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+      .dropDuplicates("id1", "id2")
+  }
+
   def embeddingPairs(
       emb: DataFrame,
       idCol: String,

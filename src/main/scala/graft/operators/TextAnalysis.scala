@@ -160,6 +160,40 @@ object TextAnalysis {
         col("q_rank"))
   }
 
+  /** Corpus-composition report — the first thing anyone asks of a training
+    * corpus: per (source, token-length bucket), document count, token mass,
+    * and the share of the whole corpus each cell holds.
+    *
+    * Scale shape: bucketing is map-side; the histogram is one
+    * map-side-combined hash aggregation over ~|sources|×|buckets| cells;
+    * the corpus total joins back as a broadcast single row. At 100 TB the
+    * output is still a few hundred rows.
+    */
+  def corpusStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      bucketWords: Int,
+      maxBucket: Int): DataFrame = {
+    val nWords = size(wsTokens(col(textCol))).cast("long")
+    val bucket = least(expr(s"n_words div ${bucketWords}L"), lit(maxBucket.toLong))
+    val cells = docs
+      .select(col(sourceCol).as("source"), nWords.as("n_words"))
+      .withColumn("len_bucket", bucket)
+      .groupBy("source", "len_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_tokens"),
+        min("n_words").as("min_tokens"),
+        max("n_words").as("max_tokens"))
+    val total = docs.agg(count(lit(1)).cast("double").as("n_total"))
+    cells
+      .crossJoin(broadcast(total))
+      .withColumn("doc_share", round(col("n_docs") / col("n_total"), 6))
+      .drop("n_total")
+  }
+
   /** TF-IDF top-k terms per document (keyword extraction — the standard
     * corpus-statistics op of a training-data pipeline):
     * `score = tf · ln(N / df)` with `round(·, 6)` + term tie-break for

@@ -163,6 +163,21 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.8, s"embedding LSH recall = $recall")
   }
 
+  test("SemDeDup IVF-cell pairs are a high-recall subset of the exact join") {
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("dedup_embedding_ivf")(spark, sf0001)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // cell blocking never invents a pair (exact cosine verification)…
+    assert(ivf.subsetOf(exact), (ivf -- exact).toString)
+    // …and near-dups at cosine >= 0.45 mostly share a k-means cell
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"SemDeDup recall = $recall")
+  }
+
   test("persisted IVF probe path matches in-memory ivfTopK recall contract") {
     val queries = emb.where(col("vec_id") % 50 === 0)
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
@@ -392,4 +407,110 @@ class OperatorSpec extends SparkSuite {
     assert(by.keySet == Set("train", "val", "test"), by.toString)
     assert(by("train") > by("val") && by("train") > by("test"))
   }
+
+  test("packSequences equals the naive global cumsum, any bucket width") {
+    import graft.functions.TextFunctions.wsTokens
+    val n = size(wsTokens(col("text")))
+    // naive single-window reference (what the distributed form must equal)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs
+      .select(col("doc_id"), n.cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "offset").collect().toSeq
+    for (bw <- Seq(7L, 64L, 1000000L)) {
+      val got = operators.Packing.packSequences(docs, "doc_id", n, 512L, bw)
+        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "offset").collect().toSeq
+      assert(got == naive, s"bucketWidth=$bw")
+    }
+  }
+
+  test("packSequences offsets are contiguous and sequence fields consistent") {
+    import graft.functions.TextFunctions.wsTokens
+    val rows = operators.Packing.packSequences(
+        docs, "doc_id", size(wsTokens(col("text"))), 512L, 64L)
+      .orderBy("doc_id").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("offset") ==
+          a.getAs[Long]("offset") + a.getAs[Long]("n_tokens"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val off = r.getAs[Long]("offset"); val nt = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("seq_id") == off / 512)
+      assert(r.getAs[Long]("seq_off") == off % 512)
+      assert(r.getAs[Long]("n_seqs") == (off + nt - 1) / 512 - off / 512 + 1)
+      assert(r.getAs[Long]("seq_off") < 512)
+    }
+  }
+
+  test("dedupPassages strips cross-doc boilerplate, keeps order, keeps all docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c x1 y1 z1 p q r"),  // boilerplate head + unique rest
+      (2L, "x2 y2 z2 a b c"),        // boilerplate at a different position
+      (3L, "a b c g3 h3 i3"),
+      (4L, "a b c")                  // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupPassages(d, "doc_id", "text", chunkWords = 3, maxDf = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4) // fully-dropped docs still present
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("clean_text"), r.getAs[Long]("n_passages"),
+        r.getAs[Long]("n_dropped"))).toMap
+    assert(byId(1L) == (("x1 y1 z1 p q r", 3L, 1L)))
+    assert(byId(2L) == (("x2 y2 z2", 2L, 1L)))
+    assert(byId(3L) == (("g3 h3 i3", 2L, 1L)))
+    assert(byId(4L) == (("", 1L, 1L)))
+  }
+
+  test("dedupPassages with a high df cap is the identity reassembly") {
+    val out = Dedup.dedupPassages(docs, "doc_id", "text", 3, maxDf = 1000000)
+    assert(out.where(col("n_dropped") =!= 0L).count() == 0)
+    // reassembling every kept passage reproduces the original text
+    val joined = out.join(docs, "doc_id")
+      .where(col("clean_text") =!= trim(regexp_replace(col("text"), "\\s+", " ")))
+    assert(joined.count() == 0)
+  }
+
+  test("corpusStats cells partition the corpus exactly") {
+    val out = TextAnalysisFixture.corpusStats(docs)
+    val total = docs.count()
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == total)
+    val shareSum = out.agg(sum("doc_share")).collect()(0).getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+  }
+
+  test("topKBy returns the true per-bucket top groups") {
+    val t = Tsdb.attach(spark, Tables.events(spark, sf0001).select(
+      col("event_type").as("metric"),
+      map(lit("user_id"), col("user_id").cast("string"),
+        lit("cohort"), pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
+      col("ts_s").as("ts"), col("value")))
+    val (t0, t1) = (1704412800L, 1705017599L)
+    val full = t.aggregateBy("click", Seq.empty, t0, t1, Seq("cohort"), 3600L)
+      .select("bucket_start", "cohort", "sum_v").collect()
+      .groupBy(_.getLong(0))
+    val top = t.topKBy("click", Seq.empty, t0, t1, Seq("cohort"), 3600L, 3)
+      .select("bucket_start", "cohort", "sum_v", "rk").collect()
+      .groupBy(_.getLong(0))
+    top.foreach { case (bucket, rows) =>
+      assert(rows.length <= 3)
+      val chosen = rows.map(_.getDouble(2)).toSeq.sorted(Ordering[Double].reverse)
+      val best = full(bucket).map(_.getDouble(2)).toSeq
+        .sorted(Ordering[Double].reverse).take(rows.length)
+      assert(chosen == best, s"bucket $bucket: $chosen vs $best")
+    }
+    assert(top.keySet == full.keySet) // every bucket represented
+  }
+}
+
+/** Shared fixture call so the spec and the registered query stay in sync. */
+private object TextAnalysisFixture {
+  def corpusStats(docs: org.apache.spark.sql.DataFrame) =
+    graft.operators.TextAnalysis.corpusStats(
+      docs, "doc_id", "text", "source", bucketWords = 50, maxBucket = 7)
 }

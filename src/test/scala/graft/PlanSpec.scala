@@ -145,6 +145,35 @@ class PlanSpec extends SparkSuite {
       split.take(3000))
   }
 
+  test("pack_sequences: corpus window is bucket-partitioned, offsets broadcast") {
+    val plan = planOf(SparkEntry.queries("pack_sequences")(spark, sf0001))
+    // the corpus-wide window must be PARTITIONED by bucket — the
+    // single-partition global window this operator exists to avoid would
+    // print an empty partition spec over the doc scan
+    assert(plan.contains("windowspecdefinition(bucket"), plan.take(3000))
+    // bucket offsets join back as a broadcast (never a corpus shuffle join)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // corpus-side hash exchanges: the per-bucket totals aggregation and the
+    // per-bucket window — both keyed on bucket; nothing keys on doc_id
+    val others = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).filterNot(_ == "bucket").toSeq
+    assert(others.isEmpty, s"unexpected exchanges on $others")
+  }
+
+  test("dedup_passages: census joins by shuffle on passage, no corpus broadcast") {
+    val q = graft.operators.Dedup.dedupPassages(
+      Tables.documents(spark, sf0001), "doc_id", "text", 3, 3)
+    val logical = q.queryExecution.optimizedPlan.toString
+    // no broadcast HINT in the logical plan: the passage census scales with
+    // the corpus vocabulary and must stay a shuffle join at 100 TB (AQE may
+    // still broadcast at toy scale — that's a size decision, not a plan one)
+    assert(!logical.contains("ResolvedHint"), logical.take(2000))
+    val plan = planOf(q)
+    // df census aggregates with map-side partials before its shuffle
+    assert(plan.contains("partial_count") || plan.contains("count(distinct"),
+      plan.take(3000))
+  }
+
   test("quality filter is one window shuffle over a single scan") {
     val plan = planOf(SparkEntry.queries("text_quality_filter")(spark, sf0001))
     // map-side scoring (no self-join): exactly one hash exchange (the
