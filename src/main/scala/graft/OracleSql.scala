@@ -770,6 +770,17 @@ object OracleSql {
        |       min($tsS) AS min_ts, max($tsS) AS max_ts
        |FROM events GROUP BY 1 ORDER BY seg""".stripMargin
 
+  /** Compacted-store stats mirror: chunked appends + compaction must be
+    * invisible — same stats as a single-batch ingest of the window.
+    */
+  private val tsdbCompactStats =
+    s"""SELECT ($tsS // 86400) AS seg,
+       |       count(*) AS n_points,
+       |       count(DISTINCT event_type || '|' || CAST(user_id AS VARCHAR)) AS n_series,
+       |       min($tsS) AS min_ts, max($tsS) AS max_ts
+       |FROM events WHERE $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1 ORDER BY seg""".stripMargin
+
   private val qJsonExtract =
     """SELECT event_type,
       |       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n,
@@ -991,6 +1002,92 @@ object OracleSql {
       |ORDER BY source, len_bucket""".stripMargin
 
   /** topk(3, sum by (cohort)(click[1h])) over the tsdbAggBy aggregation. */
+  /** histogram_quantile(0.9, …) mirror: identical bucket CASE chain,
+    * cumulative/total windows, Prometheus interpolation arithmetic in the
+    * same operation order (all integer→double conversions + IEEE ops), so
+    * `q` is bit-identical to the Spark plan.
+    */
+  private val tsdbHistogramQuantile =
+    s"""WITH e AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         CASE WHEN value <= 5.0 THEN 5.0
+       |              WHEN value <= 10.0 THEN 10.0
+       |              WHEN value <= 25.0 THEN 25.0
+       |              WHEN value <= 50.0 THEN 50.0
+       |              WHEN value <= 100.0 THEN 100.0
+       |              WHEN value <= 250.0 THEN 250.0
+       |              ELSE CAST('inf' AS DOUBLE) END AS le
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |g AS (
+       |  SELECT cohort, bucket_start, le, count(*) AS cnt
+       |  FROM e GROUP BY 1, 2, 3),
+       |c AS (
+       |  SELECT cohort, bucket_start, le, cnt,
+       |         SUM(cnt) OVER (PARTITION BY cohort, bucket_start
+       |                        ORDER BY le) AS cum,
+       |         SUM(cnt) OVER (PARTITION BY cohort, bucket_start) AS total
+       |  FROM g),
+       |x AS (
+       |  SELECT *,
+       |         COALESCE(lag(cum) OVER (PARTITION BY cohort, bucket_start
+       |                                 ORDER BY le), 0) AS prev_cum,
+       |         lag(le) OVER (PARTITION BY cohort, bucket_start
+       |                       ORDER BY le) AS prev_le,
+       |         CAST(0.9 AS DOUBLE) * total AS target
+       |  FROM c)
+       |SELECT cohort, bucket_start, CAST(total AS BIGINT) AS n,
+       |       CASE WHEN le = CAST('inf' AS DOUBLE) THEN 250.0
+       |            ELSE COALESCE(prev_le, 0.0) +
+       |                 (le - COALESCE(prev_le, 0.0)) *
+       |                 (target - prev_cum) / cnt END AS q
+       |FROM x WHERE cum >= target AND prev_cum < target
+       |ORDER BY cohort, bucket_start""".stripMargin
+
+  /** predict_linear mirror: regression moments in exact HUGEINT (matching
+    * the Spark plan's decimal(38,0)); the only floating-point steps are the
+    * final casts and divisions, identical in both engines.
+    */
+  private val tsdbPredictLinear = {
+    val xp = (T1 + 3600L) - T0
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |         CAST($tsS - $T0 AS HUGEINT) AS x,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |a AS (
+       |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+       |         SUM(x) AS sx, SUM(yc) AS syc,
+       |         SUM(x*yc) AS sxyc, SUM(x*x) AS sxx
+       |  FROM e GROUP BY 1),
+       |b AS (
+       |  SELECT user_id, n, sx, syc,
+       |         n*sxyc - sx*syc AS numc,
+       |         n*sxx - sx*sx AS den
+       |  FROM a)
+       |SELECT user_id, CAST(n AS BIGINT) AS n,
+       |       CAST(numc AS DOUBLE) / CAST(den AS DOUBLE) / 100.0
+       |         AS slope_per_sec,
+       |       CAST(syc*den + numc*(n*CAST($xp AS HUGEINT) - sx) AS DOUBLE)
+       |         / CAST(n*den AS DOUBLE) / 100.0 AS predicted
+       |FROM b WHERE n >= 2 AND den <> 0
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** label_replace mirror: the anchored full-match capture expansion is the
+    * same RE across Java regex and RE2 for this digit pattern.
+    */
+  private val tsdbLabelReplace =
+    s"""SELECT regexp_replace(CAST(user_id AS VARCHAR),
+       |         '^(?:(\\d)\\d*)$$', '\\1') AS band,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val tsdbTopk =
     s"""WITH agg AS (
        |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
@@ -1034,6 +1131,11 @@ object OracleSql {
     "tsdb_bucket_agg" -> tsdbBucketAgg,
     "tsdb_delta" -> tsdbDelta,
     "tsdb_agg_by" -> tsdbAggBy,
+    "tsdb_histogram_quantile" -> tsdbHistogramQuantile,
+    "tsdb_predict_linear" -> tsdbPredictLinear,
+    "tsdb_label_replace" -> tsdbLabelReplace,
+    "tsdb_compact_stats" -> tsdbCompactStats,
+    "q_orc_roundtrip" -> qJsonRoundtrip,
     "tsdb_agg_increase" -> tsdbAggIncrease,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,

@@ -80,6 +80,62 @@ object SparkEntry {
       .topKBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, k = 3)
       .orderBy("bucket_start", "rk")
 
+  /** PromQL `histogram_quantile(0.9, sum by (cohort, le) (click[1h]))`:
+    * per-cohort p90 from query-time cumulative buckets with Prometheus
+    * interpolation semantics.
+    */
+  private val HistBuckets = Seq(5.0, 10.0, 25.0, 50.0, 100.0, 250.0)
+
+  private def qTsdbHistogramQuantile(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .histogramQuantile("click", Seq.empty, T0, T1, Seq("cohort"), 3600L,
+        phi = 0.9, buckets = HistBuckets)
+      .orderBy("cohort", "bucket_start")
+
+  /** PromQL `predict_linear(click[range], 1h)` per series: least-squares
+    * slope + 1h-ahead extrapolation, exact-decimal moments (bit-reproducible
+    * vs the HUGEINT oracle).
+    */
+  private def qTsdbPredictLinear(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir)
+      .predictLinear("click", Seq.empty, T0, T1, Seq("user_id"),
+        atSec = T1 + 3600L)
+      .select(col("user_id").cast("long").as("user_id"), col("n"),
+        col("slope_per_sec"), col("predicted"))
+      .orderBy("user_id")
+
+  /** PromQL `label_replace()` feeding an aggregation: derive a `band` label
+    * (leading digit of user_id) map-side, then `sum by (band)` — relabeling
+    * composes with the cross-series aggregation without extra shuffles.
+    */
+  private def qTsdbLabelReplace(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir)
+      .queryRange("click", Seq.empty, T0, T1)
+      .withColumn("labels", graft.functions.LabelFunctions.labelReplace(
+        col("labels"), "band", "$1", "user_id", "(\\d)\\d*"))
+      .groupBy(col("labels").getItem("band").as("band"))
+      .agg(count(lit(1)).as("n"), dec2(col("value")).as("sum_v"))
+      .orderBy("band")
+
+  /** Chunked ingest + segment compaction: three append batches per segment,
+    * then `compactSegments()` rewrites each seg dir to one (sid, ts)-sorted
+    * file — the small-files maintenance job. Stats over the compacted store
+    * must equal the single-batch ingest oracle exactly.
+    */
+  private def qTsdbCompactStats(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val t = new Tsdb(s, TsdbConf(dataPath = path, compression = "zstd",
+      segmentDuration = 86400L))
+    // the query-window week (the full-month single-batch path is
+    // tsdb_ingest_stats); three appends per segment is the compaction case
+    val e = eventsAsSamples(s, dir)
+      .where(col("ts").between(T0, T1))
+      .withColumn("chunk", pmod(col("ts"), lit(3)))
+    (0 until 3).foreach(c => t.insertRows(e.where(col("chunk") === c)))
+    t.compactSegments()
+    t.segmentStats.orderBy("seg")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q5_region_revenue")(spark, "/root/testdata/sf0.001")
@@ -619,6 +675,26 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** ORC sink + source round-trip: the second columnar format a lakehouse
+    * interchange needs beside parquet — write a projection of events as
+    * ORC, read it back, aggregate; must equal the same aggregation over the
+    * parquet original (exercises the ORC vectorized reader/writer path).
+    */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val e = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    e.write.mode("overwrite").option("compression", "zstd").orc(tmp)
+    s.read.schema(e.schema).orc(tmp)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(col("value")).as("sum_v"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
   /** JSON-lines sink + source round-trip (the columnar↔text interchange a
     * pipeline uses for export/ingest): write a projection as JSON lines,
     * read it back with an explicit schema, aggregate — must equal the same
@@ -1065,6 +1141,11 @@ object SparkEntry {
     "tsdb_delta" -> (qTsdbDelta _),
     "tsdb_agg_by" -> (qTsdbAggBy _),
     "tsdb_agg_increase" -> (qTsdbAggIncrease _),
+    "tsdb_histogram_quantile" -> (qTsdbHistogramQuantile _),
+    "tsdb_predict_linear" -> (qTsdbPredictLinear _),
+    "tsdb_label_replace" -> (qTsdbLabelReplace _),
+    "tsdb_compact_stats" -> (qTsdbCompactStats _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q1_agg" -> (q1Agg _),
     "q3_topk" -> (q3Topk _),
     "q5_region_revenue" -> (q5RegionRevenue _),

@@ -502,6 +502,115 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         col("n"), col("sum_v")): _*)
   }
 
+  /** PromQL `histogram_quantile(phi, sum by (labels, le) (metric[step]))`
+    * over raw observations bucketed at query time: each sample lands in its
+    * smallest `le >= value` cumulative bucket (map-side `when` chain), per
+    * (label subset, step bucket, le) counts are ONE hash aggregation, and
+    * the Prometheus interpolation runs as a window over the tiny aggregated
+    * bucket table ordered by `le`. Semantics match Prometheus
+    * `bucketQuantile`: linear interpolation inside the crossing bucket, a
+    * lower bound of 0 for the first finite bucket, and the highest finite
+    * `le` when the rank falls in the `+Inf` bucket.
+    *
+    * Exchanges: the corpus-sized one keys the full group (labels, bucket,
+    * le); the window shuffles only `groups × |buckets|` aggregated rows.
+    * All interpolation arithmetic is (long, literal-double) IEEE ops in a
+    * fixed order, so results are bit-reproducible across engines.
+    */
+  def histogramQuantile(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      phi: Double,
+      buckets: Seq[Double]): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1): $phi")
+    require(buckets.nonEmpty && buckets == buckets.sorted,
+      "bucket bounds must be ascending")
+    val le = buckets.foldRight(lit(Double.PositiveInfinity): Column) {
+      (b, rest) => when(col("value") <= b, lit(b)).otherwise(rest)
+    }
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) ++ Seq(
+      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start"))
+    val grouped = queryRange(metric, matchers, start, end)
+      .withColumn("le", le)
+      .groupBy(keys :+ col("le"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val part = byLabels.map(col) :+ col("bucket_start")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(part: _*).orderBy("le")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(part: _*)
+    val lo = coalesce(col("prev_le"), lit(0.0))
+    grouped
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("total", sum("cnt").over(wAll))
+      .withColumn("prev_cum", coalesce(lag("cum", 1).over(w), lit(0L)))
+      .withColumn("prev_le", lag("le", 1).over(w))
+      .withColumn("target", lit(phi) * col("total"))
+      // exactly one crossing row per group: cum is strictly increasing
+      // (every present le has cnt > 0) and 0 < target <= total
+      .where(col("cum") >= col("target") && col("prev_cum") < col("target"))
+      .withColumn("q",
+        when(col("le") === lit(Double.PositiveInfinity), lit(buckets.last))
+          .otherwise(lo +
+            (col("le") - lo) * (col("target") - col("prev_cum")) / col("cnt")))
+      .select(part ++ Seq(col("total").as("n"), col("q")): _*)
+  }
+
+  /** PromQL `deriv()` / `predict_linear()`: per-group least-squares fit of
+    * value over time, returning the per-second slope and the extrapolated
+    * value at `atSec`. One hash aggregation computes the five regression
+    * moments; with `ts` re-origined to `start` and values scaled to integer
+    * cents, every moment, the closed-form numerators and denominators stay
+    * EXACT in decimal(38,0) (mirrored by HUGEINT on the oracle side), and
+    * the only floating-point steps are the two final divisions — identical
+    * IEEE operations in both engines, hence bit-reproducible.
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   ŷ(xp) = (Σy·den + num·(n·xp − Σx)) / (n·den)
+    *
+    * Magnitude audit (sf0.1 × 10, per group): x ≤ 6.1e5, y_cents ≤ 4.9e4,
+    * n ≤ 2e4 → |Σy·den| ≤ ~3e29 and |num·(n·xp − Σx)| ≤ ~6e29, both well
+    * inside decimal(38,0) / HUGEINT range.
+    */
+  def predictLinear(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      atSec: Long): DataFrame = {
+    val dec = "decimal(20,0)"
+    val byCols = byLabels.map(l => col("labels").getItem(l).as(l))
+    val xp = lit(atSec - start).cast(dec)
+    queryRange(metric, matchers, start, end)
+      .select(byCols ++ Seq(
+        (col("ts") - lit(start)).cast(dec).as("x"),
+        (col("value").cast("decimal(18,2)") * 100).cast(dec).as("yc")): _*)
+      .groupBy(byLabels.map(col): _*)
+      .agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yc")).as("syc"),
+        sum(col("x") * col("yc")).as("sxyc"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("numc", col("n") * col("sxyc") - col("sx") * col("syc"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      // a fit needs >= 2 distinct timestamps (den = 0 otherwise)
+      .where(col("n") >= 2 && col("den") =!= 0)
+      .withColumn("slope_per_sec",
+        col("numc").cast("double") / col("den").cast("double") / 100.0)
+      .withColumn("predicted",
+        (col("syc") * col("den") +
+          col("numc") * (col("n") * xp - col("sx"))).cast("double") /
+          (col("n") * col("den")).cast("double") / 100.0)
+      .select(byLabels.map(col) ++ Seq(col("n").cast("long").as("n"),
+        col("slope_per_sec"), col("predicted")): _*)
+  }
+
   /** QuerySeries (reference tsdb.go:323-350): distinct matching label sets
     * whose series overlap `[start, end]`. Runs on the small series_meta
     * dimension only — never touches the fact table.
@@ -566,6 +675,65 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     fs.rename(
       new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(metaPath))
+  }
+
+  /** Segment compaction: rewrite the append-accumulated files inside each
+    * frozen segment partition into at most `filesPerSeg` files, re-sorted
+    * by (sid, ts). Every durable append (insertRows batch, streaming
+    * micro-batch, head flush) adds files to its seg directories; at fleet
+    * scale that is the small-files failure mode — a month of 30 s
+    * micro-batches is ~90k files per segment, and scan parallelism drowns
+    * in open/seek overhead. Compaction restores the write-once layout the
+    * reference gets by construction (its segments are sealed at freeze,
+    * tsdb.go:242-265, and never appended) while keeping our append
+    * availability. The rewrite also restores per-series (sid, ts) point
+    * locality across what were separate appends — parquet delta-encoding
+    * and sid row-group stats work best on the merged run.
+    *
+    * Each segment is rewritten independently (read seg dir → sort →
+    * write sibling tmp → atomic rename), so a compaction pass is trivially
+    * parallelizable across segments and never blocks reads for longer than
+    * one rename. Returns the seg ids compacted.
+    */
+  def compactSegments(filesPerSeg: Int = 1, parallelism: Int = 8): Seq[Long] = {
+    if (conf.onlyMemoryMode) return Seq.empty
+    require(filesPerSeg >= 1, s"filesPerSeg must be >= 1: $filesPerSeg")
+    val candidates = listSegDirs().filter { case (_, p) =>
+      fs.listStatus(p).count(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")) > filesPerSeg
+    }
+    if (candidates.isEmpty) return Seq.empty
+    // segment rewrites are independent single-partition-dir jobs; run them
+    // concurrently on a bounded driver pool so a many-segment pass is
+    // limited by executor throughput, not by job-scheduling latency
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, candidates.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val done = candidates.map { case (seg, p) =>
+        scala.concurrent.Future {
+          // tmp lives OUTSIDE the partition tree (dot-prefixed sibling of
+          // samples/): concurrent partition discovery never sees a
+          // non-`seg=<n>` directory mid-rewrite
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"${conf.dataPath}/.compact_seg_$seg")
+          spark.read.parquet(p.toString)
+            .repartition(filesPerSeg)
+            .sortWithinPartitions("sid", "ts")
+            .write.mode("overwrite")
+            .option("compression", conf.compression)
+            .parquet(tmp.toString)
+          fs.delete(p, true)
+          fs.rename(tmp, p)
+          seg
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(done),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** Retention expiry (reference tsdb.go:384-406): whole-partition drop of

@@ -60,6 +60,31 @@ object LabelFunctions {
         e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\"")))),
       lit("}"))
 
+  /** PromQL `label_replace(v, dst, replacement, src, regex)`: if `regex`
+    * matches the ENTIRE value of label `src`, set label `dst` to
+    * `replacement` with `$1`-style capture expansion; otherwise the label
+    * set passes through unchanged (Prometheus semantics — the match is
+    * full-anchored). Pure map-side column work: no shuffle, no UDF — the
+    * anchored `rlike` guard and `regexp_replace` expansion are both
+    * codegen'd, and `map_filter` + `map_concat` performs the dst upsert
+    * without depending on a session dedup policy.
+    */
+  def labelReplace(
+      labels: Column,
+      dst: String,
+      replacement: String,
+      src: String,
+      regex: String): Column = {
+    val anchored = "^(?:" + regex + ")$"
+    val v = labels.getItem(src)
+    val expanded = regexp_replace(v, anchored, replacement)
+    when(v.isNotNull && v.rlike(anchored),
+      map_concat(
+        map_filter(labels, (k, _) => k =!= dst),
+        map(lit(dst), expanded)))
+      .otherwise(labels)
+  }
+
   /** Time-bucket (segment) id: `floor(tsSeconds / segmentDuration)`.
     * Replaces the reference's `seg-<minTs>-<maxTs>` directories
     * (tsdb.go:154-156) with a partition column Catalyst can prune on.

@@ -184,4 +184,33 @@ class PlanSpec extends SparkSuite {
     assert(scans == 1, s"$scans scans\n${plan.take(3000)}")
     assert(plan.contains("Window"), plan.take(3000))
   }
+
+  test("histogram_quantile: corpus exchange keys the full bucket group") {
+    val plan = planOf(
+      SparkEntry.queries("tsdb_histogram_quantile")(spark, sf0001))
+    // the ONLY corpus-sized exchange is the (group, le) hash aggregation;
+    // the interpolation window re-shuffles just groups × |buckets| rows
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 2, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+    assert("hashpartitioning\\([^)]*le".r.findFirstIn(plan).isDefined,
+      s"corpus exchange not keyed on le\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("predict_linear: one aggregation shuffle, map-side moments") {
+    val plan = planOf(
+      SparkEntry.queries("tsdb_predict_linear")(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
+
+  test("label_replace aggregation stays one shuffle, no UDF") {
+    val plan = planOf(
+      SparkEntry.queries("tsdb_label_replace")(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(3000))
+  }
 }

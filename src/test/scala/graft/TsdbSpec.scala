@@ -380,4 +380,99 @@ class TsdbSpec extends SparkSuite {
       assert(!plan.toLowerCase.contains("rlike"), s"$pat not rewritten:\n$plan")
     }
   }
+
+  test("segment compaction merges append files, preserves every query") {
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("compact"), segmentDuration = 7200L,
+      compression = "zstd"))
+    // three appends covering the same segments -> >= 3 files per seg dir
+    Metrics.grouped(3).foreach { ms =>
+      t.insertRows(grid().where(col("metric").isin(ms: _*)))
+    }
+    def segFileCounts(): Map[String, Int] = {
+      val base = new java.io.File(s"${t.conf.dataPath}/samples")
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("seg="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))).toMap
+    }
+    def snapshot() = t
+      .queryRange("cpu.busy", Seq.empty, Start, Start + Steps * 60L)
+      .select(col("labels").getItem("node"), col("labels").getItem("dc"),
+        col("ts"), col("value"))
+      .collect().map(_.toSeq).toSet
+    val before = snapshot()
+    val statsBefore = t.segmentStats.orderBy("seg").collect().map(_.toSeq).toSeq
+    assert(segFileCounts().values.forall(_ >= 3), s"${segFileCounts()}")
+    val compacted = t.compactSegments()
+    assert(compacted.nonEmpty)
+    assert(segFileCounts().values.forall(_ == 1), s"${segFileCounts()}")
+    assert(snapshot() == before)
+    assert(t.segmentStats.orderBy("seg").collect().map(_.toSeq).toSeq
+      == statsBefore)
+    // idempotent: a second pass finds nothing to do
+    assert(t.compactSegments().isEmpty)
+  }
+
+  test("histogramQuantile: Prometheus interpolation, zero floor, +Inf clamp") {
+    import spark.implicits._
+    // three groups in one step bucket, buckets [10, 20]:
+    //  a: 2,4,6,8,10   phi=.5 -> first bucket, floor 0: q = 0+10*(2.5-0)/5 = 5
+    //  b: 5,12,14      phi=.5 -> crossing le=20: q = 10+10*(1.5-1)/2 = 12.5
+    //  c: 5,15,100     phi=.5 -> target 1.5 crosses le=20: q = 10+10*(.5)/1=15
+    //     (and phi=.9 -> target 2.7 crosses +Inf: q = last finite le = 20)
+    val rows =
+      Seq("a" -> 2.0, "a" -> 4.0, "a" -> 6.0, "a" -> 8.0, "a" -> 10.0,
+        "b" -> 5.0, "b" -> 12.0, "b" -> 14.0,
+        "c" -> 5.0, "c" -> 15.0, "c" -> 100.0)
+        .zipWithIndex.map { case ((g, v), i) =>
+          ("m", Map("g" -> g), 1000L + i, v)
+        }
+    val t = Tsdb.attach(spark, rows.toDF("metric", "labels", "ts", "value"))
+    def q(phi: Double): Map[String, Double] =
+      t.histogramQuantile("m", Seq.empty, 0L, 5000L, Seq("g"), 100000L,
+          phi, Seq(10.0, 20.0))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(q(0.5) == Map("a" -> 5.0, "b" -> 12.5, "c" -> 15.0))
+    assert(q(0.9)("c") == 20.0)
+  }
+
+  test("predictLinear recovers an exact trend, excludes degenerate series") {
+    import spark.implicits._
+    // g=a: value = 2*x + 7 over x=0..9 -> slope 2.0, exact everywhere
+    // g=b: one point -> no fit; g=c: two points at the SAME ts -> den 0
+    val rows =
+      (0 until 10).map(x => ("m", Map("g" -> "a"), 100L + x, 2.0 * x + 7)) ++
+        Seq(("m", Map("g" -> "b"), 100L, 1.0),
+          ("m", Map("g" -> "c"), 100L, 1.0), ("m", Map("g" -> "c"), 100L, 5.0))
+    val t = Tsdb.attach(spark, rows.toDF("metric", "labels", "ts", "value"))
+    val got = t.predictLinear("m", Seq.empty, 100L, 200L, Seq("g"),
+        atSec = 150L)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", 2.0, 2.0 * 50 + 7)))
+  }
+
+  test("labelReplace: anchored match, capture expansion, dst overwrite") {
+    import spark.implicits._
+    import graft.functions.LabelFunctions.labelReplace
+    val df = Seq(
+      Map("src" -> "abc123", "keep" -> "x"),
+      Map("src" -> "abc123", "keep" -> "x", "dst" -> "old"),
+      Map("src" -> "zzz", "keep" -> "x"),      // no match -> unchanged
+      Map("keep" -> "x"))                      // src absent -> unchanged
+      .toDF("labels")
+    val out = df.select(labelReplace(
+        col("labels"), "dst", "$1", "src", "[a-z]+(\\d+)").as("l"))
+      .collect().map(_.getAs[Map[String, String]]("l"))
+    assert(out(0) == Map("src" -> "abc123", "keep" -> "x", "dst" -> "123"))
+    assert(out(1) == Map("src" -> "abc123", "keep" -> "x", "dst" -> "123"))
+    assert(out(2) == Map("src" -> "zzz", "keep" -> "x"))
+    assert(out(3) == Map("keep" -> "x"))
+    // anchoring: a partial match must NOT fire ("abc123x" !~ ^[a-z]+(\d+)$)
+    val part = Seq(Map("src" -> "abc123x")).toDF("labels")
+      .select(labelReplace(col("labels"), "dst", "$1", "src",
+        "[a-z]+(\\d+)").as("l"))
+      .head().getAs[Map[String, String]]("l")
+    assert(part == Map("src" -> "abc123x"))
+  }
 }
