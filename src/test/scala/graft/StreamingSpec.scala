@@ -359,4 +359,55 @@ class StreamingSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expect && got.nonEmpty, s"${got.size} vs ${expect.size}")
   }
+
+  test("stream-stream interval join equals the batch range join at sf0.01") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").cast("long").as("user_id"), col("ts_s"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts_s").as("pts"), col("value"))
+    // batch truth: purchases within [click, click + 1h)
+    val expect = graft.operators.EventOps
+      .rangeJoin(clicks, purchases, "user_id", "ts_s", "pts",
+        lower = 0L, upper = 3600L, rightPayload = Seq("value"))
+      .select(col("user_id"), col("ts_s"), col("__rts"), col("value"))
+      .collect().map(_.toSeq).toSet
+    assert(expect.nonEmpty)
+    val memL = MemoryStream[(Long, Long)]
+    val memR = MemoryStream[(Long, Long, Double)]
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      memL.toDF().toDF("user_id", "ts_s")
+        .withColumn("cts", timestamp_seconds(col("ts_s"))),
+      memR.toDF().toDF("user_id", "pts_s", "value")
+        .withColumn("pts", timestamp_seconds(col("pts_s"))),
+      "user_id", "cts", "pts", lowerSec = 0L, upperSec = 3600L,
+      // wider than the fixture's replay skew: the two arrival waves below
+      // deliver each side out of event-time order, and rows behind the
+      // watermark would be (correctly) dropped with a realistic delay
+      watermark = "40 days")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    // two arrival waves split by key parity: each pair has its two sides
+    // in DIFFERENT micro-batches, so every match exercises carried join
+    // state — none can be satisfied within one batch
+    val cRows = clicks.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pRows = purchases.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    memL.addData(cRows.filter(_._1 % 2 == 0).toIndexedSeq: _*)
+    memR.addData(pRows.filter(_._1 % 2 == 1).toIndexedSeq: _*)
+    q.processAllAvailable()
+    memL.addData(cRows.filter(_._1 % 2 == 1).toIndexedSeq: _*)
+    memR.addData(pRows.filter(_._1 % 2 == 0).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin_out")
+      .select(col("user_id"), col("ts_s"), col("pts_s"), col("value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expect,
+      s"sizes ${got.size} vs ${expect.size}; " +
+        s"stream-only ${(got -- expect).take(3)}; " +
+        s"batch-only ${(expect -- got).take(3)}")
+  }
 }
