@@ -770,6 +770,59 @@ object OracleSql {
        |       min($tsS) AS min_ts, max($tsS) AS max_ts
        |FROM events GROUP BY 1 ORDER BY seg""".stripMargin
 
+  /** quantile_over_time mirror — quantile_cont matches Spark's exact
+    * `percentile` interpolation; round(…, 6) absorbs the engines'
+    * interpolation-order ULP differences (same contract as
+    * q_percentiles).
+    */
+  private val tsdbQuantileOverTime =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       count(*) AS n,
+       |       round(quantile_cont(value, 0.95), 6) AS q_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Training-shard mirror: the naive global prefix sum the distributed
+    * two-level scan replaces, grouped into 64-sequence shards.
+    */
+  private val corpusShards =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |           AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(COALESCE(SUM(n_tokens) OVER (
+      |           ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS "offset"
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, n_tokens, ("offset" // 512) // 64 AS shard FROM c)
+      |SELECT shard, count(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Vocabulary census mirror: lowercased whitespace tokens, term census,
+    * single-row fold.
+    */
+  private val textVocab =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND trim(text) <> ''),
+      |census AS (
+      |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+      |SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |       count(*) AS n_vocab,
+      |       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_hapax,
+      |       max(tf) AS max_tf
+      |FROM census""".stripMargin
+
   /** Compacted-store stats mirror: chunked appends + compaction must be
     * invisible — same stats as a single-batch ingest of the window.
     */
@@ -1134,8 +1187,11 @@ object OracleSql {
     "tsdb_histogram_quantile" -> tsdbHistogramQuantile,
     "tsdb_predict_linear" -> tsdbPredictLinear,
     "tsdb_label_replace" -> tsdbLabelReplace,
+    "tsdb_quantile_over_time" -> tsdbQuantileOverTime,
     "tsdb_compact_stats" -> tsdbCompactStats,
     "q_orc_roundtrip" -> qJsonRoundtrip,
+    "corpus_shards" -> corpusShards,
+    "text_vocab" -> textVocab,
     "tsdb_agg_increase" -> tsdbAggIncrease,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,

@@ -117,6 +117,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dec2(col("value")).as("sum_v"))
       .orderBy("band")
 
+  /** PromQL `quantile_over_time(0.95, click[1h]) by (cohort)`: exact
+    * per-bucket p95, one partial-merge aggregation.
+    */
+  private def qTsdbQuantileOverTime(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .quantileBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, q = 0.95)
+      .orderBy("cohort", "bucket_start")
+
   /** Chunked ingest + segment compaction: three append batches per segment,
     * then `compactSegments()` rewrites each seg dir to one (sid, ts)-sorted
     * file — the small-files maintenance job. Stats over the compacted store
@@ -1038,6 +1046,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Equal-token training shards: group the packed layout's sequences into
+    * shards of 64 × 512-token sequences — the final "write the corpus as N
+    * balanced files" step. One extra hash aggregation over the pack output.
+    */
+  private def qCorpusShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    operators.Packing.packSequences(
+        Tables.documents(s, dir), "doc_id", size(wsTokens(col("text"))),
+        budget = 512L, bucketWidth = 64L)
+      .groupBy(expr("seq_id div 64").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("shard")
+  }
+
+  /** Corpus vocabulary census: token mass, vocabulary size, hapax count. */
+  private def qTextVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStats(Tables.documents(s, dir), "text")
+
   /** RefinedWeb-style passage dedup: 3-word aligned passages, strip any
     * passage present in >= 3 distinct documents, reassemble in order.
     */
@@ -1144,8 +1174,11 @@ object SparkEntry {
     "tsdb_histogram_quantile" -> (qTsdbHistogramQuantile _),
     "tsdb_predict_linear" -> (qTsdbPredictLinear _),
     "tsdb_label_replace" -> (qTsdbLabelReplace _),
+    "tsdb_quantile_over_time" -> (qTsdbQuantileOverTime _),
     "tsdb_compact_stats" -> (qTsdbCompactStats _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "corpus_shards" -> (qCorpusShards _),
+    "text_vocab" -> (qTextVocab _),
     "q1_agg" -> (q1Agg _),
     "q3_topk" -> (q3Topk _),
     "q5_region_revenue" -> (q5RegionRevenue _),

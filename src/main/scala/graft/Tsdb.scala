@@ -440,6 +440,30 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         max("value").as("max_v"))
   }
 
+  /** PromQL `quantile_over_time(q, metric[step]) by (labels)`: exact
+    * continuous quantile of the raw samples per (label subset, step
+    * bucket). One hash aggregation — `percentile` is a partial-merge
+    * aggregate, so map-side combine applies like any sum; no window, no
+    * per-series sort job.
+    */
+  def quantileBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile must be in [0,1]: $q")
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
+    queryRange(metric, matchers, start, end)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(q)), 6).as("q_v"))
+  }
+
   /** `sum by (labels) (increase(metric[step]))` — the composed PromQL
     * counter form: per-SERIES reset-robust increase (positive deltas; a
     * drop contributes the new value, as a restarted counter does), then

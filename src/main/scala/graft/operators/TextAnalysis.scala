@@ -205,6 +205,24 @@ object TextAnalysis {
     * dimension joins back on term — at corpus scale this is the shuffle
     * join it should be (term cardinality ~ vocabulary, not corpus size).
     */
+  /** Corpus vocabulary census: total token mass, distinct vocabulary size,
+    * hapax-legomena count (terms seen exactly once) and the modal term
+    * frequency — the Zipf-health numbers a training-mix report leads with.
+    * Two hash aggregations: the term census keys on the term (scales with
+    * vocabulary, map-side combined, never broadcast), then a single-row
+    * fold. Lowercased whitespace tokens, matching the tfidf tokenizer.
+    */
+  def vocabStats(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .where(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(wsTokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max("tf").as("max_tf"))
+
   def tfidfTopTerms(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = docs.select(

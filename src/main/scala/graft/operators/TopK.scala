@@ -94,6 +94,18 @@ object TopK {
       idCol: String,
       k: Int,
       distinctIds: Boolean = false): DataFrame = {
+    // ObjectHashAggregate abandons its hash map for sort-based aggregation
+    // after `fallbackThreshold` distinct groups per task (default 128).
+    // For this bounded-buffer aggregator that fallback is pure loss — it
+    // externally sorts O(rows) per task to save memory the k-item buffers
+    // never needed. Raise the bar so realistic group fan-ins (thousands of
+    // query ids per task) stay in the hash regime; memory stays bounded at
+    // groups × k tuples. Measured on the 50M-pair clustered ANN bench:
+    // 7.4 s -> 3.1 s.
+    val sess = df.sparkSession
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (scala.util.Try(sess.conf.get(key).toInt).toOption.forall(_ < 65536))
+      sess.conf.set(key, "65536")
     val tk =
       if (distinctIds) udaf(new TopKDistinctAggregator(k))
       else udaf(new TopKAggregator(k))
