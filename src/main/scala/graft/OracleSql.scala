@@ -770,6 +770,26 @@ object OracleSql {
        |       min($tsS) AS min_ts, max($tsS) AS max_ts
        |FROM events GROUP BY 1 ORDER BY seg""".stripMargin
 
+  /** resets() mirror: same deterministic (ts, v) lag order as the
+    * increase oracle, counting negative deltas.
+    */
+  private val tsdbResets =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e)
+       |SELECT cohort, ts_s - (ts_s % 3600) AS bucket_start,
+       |       count(*) AS n_deltas,
+       |       CAST(SUM(CASE WHEN v < prev THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS resets
+       |FROM d WHERE prev IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** quantile_over_time mirror — quantile_cont matches Spark's exact
     * `percentile` interpolation; round(…, 6) absorbs the engines'
     * interpolation-order ULP differences (same contract as
@@ -1188,6 +1208,7 @@ object OracleSql {
     "tsdb_predict_linear" -> tsdbPredictLinear,
     "tsdb_label_replace" -> tsdbLabelReplace,
     "tsdb_quantile_over_time" -> tsdbQuantileOverTime,
+    "tsdb_resets" -> tsdbResets,
     "tsdb_compact_stats" -> tsdbCompactStats,
     "q_orc_roundtrip" -> qJsonRoundtrip,
     "corpus_shards" -> corpusShards,

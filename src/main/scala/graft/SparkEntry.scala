@@ -117,6 +117,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dec2(col("value")).as("sum_v"))
       .orderBy("band")
 
+  /** PromQL `sum by (cohort) (resets(click[1h]))`: counter-reset counts
+    * composing with the label-dimension aggregation.
+    */
+  private def qTsdbResets(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .resetsBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .orderBy("cohort", "bucket_start")
+
   /** PromQL `quantile_over_time(0.95, click[1h]) by (cohort)`: exact
     * per-bucket p95, one partial-merge aggregation.
     */
@@ -1175,6 +1183,7 @@ object SparkEntry {
     "tsdb_predict_linear" -> (qTsdbPredictLinear _),
     "tsdb_label_replace" -> (qTsdbLabelReplace _),
     "tsdb_quantile_over_time" -> (qTsdbQuantileOverTime _),
+    "tsdb_resets" -> (qTsdbResets _),
     "tsdb_compact_stats" -> (qTsdbCompactStats _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "corpus_shards" -> (qCorpusShards _),

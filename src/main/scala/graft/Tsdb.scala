@@ -502,6 +502,34 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
           .as("rate_per_sec"))
   }
 
+  /** PromQL `sum by (labels) (resets(metric[step]))`: per-series counter
+    * resets (a value drop between consecutive samples), summed across
+    * series per (label subset, step bucket). Same two-stage shape as
+    * [[aggregateIncreaseBy]]: the per-series lag window (shuffle on sid)
+    * feeding one cross-series hash aggregation; the deterministic
+    * (ts, value) lag order makes the reset count well-defined under ties.
+    */
+  def resetsBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("ts"), col("value"))
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
+    queryRange(metric, matchers, start, end)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        sum(when(col("v") < col("prev"), 1L).otherwise(0L)).as("resets"))
+  }
+
   /** PromQL `topk(k, sum by (labels) (metric[step]))`: the k label groups
     * with the largest per-bucket sums, per step bucket. Composes
     * [[aggregateBy]] with a rank window PARTITIONED by bucket — state per
