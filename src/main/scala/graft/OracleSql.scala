@@ -605,6 +605,43 @@ object OracleSql {
   /** The capstone on the df-capped (100 TB-safe) near-dup path. */
   private val pipelineCleanCorpusCapped: String = pipelineSql(jaccardCappedCtes)
 
+  /** Keep-best mirror: transitive-closure components over the capped pair
+    * graph, per-cluster representative by (quality DESC, doc_id) — the
+    * window formulation of the Spark plan's max_by aggregation.
+    */
+  private val pipelineKeepBest: String = {
+    val en = graft.functions.TextFunctions.LangMarkers.head._2
+      .map(m => s"'$m'").mkString(", ")
+    s"""${jaccardCappedCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pr AS (
+       |  SELECT id1, id2 FROM p WHERE c / (n1 + n2 - c) >= 0.8),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pr
+       |  UNION SELECT id2, id1 FROM pr),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+       |comp AS (
+       |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+       |qual AS (
+       |  SELECT doc_id,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       |         round(least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5 +
+       |               (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.3 +
+       |               least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ($en))) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) * 5.0, 1.0) * 0.2, 6) AS quality
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT c.doc_id,
+       |         row_number() OVER (PARTITION BY c.component
+       |                            ORDER BY q.quality DESC, c.doc_id) AS rk
+       |  FROM comp c JOIN qual q USING (doc_id)),
+       |losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+       |SELECT doc_id, n_words, quality FROM qual
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** TF-IDF top-3 terms per doc: score = tf · ln(N/df), round 6, term
     * tie-break — mirrors TextAnalysis.tfidfTopTerms.
     */
@@ -1262,5 +1299,6 @@ object OracleSql {
     "multimodal_features" -> multimodalFeatures,
     "tsdb_downsample" -> tsdbDownsample,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
-    "pipeline_clean_capped" -> pipelineCleanCorpusCapped)
+    "pipeline_clean_capped" -> pipelineCleanCorpusCapped,
+    "pipeline_keep_best" -> pipelineKeepBest)
 }

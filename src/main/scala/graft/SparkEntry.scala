@@ -1167,6 +1167,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Cluster-aware dedup keeping the BEST member: connected components
+    * over the df-capped near-dup graph, then per cluster retain the
+    * highest-quality doc (id tie-break) — what a production pipeline
+    * keeps, where pipeline_clean's id2-drop heuristic can discard the
+    * better copy. Representative selection is one `max_by` aggregation
+    * over the (small) clustered subset — no per-cluster sort, no window
+    * over the corpus; singletons never enter the join and always survive.
+    */
+  private def qPipelineKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        hashTokens = true, maxDocFreq = Some(5L)))
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select("doc_id", "n_words", "quality")
+    val reps = comp.join(q, "doc_id")
+      .groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), -col("doc_id"))).as("doc_id"))
+      .select("doc_id")
+    val losers = comp.select("doc_id")
+      .join(reps, Seq("doc_id"), "left_anti")
+    q.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_words", "quality")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------- maps
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -1262,7 +1289,8 @@ object SparkEntry {
     "multimodal_features" -> (qMultimodalFeatures _),
     "tsdb_downsample" -> (qTsdbDownsample _),
     "pipeline_clean_corpus" -> (qPipelineCleanCorpus _),
-    "pipeline_clean_capped" -> (qPipelineCleanCapped _))
+    "pipeline_clean_capped" -> (qPipelineCleanCapped _),
+    "pipeline_keep_best" -> (qPipelineKeepBest _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted: `ann_topk_lsh` (approximate by design).
