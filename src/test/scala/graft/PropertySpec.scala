@@ -114,4 +114,67 @@ class PropertySpec extends SparkSuite {
       assert(viaDistinct == uniq.sorted(ord).take(k), s"trial $trial distinct")
     }
   }
+
+  test("histogramQuantile: bounds, phi-monotonicity, first-bucket floor") {
+    import spark.implicits._
+    // random grouped corpora; one Spark job evaluates several phis at once
+    val rnd = new scala.util.Random(13)
+    val buckets = Seq(2.0, 5.0, 10.0, 20.0, 50.0)
+    val rows = (0 until 12).flatMap { g =>
+      val n = 5 + rnd.nextInt(40)
+      (0 until n).map(i =>
+        ("m", Map("g" -> s"g$g"), i.toLong,
+          // mix of in-bucket and above-top-bucket mass
+          if (rnd.nextInt(10) == 0) 60.0 + rnd.nextInt(100)
+          else rnd.nextDouble() * 50.0))
+    }
+    val t2 = Tsdb.attach(spark, rows.toDF("metric", "labels", "ts", "value"))
+    def q(phi: Double): Map[String, Double] =
+      t2.histogramQuantile("m", Seq.empty, 0L, 1L << 20, Seq("g"), 1 << 21,
+          phi, buckets)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val (q25, q50, q90) = (q(0.25), q(0.5), q(0.9))
+    for (g <- q50.keys) {
+      // within [0, top finite bound]
+      assert(q50(g) >= 0.0 && q50(g) <= buckets.last, s"$g ${q50(g)}")
+      // monotone in phi
+      assert(q25(g) <= q50(g) + 1e-12 && q50(g) <= q90(g) + 1e-12, g)
+    }
+    // refining the bucket grid never moves an exact-boundary group's
+    // quantile outside its true bucket: for all-mass-below-2.0 data the
+    // estimate stays in (0, 2]
+    val small = Tsdb.attach(spark,
+      (0 until 30).map(i => ("m", Map("g" -> "s"), i.toLong, 0.5 + (i % 3) * 0.4))
+        .toDF("metric", "labels", "ts", "value"))
+    val est = small.histogramQuantile("m", Seq.empty, 0L, 100L, Seq("g"),
+        1000L, 0.5, buckets).head().getDouble(3)
+    assert(est > 0.0 && est <= 2.0, s"$est")
+  }
+
+  test("predictLinear recovers random exact linear trends bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // slopes/intercepts chosen so values are exact cents; predictions at
+    // integer xs are exact cents too -> closed-form check is exact
+    val cases = (0 until 10).map { g =>
+      val slopeCents = 1 + rnd.nextInt(400)    // 0.01 .. 4.00 per sec
+      val intCents = 100 + rnd.nextInt(100000)
+      val n = 2 + rnd.nextInt(30)
+      (g, slopeCents, intCents, n)
+    }
+    val rows = cases.flatMap { case (g, sc, ic, n) =>
+      (0 until n).map(x =>
+        ("m", Map("g" -> s"g$g"), 1000L + x, (ic + sc.toLong * x) / 100.0))
+    }
+    val t2 = Tsdb.attach(spark, rows.toDF("metric", "labels", "ts", "value"))
+    val at = 1000L + 500L
+    val got = t2.predictLinear("m", Seq.empty, 1000L, 2000L, Seq("g"), at)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    for ((g, sc, ic, n) <- cases if n >= 2) {
+      val (slope, pred) = got(s"g$g")
+      assert(slope == sc / 100.0, s"g$g slope $slope vs ${sc / 100.0}")
+      assert(pred == (ic + sc.toLong * 500L) / 100.0, s"g$g pred $pred")
+    }
+  }
 }
