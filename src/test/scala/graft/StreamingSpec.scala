@@ -360,6 +360,60 @@ class StreamingSpec extends SparkSuite {
     assert(got == expect && got.nonEmpty, s"${got.size} vs ${expect.size}")
   }
 
+  test("streaming windowed aggregation equals batch aggregateBy at sf0.01") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf001 = "/root/testdata/sf0.01"
+    val T0 = 1704412800L; val T1 = 1705017599L
+    // batch truth: the registered tsdb_agg_by plan
+    val events = graft.sources.Tables.events(spark, sf001)
+    val batch = Tsdb.attach(spark, events.select(
+        col("event_type").as("metric"),
+        map(lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"))
+          .as("labels"),
+        col("ts_s").as("ts"), col("value")))
+      .aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .select(col("cohort"), col("bucket_start"), col("n"),
+        col("sum_v"), col("min_v"), col("max_v"))
+      .collect().map(_.toSeq).toSet
+    // stream the same rows; decimal-cast value makes the windowed sum
+    // order-independent, so stream ≡ batch is EXACT, not approximate
+    val data = events
+      .where(col("event_type") === "click" && col("ts_s").between(T0, T1))
+      .select(pmod(col("user_id"), lit(10)).cast("string"),
+        col("ts_s"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2) // event-time-ordered replay: nothing falls behind the
+      .toIndexedSeq //  10-minute watermark; windows still span both waves
+    val mem = MemoryStream[(String, Long, Double)]
+    val src = mem.toDF().toDF("cohort", "ts_s", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withColumn("vdec", col("value").cast("decimal(18,2)"))
+    val q = Ingest.windowedAgg(src, "ts", "cohort", "vdec",
+        "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("aggby_eq")
+      .outputMode("append").start()
+    val (w1, w2) = data.splitAt(data.length / 2)
+    mem.addData(w1: _*)
+    q.processAllAvailable()
+    mem.addData(w2: _*)
+    // sentinel far past the watermark so every open window closes and is
+    // emitted in append mode (filtered from the comparison below)
+    mem.addData(("zz", T1 + 86400L * 30, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("aggby_eq")
+      .where(col("cohort") =!= "zz")
+      .select(col("cohort"),
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("n"), col("sum_v").cast("double"),
+        col("min_v").cast("double"), col("max_v").cast("double"))
+      .collect().map(_.toSeq).toSet
+    assert(got == batch,
+      s"sizes ${got.size} vs ${batch.size}; " +
+        s"stream-only ${(got -- batch).take(3)}; " +
+        s"batch-only ${(batch -- got).take(3)}")
+  }
+
   test("stream-stream interval join equals the batch range join at sf0.01") {
     implicit val sqlCtx = spark.sqlContext
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
