@@ -273,6 +273,15 @@ object OracleSql {
       |       min(value) AS min_v, max(value) AS max_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Salted join is row-identical to the plain inner join by construction
+    * — the oracle IS the plain join.
+    */
+  private val qSaltedJoin =
+    """SELECT c_mktsegment, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Gorilla pack→unpack is lossless, so the oracle is the identity: the
     * raw (user_id, ts, value) rows.
     */
@@ -1267,6 +1276,7 @@ object OracleSql {
     "q_range_join" -> qRangeJoin,
     "q_sessionize" -> qSessionize,
     "q_salted_agg" -> qSaltedAgg,
+    "q_salted_join" -> qSaltedJoin,
     "gorilla_roundtrip" -> gorillaRoundtrip,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> jaccardPairs,

@@ -1167,6 +1167,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Skew-defended fact⋈dim equi-join: deterministic row-hash salt on the
+    * fact side, build side replicated across salts, join on (key, salt) —
+    * row-identical to the plain join (the oracle), partitioning spread
+    * over `salts` reducers per hot key.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    EventOps.saltedJoin(ev, cust, "user_id", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dec2(col("value")).as("sum_v"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Cluster-aware dedup keeping the BEST member: connected components
     * over the df-capped near-dup graph, then per cluster retain the
     * highest-quality doc (id tie-break) — what a production pipeline
@@ -1230,6 +1245,7 @@ object SparkEntry {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_sessionize" -> (qSessionize _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_forward_native" -> (qAsofForwardNative _),
     "gorilla_roundtrip" -> (qGorillaRoundtrip _),

@@ -96,6 +96,34 @@ object EventOps {
         max(col("__max")).as("max_v"))
   }
 
+  /** Skew-mitigated equi-join: salt the (skewed) fact side with a
+    * deterministic per-row hash, replicate each build-side row across all
+    * `salts` buckets, and join on `(key, salt)` — a hot key's rows spread
+    * over `salts` reducer partitions instead of melting one task. This is
+    * the manual form of AQE's skew-join split, usable when the skew is
+    * known up front, the build side is replicable (dimension-sized), or
+    * AQE's size thresholds won't trigger (many moderate hot keys). Result
+    * is row-identical to the plain inner join; only the partitioning
+    * changes.
+    *
+    * At 100 TB: shuffle volume grows by ×salts ONLY on the small build
+    * side; the fact side still moves once. Salting composes with (and is
+    * subsumed by) broadcast when the build side fits in memory — use this
+    * when it doesn't.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)))
+    val explodedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedFact.join(explodedBuild, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** Range (interval) join: pairs (l, r) with the same key and
     * `r.ts ∈ [l.ts + lower, l.ts + upper)` — implemented as a bucketized
     * equi-join, NOT a theta-join: left rows explode to the (≤ ⌈span/w⌉+1)

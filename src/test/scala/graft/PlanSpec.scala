@@ -205,6 +205,21 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("partial_sum"), plan.take(3000))
   }
 
+  test("salted join shuffles on (key, salt) when broadcast is off") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val ev = Tables.events(spark, sf0001)
+        .select(col("user_id"), col("value"))
+      val cust = Tables.customer(spark, sf0001)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val plan = operators.EventOps.saltedJoin(ev, cust, "user_id", 8)
+        .queryExecution.executedPlan.toString
+      // the exchanges must key on (user_id, __salt) — a hot user's rows
+      // spread across 8 reducers instead of one
+      assert("hashpartitioning\\(user_id[^)]*__salt".r
+        .findFirstIn(plan).isDefined, plan.take(3000))
+    }
+  }
+
   test("label_replace aggregation stays one shuffle, no UDF") {
     val plan = planOf(
       SparkEntry.queries("tsdb_label_replace")(spark, sf0001))
