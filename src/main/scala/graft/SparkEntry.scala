@@ -1167,6 +1167,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Approximate percentiles via the mergeable rank sketch
+    * (`percentile_approx`, accuracy 1000): the 100 TB twin of
+    * q_percentiles — exact `percentile` buffers every value per group,
+    * the sketch carries bounded state through map-side partial merge.
+    * No oracle (sketch internals are engine-specific); rank-error vs the
+    * exact percentile is sbt-gated in OperatorSpec.
+    */
+  private def qApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("p50_qty"),
+        percentile_approx(col("l_quantity"), lit(0.95), lit(1000))
+          .as("p95_qty"))
+      .orderBy("l_returnflag")
+
   /** Skew-defended fact⋈dim equi-join: deterministic row-hash salt on the
     * fact side, build side replicated across salts, join on (key, salt) —
     * row-identical to the plain join (the oracle), partitioning spread
@@ -1246,6 +1264,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_approx_percentile" -> (qApproxPercentiles _),
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_forward_native" -> (qAsofForwardNative _),
     "gorilla_roundtrip" -> (qGorillaRoundtrip _),

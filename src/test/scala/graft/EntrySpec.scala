@@ -20,6 +20,7 @@ class EntrySpec extends SparkSuite {
     // LSH/IVF recall vs the exact in-engine brute-force twin)
     assert(q.diff(o) == Set(
       "ann_topk_lsh", "ann_topk_ivf", "q_approx_distinct",
+      "q_approx_percentile",
       "dedup_embedding_lsh", "dedup_embedding_ivf",
       "ann_clustered_agg", "ann_clustered_lsh", "ann_clustered_ivf"))
   }

@@ -274,6 +274,29 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("approx percentile is within the sketch's rank-error of exact") {
+    // percentile_approx(accuracy=1000) guarantees rank error <= n/1000;
+    // gate with a generous +-0.5% rank window around each target
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val bounds = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.495)).as("p50_lo"),
+        percentile(col("l_quantity"), lit(0.505)).as("p50_hi"),
+        percentile(col("l_quantity"), lit(0.945)).as("p95_lo"),
+        percentile(col("l_quantity"), lit(0.955)).as("p95_hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    for ((g, (p50, p95)) <- approx) {
+      val (l50, h50, l95, h95) = bounds(g)
+      assert(p50 >= l50 && p50 <= h50, s"$g p50 $p50 not in [$l50,$h50]")
+      assert(p95 >= l95 && p95 <= h95, s"$g p95 $p95 not in [$l95,$h95]")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val e = Tables.events(spark, sf0001)
     val direct = e.groupBy("event_type")
