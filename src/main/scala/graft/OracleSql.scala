@@ -816,6 +816,33 @@ object OracleSql {
        |       min($tsS) AS min_ts, max($tsS) AS max_ts
        |FROM events GROUP BY 1 ORDER BY seg""".stripMargin
 
+  /** Selector mirror: anchored metric regex + negative label matcher. */
+  private val tsdbSelectorScan =
+    s"""SELECT event_type, user_id, $tsS AS ts_s, value
+       |FROM events
+       |WHERE regexp_full_match(event_type, 'click|view')
+       |  AND CAST(user_id AS VARCHAR) <> '7'
+       |  AND $tsS BETWEEN $T0 AND $T1
+       |ORDER BY event_type, user_id, ts_s, value""".stripMargin
+
+  /** Gap-detection mirror: per-series lag over (ts, v), thresholded. */
+  private val tsdbGaps =
+    s"""WITH e AS (
+       |  SELECT user_id, $tsS AS ts_s, value AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT user_id, ts_s,
+       |         ts_s - lag(ts_s) OVER (PARTITION BY user_id
+       |                                ORDER BY ts_s, v) AS gap
+       |  FROM e)
+       |SELECT user_id, count(*) AS n_intervals,
+       |       CAST(SUM(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_gaps,
+       |       max(gap) AS max_gap
+       |FROM d WHERE gap IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** resets() mirror: same deterministic (ts, v) lag order as the
     * increase oracle, counting negative deltas.
     */
@@ -1255,6 +1282,8 @@ object OracleSql {
     "tsdb_label_replace" -> tsdbLabelReplace,
     "tsdb_quantile_over_time" -> tsdbQuantileOverTime,
     "tsdb_resets" -> tsdbResets,
+    "tsdb_selector_scan" -> tsdbSelectorScan,
+    "tsdb_gaps" -> tsdbGaps,
     "tsdb_compact_stats" -> tsdbCompactStats,
     "q_orc_roundtrip" -> qJsonRoundtrip,
     "corpus_shards" -> corpusShards,

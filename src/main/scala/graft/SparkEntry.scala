@@ -190,6 +190,33 @@ object SparkEntry {
         col("value"))
       .orderBy("user_id", "ts_s", "value")
 
+  /** PromQL selector semantics: `{__name__=~"click|view", user_id!="7"}`
+    * — one range query spanning metrics (the reference's QueryRange is
+    * single-metric by signature, tsdb.go:268).
+    */
+  private def qTsdbSelectorScan(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir)
+      .queryRangeSelector(
+        Seq(LabelMatcher.re(Tsdb.MetricLabel, "click|view"),
+          LabelMatcher.neq("user_id", "7")),
+        T0, T1)
+      .select(
+        col("labels").getItem(Tsdb.MetricLabel).as("event_type"),
+        col("labels").getItem("user_id").cast("long").as("user_id"),
+        col("ts").as("ts_s"),
+        col("value"))
+      .orderBy("event_type", "user_id", "ts_s", "value")
+
+  /** Per-series sampling gaps above 1h — the staleness / lost-scrape
+    * signal.
+    */
+  private def qTsdbGaps(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir)
+      .gapsBy("click", Seq.empty, T0, T1, Seq("user_id"), 3600L)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("n_intervals"), col("n_gaps"), col("max_gap"))
+      .orderBy("user_id")
+
   private def qTsdbSeries(s: SparkSession, dir: String): DataFrame =
     tsdbOn(s, dir)
       .querySeries(Seq(LabelMatcher.re(Tsdb.MetricLabel, "click|view")), T0, T1)
@@ -1244,6 +1271,8 @@ object SparkEntry {
     "tsdb_label_replace" -> (qTsdbLabelReplace _),
     "tsdb_quantile_over_time" -> (qTsdbQuantileOverTime _),
     "tsdb_resets" -> (qTsdbResets _),
+    "tsdb_selector_scan" -> (qTsdbSelectorScan _),
+    "tsdb_gaps" -> (qTsdbGaps _),
     "tsdb_compact_stats" -> (qTsdbCompactStats _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "corpus_shards" -> (qCorpusShards _),

@@ -369,6 +369,61 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     }
   }
 
+  /** PromQL-style selector range query: `{__name__=~"...", ...}` — the
+    * metric itself is just a matcher, so one query spans metrics (the
+    * reference's QueryRange is single-metric by signature, tsdb.go:268).
+    * Same two paths as [[queryRange]]: matchers evaluate on the series
+    * dimension (index path) or directly on labeled fact rows; the fact
+    * scan still only sees pruned `seg`/`ts` predicates plus the sid key.
+    */
+  def queryRangeSelector(
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long): DataFrame = {
+    require(matchers.nonEmpty, "selector needs at least one matcher")
+    val pruned = samples
+      .where(segPredicate(start, end))
+      .where(col("ts").between(start, end))
+    if (!samples.columns.contains("labels")) {
+      val matching = seriesMeta
+        .where(matcherPredicate(col("labels"), matchers))
+        .select("sid", "labels")
+      pruned
+        .select("sid", "ts", "value")
+        .join(broadcast(matching), "sid")
+        .select("sid", "labels", "ts", "value")
+    } else
+      pruned
+        .where(matcherPredicate(col("labels"), matchers))
+        .select("sid", "labels", "ts", "value")
+  }
+
+  /** Per-series sampling-gap detection: count and max of the gaps between
+    * consecutive samples that exceed `thresholdSec` — the staleness /
+    * lost-scrape signal an operator dashboards first. One window on sid +
+    * one aggregation, both on the pruned range scan.
+    */
+  def gapsBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      thresholdSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("ts"), col("value"))
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l))
+    queryRange(metric, matchers, start, end)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .where(col("prev_ts").isNotNull)
+      .withColumn("gap", col("ts") - col("prev_ts"))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(when(col("gap") > thresholdSec, 1L).otherwise(0L)).as("n_gaps"),
+        max("gap").as("max_gap"))
+  }
+
   /** QueryRange shaped like the reference's `MetricRet` (tsdb.go:273-276):
     * one row per series with a ts-sorted points array. The sort_array of
     * collected structs is the reference's concat+sort merge

@@ -381,6 +381,31 @@ class TsdbSpec extends SparkSuite {
     }
   }
 
+  test("selector range query spans metrics on both storage layouts") {
+    // fresh stores: the shared `disk` fixture is fully expired by the
+    // retention test that runs earlier in this suite
+    for (t <- Seq(mkTsdb(memory = false), mkTsdb(memory = true))) {
+      val got = t.queryRangeSelector(
+          Seq(graft.model.LabelMatcher.re(Tsdb.MetricLabel, "disk\\..*"),
+            graft.model.LabelMatcher.eq("node", "vm1")),
+          Start, Start + 600)
+        .select(col("labels").getItem(Tsdb.MetricLabel).as("m"),
+          col("labels").getItem("dc"), col("ts"), col("value"))
+        .collect().map(_.toSeq).toSet
+      // equals the union of the per-metric queryRange results
+      val expected = Metrics.filter(_.startsWith("disk.")).flatMap { m =>
+        t.queryRange(m, Seq(graft.model.LabelMatcher.eq("node", "vm1")),
+            Start, Start + 600)
+          .select(col("labels").getItem(Tsdb.MetricLabel).as("m"),
+            col("labels").getItem("dc"), col("ts"), col("value"))
+          .collect().map(_.toSeq)
+      }.toSet
+      assert(got == expected && got.nonEmpty)
+      // and metric diversity is real: all three disk.* metrics present
+      assert(got.map(_.head).size == 3)
+    }
+  }
+
   test("segment compaction merges append files, preserves every query") {
     val t = new Tsdb(spark, TsdbConf(
       dataPath = tempDir("compact"), segmentDuration = 7200L,
