@@ -205,6 +205,17 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("partial_sum"), plan.take(3000))
   }
 
+  test("selector scan is shuffle-free; gaps is window + one aggregation") {
+    val sel = planOf(SparkEntry.queries("tsdb_selector_scan")(spark, sf0001))
+    // matcher evaluation is pure map-side filtering on the labeled scan:
+    // zero hash exchanges (the final orderBy is a range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(sel).isEmpty,
+      sel.take(3000))
+    val gaps = planOf(SparkEntry.queries("tsdb_gaps")(spark, sf0001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(gaps).length
+    assert(hashEx <= 2 && gaps.contains("Window"), s"$hashEx\n${gaps.take(3000)}")
+  }
+
   test("salted join shuffles on (key, salt) when broadcast is off") {
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val ev = Tables.events(spark, sf0001)
