@@ -816,6 +816,31 @@ object OracleSql {
        |       min($tsS) AS min_ts, max($tsS) AS max_ts
        |FROM events GROUP BY 1 ORDER BY seg""".stripMargin
 
+  /** Binary vector-op mirror: two label aggregations joined on
+    * (cohort, bucket), decimal sums, ratio in double with round-6.
+    */
+  private val tsdbRatio =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2)
+       |SELECT a.cohort, a.bucket_start, n_a, n_b,
+       |       round(sum_a / sum_b, 6) AS result
+       |FROM a JOIN b USING (cohort, bucket_start)
+       |ORDER BY 1, 2""".stripMargin
+
   /** Selector mirror: anchored metric regex + negative label matcher. */
   private val tsdbSelectorScan =
     s"""SELECT event_type, user_id, $tsS AS ts_s, value
@@ -1283,6 +1308,8 @@ object OracleSql {
     "tsdb_quantile_over_time" -> tsdbQuantileOverTime,
     "tsdb_resets" -> tsdbResets,
     "tsdb_selector_scan" -> tsdbSelectorScan,
+    "tsdb_ratio" -> tsdbRatio,
+    "tsdb_rollup_agg" -> tsdbAggBy,
     "tsdb_gaps" -> tsdbGaps,
     "tsdb_compact_stats" -> tsdbCompactStats,
     "q_orc_roundtrip" -> qJsonRoundtrip,

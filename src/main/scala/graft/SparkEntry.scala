@@ -117,6 +117,31 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dec2(col("value")).as("sum_v"))
       .orderBy("band")
 
+  /** Continuous-downsampling tier: ingest, materialize the 1h rollup
+    * store, then serve `sum by (cohort)` FROM THE ROLLUP — must merge to
+    * exactly the raw-data aggregateBy answer (the tsdb_agg_by oracle).
+    */
+  private def qTsdbRollupAgg(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    val t = new Tsdb(s, TsdbConf(dataPath = path, compression = "zstd",
+      segmentDuration = 86400L))
+    t.insertRows(eventsAsSamplesCohort(s, dir))
+    t.materializeRollup(3600L)
+    t.aggregateByFromRollup(3600L, "click", Seq.empty, T0, T1, Seq("cohort"))
+      .orderBy("cohort", "bucket_start")
+  }
+
+  /** PromQL binary vector op:
+    * `sum by (cohort)(purchase[1h]) / sum by (cohort)(click[1h])` — the
+    * errors/requests ratio family, label-matched on (cohort, bucket).
+    */
+  private def qTsdbRatio(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .binaryOpBy("purchase", "click", Seq.empty, T0, T1,
+        Seq("cohort"), 3600L)((a, b) => round(a / b, 6))
+      .select("cohort", "bucket_start", "n_a", "n_b", "result")
+      .orderBy("cohort", "bucket_start")
+
   /** PromQL `sum by (cohort) (resets(click[1h]))`: counter-reset counts
     * composing with the label-dimension aggregation.
     */
@@ -1272,6 +1297,8 @@ object SparkEntry {
     "tsdb_quantile_over_time" -> (qTsdbQuantileOverTime _),
     "tsdb_resets" -> (qTsdbResets _),
     "tsdb_selector_scan" -> (qTsdbSelectorScan _),
+    "tsdb_ratio" -> (qTsdbRatio _),
+    "tsdb_rollup_agg" -> (qTsdbRollupAgg _),
     "tsdb_gaps" -> (qTsdbGaps _),
     "tsdb_compact_stats" -> (qTsdbCompactStats _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),

@@ -557,6 +557,105 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
           .as("rate_per_sec"))
   }
 
+  /** Materialize a per-(sid, step-bucket) rollup store — the continuous
+    * downsampling tier (Thanos/M3-style) that serves coarse-range queries
+    * without touching raw samples. Partial aggregates (count, exact
+    * DECIMAL sum, min, max) are associative, so any label-dimension
+    * aggregation over the rollup merges to EXACTLY the raw-data answer
+    * for bucket-aligned windows. One hash aggregation over the full store,
+    * written seg-partitioned and (sid, bucket)-sorted like the fact table;
+    * at 100 TB this runs once per step tier as a maintenance job and cuts
+    * served-query input by the points-per-bucket factor.
+    */
+  def materializeRollup(stepSec: Long): String = {
+    require(stepSec > 0 && conf.segmentDuration % stepSec == 0,
+      s"stepSec must divide segmentDuration: $stepSec vs ${conf.segmentDuration}")
+    val path = s"${conf.dataPath}/rollup_$stepSec"
+    samples
+      .withColumn("bucket_start", col("ts") - pmod(col("ts"), lit(stepSec)))
+      .groupBy("sid", "bucket_start")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
+        min("value").as("min_v"),
+        max("value").as("max_v"))
+      .withColumn("seg", segOf(col("bucket_start"), conf.segmentDuration))
+      .repartition(col("seg"))
+      .sortWithinPartitions("sid", "bucket_start")
+      .write.mode("overwrite")
+      .option("compression", conf.compression)
+      .partitionBy("seg")
+      .parquet(path)
+    path
+  }
+
+  /** [[aggregateBy]] served from a materialized rollup instead of raw
+    * samples: merge the per-series partials per (label subset, bucket).
+    * Requires a bucket-aligned window (`start` on a bucket boundary,
+    * `end` the last second of a bucket) — then the result is
+    * value-identical to [[aggregateBy]] on raw data, because DECIMAL sums
+    * and count/min/max merge associatively. The rollup scan is pruned by
+    * `seg` and `bucket_start`; labels come from the broadcast series
+    * dimension exactly like the raw path.
+    */
+  def aggregateByFromRollup(
+      stepSec: Long,
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String]): DataFrame = {
+    require(start % stepSec == 0 && (end + 1) % stepSec == 0,
+      s"window [$start, $end] must be aligned to $stepSec-second buckets")
+    val roll = spark.read.parquet(s"${conf.dataPath}/rollup_$stepSec")
+      .where(segPredicate(start, end))
+      .where(col("bucket_start").between(start, end))
+    val matching = seriesMeta
+      .where(matcherPredicate(col("labels"),
+        LabelMatcher.eq(MetricLabel, metric) +: matchers))
+      .select("sid", "labels")
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      col("bucket_start")
+    roll
+      .join(broadcast(matching), "sid")
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_dec")).cast("double").as("sum_v"),
+        (sum(col("sum_dec")).cast("double") / sum(col("n"))).as("avg_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+  }
+
+  /** PromQL binary operation between two aggregated vectors with label
+    * matching: `op(sum by (labels)(metricA[step]), sum by (labels)
+    * (metricB[step]))` joined `on (labels, bucket)` — the
+    * `errors / requests` family. Both sides are one-shuffle label
+    * aggregations; the vector match is an equi-join on the (small)
+    * aggregated tables. `op` receives the two decimal-accumulated sums
+    * (cast to double) so ratio/difference arithmetic is reproducible.
+    * Inner-join semantics: buckets present on only one side are dropped,
+    * like PromQL's default vector matching.
+    */
+  def binaryOpBy(
+      metricA: String,
+      metricB: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long)(
+      op: (Column, Column) => Column): DataFrame = {
+    val a = aggregateBy(metricA, matchers, start, end, byLabels, stepSec)
+      .select(byLabels.map(col) ++ Seq(col("bucket_start"),
+        col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
+    val b = aggregateBy(metricB, matchers, start, end, byLabels, stepSec)
+      .select(byLabels.map(col) ++ Seq(col("bucket_start"),
+        col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
+    a.join(b, byLabels :+ "bucket_start")
+      .withColumn("result", op(col("sum_a"), col("sum_b")))
+  }
+
   /** PromQL `sum by (labels) (resets(metric[step]))`: per-series counter
     * resets (a value drop between consecutive samples), summed across
     * series per (label subset, step bucket). Same two-stage shape as

@@ -406,6 +406,28 @@ class TsdbSpec extends SparkSuite {
     }
   }
 
+  test("rollup-served aggregation merges to the raw-data answer exactly") {
+    val t = mkTsdb(memory = false)
+    t.materializeRollup(400L)
+    // bucket-aligned window over the whole grid (Start = 1.6e9 is
+    // 400-aligned; the 4h span is a whole number of 400 s buckets)
+    val alignedEnd = Start + Steps * 60L - 1
+    assert(Start % 400 == 0 && (alignedEnd + 1) % 400 == 0)
+    val m = Seq(graft.model.LabelMatcher.eq("dc", "2"))
+    val raw = t.aggregateBy("cpu.busy", m, Start, alignedEnd,
+        Seq("node"), 400L)
+      .orderBy("node", "bucket_start").collect().map(_.toSeq).toSeq
+    val served = t.aggregateByFromRollup(400L, "cpu.busy", m, Start,
+        alignedEnd, Seq("node"))
+      .orderBy("node", "bucket_start").collect().map(_.toSeq).toSeq
+    assert(raw.nonEmpty && served == raw)
+    // misaligned windows are rejected rather than silently inexact
+    intercept[IllegalArgumentException] {
+      t.aggregateByFromRollup(400L, "cpu.busy", m, Start + 60, alignedEnd,
+        Seq("node"))
+    }
+  }
+
   test("segment compaction merges append files, preserves every query") {
     val t = new Tsdb(spark, TsdbConf(
       dataPath = tempDir("compact"), segmentDuration = 7200L,
