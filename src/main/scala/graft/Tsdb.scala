@@ -589,6 +589,51 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     path
   }
 
+  /** Append one batch's per-(sid, bucket) partials to the rollup store —
+    * the incremental maintenance form of [[materializeRollup]] (what a
+    * streaming pipeline runs per micro-batch instead of periodic full
+    * rebuilds). Correct by associativity: [[aggregateByFromRollup]] merges
+    * ALL partial rows per (labels, bucket), so duplicate (sid, bucket)
+    * entries from different batches combine to exactly the full-rebuild
+    * totals. Also upserts the series dimension (append + merge-on-read,
+    * same as the raw write path) so rollup-only stores still resolve
+    * labels.
+    */
+  def appendRollupPartials(batch: DataFrame, stepSec: Long): Unit = {
+    require(stepSec > 0 && conf.segmentDuration % stepSec == 0,
+      s"stepSec must divide segmentDuration: $stepSec vs ${conf.segmentDuration}")
+    val path = s"${conf.dataPath}/rollup_$stepSec"
+    val norm = normalize(batch).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      norm
+        .withColumn("bucket_start", col("ts") - pmod(col("ts"), lit(stepSec)))
+        .groupBy("sid", "bucket_start")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
+          min("value").as("min_v"),
+          max("value").as("max_v"))
+        .withColumn("seg", segOf(col("bucket_start"), conf.segmentDuration))
+        .repartition(col("seg"))
+        .write.mode("append")
+        .option("compression", conf.compression)
+        .partitionBy("seg")
+        .parquet(path)
+      norm
+        .groupBy("sid")
+        .agg(
+          first("metric").as("metric"),
+          first("labels").as("labels"),
+          min("ts").as("minTs"),
+          max("ts").as("maxTs"))
+        .coalesce(4)
+        .write.mode("append")
+        .option("compression", conf.compression)
+        .parquet(metaPath)
+    } finally norm.unpersist()
+  }
+
   /** [[aggregateBy]] served from a materialized rollup instead of raw
     * samples: merge the per-series partials per (label subset, bucket).
     * Requires a bucket-aligned window (`start` on a bucket boundary,

@@ -51,6 +51,29 @@ object Ingest {
       }
       .start()
 
+  /** Streaming rollup maintenance: each micro-batch appends its
+    * per-(sid, step-bucket) partial aggregates (plus series-dimension
+    * partials) to the downsampling tier — no raw-sample write in the
+    * path, which is how a metrics pipeline serves dashboard aggregates
+    * at an ingest rate where storing raw points is optional. Exactness
+    * is inherited from partial-aggregate associativity: the rollup read
+    * merges every appended partial, so stream-maintained equals
+    * batch-materialized equals raw (StreamingSpec gates this at sf0.01).
+    */
+  def rollupStream(
+      tsdb: Tsdb,
+      src: DataFrame,
+      checkpoint: String,
+      stepSec: Long,
+      triggerMs: Long = 1000L): StreamingQuery =
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        tsdb.appendRollupPartials(batch, stepSec)
+      }
+      .start()
+
   /** Head-buffered streaming ingest — the closest Spark mirror of the
     * reference's actual write architecture (tsdb.go:235-271): micro-batches
     * land in the in-memory head ([[Tsdb.insertHeadRows]], cheap — no

@@ -414,6 +414,46 @@ class StreamingSpec extends SparkSuite {
         s"batch-only ${(batch -- got).take(3)}")
   }
 
+  test("stream-maintained rollup serves exactly the raw batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf001 = "/root/testdata/sf0.01"
+    val T0 = 1704412800L; val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf001)
+    def asSamples(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_type").as("metric"),
+      map(lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"))
+        .as("labels"),
+      col("ts_s").as("ts"), col("value"))
+    // batch truth over raw samples
+    val expect = Tsdb.attach(spark, asSamples(events))
+      .aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .orderBy("cohort", "bucket_start").collect().map(_.toSeq).toSeq
+    // stream ALL events through per-micro-batch rollup partials
+    val rows = events
+      .select(col("event_type"), col("user_id"), col("ts_s"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toIndexedSeq
+    val mem2 = MemoryStream[(String, Long, Long, Double)]
+    val src = asSamples(mem2.toDF()
+      .toDF("event_type", "user_id", "ts_s", "value")
+      .withColumn("ts_s", col("ts_s")))
+    val t = new Tsdb(spark, graft.model.TsdbConf(
+      dataPath = tempDir("rollup_stream"), segmentDuration = 86400L))
+    val q = Ingest.rollupStream(t, src, tempDir("ckpt_rollup"), 3600L)
+    val (w1, w2) = rows.splitAt(rows.length / 2)
+    mem2.addData(w1: _*)
+    q.processAllAvailable()
+    mem2.addData(w2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = t
+      .aggregateByFromRollup(3600L, "click", Seq.empty, T0, T1, Seq("cohort"))
+      .orderBy("cohort", "bucket_start").collect().map(_.toSeq).toSeq
+    assert(got == expect && got.nonEmpty,
+      s"sizes ${got.size} vs ${expect.size}")
+  }
+
   test("stream-stream interval join equals the batch range join at sf0.01") {
     implicit val sqlCtx = spark.sqlContext
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
