@@ -598,6 +598,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * totals. Also upserts the series dimension (append + merge-on-read,
     * same as the raw write path) so rollup-only stores still resolve
     * labels.
+    *
+    * Pick ONE maintenance mode per (store, step) tier: incremental
+    * appends of every batch, OR periodic [[materializeRollup]] rebuilds.
+    * Appending batches that a later full rebuild also covers would
+    * double-count (a rebuild does reset the tier — `mode(overwrite)` —
+    * so rebuild-after-appends is safe; appends-after-rebuild of the same
+    * data are not).
     */
   def appendRollupPartials(batch: DataFrame, stepSec: Long): Unit = {
     require(stepSec > 0 && conf.segmentDuration % stepSec == 0,
