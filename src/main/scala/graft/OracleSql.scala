@@ -711,6 +711,22 @@ object OracleSql {
     s"""$multimodalMetaCore
        |ORDER BY doc_id""".stripMargin
 
+  /** GRFT16 round-trip mirror: the encode derives header fields from
+    * doc_id and the payload byte length, so the oracle recomputes them
+    * from first principles — agreement proves decode(encode(x)) == x
+    * field-for-field over real 16-byte-header binaries.
+    */
+  private val multimodalHeaderDecode =
+    """SELECT doc_id,
+      |       CAST(1 AS INTEGER) AS version,
+      |       CAST(32 + (doc_id % 8) * 16 AS INTEGER) AS width,
+      |       CAST(32 + ((doc_id // 8) % 8) * 16 AS INTEGER) AS height,
+      |       CAST(1 + doc_id % 3 AS INTEGER) AS channels,
+      |       CAST(1 + strlen(text) // 128 AS BIGINT) AS n_frames,
+      |       CAST(strlen(text) AS BIGINT) AS payload_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Fit-box resize mirror (targetW = targetH = 224): exact integer
     * cross-multiplication decides the binding side; floor division for
     * the scaled dim.
@@ -888,6 +904,91 @@ object OracleSql {
        |FROM d WHERE prev IS NOT NULL
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** offset-modifier mirror: the selection window shifts back one day,
+    * result buckets report at the REQUESTED grid (bucket + offset).
+    */
+  private val tsdbOffset =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       ($tsS - ($tsS % 3600)) + 86400 AS bucket_start,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v,
+       |       min(value) AS min_v, max(value) AS max_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND ${T1 - 86400L}
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** bottomk(3, sum by (cohort)(click[1h])): tsdbTopk with the rank
+    * order inverted.
+    */
+  private val tsdbBottomk =
+    s"""WITH agg AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY bucket_start
+       |                               ORDER BY sum_v ASC, cohort) AS rk
+       |  FROM agg)
+       |SELECT cohort, bucket_start, rk, n, sum_v
+       |FROM r WHERE rk <= 3
+       |ORDER BY bucket_start, rk""".stripMargin
+
+  /** count_values mirror over the decile-banded value, day buckets. */
+  private val tsdbCountValues =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       $tsS - ($tsS % 86400) AS bucket_start,
+       |       CAST(floor(value / 10) AS DOUBLE) AS value,
+       |       count(*) AS n
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** `*_over_time(click[2h])` family on the 1h eval grid: the naive
+    * grid-join the map-side explode replaces; `max(struct)` mirrors the
+    * Spark side's lexicographic (ts, value) last-sample pick exactly.
+    */
+  private val tsdbOverTime =
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         CAST(user_id AS BIGINT) AS user_id,
+       |         $tsS AS ts_s, value
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |grid AS (SELECT unnest(range($T0, $T1 + 1, 3600)) AS eval_ts),
+       |j AS (
+       |  SELECT cohort, user_id, eval_ts, ts_s, value
+       |  FROM ev JOIN grid
+       |    ON ev.ts_s <= grid.eval_ts AND ev.ts_s > grid.eval_ts - 7200)
+       |SELECT cohort, user_id, eval_ts,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+       |         AS avg_v,
+       |       min(value) AS min_v, max(value) AS max_v,
+       |       (max(struct_pack(t := ts_s, v := value))).v AS last_v
+       |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** absent() both directions: marker row for the dead selector, empty
+    * for the live one.
+    */
+  private val tsdbAbsent =
+    s"""SELECT selector, value FROM (
+       |  SELECT 'no_such_metric' AS selector, CAST(1.0 AS DOUBLE) AS value
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM events
+       |    WHERE event_type = 'no_such_metric' AND $tsS BETWEEN $T0 AND $T1)
+       |  UNION ALL
+       |  SELECT 'click' AS selector, CAST(1.0 AS DOUBLE) AS value
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM events
+       |    WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1))
+       |ORDER BY selector""".stripMargin
+
   /** quantile_over_time mirror — quantile_cont matches Spark's exact
     * `percentile` interpolation; round(…, 6) absorbs the engines'
     * interpolation-order ULP differences (same contract as
@@ -920,7 +1021,8 @@ object OracleSql {
       |  FROM t),
       |s AS (
       |  SELECT doc_id, n_tokens, ("offset" // 512) // 64 AS shard FROM c)
-      |SELECT shard, count(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+      |SELECT shard, count(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
@@ -1306,6 +1408,11 @@ object OracleSql {
     "tsdb_predict_linear" -> tsdbPredictLinear,
     "tsdb_label_replace" -> tsdbLabelReplace,
     "tsdb_quantile_over_time" -> tsdbQuantileOverTime,
+    "tsdb_offset" -> tsdbOffset,
+    "tsdb_bottomk" -> tsdbBottomk,
+    "tsdb_count_values" -> tsdbCountValues,
+    "tsdb_over_time" -> tsdbOverTime,
+    "tsdb_absent" -> tsdbAbsent,
     "tsdb_resets" -> tsdbResets,
     "tsdb_selector_scan" -> tsdbSelectorScan,
     "tsdb_ratio" -> tsdbRatio,
@@ -1339,7 +1446,7 @@ object OracleSql {
     "dedup_ngram_capped" -> jaccardCapped,
     "dedup_minhash_lsh" -> jaccardPairs,
     "dedup_components" -> dedupComponents,
-    "dedup_components_star" -> dedupComponents,
+    "dedup_components_minlabel" -> dedupComponents,
     "dedup_components_capped" -> dedupComponentsCapped,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -1360,6 +1467,7 @@ object OracleSql {
     "corpus_stats" -> corpusStats,
     "tsdb_topk" -> tsdbTopk,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_header_decode" -> multimodalHeaderDecode,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_features" -> multimodalFeatures,

@@ -158,6 +158,61 @@ object SparkEntry {
       .quantileBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, q = 0.95)
       .orderBy("cohort", "bucket_start")
 
+  /** PromQL `offset` modifier: `sum by (cohort) (click[1h] offset 1d)` —
+    * the previous day's data aligned onto the requested eval grid (the
+    * week-over-week comparison every dashboard draws).
+    */
+  private def qTsdbOffset(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .aggregateBy("click", Seq.empty, T0 + 86400L, T1, Seq("cohort"), 3600L,
+        offsetSec = 86400L)
+      .orderBy("cohort", "bucket_start")
+
+  /** PromQL `bottomk(3, sum by (cohort) (click[1h]))` — the inverse rank
+    * of tsdb_topk: the 3 smallest label groups per step bucket.
+    */
+  private def qTsdbBottomk(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .bottomKBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, k = 3)
+      .orderBy("bucket_start", "rk")
+
+  /** PromQL `count_values("band", ...)` per day bucket: sample counts per
+    * distinct value over a decile-banded metric (count_values is meant
+    * for low-cardinality value domains, per Prometheus' own docs).
+    */
+  private def qTsdbCountValues(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir)
+        .withColumn("value", floor(col("value") / 10).cast("double")))
+      .countValuesBy("click", Seq.empty, T0, T1, Seq("cohort"), 86400L)
+      .orderBy("cohort", "bucket_start", "value")
+
+  /** The PromQL `*_over_time(click[2h])` family on a 1h eval grid:
+    * per-series avg/min/max/sum/count/last over the sliding lookback
+    * window — all six moments from one explode + one hash aggregation.
+    */
+  private def qTsdbOverTime(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .overTimeBy("click", Seq.empty, T0, T1, Seq("cohort", "user_id"),
+        stepSec = 3600L, rangeSec = 7200L)
+      .select(col("cohort"), col("user_id").cast("long").as("user_id"),
+        col("eval_ts"), col("n"), col("sum_v"), col("avg_v"),
+        col("min_v"), col("max_v"), col("last_v"))
+      .orderBy("cohort", "user_id", "eval_ts")
+
+  /** PromQL `absent()` both ways: a selector with no matching samples
+    * yields the 1.0 marker row; a live selector yields nothing.
+    */
+  private def qTsdbAbsent(s: SparkSession, dir: String): DataFrame = {
+    val t = tsdbOn(s, dir)
+    t.absentRange("no_such_metric", Seq.empty, T0, T1)
+      .withColumn("selector", lit("no_such_metric"))
+      .unionByName(
+        t.absentRange("click", Seq.empty, T0, T1)
+          .withColumn("selector", lit("click")))
+      .select("selector", "value")
+      .orderBy("selector")
+  }
+
   /** Chunked ingest + segment compaction: three append batches per segment,
     * then `compactSegments()` rewrites each seg dir to one (sid, ts)-sorted
     * file — the small-files maintenance job. Stats over the compacted store
@@ -845,9 +900,14 @@ object SparkEntry {
         maxHamming = 3)
       .orderBy("id1", "id2")
 
-  /** Transitive near-dup clusters: min-reachable-id component per doc. */
+  /** Transitive near-dup clusters: min-reachable-id component per doc.
+    * Alternating large-star/small-star contraction — O(log diameter)
+    * rounds, the 100-TB form (3× faster than min-label propagation at the
+    * 10× scale point). Min-label stays registered as the cross-check
+    * (`dedup_components_minlabel`, same oracle).
+    */
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
+    Dedup.connectedComponentsStar(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           k = 3, threshold = 0.8, hashTokens = true))
       .orderBy("doc_id")
@@ -858,12 +918,12 @@ object SparkEntry {
           k = 3, threshold = 0.8, hashTokens = true, maxDocFreq = Some(5L)))
       .orderBy("doc_id")
 
-  /** Same clusters via alternating large-star/small-star — the
-    * O(log diameter) round-complexity form for deep graphs; shares
-    * dedup_components' oracle (identical output by construction).
+  /** Same clusters via min-label propagation — O(diameter) rounds; kept
+    * registered as the cross-check of the star-contraction default
+    * (identical output by construction, shared oracle).
     */
-  private def qDedupComponentsStar(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponentsStar(
+  private def qDedupComponentsMinLabel(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           k = 3, threshold = 0.8, hashTokens = true))
       .orderBy("doc_id")
@@ -1188,6 +1248,18 @@ object SparkEntry {
         stride = 2)
       .orderBy("doc_id", "frame_idx")
 
+  /** Real binary-format round trip: frame each document into a GRFT16
+    * container (16-byte header + payload), then decode every header
+    * field back with the codegen'd fixed-offset reads — the decode is
+    * one WholeStageCodegen pass over the binary column (PlanSpec-gated),
+    * and the oracle recomputes the metadata from first principles.
+    */
+  private def qMultimodalHeaderDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeHeaders(
+        Multimodal.withFormatPayload(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "payload")
+      .orderBy("doc_id")
+
   /** Capstone composite pipeline: quality scoring → near-dup removal
     * (ngram-Jaccard pairs; lower doc_id survives) → clean corpus. The shape
     * of a production training-data cleaning job, end to end.
@@ -1295,6 +1367,11 @@ object SparkEntry {
     "tsdb_predict_linear" -> (qTsdbPredictLinear _),
     "tsdb_label_replace" -> (qTsdbLabelReplace _),
     "tsdb_quantile_over_time" -> (qTsdbQuantileOverTime _),
+    "tsdb_offset" -> (qTsdbOffset _),
+    "tsdb_bottomk" -> (qTsdbBottomk _),
+    "tsdb_count_values" -> (qTsdbCountValues _),
+    "tsdb_over_time" -> (qTsdbOverTime _),
+    "tsdb_absent" -> (qTsdbAbsent _),
     "tsdb_resets" -> (qTsdbResets _),
     "tsdb_selector_scan" -> (qTsdbSelectorScan _),
     "tsdb_ratio" -> (qTsdbRatio _),
@@ -1348,7 +1425,7 @@ object SparkEntry {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_components" -> (qDedupComponents _),
     "dedup_components_capped" -> (qDedupComponentsCapped _),
-    "dedup_components_star" -> (qDedupComponentsStar _),
+    "dedup_components_minlabel" -> (qDedupComponentsMinLabel _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_embedding_lsh" -> (qDedupEmbeddingLsh _),
     "dedup_embedding_ivf" -> (qDedupEmbeddingIvf _),
@@ -1375,6 +1452,7 @@ object SparkEntry {
     "corpus_stats" -> (qCorpusStats _),
     "tsdb_topk" -> (qTsdbTopk _),
     "multimodal_meta" -> (qMultimodalMeta _),
+    "multimodal_header_decode" -> (qMultimodalHeaderDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_resize" -> (qMultimodalResize _),
     "multimodal_features" -> (qMultimodalFeatures _),

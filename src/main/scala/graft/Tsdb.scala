@@ -46,6 +46,24 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   private var memBatches: Int = 0
   private val memCheckpointEvery = 8
 
+  /** Partial write generations accumulated in `series_meta`: every durable
+    * append (ingest batch, head flush, rollup-dim append) adds one, and a
+    * read pays a merge aggregation whenever more than one is present.
+    * `1` = the on-disk dim is known one-row-per-sid (single batch, or
+    * freshly compacted) and reads skip the merge. A store opened from a
+    * pre-existing path has unknown provenance, so it starts at the
+    * compaction threshold: correctness-safe (merge-on-read) and the next
+    * append folds it back to one generation.
+    */
+  private var metaGenerations: Int =
+    if (conf.onlyMemoryMode) 0
+    else if (pathExists(s"${conf.dataPath}/series_meta"))
+      math.max(conf.metaCompactEvery, 2)
+    else 0
+
+  /** Cached [[seriesDimSmall]] verdict; invalidated by every meta write. */
+  private var seriesDimSmallCache: Option[Boolean] = None
+
   /** Rows currently buffered in the head (tracked incrementally — one count
     * per [[insertHeadRows]] batch, never a scan of the accumulated head).
     */
@@ -165,6 +183,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .mode("append")
       .option("compression", conf.compression)
       .parquet(metaPath)
+    metaAppended()
     // advance the outdated-rejection boundary here — this serves BOTH
     // durable paths (insertRows and flushHead), so segments frozen via
     // direct insertRows are visible to insertHeadRows' gate
@@ -172,6 +191,18 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       case s: Long => frozenMaxSeg = math.max(frozenBoundary(), s)
       case _ => ()
     }
+  }
+
+  /** Bookkeeping after every durable `series_meta` append: one more
+    * partial generation on disk, size cache stale; fold the partials back
+    * to one generation inline once the configured cadence is reached, so
+    * metadata read cost stays O(1) in ingest-batch count.
+    */
+  private def metaAppended(): Unit = {
+    metaGenerations += 1
+    seriesDimSmallCache = None
+    if (conf.metaCompactEvery > 0 && metaGenerations > conf.metaCompactEvery)
+      compactSeriesMeta()
   }
 
   /** Head-buffered ingest — the reference's live memory segment
@@ -262,13 +293,53 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     }
   }
 
+  /** Session broadcast threshold in bytes (negative = user disabled
+    * broadcast joins entirely; honored).
+    */
+  private def broadcastThresholdBytes: Long = {
+    val s = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (s.startsWith("-")) -1L
+    else
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+      catch { case _: NumberFormatException => 10L * 1024 * 1024 }
+  }
+
+  /** True when the series dimension provably fits under the session's
+    * broadcast threshold. A disk-backed dimension is measured (meta file
+    * bytes × a conservative 4× decompression factor — one FS listing,
+    * cached until the next meta write); a pure memory head is treated as
+    * small, since its series count is bounded by the flush cadence
+    * (`maxRowsPerSegment`), not by total data volume. High-cardinality
+    * stores — the TSDB cardinality bomb, series count ∝ data — therefore
+    * get NO hint, and the planner (or AQE at runtime) picks a shuffle
+    * join instead of an executor-OOM broadcast.
+    */
+  private def seriesDimSmall: Boolean = seriesDimSmallCache.getOrElse {
+    val thr = broadcastThresholdBytes
+    val small =
+      if (thr < 0) false
+      else if (!conf.onlyMemoryMode && pathExists(metaPath))
+        fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(metaPath)).getLength * 4 < thr
+      else true
+    seriesDimSmallCache = Some(small)
+    small
+  }
+
+  /** Broadcast-hint the series dimension only when it is provably small
+    * ([[seriesDimSmall]]) — the semi-join shape is kept either way.
+    */
+  private def dimHint(dim: DataFrame): DataFrame =
+    if (seriesDimSmall) broadcast(dim) else dim
+
   /** Fact rows with metric + labels attached — identity for the
     * denormalized layout, broadcast dimension join for the normalized one.
     */
   def samplesWithLabels: DataFrame =
     if (samples.columns.contains("labels")) samples
     else samples
-      .join(broadcast(seriesMeta.select("sid", "metric", "labels")), "sid")
+      .join(dimHint(seriesMeta.select("sid", "metric", "labels")), "sid")
       .select("sid", "metric", "labels", "seg", "ts", "value")
 
   /** Typed view of the sample table for compile-time-checked pipelines. */
@@ -280,7 +351,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
 
   /** Series dimension: one row per sid with label set + time bounds.
     * Persisted appends are compacted at read (min/max re-merge) — the same
-    * partial/final merge the reference does across segments.
+    * partial/final merge the reference does across segments — but the
+    * merge is skipped when the store is provably one-row-per-sid already:
+    * a head-only dimension (its aggregation IS the merge) or a disk
+    * dimension at a single write generation (one batch, or freshly
+    * [[compactSeriesMeta]]-folded). With the auto-compaction cadence
+    * (`TsdbConf.metaCompactEvery`), metadata reads therefore cost one
+    * aggregation at most every few appends instead of one per read.
     */
   def seriesMeta: DataFrame = {
     val headAgg = memHead.map(
@@ -291,19 +368,19 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       if (!conf.onlyMemoryMode && pathExists(metaPath))
         Some(spark.read.parquet(metaPath))
       else None
-    val raw = (diskMeta, headAgg) match {
-      case (Some(d), Some(h)) => d.unionByName(h)
-      case (Some(d), None) => d
-      case (None, Some(h)) => h
-      case (None, None) => spark.read.parquet(metaPath)
-    }
-    raw
+    def merged(raw: DataFrame): DataFrame = raw
       .groupBy("sid")
       .agg(
         first("metric").as("metric"),
         first("labels").as("labels"),
         min("minTs").as("minTs"),
         max("maxTs").as("maxTs"))
+    (diskMeta, headAgg) match {
+      case (Some(d), Some(h)) => merged(d.unionByName(h))
+      case (Some(d), None) => if (metaGenerations <= 1) d else merged(d)
+      case (None, Some(h)) => h
+      case (None, None) => merged(spark.read.parquet(metaPath))
+    }
   }
 
   // ---------------------------------------------------------------- queries
@@ -356,13 +433,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         .select("sid", "labels")
       pruned
         .select("sid", "ts", "value")
-        .join(broadcast(matching), "sid")
+        .join(dimHint(matching), "sid")
         .select("sid", "labels", "ts", "value")
     } else {
       val withLabels =
         if (pruned.columns.contains("labels")) pruned
         else pruned.select("sid", "ts", "value")
-          .join(broadcast(seriesMeta.select("sid", "labels")), "sid")
+          .join(dimHint(seriesMeta.select("sid", "labels")), "sid")
       withLabels
         .where(matcherPredicate(col("labels"), all))
         .select("sid", "labels", "ts", "value")
@@ -390,7 +467,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         .select("sid", "labels")
       pruned
         .select("sid", "ts", "value")
-        .join(broadcast(matching), "sid")
+        .join(dimHint(matching), "sid")
         .select("sid", "labels", "ts", "value")
     } else
       pruned
@@ -474,6 +551,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * range scan — label extraction and bucketing are map-side, sums
     * accumulate in DECIMAL for oracle-exact reassociation, so the whole
     * query is scan → project → ONE shuffle at any scale.
+    *
+    * @param offsetSec PromQL `offset` modifier: evaluate over data
+    *   `offsetSec` earlier — the selection window shifts back by the
+    *   offset (segment pruning follows it) and result buckets are
+    *   reported at the REQUESTED timestamps, exactly like
+    *   `sum by (l) (metric[step] offset o)` aligns last week's data to
+    *   this week's eval grid.
     */
   def aggregateBy(
       metric: String,
@@ -481,10 +565,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
-    queryRange(metric, matchers, start, end)
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start")
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
       .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n"),
@@ -586,6 +673,11 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .option("compression", conf.compression)
       .partitionBy("seg")
       .parquet(path)
+    // the overwrite dropped any _batch_committed markers with the old
+    // files; record the rebuild so a later incremental append (whose
+    // batches this rebuild may already cover) can warn about the
+    // double-count it would cause
+    writeModeMarker(path, "rebuild")
     path
   }
 
@@ -604,16 +696,37 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * Appending batches that a later full rebuild also covers would
     * double-count (a rebuild does reset the tier — `mode(overwrite)` —
     * so rebuild-after-appends is safe; appends-after-rebuild of the same
-    * data are not).
+    * data are not). The tier records its last maintenance mode in a
+    * `_maintenance_mode` marker; appending to a tier last written by a
+    * full rebuild logs a loud warning, since nothing at read time can
+    * detect the resulting double-count.
+    *
+    * @param batchId when set (the streaming path passes its micro-batch
+    *   id), the append is EXACTLY-ONCE: partials are staged to a temp
+    *   dir, promoted into the tier under batchId-prefixed file names
+    *   (re-promotion after a mid-copy crash first clears that prefix),
+    *   and a `_batch_committed/<id>` marker makes any replayed batch a
+    *   no-op — `foreachBatch` is at-least-once, and a non-idempotent
+    *   append would over-count every sum served from the rollup.
     */
-  def appendRollupPartials(batch: DataFrame, stepSec: Long): Unit = {
+  def appendRollupPartials(
+      batch: DataFrame,
+      stepSec: Long,
+      batchId: Option[Long] = None): Unit = {
     require(stepSec > 0 && conf.segmentDuration % stepSec == 0,
       s"stepSec must divide segmentDuration: $stepSec vs ${conf.segmentDuration}")
     val path = s"${conf.dataPath}/rollup_$stepSec"
+    val committed = batchId.map(id =>
+      new org.apache.hadoop.fs.Path(s"$path/_batch_committed/$id"))
+    if (committed.exists(fs.exists)) return // replayed micro-batch: no-op
+    if (readModeMarker(path).contains("rebuild"))
+      logWarning(
+        s"appendRollupPartials on $path last written by a full rebuild: " +
+          "appending batches the rebuild already covered double-counts")
     val norm = normalize(batch).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      norm
+      val partials = norm
         .withColumn("bucket_start", col("ts") - pmod(col("ts"), lit(stepSec)))
         .groupBy("sid", "bucket_start")
         .agg(
@@ -623,10 +736,26 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
           max("value").as("max_v"))
         .withColumn("seg", segOf(col("bucket_start"), conf.segmentDuration))
         .repartition(col("seg"))
-        .write.mode("append")
-        .option("compression", conf.compression)
-        .partitionBy("seg")
-        .parquet(path)
+      batchId match {
+        case None =>
+          partials
+            .write.mode("append")
+            .option("compression", conf.compression)
+            .partitionBy("seg")
+            .parquet(path)
+        case Some(id) =>
+          val tmp = s"${conf.dataPath}/.rollup_stage_${stepSec}_$id"
+          partials
+            .write.mode("overwrite")
+            .option("compression", conf.compression)
+            .partitionBy("seg")
+            .parquet(tmp)
+          promoteStagedFiles(tmp, path, s"b$id-")
+          val m = committed.get
+          fs.mkdirs(m.getParent)
+          fs.create(m, true).close()
+      }
+      writeModeMarker(path, "incremental")
       norm
         .groupBy("sid")
         .agg(
@@ -638,7 +767,61 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         .write.mode("append")
         .option("compression", conf.compression)
         .parquet(metaPath)
+      metaAppended()
     } finally norm.unpersist()
+  }
+
+  /** Move every staged data file under `tmp/seg=*` into the live tier as
+    * `<prefix><name>` — single-file renames, no directory swaps, so
+    * concurrent readers never see a vanishing partition. A half-promoted
+    * previous attempt is made safe by first deleting live files carrying
+    * the same batch prefix (deterministic names make the cleanup exact).
+    */
+  private def promoteStagedFiles(
+      tmp: String, live: String, prefix: String): Unit = {
+    val tmpBase = new org.apache.hadoop.fs.Path(tmp)
+    fs.listStatus(tmpBase)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      .foreach { segDir =>
+        val liveSeg = new org.apache.hadoop.fs.Path(live, segDir.getPath.getName)
+        fs.mkdirs(liveSeg)
+        fs.listStatus(liveSeg)
+          .filter(_.getPath.getName.startsWith(prefix))
+          .foreach(st => fs.delete(st.getPath, false))
+        fs.listStatus(segDir.getPath)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .foreach { st =>
+            val dst = new org.apache.hadoop.fs.Path(
+              liveSeg, prefix + st.getPath.getName)
+            if (!fs.rename(st.getPath, dst))
+              sys.error(s"promote: rename ${st.getPath} -> $dst failed")
+          }
+      }
+    fs.delete(tmpBase, true)
+  }
+
+  /** Last maintenance mode recorded for a rollup tier
+    * (`incremental` | `rebuild`), if any.
+    */
+  private def readModeMarker(path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_maintenance_mode")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def writeModeMarker(path: String, mode: String): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_maintenance_mode"), true)
+    try out.write(mode.getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** [[aggregateBy]] served from a materialized rollup instead of raw
@@ -669,7 +852,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
       col("bucket_start")
     roll
-      .join(broadcast(matching), "sid")
+      .join(dimHint(matching), "sid")
       .groupBy(keys: _*)
       .agg(
         sum(col("n")).as("n"),
@@ -759,6 +942,125 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .select(byLabels.map(col) ++ Seq(col("bucket_start"), col("rk"),
         col("n"), col("sum_v")): _*)
   }
+
+  /** PromQL `bottomk(k, sum by (labels) (metric[step]))` — [[topKBy]]
+    * with the rank order inverted: the k label groups with the SMALLEST
+    * per-bucket sums. Same bounded-state bucket-partitioned rank window.
+    */
+  def bottomKBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_start")
+      .orderBy(col("sum_v").asc +: byLabels.map(col): _*)
+    aggregateBy(metric, matchers, start, end, byLabels, stepSec)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(byLabels.map(col) ++ Seq(col("bucket_start"), col("rk"),
+        col("n"), col("sum_v")): _*)
+  }
+
+  /** PromQL `count_values("value_label", metric)` per step bucket: the
+    * number of samples carrying each distinct value, grouped by a label
+    * subset — the value itself becomes a grouping dimension. One hash
+    * aggregation keyed by (labels…, bucket, value); cardinality is
+    * data-bounded exactly like Prometheus' own warning for this function.
+    */
+  def countValuesBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long): DataFrame = {
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) ++ Seq(
+      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start"),
+      col("value"))
+    queryRange(metric, matchers, start, end)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The PromQL `*_over_time(metric[rangeSec])` family evaluated on a
+    * step grid: for every eval timestamp `e` (multiples of `stepSec`
+    * within `[start, end]`), the avg/min/max/sum/count/last of each
+    * series' raw samples in the PromQL lookback window `(e - rangeSec,
+    * e]`. Returns all six moments in one pass — callers project the one
+    * they asked for.
+    *
+    * Scale shape: each sample map-side `explode`s into the at most
+    * `rangeSec/stepSec + 1` eval points whose windows contain it
+    * (`sequence` of the aligned grid — no per-eval-point self-join, no
+    * driver loop), then ONE hash aggregation keyed by (sid, eval_ts)
+    * computes every moment; `last_v` rides the same aggregation as
+    * `max_by` over (ts, value). Overlapping windows cost the fixed
+    * explode factor, never a shuffle per window — the same trade
+    * Structured Streaming's sliding `window()` makes.
+    */
+  def overTimeBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    // eval grid: e = k*stepSec with start <= e <= end; sample ts
+    // contributes to e iff ts <= e < ts + rangeSec. All integer
+    // arithmetic; a sample whose window set falls outside the grid is
+    // dropped BEFORE explode (sequence() rejects inverted bounds).
+    val firstEval =
+      floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val lastEval =
+      floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val gridStart = // first grid point >= start
+      Math.floorDiv(start + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end, stepSec) * stepSec
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      col("eval_ts")
+    queryRange(metric, matchers, start, end)
+      .withColumn("e0", greatest(firstEval, lit(gridStart)))
+      .withColumn("e1", least(lastEval, lit(gridEnd)))
+      .where(col("e0") <= col("e1"))
+      .withColumn("eval_ts", explode(sequence(col("e0"), col("e1"),
+        lit(stepSec))))
+      .groupBy((col("sid") +: keys): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"),
+        // last sample in the window; ties on ts break to the larger value.
+        // max over an orderable struct — the same lexicographic compare
+        // DuckDB's max(struct_pack(...)) performs, so oracles mirror 1:1
+        max(struct(col("ts"), col("value"))).getField("value").as("last_v"))
+      .drop("sid")
+  }
+
+  /** PromQL `absent(metric{matchers}[start..end])`: a single row with
+    * `value = 1.0` when NO sample matches the selector in the range,
+    * empty otherwise — the alerting primitive for "this metric stopped
+    * reporting". One pruned scan feeding a global count; the count
+    * compares on the driver side of the plan (a 1-row aggregate), never
+    * collects data.
+    */
+  def absentRange(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long): DataFrame =
+    queryRange(metric, matchers, start, end)
+      .agg(count(lit(1)).as("n_present"))
+      .where(col("n_present") === 0L)
+      .select(lit(1.0).as("value"))
 
   /** PromQL `histogram_quantile(phi, sum by (labels, le) (metric[step]))`
     * over raw observations bucketed at query time: each sample lands in its
@@ -893,7 +1195,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .where(col("ts").between(start, end))
       .select("sid")
       .distinct() // a sid has one label set: dedupe before the lookup
-      .join(broadcast(seriesMeta.select("sid", "labels")), "sid")
+      .join(dimHint(seriesMeta.select("sid", "labels")), "sid")
       .select(col("labels").getItem(label).as("value"))
       .where(col("value").isNotNull)
       .distinct()
@@ -920,20 +1222,48 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * swaps it in.
     */
   def compactSeriesMeta(): Unit = {
-    if (conf.onlyMemoryMode) return
+    if (conf.onlyMemoryMode || !pathExists(metaPath)) return
     val tmp = metaPath + ".compact"
     seriesMeta
       .coalesce(4)
       .write.mode("overwrite")
       .option("compression", conf.compression)
       .parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(metaPath), true)
-    fs.rename(
-      new org.apache.hadoop.fs.Path(tmp),
+    swapInPlace(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(metaPath))
+    metaGenerations = 1
+    seriesDimSmallCache = None
   }
+
+  /** Crash-safe directory swap: rename the live dir aside, rename the
+    * rewritten dir in, then drop the old copy — every intermediate state
+    * leaves either the old or the new data under a recoverable name
+    * (`.trash_*` keeps the old generation until the swap has succeeded),
+    * unlike a delete-then-rename whose mid-crash state has the live path
+    * gone entirely. Both renames are single metadata ops on HDFS-like
+    * stores; their return values are checked and a failure aborts loudly
+    * with the data intact.
+    */
+  private def swapInPlace(
+      tmp: org.apache.hadoop.fs.Path,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(
+      live.getParent, s".trash_${live.getName}")
+    if (fs.exists(trash) && !fs.delete(trash, true))
+      sys.error(s"compaction: cannot clear stale $trash")
+    if (!fs.rename(live, trash))
+      sys.error(s"compaction: rename $live -> $trash failed; store untouched")
+    if (!fs.rename(tmp, live)) {
+      // roll back so readers keep the old generation
+      fs.rename(trash, live)
+      sys.error(s"compaction: rename $tmp -> $live failed; rolled back")
+    }
+    if (!fs.delete(trash, true))
+      logWarning(s"compaction: could not remove $trash (data already live)")
+  }
+
+  private def logWarning(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
 
   /** Segment compaction: rewrite the append-accumulated files inside each
     * frozen segment partition into at most `filesPerSeg` files, re-sorted
@@ -949,9 +1279,18 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * and sid row-group stats work best on the merged run.
     *
     * Each segment is rewritten independently (read seg dir → sort →
-    * write sibling tmp → atomic rename), so a compaction pass is trivially
-    * parallelizable across segments and never blocks reads for longer than
-    * one rename. Returns the seg ids compacted.
+    * write sibling tmp → crash-safe [[swapInPlace]]), so a compaction pass
+    * is trivially parallelizable across segments and never blocks reads
+    * for longer than one rename. Returns the seg ids compacted.
+    *
+    * Writer safety: compaction and ingest must not interleave on the same
+    * segment — an append landing between the compaction read and the swap
+    * would be dropped with the old directory. A `Tsdb` instance is
+    * single-writer (calls on one driver thread), which rules the race out
+    * in-process; multi-writer deployments must quiesce ingest for the
+    * segments being compacted (e.g. compact only segments older than the
+    * active ingest window), exactly as any rewrite-based table maintenance
+    * (OPTIMIZE/vacuum) requires.
     */
   def compactSegments(filesPerSeg: Int = 1, parallelism: Int = 8): Seq[Long] = {
     if (conf.onlyMemoryMode) return Seq.empty
@@ -983,8 +1322,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
             .write.mode("overwrite")
             .option("compression", conf.compression)
             .parquet(tmp.toString)
-          fs.delete(p, true)
-          fs.rename(tmp, p)
+          swapInPlace(tmp, p)
           seg
         }
       }
@@ -1051,6 +1389,42 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
 
   private var retentionExec:
     Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  /** Streaming queries writing into this store, registered by
+    * [[graft.streaming.Ingest]] starters so [[close]] can drain them.
+    */
+  private val activeQueries = scala.collection.mutable.ArrayBuffer
+    .empty[org.apache.spark.sql.streaming.StreamingQuery]
+
+  private[graft] def registerQuery(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    synchronized { activeQueries += q }
+
+  /** Graceful shutdown — the reference's `Close()` (tsdb.go:372-382:
+    * drain the write queue, flush the head, seal segments) in one call:
+    * drain and stop every registered streaming ingest query, stop the
+    * retention ticker, and freeze the in-memory head to parquet. After
+    * `close()` returns, every acknowledged row is durable; a Tsdb
+    * reopened on the same path serves all of it. Idempotent — a second
+    * call finds nothing to drain.
+    */
+  def close(): Unit = {
+    val qs = synchronized {
+      val snap = activeQueries.toList
+      activeQueries.clear()
+      snap
+    }
+    qs.foreach { q =>
+      try {
+        if (q.isActive) { q.processAllAvailable(); q.stop() }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"close: streaming query ${q.id} failed to drain: $e")
+      }
+    }
+    stopRetentionLoop()
+    flushHead()
+  }
 
   // ------------------------------------------------------------- predicates
 

@@ -61,13 +61,15 @@ object LabelFunctions {
       lit("}"))
 
   /** PromQL `label_replace(v, dst, replacement, src, regex)`: if `regex`
-    * matches the ENTIRE value of label `src`, set label `dst` to
-    * `replacement` with `$1`-style capture expansion; otherwise the label
-    * set passes through unchanged (Prometheus semantics — the match is
-    * full-anchored). Pure map-side column work: no shuffle, no UDF — the
-    * anchored `rlike` guard and `regexp_replace` expansion are both
-    * codegen'd, and `map_filter` + `map_concat` performs the dst upsert
-    * without depending on a session dedup policy.
+    * matches the ENTIRE value of label `src` (an absent label matches as
+    * the empty string, like Prometheus), set label `dst` to `replacement`
+    * with `$1`-style capture expansion — and when the expansion is empty,
+    * REMOVE `dst` instead of storing an empty-string label, exactly as
+    * Prometheus does; otherwise the label set passes through unchanged.
+    * Pure map-side column work: no shuffle, no UDF — the anchored `rlike`
+    * guard and `regexp_replace` expansion are both codegen'd, and
+    * `map_filter` + `map_concat` performs the dst upsert/delete without
+    * depending on a session dedup policy.
     */
   def labelReplace(
       labels: Column,
@@ -76,12 +78,12 @@ object LabelFunctions {
       src: String,
       regex: String): Column = {
     val anchored = "^(?:" + regex + ")$"
-    val v = labels.getItem(src)
+    val v = coalesce(labels.getItem(src), lit(""))
     val expanded = regexp_replace(v, anchored, replacement)
-    when(v.isNotNull && v.rlike(anchored),
-      map_concat(
-        map_filter(labels, (k, _) => k =!= dst),
-        map(lit(dst), expanded)))
+    val withoutDst = map_filter(labels, (k, _) => k =!= dst)
+    when(v.rlike(anchored),
+      when(expanded === lit(""), withoutDst)
+        .otherwise(map_concat(withoutDst, map(lit(dst), expanded))))
       .otherwise(labels)
   }
 

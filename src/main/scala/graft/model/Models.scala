@@ -87,4 +87,13 @@ final case class TsdbConf(
       * this bound fails the query — overload is surfaced instead of
       * queueing unboundedly. `< 0` disables the bound.
       */
-    writeListenerTimeoutSec: Long = 30L)
+    writeListenerTimeoutSec: Long = 30L,
+    /** Series-metadata maintenance cadence: every durable append (ingest
+      * batch, head flush, rollup-dim append) adds a partial generation to
+      * `series_meta`, and reads pay a merge per accumulated generation.
+      * Once this many generations pile up, the store compacts them back to
+      * one merged generation inline ([[graft.Tsdb.compactSeriesMeta]]), so
+      * metadata read cost stays O(1) in ingest-batch count. `<= 0`
+      * disables auto-compaction (merge-on-read only).
+      */
+    metaCompactEvery: Int = 8)

@@ -100,6 +100,45 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame each document's bytes into a REAL binary container
+    * ([[graft.plans.MediaHeader]] GRFT16: magic + version + channels +
+    * width + height + frame count, then the payload) with
+    * deterministically derived metadata, so the round trip is
+    * oracle-checkable: width/height/channels/frames are functions of
+    * `doc_id` and the byte length that DuckDB recomputes directly.
+    */
+  def withFormatPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val nBytes = octet_length(col(textCol))
+    docs.withColumn("payload", graft.plans.MediaHeader.encode(
+      encode(col(textCol), "UTF-8"),
+      (lit(32) + pmod(id, lit(8)) * 16).cast("int"),
+      (lit(32) + pmod(floor(id / 8), lit(8)).cast("int") * 16).cast("int"),
+      (lit(1) + pmod(id, lit(3))).cast("int"),
+      lit(1L) + floor(nBytes / lit(128)).cast("long")))
+  }
+
+  /** Decode GRFT16 headers from a binary column — the genuinely
+    * vectorized decode path: each field is a fixed-offset byte read
+    * compiled into the scan's WholeStageCodegen loop
+    * ([[graft.plans.MediaHeaderField]] `doGenCode`), so a billion-blob
+    * metadata pass is one codegen stage with zero serialization
+    * boundaries (PlanSpec gates the plan shape). Corrupt blobs (bad
+    * magic / truncated header) decode to nulls, never exceptions.
+    */
+  def decodeHeaders(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import graft.plans.MediaHeader.field
+    val p = col(payloadCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      field(p, "version").as("version"),
+      field(p, "width").as("width"),
+      field(p, "height").as("height"),
+      field(p, "channels").as("channels"),
+      field(p, "n_frames").as("n_frames"),
+      field(p, "payload_len").as("payload_len"))
+  }
+
   /** Fit-box resize planning: the aspect-ratio-preserving output dims for
     * a (targetW, targetH) box — `scale = min(tw/w, th/h)` computed with
     * exact integer cross-multiplication, so it is deterministic and

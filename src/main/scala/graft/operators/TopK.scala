@@ -102,9 +102,15 @@ object TopK {
     // query ids per task) stay in the hash regime; memory stays bounded at
     // groups × k tuples. Measured on the 50M-pair clustered ANN bench:
     // 7.4 s -> 3.1 s.
+    // The threshold is read at EXECUTION time (when the caller runs an
+    // action on the returned frame), so a builder-scoped override would
+    // already be unwound — the session conf is the only lever. To avoid
+    // silently overriding an operator's deliberate setting, raise it ONLY
+    // when the session still carries the stock default (128); any other
+    // value — higher or lower — is respected as a deliberate choice.
     val sess = df.sparkSession
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (scala.util.Try(sess.conf.get(key).toInt).toOption.forall(_ < 65536))
+    if (scala.util.Try(sess.conf.get(key).toInt).toOption.contains(128))
       sess.conf.set(key, "65536")
     val tk =
       if (distinctIds) udaf(new TopKDistinctAggregator(k))

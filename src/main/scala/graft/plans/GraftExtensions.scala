@@ -108,6 +108,21 @@ object GraftFunctions {
       require(args.length == 3, "graft_probe_buckets(proj, bands, probeBits)")
       ProbeBuckets(args(0), intLit(args(1), "bands"),
         intLit(args(2), "probeBits"))
+    },
+    "graft_media_field" -> { args =>
+      require(args.length == 2, "graft_media_field(bin, 'field')")
+      val name = args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"field name must be a string literal, got $other")
+      }
+      MediaHeaderField(args(0), name)
+    },
+    "graft_media_encode" -> { args =>
+      require(args.length == 5,
+        "graft_media_encode(payload, width, height, channels, nFrames)")
+      MediaHeaderEncode(args(0), args(1), args(2), args(3), args(4))
     })
 
   /** Imperative registration on a live session (the extensions path does

@@ -37,8 +37,8 @@ object Ingest {
       tsdb: Tsdb,
       src: DataFrame,
       checkpoint: String,
-      triggerMs: Long = 1000L): StreamingQuery =
-    src.writeStream
+      triggerMs: Long = 1000L): StreamingQuery = {
+    val q = src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -50,6 +50,9 @@ object Ingest {
           throw new WriteTimeoutException(elapsedSec, bound)
       }
       .start()
+    tsdb.registerQuery(q)
+    q
+  }
 
   /** Streaming rollup maintenance: each micro-batch appends its
     * per-(sid, step-bucket) partial aggregates (plus series-dimension
@@ -59,20 +62,27 @@ object Ingest {
     * is inherited from partial-aggregate associativity: the rollup read
     * merges every appended partial, so stream-maintained equals
     * batch-materialized equals raw (StreamingSpec gates this at sf0.01).
+    * The exactness survives retries: `foreachBatch` is at-least-once, so
+    * each batch's partials are committed under its batchId
+    * ([[Tsdb.appendRollupPartials]] staged-promote + `_batch_committed`
+    * marker) and a replayed batch is a no-op instead of a double-count.
     */
   def rollupStream(
       tsdb: Tsdb,
       src: DataFrame,
       checkpoint: String,
       stepSec: Long,
-      triggerMs: Long = 1000L): StreamingQuery =
-    src.writeStream
+      triggerMs: Long = 1000L): StreamingQuery = {
+    val q = src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        tsdb.appendRollupPartials(batch, stepSec)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tsdb.appendRollupPartials(batch, stepSec, Some(batchId))
       }
       .start()
+    tsdb.registerQuery(q)
+    q
+  }
 
   /** Head-buffered streaming ingest — the closest Spark mirror of the
     * reference's actual write architecture (tsdb.go:235-271): micro-batches
@@ -92,8 +102,8 @@ object Ingest {
       src: DataFrame,
       checkpoint: String,
       triggerMs: Long = 1000L,
-      flushEveryBatches: Int = 16): StreamingQuery =
-    src.writeStream
+      flushEveryBatches: Int = 16): StreamingQuery = {
+    val q = src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -111,6 +121,9 @@ object Ingest {
           tsdb.flushHead()
       }
       .start()
+    tsdb.registerQuery(q)
+    q
+  }
 
   /** Total rows rejected by the outdated gate across all
     * [[ingestStreamHead]] queries in this JVM — observable by tests and

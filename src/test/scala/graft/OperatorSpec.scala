@@ -339,6 +339,48 @@ class OperatorSpec extends SparkSuite {
     assert(viaExpr == viaBatch, s"\nexpr:  $viaExpr\nbatch: $viaBatch")
   }
 
+  test("GRFT16 header: exact round trip; corrupt blobs decode to null") {
+    import spark.implicits._
+    import graft.plans.MediaHeader
+    // round trip across edge payloads (empty, multi-byte UTF-8, long)
+    val docs = Seq((0L, ""), (7L, "é€x"), (15L, "z" * 300), (23L, "ab"))
+      .toDF("doc_id", "text")
+    val decoded = graft.operators.Multimodal.decodeHeaders(
+        graft.operators.Multimodal.withFormatPayload(docs, "doc_id", "text"),
+        "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    decoded.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("version") == 1)
+      assert(r.getAs[Int]("width") == 32 + (id % 8).toInt * 16)
+      assert(r.getAs[Int]("height") == 32 + ((id / 8) % 8).toInt * 16)
+      assert(r.getAs[Int]("channels") == 1 + (id % 3).toInt)
+    }
+    // UTF-8 byte lengths: "" = 0, "é€x" = 2+3+1 = 6, 300, 2
+    assert(decoded.map(_.getAs[Long]("payload_len")).toSeq ==
+      Seq(0L, 6L, 300L, 2L))
+    // corrupt inputs: bad magic, truncated header, null — all null fields
+    val bad = Seq(
+      Array[Byte](1, 2, 3),
+      "JUNKJUNKJUNKJUNKJUNK".getBytes("UTF-8"),
+      null)
+      .toDF("payload")
+    val badOut = bad.select(
+      MediaHeader.field(col("payload"), "width").as("w"),
+      MediaHeader.field(col("payload"), "n_frames").as("f"))
+      .collect()
+    assert(badOut.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // SQL surface parses too (extensions-registered function)
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = graft.operators.Multimodal
+      .withFormatPayload(docs, "doc_id", "text")
+      .createOrReplaceTempView("grft_docs")
+    val w = spark.sql(
+      "SELECT graft_media_field(payload, 'width') AS w FROM grft_docs " +
+        "WHERE doc_id = 7").head().getInt(0)
+    assert(w == 32 + 7 * 16)
+  }
+
   test("ngram df cap drops boilerplate-only pairs, keeps genuine near-dups") {
     import spark.implicits._
     val boiler = "copyright terms apply all rights reserved"

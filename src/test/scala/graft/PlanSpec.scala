@@ -51,6 +51,53 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Union"), plan.take(3000))
   }
 
+  test("series dim above the broadcast threshold gets a shuffle join") {
+    import spark.implicits._
+    // a disk store whose series_meta bytes (x4 safety factor) exceed a
+    // deliberately tiny broadcast threshold must NOT hint broadcast —
+    // the TSDB cardinality bomb (series count growing with data volume)
+    // would otherwise OOM an executor at fleet scale. The semi-join
+    // shape survives; only the exchange strategy changes.
+    val t = new Tsdb(spark, TsdbConf(dataPath = tempDir("planspec_bigdim")))
+    t.insertRows((0 until 500).map(i =>
+      ("m", Map("u" -> i.toString), 1600000000L + i * 60L, 1.0))
+      .toDF("metric", "labels", "ts", "value"))
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1KB",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = t.queryRange("m", Seq(LabelMatcher.eq("u", "7")),
+        1600000000L, 1700000000L)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(3000))
+      // results are identical to the direct-predicate (no-join) path
+      val direct = t.queryRange("m", Seq(LabelMatcher.eq("u", "7")),
+        1600000000L, 1700000000L, useSeriesIndex = false)
+      assert(df.orderBy("ts").collect().toSeq ==
+        direct.orderBy("ts").collect().toSeq)
+    }
+  }
+
+  test("GRFT16 decode runs inside WholeStageCodegen, no object boundary") {
+    // the vectorized-decode claim, as a plan property: every header field
+    // read is the native codegen'd expression fused into the scan's
+    // WholeStageCodegen span (the `*(n)` stage markers) — no UDF, no
+    // mapPartitions object hop (the Scala-side equivalent of PySpark's
+    // mapInArrow, minus the Arrow conversion at the edges). AQE off so
+    // the stage markers are visible pre-execution.
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = SparkEntry.queries("multimodal_header_decode")(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_media_field"), plan.take(3000))
+      // encode+decode projections both carry the codegen star
+      assert("\\*\\(\\d+\\) Project.*graft_media_field".r
+        .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan.take(3000))
+      assert(!plan.contains("SerializeFromObject"), plan.take(3000))
+      assert(!plan.contains("MapPartitions"), plan.take(3000))
+    }
+  }
+
   test("q5 joins broadcast the small dimensions") {
     val plan = planOf(SparkEntry.queries("q5_region_revenue")(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))

@@ -452,6 +452,15 @@ class StreamingSpec extends SparkSuite {
       .orderBy("cohort", "bucket_start").collect().map(_.toSeq).toSeq
     assert(got == expect && got.nonEmpty,
       s"sizes ${got.size} vs ${expect.size}")
+    // foreachBatch is at-least-once: replaying an already-committed
+    // micro-batch (same batchId) must be a no-op, not a double-count
+    val replay = asSamples(
+      spark.createDataFrame(w1.toSeq).toDF("event_type", "user_id", "ts_s", "value"))
+    t.appendRollupPartials(replay, 3600L, Some(0L))
+    val afterReplay = t
+      .aggregateByFromRollup(3600L, "click", Seq.empty, T0, T1, Seq("cohort"))
+      .orderBy("cohort", "bucket_start").collect().map(_.toSeq).toSeq
+    assert(afterReplay == expect, "replayed batch 0 double-counted")
   }
 
   test("stream-stream interval join equals the batch range join at sf0.01") {

@@ -522,4 +522,75 @@ class TsdbSpec extends SparkSuite {
       .head().getAs[Map[String, String]]("l")
     assert(part == Map("src" -> "abc123x"))
   }
+
+  test("labelReplace: empty expansion deletes dst (Prometheus semantics)") {
+    import spark.implicits._
+    import graft.functions.LabelFunctions.labelReplace
+    val out = Seq(
+      Map("src" -> "abc", "dst" -> "old"), // match, $1 empty -> dst removed
+      Map("src" -> "abc123", "dst" -> "old"), // match, $1=123 -> dst=123
+      Map("dst" -> "old")) // absent src matches "" -> "" expansion -> removed
+      .toDF("labels")
+      .select(labelReplace(
+        col("labels"), "dst", "$1", "src", "[a-z]*(\\d*)").as("l"))
+      .collect().map(_.getAs[Map[String, String]]("l"))
+    assert(out(0) == Map("src" -> "abc"))
+    assert(out(1) == Map("src" -> "abc123", "dst" -> "123"))
+    assert(out(2) == Map.empty[String, String])
+  }
+
+  test("series_meta auto-compacts on the append cadence; reads skip merge") {
+    import spark.implicits._
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("autocompact"), metaCompactEvery = 2))
+    def batch(off: Long) = Seq(
+      ("m1", Map("n" -> "a"), off, 1.0),
+      ("m2", Map("n" -> "b"), off + 60, 2.0))
+      .toDF("metric", "labels", "ts", "value")
+    // appends 1,2 accumulate; append 3 crosses the cadence and folds the
+    // tier back to one generation inline
+    (0 until 3).foreach(i => t.insertRows(batch(i * 86400L)))
+    val metaDir = new java.io.File(t.conf.dataPath + "/series_meta")
+    val files = metaDir.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"expected one compacted generation, got $files files")
+    // single-generation reads skip the merge aggregation entirely
+    val plan = t.seriesMeta.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), plan.take(1500))
+    // and the merged content spans all three appends
+    val rows = t.seriesMeta.orderBy("metric").collect()
+    assert(rows.length == 2)
+    val m1 = rows.find(_.getAs[String]("metric") == "m1").get
+    assert(m1.getAs[Long]("minTs") == 0L)
+    assert(m1.getAs[Long]("maxTs") == 2 * 86400L)
+  }
+
+  test("close drains streaming ingest and head; reopen loses nothing") {
+    import spark.implicits._
+    val path = tempDir("close_drain")
+    val t = new Tsdb(spark, TsdbConf(dataPath = path,
+      segmentDuration = 7200L, maxRowsPerSegment = 0L))
+    t.startRetentionLoop(periodSec = 3600L)
+    // head-buffered rows: acknowledged to the caller but not yet durable
+    val rows = (0 until 50).map(i =>
+      ("m", Map("i" -> (i % 5).toString), 1600000000L + i * 60L, i.toDouble))
+    t.insertHeadRows(rows.toDF("metric", "labels", "ts", "value"))
+    // plus a streaming ingest query with data pending at close time
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long, Double)]
+    mem.addData(rows.take(10).map { case (m, l, ts, v) =>
+      (m, l("i"), ts + 999999L, v)
+    })
+    graft.streaming.Ingest.ingestStream(
+      t,
+      mem.toDF().toDF("metric", "i", "ts", "value")
+        .withColumn("labels", map(lit("i"), col("i")))
+        .select("metric", "labels", "ts", "value"),
+      tempDir("close_ckpt"), triggerMs = 100L)
+    t.close()
+    // everything acknowledged before close() is served by a fresh instance
+    val t2 = new Tsdb(spark, TsdbConf(dataPath = path, segmentDuration = 7200L))
+    assert(t2.samples.count() == 60L)
+    assert(t2.seriesMeta.count() == 5L)
+  }
 }
