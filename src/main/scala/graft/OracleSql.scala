@@ -1458,6 +1458,7 @@ object OracleSql {
     "text_tfidf" -> textTfidf,
     "text_winnow" -> textWinnow,
     "text_decontam" -> textDecontam,
+    "text_decontam_bloom" -> textDecontam,
     "text_repetition" -> textRepetition,
     "text_quality_filter" -> textQualityFilter,
     "mix_sample" -> mixSample,

@@ -1128,6 +1128,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The huge-benchmark scale twin of text_decontam: Bloom prefilter
+    * map-side (no false negatives), exact verify via a shuffle join —
+    * neither corpus nor benchmark broadcasts; row-identical output
+    * (shared oracle).
+    */
+  private def qTextDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.decontaminateBloom(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+  }
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -1443,6 +1457,7 @@ object SparkEntry {
     "text_tfidf" -> (qTextTfidf _),
     "text_winnow" -> (qTextWinnow _),
     "text_decontam" -> (qTextDecontam _),
+    "text_decontam_bloom" -> (qTextDecontamBloom _),
     "text_repetition" -> (qTextRepetition _),
     "text_quality_filter" -> (qTextQualityFilter _),
     "mix_sample" -> (qMixSample _),

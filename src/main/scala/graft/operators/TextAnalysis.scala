@@ -111,6 +111,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[decontaminate]] for benchmarks too big to broadcast exactly: a
+    * Bloom filter over the benchmark shingles (~9.6 bits/shingle at 1%
+    * fpp, ~25× smaller than the strings) prefilters the corpus MAP-SIDE
+    * — no false negatives, so misses are final — and only the candidate
+    * docs explode into the exact verify join, which runs as a SHUFFLE
+    * join (neither side broadcasts, so the benchmark can be arbitrarily
+    * large). Output is row-identical to [[decontaminate]] (same oracle):
+    * Bloom false positives are killed by the verify join, at ~fpp extra
+    * join input. Build is one distributed OR-merge aggregation
+    * ([[graft.plans.BloomBuildAggregator]]), probe is a codegen'd
+    * early-exit loop in the scan stage.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      fpp: Double = 0.01,
+      expectedBenchShingles: Option[Long] = None): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    import graft.plans.BloomShingles
+    val benchToks = bench
+      .select(explode(wordShingles(col(textCol), k)).as("tok"))
+      .distinct()
+    val n = expectedBenchShingles.getOrElse(benchToks.count())
+    val (bits, numHashes) = BloomShingles.build(benchToks, "tok", n, fpp)
+    train
+      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), k).as("toks"))
+      .where(BloomShingles.anyContain(col("toks"), bits, numHashes))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(benchToks.hint("shuffle_hash"), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Gopher-style repetition signals: the fraction of word 1/2/3-grams that
     * are repeats within the document (`(total - distinct) / total`). High
     * values mark boilerplate/spam docs a training pipeline drops. Pure

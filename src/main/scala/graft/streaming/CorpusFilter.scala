@@ -28,6 +28,13 @@ object CorpusFilter {
     * filter instead.) Documents with a null `textCol` are dropped, same as
     * the batch operator, which never emits them on either side.
     */
+  /** Hard ceiling on the literal shingle set: past this, the "eval set"
+    * is not an eval set and the caller must switch to a broadcast
+    * Bloom-filter/set variant instead of silently building a
+    * multi-hundred-MB driver literal into every micro-batch plan.
+    */
+  val MaxBenchShingles: Int = 2_000_000
+
   def decontaminateStream(
       docs: DataFrame,
       bench: DataFrame,
@@ -37,7 +44,11 @@ object CorpusFilter {
     val benchToks: Array[String] = bench
       .select(explode(wordShingles(col(textCol), k)).as("tok"))
       .distinct()
+      .limit(MaxBenchShingles + 1)
       .collect().map(_.getString(0))
+    require(benchToks.length <= MaxBenchShingles,
+      s"benchmark has > $MaxBenchShingles distinct $k-shingles — too large " +
+        "for a plan literal; use a broadcast Bloom-filter blocklist instead")
     docs.where(
       !arrays_overlap(wordShingles(col(textCol), k), typedLit(benchToks.toSeq)))
   }

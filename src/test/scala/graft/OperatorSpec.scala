@@ -339,6 +339,30 @@ class OperatorSpec extends SparkSuite {
     assert(viaExpr == viaBatch, s"\nexpr:  $viaExpr\nbatch: $viaBatch")
   }
 
+  test("bloom decontamination is row-identical to the exact broadcast join") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val exact = graft.operators.TextAnalysis
+      .decontaminate(train, bench, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bloom = graft.operators.TextAnalysis
+      .decontaminateBloom(train, bench, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(exact == bloom && exact.nonEmpty, s"${exact.size} vs ${bloom.size}")
+    // no false negatives even at an aggressive fpp — the verify join can
+    // only ever REMOVE bloom candidates, never recover a missed doc
+    val loose = graft.operators.TextAnalysis
+      .decontaminateBloom(train, bench, "doc_id", "text", k = 4, fpp = 0.2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(loose == exact)
+    // sizing sanity: ~9.6 bits/item at 1%, k around 7
+    val (words, k) = graft.plans.BloomShingles.plan(1000000L, 0.01)
+    assert(words.toLong * 64L > 9L * 1000000L && words.toLong * 64L < 11L * 1000000L)
+    assert(k >= 6 && k <= 8)
+  }
+
   test("GRFT16 header: exact round trip; corrupt blobs decode to null") {
     import spark.implicits._
     import graft.plans.MediaHeader

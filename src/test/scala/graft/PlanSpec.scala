@@ -79,6 +79,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("bloom decontamination: map-side prefilter, no benchmark broadcast") {
+    val df = SparkEntry.queries("text_decontam_bloom")(spark, sf0001)
+    val plan = planOf(df)
+    // the prefilter is the native probe fused into the corpus scan stage…
+    assert(plan.contains("graft_bloom_any"), plan.take(3000))
+    // …and the exact verify join shuffles BOTH sides — the benchmark is
+    // never a broadcast (the whole point: it may exceed broadcast size)
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
   test("GRFT16 decode runs inside WholeStageCodegen, no object boundary") {
     // the vectorized-decode claim, as a plan property: every header field
     // read is the native codegen'd expression fused into the scan's
