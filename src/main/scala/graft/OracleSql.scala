@@ -973,6 +973,35 @@ object OracleSql {
        |       (max(struct_pack(t := ts_s, v := value))).v AS last_v
        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** stddev/stdvar mirror: identical integer-cents lift, BIGINT moment
+    * sums (CAST kills the HUGEINT trap), and the same double op order as
+    * the Spark side, round(…,6)-absorbed.
+    */
+  private val tsdbStddev =
+    s"""WITH c AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |m AS (
+       |  SELECT cohort, bucket_start, count(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS sum_c,
+       |         CAST(SUM(cents * cents) AS BIGINT) AS sum2_c
+       |  FROM c GROUP BY 1, 2)
+       |SELECT cohort, bucket_start, n,
+       |       round((CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6)
+       |         AS avg_v,
+       |       round((CAST(sum2_c AS DOUBLE) / CAST(n AS DOUBLE) -
+       |              (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |              (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))) / 1e4, 6)
+       |         AS stdvar,
+       |       round(sqrt((CAST(sum2_c AS DOUBLE) / CAST(n AS DOUBLE) -
+       |              (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |              (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))) / 1e4), 6)
+       |         AS stddev
+       |FROM m ORDER BY cohort, bucket_start""".stripMargin
+
   /** absent() both directions: marker row for the dead selector, empty
     * for the live one.
     */
@@ -1412,6 +1441,7 @@ object OracleSql {
     "tsdb_bottomk" -> tsdbBottomk,
     "tsdb_count_values" -> tsdbCountValues,
     "tsdb_over_time" -> tsdbOverTime,
+    "tsdb_stddev" -> tsdbStddev,
     "tsdb_absent" -> tsdbAbsent,
     "tsdb_resets" -> tsdbResets,
     "tsdb_selector_scan" -> tsdbSelectorScan,

@@ -199,6 +199,14 @@ object SparkEntry {
         col("min_v"), col("max_v"), col("last_v"))
       .orderBy("cohort", "user_id", "eval_ts")
 
+  /** PromQL `stddev by (cohort) (click[1h])` — population stddev/stdvar
+    * from exact integer-cents moments, one hash aggregation.
+    */
+  private def qTsdbStddev(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .stddevBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .orderBy("cohort", "bucket_start")
+
   /** PromQL `absent()` both ways: a selector with no matching samples
     * yields the 1.0 marker row; a live selector yields nothing.
     */
@@ -1385,6 +1393,7 @@ object SparkEntry {
     "tsdb_bottomk" -> (qTsdbBottomk _),
     "tsdb_count_values" -> (qTsdbCountValues _),
     "tsdb_over_time" -> (qTsdbOverTime _),
+    "tsdb_stddev" -> (qTsdbStddev _),
     "tsdb_absent" -> (qTsdbAbsent _),
     "tsdb_resets" -> (qTsdbResets _),
     "tsdb_selector_scan" -> (qTsdbSelectorScan _),

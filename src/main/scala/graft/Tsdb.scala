@@ -965,6 +965,41 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         col("n"), col("sum_v")): _*)
   }
 
+  /** PromQL `stddev by (labels)` / `stdvar by (labels)` per step bucket
+    * (population variance, like Prometheus). Exactness scheme: values
+    * carry 2 decimals, so they lift losslessly to integer cents
+    * (`round(v*100)` — identical IEEE op in the oracle), the two moment
+    * sums are exact BIGINTs, and the variance assembles from them in a
+    * fixed double op order mirrored 1:1 in SQL (round(…,6) absorbing
+    * final-op ULP, the `q_percentiles` contract). One hash aggregation.
+    */
+  def stddevBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long): DataFrame = {
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
+    val n = col("n").cast("double")
+    val meanC = col("sum_c").cast("double") / n
+    val stdvar = (col("sum2_c").cast("double") / n - meanC * meanC) / 1e4
+    queryRange(metric, matchers, start, end)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_c"),
+        sum(col("cents") * col("cents")).as("sum2_c"))
+      .select(byLabels.map(col) ++ Seq(
+        col("bucket_start"),
+        col("n"),
+        round(meanC / 100.0, 6).as("avg_v"),
+        round(stdvar, 6).as("stdvar"),
+        round(sqrt(stdvar), 6).as("stddev")): _*)
+  }
+
   /** PromQL `count_values("value_label", metric)` per step bucket: the
     * number of samples carrying each distinct value, grouped by a label
     * subset — the value itself becomes a grouping dimension. One hash

@@ -298,4 +298,22 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       plan.take(3000))
   }
+
+  test("over_time sliding windows stay one shuffle (explode, not self-join)") {
+    // the *_over_time family maps each sample onto its eval points with a
+    // bounded explode, then ONE hash aggregation — never a per-window
+    // self-join or a window-function sort pass over the corpus
+    val plan = planOf(SparkEntry.queries("tsdb_over_time")(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+    assert(plan.contains("Generate explode"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("WindowExec"),
+      plan.take(3000))
+  }
+
+  test("stddev moments aggregate in one shuffle from integer cents") {
+    val plan = planOf(SparkEntry.queries("tsdb_stddev")(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+  }
 }
