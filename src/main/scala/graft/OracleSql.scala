@@ -1426,6 +1426,7 @@ object OracleSql {
     "ann_topk_agg" -> annTopk,
     "tsdb_ingest_stats" -> tsdbIngestStats,
     "tsdb_range_scan" -> tsdbRangeScan,
+    "tsdb_range_chunks" -> tsdbRangeScan,
     "tsdb_range_regex" -> tsdbRangeRegex,
     "tsdb_range_neq" -> tsdbRangeNeq,
     "tsdb_series" -> tsdbSeries,
@@ -1446,6 +1447,7 @@ object OracleSql {
     "tsdb_resets" -> tsdbResets,
     "tsdb_selector_scan" -> tsdbSelectorScan,
     "tsdb_ratio" -> tsdbRatio,
+    "tsdb_ratio_rollup" -> tsdbRatio,
     "tsdb_rollup_agg" -> tsdbAggBy,
     "tsdb_gaps" -> tsdbGaps,
     "tsdb_compact_stats" -> tsdbCompactStats,

@@ -142,6 +142,22 @@ object SparkEntry {
       .select("cohort", "bucket_start", "n_a", "n_b", "result")
       .orderBy("cohort", "bucket_start")
 
+  /** The ratio family served FROM the rollup tier: must merge to exactly
+    * the raw-data tsdb_ratio answer (shared oracle) — the downsampled
+    * dashboard path for `errors/requests`-style panels.
+    */
+  private def qTsdbRatioRollup(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_ratio_roll").toString
+    val t = new Tsdb(s, TsdbConf(dataPath = path, compression = "zstd",
+      segmentDuration = 86400L))
+    t.insertRows(eventsAsSamplesCohort(s, dir))
+    t.materializeRollup(3600L)
+    t.binaryOpByFromRollup(3600L, "purchase", "click", Seq.empty, T0, T1,
+        Seq("cohort"))((a, b) => round(a / b, 6))
+      .select("cohort", "bucket_start", "n_a", "n_b", "result")
+      .orderBy("cohort", "bucket_start")
+  }
+
   /** PromQL `sum by (cohort) (resets(click[1h]))`: counter-reset counts
     * composing with the label-dimension aggregation.
     */
@@ -604,6 +620,25 @@ object SparkEntry {
         GorillaPack.packPerSeries(pts, "user_id", "ts", "value"),
         "user_id", "block")
       .orderBy("user_id", "ts", "value")
+  }
+
+  /** Range scan served from the Gorilla chunk tier (the reference's
+    * per-series compressed-block storage as a cold tier): ingest,
+    * materialize (sid, seg) dod+XOR blocks, decode only the seg-pruned
+    * chunks — row-identical to the raw-store scan (shared oracle).
+    */
+  private def qTsdbRangeChunks(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    val t = new Tsdb(s, TsdbConf(dataPath = path, compression = "zstd",
+      segmentDuration = 86400L))
+    t.insertRows(eventsAsSamples(s, dir))
+    t.materializeGorillaChunks()
+    t.queryRangeFromChunks("click", Seq.empty, T0, T1)
+      .select(
+        col("labels").getItem("user_id").cast("long").as("user_id"),
+        col("ts").as("ts_s"),
+        col("value"))
+      .orderBy("user_id", "ts_s", "value")
   }
 
   /** Real write-path exercise: ingest the events table into a fresh
@@ -1398,6 +1433,7 @@ object SparkEntry {
     "tsdb_resets" -> (qTsdbResets _),
     "tsdb_selector_scan" -> (qTsdbSelectorScan _),
     "tsdb_ratio" -> (qTsdbRatio _),
+    "tsdb_ratio_rollup" -> (qTsdbRatioRollup _),
     "tsdb_rollup_agg" -> (qTsdbRollupAgg _),
     "tsdb_gaps" -> (qTsdbGaps _),
     "tsdb_compact_stats" -> (qTsdbCompactStats _),
@@ -1424,6 +1460,7 @@ object SparkEntry {
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_forward_native" -> (qAsofForwardNative _),
     "gorilla_roundtrip" -> (qGorillaRoundtrip _),
+    "tsdb_range_chunks" -> (qTsdbRangeChunks _),
     "q_json_extract" -> (qJsonExtract _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
