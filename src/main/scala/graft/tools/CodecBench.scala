@@ -60,6 +60,18 @@ object CodecBench {
       val secs = (System.nanoTime() - t0) / 1e9
       val mb = dirSize(path.toFile) / 1024.0 / 1024.0
       println(f"codec=$codec%-7s size=${mb}%.1f MB  ingest=${secs}%.1f s  (${nPoints / secs}%.0f rows/s)")
+      // the Gorilla chunk cold tier on the same store: one dod+XOR block
+      // per (sid, seg) in seg-partitioned parquet — the apples-to-apples
+      // comparison to the reference's Gorilla-block segments
+      if (codec == "none") {
+        val t1 = System.nanoTime()
+        val chunkPath = t.materializeGorillaChunks()
+        val packSecs = (System.nanoTime() - t1) / 1e9
+        val cmb = dirSize(new java.io.File(chunkPath)) / 1024.0 / 1024.0
+        println(f"gorilla-chunk tier: size=${cmb}%.1f MB " +
+          f"(${cmb * 1024 * 1024 / nPoints}%.2f B/point, ref 1.37 B/point " +
+          f"claim, 28 MB segment)  pack=${packSecs}%.1f s")
+      }
     }
     spark.stop()
   }
