@@ -1429,7 +1429,11 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * flatMap — the one genuinely imperative step, a custom bitstream),
     * then the usual ts filter + matcher semi-join. Row-identical to
     * [[queryRange]] on the raw store (shared oracle): the codec is
-    * lossless and the chunk tier covers every sample.
+    * lossless and the tier covers every sample AS OF its
+    * [[materializeGorillaChunks]] — like any materialized tier it is a
+    * snapshot; appends after the materialize serve from the raw/head
+    * path until the next pack run (same freshness contract as the
+    * rollup tier's rebuild mode).
     */
   def queryRangeFromChunks(
       metric: String,
@@ -1462,6 +1466,26 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     memHead = memHead.map(_.where(col("seg") >= cutoffSeg))
     if (headRows > 0) headRows = memHead.map(_.count()).getOrElse(0L)
     if (conf.onlyMemoryMode) return Seq.empty
+    // derived tiers are seg-partitioned on the SAME bucket ids as the
+    // fact store (rollup bucket_start and chunk blocks both derive seg
+    // via segOf), so the one sweep expires them too — otherwise the
+    // "cheap" tiers grow forever while the raw data they downsample is
+    // long gone, the classic unbounded-cold-tier leak
+    val base = new org.apache.hadoop.fs.Path(conf.dataPath)
+    if (fs.exists(base)) fs.listStatus(base)
+      .filter(st => st.isDirectory && {
+        val n = st.getPath.getName
+        n.startsWith("rollup_") || n == "gorilla_chunks"
+      })
+      .foreach { tier =>
+        fs.listStatus(tier.getPath)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+          .foreach { segDir =>
+            val seg = segDir.getPath.getName.stripPrefix("seg=").toLong
+            if ((seg + 1) * conf.segmentDuration <= nowSeconds - conf.retention)
+              fs.delete(segDir.getPath, true)
+          }
+      }
     listSegDirs().flatMap { case (seg, path) =>
       // expire when the bucket's max possible ts is older than cutoff,
       // i.e. the whole segment is out of retention (tsdb.go:393-396)

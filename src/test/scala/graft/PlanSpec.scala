@@ -299,6 +299,22 @@ class PlanSpec extends SparkSuite {
       plan.take(3000))
   }
 
+  test("gorilla chunk tier scan prunes seg partitions before decode") {
+    import spark.implicits._
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("chunks_plan"), segmentDuration = 7200L))
+    t.insertRows((0 until 400).map(i =>
+      ("m", Map("k" -> (i % 5).toString), 1600000000L + i * 60L, i.toDouble))
+      .toDF("metric", "labels", "ts", "value"))
+    t.materializeGorillaChunks()
+    val plan = planOf(t.queryRangeFromChunks("m", Seq.empty,
+      1600000000L, 1600000000L + 3600L))
+    // only the first 2h segment's chunks are read; pruning happens on the
+    // parquet scan BEFORE any block decodes
+    assert("PartitionFilters: \\[[^\\]]*seg".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
   test("over_time sliding windows stay one shuffle (explode, not self-join)") {
     // the *_over_time family maps each sample onto its eval points with a
     // bounded explode, then ONE hash aggregation — never a per-window

@@ -332,6 +332,35 @@ class TsdbSpec extends SparkSuite {
     assert(left.isEmpty)
   }
 
+  test("retention sweeps the derived tiers (rollup, gorilla chunks) too") {
+    import spark.implicits._
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("retention_tiers"), segmentDuration = 7200L,
+      retention = 7L * 86400))
+    // two segments of data, then materialize both derived tiers
+    t.insertRows((0 until 240).map(i =>
+      ("m", Map("k" -> (i % 3).toString), 1600000000L + i * 60L, i.toDouble))
+      .toDF("metric", "labels", "ts", "value"))
+    t.materializeRollup(3600L)
+    t.materializeGorillaChunks()
+    def segs(sub: String) = Option(
+      new java.io.File(t.conf.dataPath + "/" + sub).listFiles)
+      .map(_.count(_.getName.startsWith("seg="))).getOrElse(0)
+    val before = (segs("samples"), segs("rollup_3600"), segs("gorilla_chunks"))
+    assert(before._1 >= 2 && before._1 == before._2 && before._1 == before._3)
+    // expire only the first segment: cutoff lands mid-data
+    val dropped = t.removeExpires(1600000000L + 7L * 86400 + 7200L)
+    assert(dropped == Seq(1600000000L / 7200L))
+    // every tier dropped exactly the one expired bucket, kept the rest
+    assert(segs("samples") == before._1 - 1)
+    assert(segs("rollup_3600") == before._2 - 1)
+    assert(segs("gorilla_chunks") == before._3 - 1)
+    // the surviving data still serves from every path
+    assert(t.queryRange("m", Seq.empty, 1600000000L, 1700000000L).count() > 0)
+    assert(t.queryRangeFromChunks("m", Seq.empty, 1600000000L, 1700000000L)
+      .count() > 0)
+  }
+
   test("scheduled retention loop sweeps expired segments on its ticker") {
     import spark.implicits._
     val t = new Tsdb(spark, TsdbConf(
