@@ -93,7 +93,12 @@ final case class TsdbConf(
       * `series_meta`, and reads pay a merge per accumulated generation.
       * Once this many generations pile up, the store compacts them back to
       * one merged generation inline ([[graft.Tsdb.compactSeriesMeta]]), so
-      * metadata read cost stays O(1) in ingest-batch count. `<= 0`
-      * disables auto-compaction (merge-on-read only).
+      * metadata read cost stays O(1) in ingest-batch count. The fold
+      * runs inline on the append that crosses the cadence — that batch
+      * pays the (small, bounded) rewrite, which also counts toward the
+      * streaming path's `writeListenerTimeoutSec` budget; latency-strict
+      * streaming deployments can set `<= 0` (disables auto-compaction,
+      * merge-on-read only) and schedule
+      * [[graft.Tsdb.compactSeriesMeta]] as an external maintenance job.
       */
     metaCompactEvery: Int = 8)

@@ -43,7 +43,7 @@ object BloomShingles {
   private[plans] def hash1(tok: UTF8String): Long =
     XXH64.hashUTF8String(tok, 42L)
 
-  private[plans] def setBits(bits: Array[Long], tok: UTF8String, numHashes: Int): Unit = {
+  private[graft] def setBits(bits: Array[Long], tok: UTF8String, numHashes: Int): Unit = {
     val m = bits.length.toLong * 64L
     val h1 = hash1(tok)
     val h2 = XXH64.hashLong(h1, 7L)
@@ -55,7 +55,7 @@ object BloomShingles {
     }
   }
 
-  private[plans] def testBits(bits: Array[Long], tok: UTF8String, numHashes: Int): Boolean = {
+  private[graft] def testBits(bits: Array[Long], tok: UTF8String, numHashes: Int): Boolean = {
     val m = bits.length.toLong * 64L
     val h1 = hash1(tok)
     val h2 = XXH64.hashLong(h1, 7L)

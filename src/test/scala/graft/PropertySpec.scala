@@ -177,4 +177,29 @@ class PropertySpec extends SparkSuite {
       assert(pred == (ic + sc.toLong * 500L) / 100.0, s"g$g pred $pred")
     }
   }
+
+  test("bloom filter: zero false negatives on random corpora, fpp in spec") {
+    // the property the two-phase exact decontamination rests on: a member
+    // NEVER tests negative (misses are final, so the verify join can only
+    // remove candidates); the false-positive rate stays near nominal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.BloomShingles
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val members = (0 until 5000).map(i =>
+        s"tok_${trial}_${i}_${rnd.nextLong()}").toArray
+      val (words, k) = BloomShingles.plan(members.length.toLong, 0.01)
+      val bits = new Array[Long](words)
+      members.foreach(m =>
+        BloomShingles.setBits(bits, UTF8String.fromString(m), k))
+      assert(members.forall(m =>
+        BloomShingles.testBits(bits, UTF8String.fromString(m), k)),
+        "false negative — breaks two-phase exactness")
+      val probes = (0 until 20000).map(i => s"other_${trial}_${i}_x")
+      val fp = probes.count(p =>
+        BloomShingles.testBits(bits, UTF8String.fromString(p), k))
+      val rate = fp.toDouble / probes.size
+      assert(rate < 0.03, s"fpp $rate far above the 0.01 design point")
+    }
+  }
 }
