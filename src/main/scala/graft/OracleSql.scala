@@ -904,6 +904,53 @@ object OracleSql {
        |FROM d WHERE prev IS NOT NULL
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** changes() mirror: tsdbResets with the compare widened to any
+    * inequality — same deterministic (ts, v) lag order.
+    */
+  private val tsdbChanges =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e)
+       |SELECT cohort, ts_s - (ts_s % 3600) AS bucket_start,
+       |       count(*) AS n_deltas,
+       |       CAST(SUM(CASE WHEN v <> prev THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS changes
+       |FROM d WHERE prev IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** irate/idelta mirror: the same (ts, v) DESC rank window + lead pair
+    * the Spark side runs; DECIMAL delta arithmetic, the reset-aware
+    * numerator, and round(…,6) on the final division all mirror 1:1.
+    */
+  private val tsdbIrate =
+    s"""WITH e AS (
+       |  SELECT user_id, $tsS AS ts_s,
+       |         CAST(value AS DECIMAL(18,2)) AS v,
+       |         $tsS - ($tsS % 86400) AS bucket_start
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER w AS rk,
+       |         LEAD(ts_s) OVER w AS prev_ts,
+       |         LEAD(v) OVER w AS prev_v
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id, bucket_start
+       |               ORDER BY ts_s DESC, v DESC))
+       |SELECT user_id, bucket_start, ts_s - prev_ts AS dt,
+       |       CAST(v - prev_v AS DOUBLE) AS idelta,
+       |       CASE WHEN ts_s - prev_ts > 0 THEN
+       |         round(CAST(CASE WHEN v >= prev_v THEN v - prev_v
+       |                         ELSE v END AS DOUBLE)
+       |               / CAST(ts_s - prev_ts AS DOUBLE), 6) END AS irate
+       |FROM r WHERE rk = 1 AND prev_ts IS NOT NULL
+       |ORDER BY user_id, bucket_start""".stripMargin
+
   /** offset-modifier mirror: the selection window shifts back one day,
     * result buckets report at the REQUESTED grid (bucket + offset).
     */
@@ -1445,9 +1492,15 @@ object OracleSql {
     "tsdb_stddev" -> tsdbStddev,
     "tsdb_absent" -> tsdbAbsent,
     "tsdb_resets" -> tsdbResets,
+    "tsdb_changes" -> tsdbChanges,
+    "tsdb_irate" -> tsdbIrate,
     "tsdb_selector_scan" -> tsdbSelectorScan,
     "tsdb_ratio" -> tsdbRatio,
     "tsdb_ratio_rollup" -> tsdbRatio,
+    // the PromQL string front-end compiles onto the same operators, so
+    // the compiled queries share their direct twins' oracles verbatim
+    "tsdb_promql_topk" -> tsdbTopk,
+    "tsdb_promql_ratio" -> tsdbRatio,
     "tsdb_rollup_agg" -> tsdbAggBy,
     "tsdb_gaps" -> tsdbGaps,
     "tsdb_compact_stats" -> tsdbCompactStats,

@@ -158,6 +158,29 @@ object SparkEntry {
       .orderBy("cohort", "bucket_start")
   }
 
+  /** The PromQL STRING front-end end-to-end: `topk(3, sum by (cohort)
+    * (click[1h]))` parsed and compiled by [[graft.promql.PromQL]] onto the
+    * same operator as tsdb_topk — shares its oracle byte-for-byte, proving
+    * the parser adds no execution path of its own.
+    */
+  private def qTsdbPromqlTopk(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "topk(3, sum by (cohort) (click[1h]))", T0, T1)
+      .orderBy("bucket_start", "rk")
+
+  /** The string front-end's vector-match ratio:
+    * `sum by (cohort)(purchase[1h]) / sum by (cohort)(click[1h])` —
+    * compiled onto [[graft.Tsdb.binaryOpBy]], shares the tsdb_ratio oracle.
+    */
+  private def qTsdbPromqlRatio(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])",
+      T0, T1)
+      .select("cohort", "bucket_start", "n_a", "n_b", "result")
+      .orderBy("cohort", "bucket_start")
+
   /** PromQL `sum by (cohort) (resets(click[1h]))`: counter-reset counts
     * composing with the label-dimension aggregation.
     */
@@ -165,6 +188,26 @@ object SparkEntry {
     Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
       .resetsBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
       .orderBy("cohort", "bucket_start")
+
+  /** PromQL `sum by (cohort) (changes(click[1h]))`: consecutive-sample
+    * value-change counts (any direction) per label group — the flapping /
+    * config-churn signal; resets' sibling, same two-stage plan.
+    */
+  private def qTsdbChanges(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .changesBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .orderBy("cohort", "bucket_start")
+
+  /** PromQL `irate(click[1h])` / `idelta(click[1h])` per series: the
+    * last-two-samples instant delta and reset-aware instant rate — one
+    * bounded rank window, the spiky-counter dashboard primitive.
+    */
+  private def qTsdbIrate(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir)
+      .instantDeltaBy("click", Seq.empty, T0, T1, Seq("user_id"), 86400L)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("bucket_start"), col("dt"), col("idelta"), col("irate"))
+      .orderBy("user_id", "bucket_start")
 
   /** PromQL `quantile_over_time(0.95, click[1h]) by (cohort)`: exact
     * per-bucket p95, one partial-merge aggregation.
@@ -1431,9 +1474,13 @@ object SparkEntry {
     "tsdb_stddev" -> (qTsdbStddev _),
     "tsdb_absent" -> (qTsdbAbsent _),
     "tsdb_resets" -> (qTsdbResets _),
+    "tsdb_changes" -> (qTsdbChanges _),
+    "tsdb_irate" -> (qTsdbIrate _),
     "tsdb_selector_scan" -> (qTsdbSelectorScan _),
     "tsdb_ratio" -> (qTsdbRatio _),
     "tsdb_ratio_rollup" -> (qTsdbRatioRollup _),
+    "tsdb_promql_topk" -> (qTsdbPromqlTopk _),
+    "tsdb_promql_ratio" -> (qTsdbPromqlRatio _),
     "tsdb_rollup_agg" -> (qTsdbRollupAgg _),
     "tsdb_gaps" -> (qTsdbGaps _),
     "tsdb_compact_stats" -> (qTsdbCompactStats _),

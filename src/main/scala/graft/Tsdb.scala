@@ -948,6 +948,78 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         sum(when(col("v") < col("prev"), 1L).otherwise(0L)).as("resets"))
   }
 
+  /** PromQL `sum by (labels) (changes(metric[step]))`: per-series count of
+    * consecutive-sample VALUE CHANGES (any direction — [[resetsBy]] counts
+    * only drops), summed across series per (label subset, step bucket).
+    * Identical two-stage shape: per-series lag window on sid feeding one
+    * cross-series hash aggregation; DECIMAL compare + the deterministic
+    * (ts, value) lag order make the change count exact and tie-stable.
+    */
+  def changesBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("ts"), col("value"))
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
+    queryRange(metric, matchers, start, end)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        sum(when(col("v") =!= col("prev"), 1L).otherwise(0L)).as("changes"))
+  }
+
+  /** PromQL `idelta(metric[step])` / `irate(metric[step])` per series per
+    * step bucket: the difference between the LAST TWO samples inside each
+    * bucket (idelta), and irate — reset-aware like Prometheus (a drop
+    * yields the new value) — divided by their timestamp gap. Buckets
+    * holding fewer than two samples emit nothing; a zero timestamp gap
+    * (duplicate scrape) yields a null irate rather than a division blowup.
+    *
+    * Scale shape: one rank window partitioned by (series, bucket) — state
+    * per task bounded by a single bucket's sample count — then a
+    * two-row-per-group self-pairing via lead(); the [[topKBy]] idiom.
+    * The (ts, value) DESC order is deterministic: rows tying on both are
+    * interchangeable duplicates, so the selected pair is well-defined,
+    * and the identical ORDER BY mirrors 1:1 in the DuckDB oracle.
+    */
+  def instantDeltaBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long): DataFrame = {
+    val byCols = byLabels.map(l => col("labels").getItem(l).as(l))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid"), col("bucket_start"))
+      .orderBy(col("ts").desc, col("v").desc)
+    queryRange(metric, matchers, start, end)
+      .select((byCols ++ Seq(col("sid"), col("ts"),
+        (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start"),
+        col("value").cast("decimal(18,2)").as("v"))): _*)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("prev_ts", lead("ts", 1).over(w))
+      .withColumn("prev_v", lead("v", 1).over(w))
+      .where(col("rk") === 1 && col("prev_ts").isNotNull)
+      .withColumn("dt", col("ts") - col("prev_ts"))
+      .withColumn("idelta", (col("v") - col("prev_v")).cast("double"))
+      .withColumn("irate",
+        when(col("dt") > 0, round(
+          when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
+            .otherwise(col("v")).cast("double") /
+            col("dt").cast("double"), 6)))
+      .select((byLabels.map(col) ++ Seq(col("sid"), col("bucket_start"),
+        col("dt"), col("idelta"), col("irate"))): _*)
+  }
+
   /** PromQL `topk(k, sum by (labels) (metric[step]))`: the k label groups
     * with the largest per-bucket sums, per step bucket. Composes
     * [[aggregateBy]] with a rank window PARTITIONED by bucket — state per

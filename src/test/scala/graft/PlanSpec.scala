@@ -332,4 +332,30 @@ class PlanSpec extends SparkSuite {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
   }
+
+  test("changes is window + one aggregation; irate one bounded rank window") {
+    // changesBy: the resets shape — per-series lag window then ONE
+    // cross-series hash aggregation
+    val ch = planOf(SparkEntry.queries("tsdb_changes")(spark, sf0001))
+    val chEx = "Exchange hashpartitioning".r.findAllIn(ch).length
+    assert(chEx == 2, s"$chEx hash exchanges\n${ch.take(3000)}")
+    // instantDeltaBy: exactly one shuffle — the (sid, bucket) rank
+    // window; no join, no second aggregation pass
+    val ir = planOf(SparkEntry.queries("tsdb_irate")(spark, sf0001))
+    val irEx = "Exchange hashpartitioning".r.findAllIn(ir).length
+    assert(irEx == 1, s"$irEx hash exchanges\n${ir.take(3000)}")
+    assert(!ir.contains("Join"), ir.take(3000))
+  }
+
+  test("promql-compiled topk shares the direct operator's physical plan") {
+    val compiled = planOf(
+      SparkEntry.queries("tsdb_promql_topk")(spark, sf0001))
+    val direct = planOf(SparkEntry.queries("tsdb_topk")(spark, sf0001))
+    def shape(p: String) = (
+      "Exchange hashpartitioning".r.findAllIn(p).length,
+      "HashAggregate".r.findAllIn(p).length,
+      p.contains("WindowExec") || p.contains("Window"))
+    assert(shape(compiled) == shape(direct),
+      s"${shape(compiled)} vs ${shape(direct)}")
+  }
 }

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.LabelMatcher
+import graft.promql.PromQL
+
+/** The PromQL string front-end must be a pure re-expression of the direct
+  * operator API: for every supported shape, parse-and-run returns EXACTLY
+  * the direct call's rows (same columns, same values). That equality is
+  * the whole correctness argument — the compiler adds no execution paths,
+  * so the operators' oracle checks transfer to every compiled string.
+  */
+class PromQLSpec extends SparkSuite {
+
+  private lazy val events: DataFrame = {
+    val t = graft.sources.Tables.events(spark, sf0001)
+    t.select(
+      col("event_type").as("metric"),
+      map(
+        lit("user_id"), col("user_id").cast("string"),
+        lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"))
+        .as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+  }
+  private lazy val t: Tsdb = Tsdb.attach(spark, events)
+  private val T0 = 1704412800L
+  private val T1 = 1705017599L
+
+  private def assertSame(byString: DataFrame, direct: DataFrame): Unit = {
+    assert(byString.columns.toSeq == direct.columns.toSeq,
+      s"columns: ${byString.columns.toSeq} vs ${direct.columns.toSeq}")
+    val cols = byString.schema.fields.filterNot(
+      _.dataType.typeName == "map").map(f => col(f.name)).toSeq
+    val a = byString.orderBy(cols: _*).collect().toSeq
+    val b = direct.orderBy(cols: _*).collect().toSeq
+    assert(a == b, s"rows differ: ${a.take(3)} vs ${b.take(3)}")
+  }
+
+  test("sum by (cohort) (click[1h]) == aggregateBy") {
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (click[1h])", T0, T1),
+      t.aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L))
+  }
+
+  test("selector with matchers and offset compiles to queryRange") {
+    assertSame(
+      PromQL.query(t, """click{cohort="3"}""", T0, T1),
+      t.queryRange("click", Seq(LabelMatcher.eq("cohort", "3")), T0, T1))
+    assertSame(
+      PromQL.query(t,
+        """sum by (cohort) (click{cohort!="3"}[1h] offset 1d)""",
+        T0 + 86400L, T1),
+      t.aggregateBy("click", Seq(LabelMatcher.neq("cohort", "3")),
+        T0 + 86400L, T1, Seq("cohort"), 3600L, offsetSec = 86400L))
+  }
+
+  test("regex matchers parse to the regex fast-path matcher") {
+    assertSame(
+      PromQL.query(t, """sum by (cohort) (click{cohort=~"1|2"}[1h])""",
+        T0, T1),
+      t.aggregateBy("click",
+        Seq(LabelMatcher.re("cohort", "1|2")), T0, T1, Seq("cohort"), 3600L))
+  }
+
+  test("stddev / quantile / count_values by") {
+    assertSame(
+      PromQL.query(t, "stddev by (cohort) (click[1h])", T0, T1),
+      t.stddevBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L))
+    assertSame(
+      PromQL.query(t, "quantile(0.95, click[1h]) by (cohort)", T0, T1),
+      t.quantileBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, 0.95))
+    assertSame(
+      PromQL.query(t, """count_values("v", click[1d]) by (cohort)""",
+        T0, T1),
+      t.countValuesBy("click", Seq.empty, T0, T1, Seq("cohort"), 86400L))
+  }
+
+  test("topk / bottomk over sum by") {
+    assertSame(
+      PromQL.query(t, "topk(3, sum by (cohort) (click[1h]))", T0, T1),
+      t.topKBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, 3))
+    assertSame(
+      PromQL.query(t, "bottomk(3, sum by (cohort) (click[1h]))", T0, T1),
+      t.bottomKBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, 3))
+  }
+
+  test("counter family: rate / increase / resets under sum by") {
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (increase(click[1h]))", T0, T1),
+      t.aggregateIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L))
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (rate(click[1h]))", T0, T1),
+      t.aggregateIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L))
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (resets(click[1h]))", T0, T1),
+      t.resetsBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L))
+  }
+
+  test("changes under sum by; irate/idelta per series") {
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (changes(click[1h]))", T0, T1),
+      t.changesBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L))
+    assertSame(
+      PromQL.query(t, "irate(click[1h]) by (user_id)", T0, T1),
+      t.instantDeltaBy("click", Seq.empty, T0, T1, Seq("user_id"), 3600L))
+  }
+
+  test("changes >= resets on every group (a reset is a change)") {
+    val ch = t.changesBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .select(col("cohort"), col("bucket_start"), col("changes"))
+    val rs = t.resetsBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .select(col("cohort"), col("bucket_start"), col("resets"))
+    val bad = ch.join(rs, Seq("cohort", "bucket_start"))
+      .where(col("changes") < col("resets")).count()
+    assert(bad == 0L)
+  }
+
+  test("*_over_time family and quantile_over_time") {
+    assertSame(
+      PromQL.query(t, "avg_over_time(click[30m]) by (cohort)", T0, T1),
+      t.overTimeBy("click", Seq.empty, T0, T1, Seq("cohort"), 1800L, 1800L))
+    assertSame(
+      PromQL.query(t, "quantile_over_time(0.5, click[1h]) by (cohort)",
+        T0, T1),
+      t.quantileBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, 0.5))
+  }
+
+  test("predict_linear and absent") {
+    assertSame(
+      PromQL.query(t, "predict_linear(click[1h], 1h) by (user_id)", T0, T1),
+      t.predictLinear("click", Seq.empty, T0, T1, Seq("user_id"),
+        T1 + 3600L))
+    // present metric → empty; absent metric → the single 1.0 row
+    assert(PromQL.query(t, "absent(click)", T0, T1).count() == 0L)
+    val gone = PromQL.query(t, "absent(no_such_metric)", T0, T1).collect()
+    assert(gone.map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
+
+  test("ratio of two sum-by aggregations == binaryOpBy") {
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])",
+        T0, T1),
+      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L)((a, b) => round(a / b, 6)))
+  }
+
+  test("malformed and unsupported input fails with a clear message") {
+    val bad = Seq(
+      "sum by (cohort) (click[1h]",          // unbalanced paren
+      """click{cohort=3}""",                  // unquoted matcher value
+      "topk(3, avg by (cohort) (click[1h]))", // unsupported rank body
+      "sum by (cohort) (click)")              // missing step range
+    bad.foreach { q =>
+      val e = intercept[IllegalArgumentException](
+        PromQL.query(t, q, T0, T1).collect())
+      assert(e.getMessage.nonEmpty)
+    }
+  }
+}
