@@ -951,6 +951,23 @@ object OracleSql {
        |FROM r WHERE rk = 1 AND prev_ts IS NOT NULL
        |ORDER BY user_id, bucket_start""".stripMargin
 
+  /** absent_over_time mirror: the same PromQL lookback window
+    * `(e - range, e]` as the over_time grid join, negated — grid points
+    * with no covering sample.
+    */
+  private val tsdbAbsentOverTime =
+    s"""WITH ev AS (
+       |  SELECT $tsS AS ts_s
+       |  FROM events
+       |  WHERE event_type = 'click' AND CAST(user_id AS VARCHAR) = '7'
+       |    AND $tsS BETWEEN $T0 AND $T1),
+       |grid AS (SELECT unnest(range($T0, $T1 + 1, 3600)) AS eval_ts)
+       |SELECT eval_ts, 1.0 AS value
+       |FROM grid
+       |WHERE NOT EXISTS (SELECT 1 FROM ev
+       |  WHERE ev.ts_s <= grid.eval_ts AND ev.ts_s > grid.eval_ts - 1800)
+       |ORDER BY eval_ts""".stripMargin
+
   /** offset-modifier mirror: the selection window shifts back one day,
     * result buckets report at the REQUESTED grid (bucket + offset).
     */
@@ -1494,6 +1511,7 @@ object OracleSql {
     "tsdb_resets" -> tsdbResets,
     "tsdb_changes" -> tsdbChanges,
     "tsdb_irate" -> tsdbIrate,
+    "tsdb_absent_over_time" -> tsdbAbsentOverTime,
     "tsdb_selector_scan" -> tsdbSelectorScan,
     "tsdb_ratio" -> tsdbRatio,
     "tsdb_ratio_rollup" -> tsdbRatio,

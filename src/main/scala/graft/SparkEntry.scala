@@ -189,6 +189,17 @@ object SparkEntry {
       .resetsBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
       .orderBy("cohort", "bucket_start")
 
+  /** PromQL `absent_over_time(click{user_id="7"}[30m])` on the hourly
+    * eval grid: WHEN a sparse series stopped reporting — grid anti-join
+    * against the same bounded explode the over_time family uses.
+    */
+  private def qTsdbAbsentOverTime(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir)
+      .absentOverTime("click",
+        Seq(graft.model.LabelMatcher.eq("user_id", "7")),
+        T0, T1, 3600L, 1800L)
+      .orderBy("eval_ts")
+
   /** PromQL `sum by (cohort) (changes(click[1h]))`: consecutive-sample
     * value-change counts (any direction) per label group — the flapping /
     * config-churn signal; resets' sibling, same two-stage plan.
@@ -1476,6 +1487,7 @@ object SparkEntry {
     "tsdb_resets" -> (qTsdbResets _),
     "tsdb_changes" -> (qTsdbChanges _),
     "tsdb_irate" -> (qTsdbIrate _),
+    "tsdb_absent_over_time" -> (qTsdbAbsentOverTime _),
     "tsdb_selector_scan" -> (qTsdbSelectorScan _),
     "tsdb_ratio" -> (qTsdbRatio _),
     "tsdb_ratio_rollup" -> (qTsdbRatioRollup _),

@@ -1181,6 +1181,45 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .drop("sid")
   }
 
+  /** PromQL `absent_over_time(metric{matchers}[rangeSec])` on a step
+    * grid: one `(eval_ts, 1.0)` row for every eval timestamp whose
+    * PromQL lookback window `(e - rangeSec, e]` contains NO matching
+    * sample — the "stopped reporting, and since when" alerting signal
+    * ([[absentRange]] collapses the whole range to one bit).
+    *
+    * Scale shape: the eval grid is `spark.range` (length bounded by the
+    * query window, never the data), present eval points come from the
+    * SAME bounded map-side explode [[overTimeBy]] uses followed by one
+    * distinct aggregation, and absence is a single anti-join on an
+    * 8-byte key. No per-eval-point scan, no driver loop.
+    */
+  def absentOverTime(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      stepSec: Long,
+      rangeSec: Long): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    val firstEval =
+      floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val lastEval =
+      floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val gridStart = Math.floorDiv(start + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end, stepSec) * stepSec
+    val grid = spark.range(gridStart, gridEnd + 1, stepSec)
+      .select(col("id").as("eval_ts"))
+    val present = queryRange(metric, matchers, start, end)
+      .withColumn("e0", greatest(firstEval, lit(gridStart)))
+      .withColumn("e1", least(lastEval, lit(gridEnd)))
+      .where(col("e0") <= col("e1"))
+      .withColumn("eval_ts", explode(sequence(col("e0"), col("e1"),
+        lit(stepSec))))
+      .select("eval_ts").distinct()
+    grid.join(present, Seq("eval_ts"), "left_anti")
+      .select(col("eval_ts"), lit(1.0).as("value"))
+  }
+
   /** PromQL `absent(metric{matchers}[start..end])`: a single row with
     * `value = 1.0` when NO sample matches the selector in the range,
     * empty otherwise — the alerting primitive for "this metric stopped

@@ -152,7 +152,8 @@ object PromQL {
       "count_over_time", "last_over_time")
   private val RangeFns =
     OverTime ++ Set("rate", "increase", "resets", "changes", "absent",
-      "irate", "idelta", "quantile_over_time", "predict_linear")
+      "irate", "idelta", "quantile_over_time", "predict_linear",
+      "histogram_quantile", "absent_over_time")
 
   private final class P(var toks: List[Tok], input: String) {
     def fail(msg: String): Nothing =
@@ -232,10 +233,10 @@ object PromQL {
       case Some(Ident(name)) if RangeFns(name) =>
         next(); expectSym("(")
         var numArg: Option[Double] = None
-        if (name == "quantile_over_time") {
+        if (name == "quantile_over_time" || name == "histogram_quantile") {
           next() match {
             case Num(s) => numArg = Some(s.toDouble)
-            case t => fail("quantile_over_time needs a leading number q")
+            case t => fail(s"$name needs a leading number")
           }
           expectSym(",")
         }
@@ -314,18 +315,73 @@ object PromQL {
 
   /** Compile and run `input` against `t` over `[start, end]` (epoch
     * seconds), like a Prometheus `query_range` call. The step grid comes
-    * from the selector's `[d]` range. Unsupported compositions fail fast
+    * from the selector's `[d]` range. `histogram_quantile` needs the
+    * cumulative bucket bounds passed via `buckets` (the engine buckets
+    * raw observations at query time — there is no precomputed `_bucket`
+    * metric to read bounds from). Unsupported compositions fail fast
     * with a shape description, never a wrong answer.
     */
-  def query(t: Tsdb, input: String, start: Long, end: Long): DataFrame =
-    compile(t, parse(input), start, end)
+  def query(
+      t: Tsdb,
+      input: String,
+      start: Long,
+      end: Long,
+      buckets: Seq[Double] = Seq.empty): DataFrame =
+    compile(t, parse(input), start, end, buckets, rollupStep = None)
+
+  /** [[query]], but moment aggregations and ratios are served FROM the
+    * materialized rollup tier at `rollupStepSec` instead of raw samples —
+    * value-identical for bucket-aligned windows by partial-aggregate
+    * associativity (the [[graft.Tsdb.aggregateByFromRollup]] contract).
+    * The selector's `[d]` must equal the rollup step: a mismatched grid
+    * cannot be served exactly and throws rather than approximating.
+    */
+  def queryFromRollup(
+      t: Tsdb,
+      input: String,
+      start: Long,
+      end: Long,
+      rollupStepSec: Long): DataFrame =
+    compile(t, parse(input), start, end, Seq.empty,
+      rollupStep = Some(rollupStepSec))
 
   private def stepOf(sel: Selector, shape: String): Long =
     sel.rangeSec.getOrElse(throw new IllegalArgumentException(
       s"$shape needs a step range on the selector: ${sel.metric}[d]"))
 
-  private def compile(t: Tsdb, e: Expr, start: Long, end: Long): DataFrame =
+  private def checkRollupStep(sel: Selector, rollupStep: Long): Long = {
+    val s = stepOf(sel, "rollup-served aggregation")
+    require(s == rollupStep,
+      s"selector step ${s}s must equal the rollup step ${rollupStep}s " +
+      "to be served exactly from the rollup tier")
+    s
+  }
+
+  private def compile(
+      t: Tsdb,
+      e: Expr,
+      start: Long,
+      end: Long,
+      buckets: Seq[Double],
+      rollupStep: Option[Long]): DataFrame =
     e match {
+      // rollup-served forms first: the same strings, the downsampled tier
+      case Agg(op, _, _, by, sel: Selector)
+          if rollupStep.isDefined &&
+            Set("sum", "avg", "min", "max", "count")(op) =>
+        t.aggregateByFromRollup(checkRollupStep(sel, rollupStep.get),
+          sel.metric, sel.matchers, start, end, by)
+      case Ratio(Agg("sum", _, _, byA, a: Selector),
+          Agg("sum", _, _, byB, b: Selector)) if rollupStep.isDefined =>
+        require(byA == byB,
+          s"ratio sides must aggregate by the same labels: $byA vs $byB")
+        t.binaryOpByFromRollup(checkRollupStep(a, rollupStep.get),
+          a.metric, b.metric, a.matchers ++ b.matchers, start, end,
+          byA)((x, y) => round(x / y, 6))
+      case other if rollupStep.isDefined =>
+        throw new IllegalArgumentException(
+          s"only moment aggregations and sum-by ratios can be served " +
+          s"from the rollup tier, got: $other")
       // bare selector: the raw range scan (instant selectors span the
       // whole query range, like a Prometheus matrix at full resolution)
       case Selector(m, ms, _, off) =>
@@ -393,6 +449,17 @@ object PromQL {
 
       case RangeFn("absent", _, sel, _, _) =>
         t.absentRange(sel.metric, sel.matchers, start, end)
+
+      case RangeFn("absent_over_time", _, sel, _, _) =>
+        t.absentOverTime(sel.metric, sel.matchers, start, end,
+          stepOf(sel, "absent_over_time"), stepOf(sel, "absent_over_time"))
+
+      case RangeFn("histogram_quantile", Some(phi), sel, by, _) =>
+        require(buckets.nonEmpty,
+          "histogram_quantile needs bucket bounds: pass buckets = Seq(…) " +
+          "to PromQL.query (raw observations are bucketed at query time)")
+        t.histogramQuantile(sel.metric, sel.matchers, start, end, by,
+          stepOf(sel, "histogram_quantile"), phi, buckets)
 
       // vector ratio between two matching sum-by aggregations
       case Ratio(Agg("sum", _, _, byA, a: Selector),

@@ -141,6 +141,23 @@ class PromQLSpec extends SparkSuite {
     assert(gone.map(_.getDouble(0)).toSeq == Seq(1.0))
   }
 
+  test("absent_over_time: parse == direct; complements present grid") {
+    assertSame(
+      PromQL.query(t, """absent_over_time(click{user_id="7"}[1h])""",
+        T0, T1),
+      t.absentOverTime("click", Seq(LabelMatcher.eq("user_id", "7")),
+        T0, T1, 3600L, 3600L))
+    // every hourly grid point is either absent or covered, never both
+    val absent = t.absentOverTime("click",
+      Seq(LabelMatcher.eq("user_id", "7")), T0, T1, 3600L, 3600L)
+    val present = t.overTimeBy("click",
+      Seq(LabelMatcher.eq("user_id", "7")), T0, T1, Seq.empty,
+      3600L, 3600L).select("eval_ts").distinct()
+    val gridN = (T1 - T0) / 3600L + 1  // T0 is grid-aligned
+    assert(absent.count() + present.count() == gridN)
+    assert(absent.join(present, "eval_ts").count() == 0L)
+  }
+
   test("ratio of two sum-by aggregations == binaryOpBy") {
     assertSame(
       PromQL.query(t,
@@ -148,6 +165,41 @@ class PromQLSpec extends SparkSuite {
         T0, T1),
       t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
         3600L)((a, b) => round(a / b, 6)))
+  }
+
+  test("histogram_quantile compiles with caller-supplied buckets") {
+    val buckets = Seq(5.0, 10.0, 25.0, 50.0, 100.0, 250.0)
+    assertSame(
+      PromQL.query(t, "histogram_quantile(0.9, click[1h]) by (cohort)",
+        T0, T1, buckets),
+      t.histogramQuantile("click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L, 0.9, buckets))
+    val e = intercept[IllegalArgumentException](
+      PromQL.query(t, "histogram_quantile(0.9, click[1h]) by (cohort)",
+        T0, T1))
+    assert(e.getMessage.contains("bucket bounds"))
+  }
+
+  test("rollup-served compile equals the raw compile exactly") {
+    val path = tempDir("promql_rollup")
+    val disk = new Tsdb(spark, graft.model.TsdbConf(
+      dataPath = path, compression = "zstd", segmentDuration = 86400L))
+    disk.insertRows(events)
+    disk.materializeRollup(3600L)
+    val q = "sum by (cohort) (click[1h])"
+    assertSame(
+      PromQL.queryFromRollup(disk, q, T0, T1, 3600L),
+      PromQL.query(disk, q, T0, T1))
+    val ratio =
+      "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])"
+    assertSame(
+      PromQL.queryFromRollup(disk, ratio, T0, T1, 3600L),
+      PromQL.query(disk, ratio, T0, T1))
+    // grid mismatch must throw, not approximate
+    val e = intercept[IllegalArgumentException](
+      PromQL.queryFromRollup(disk, "sum by (cohort) (click[30m])",
+        T0, T1, 3600L))
+    assert(e.getMessage.contains("rollup step"))
   }
 
   test("malformed and unsupported input fails with a clear message") {
