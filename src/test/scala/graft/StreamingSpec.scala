@@ -461,6 +461,12 @@ class StreamingSpec extends SparkSuite {
       .aggregateByFromRollup(3600L, "click", Seq.empty, T0, T1, Seq("cohort"))
       .orderBy("cohort", "bucket_start").collect().map(_.toSeq).toSeq
     assert(afterReplay == expect, "replayed batch 0 double-counted")
+    // the full dashboard story: a PromQL STRING served from the
+    // stream-maintained downsampled tier equals the batch truth
+    val viaString = graft.promql.PromQL
+      .queryFromRollup(t, "sum by (cohort) (click[1h])", T0, T1, 3600L)
+      .orderBy("cohort", "bucket_start").collect().map(_.toSeq).toSeq
+    assert(viaString == expect, "promql-from-rollup diverged from batch")
   }
 
   test("stream-stream interval join equals the batch range join at sf0.01") {
