@@ -36,19 +36,25 @@ import org.apache.spark.sql.functions.round
   *
   * Grammar (recursive descent, no dependencies):
   * {{{
-  * expr      := aggTerm ('/' aggTerm)?
-  * aggTerm   := aggOp ('by' '(' labels ')')? '(' aggBody ')'
+  * expr      := aggTerm (('/'|'*'|'+'|'-') aggTerm)?
+  * aggTerm   := aggOp grouping? '(' aggBody ')' grouping?
   *            | fn '(' args ')' ('by' '(' labels ')')?
   *            | selector
+  * grouping  := 'by' '(' labels ')' | 'without' '(' labels ')'
   * aggOp     := sum|avg|min|max|count|stddev|stdvar
   *            | topk|bottomk|quantile|count_values
-  * fn        := rate|increase|resets|absent|predict_linear
+  * fn        := rate|increase|resets|changes|irate|idelta|absent
+  *            | absent_over_time|predict_linear|histogram_quantile
   *            | (avg|min|max|sum|count|last)_over_time|quantile_over_time
   * selector  := name ('{' matchers '}')? ('[' duration ']')?
   *              ('offset' duration)?
   * matcher   := label ('='|'!='|'=~'|'!~') quotedString
   * duration  := integer (s|m|h|d|w)?          // bare integer = seconds
   * }}}
+  *
+  * `without (labels)` resolves to an explicit `by` list at compile time
+  * against the metric's label-key universe read from the series
+  * DIMENSION (a driver-safe handful of strings at any cardinality).
   */
 object PromQL {
 
@@ -71,14 +77,20 @@ object PromQL {
       by: Seq[String],
       atSec: Option[Long] = None) extends Expr
   /** An aggregation operator with optional parameter (k for topk/bottomk,
-    * q for quantile, value-label for count_values). */
+    * q for quantile, value-label for count_values). `without` holds the
+    * complement clause; it resolves to `by` at compile time against the
+    * metric's actual label-key universe (the series dimension). */
   final case class Agg(
       op: String,
       k: Option[Long],
       q: Option[Double],
       by: Seq[String],
-      body: Expr) extends Expr
-  final case class Ratio(lhs: Expr, rhs: Expr) extends Expr
+      body: Expr,
+      without: Seq[String] = Seq.empty) extends Expr
+  /** Arithmetic vector match between two aggregations; `op` is one of
+    * `/ * + -`. Division (the dashboard ratio) rounds to 6 decimals for
+    * cross-engine reproducibility; the exact-DECIMAL ops don't need to. */
+  final case class BinOp(op: String, lhs: Expr, rhs: Expr) extends Expr
 
   // ---------------------------------------------------------- tokenizer
 
@@ -180,7 +192,8 @@ object PromQL {
     def parseExpr(): Expr = {
       val lhs = parseTerm()
       peek match {
-        case Some(Sym("/")) => next(); Ratio(lhs, parseTerm())
+        case Some(Sym(op @ ("/" | "*" | "+" | "-"))) =>
+          next(); BinOp(op, lhs, parseTerm())
         case _ => lhs
       }
     }
@@ -195,10 +208,21 @@ object PromQL {
       case _ => Seq.empty
     }
 
+    private def parseWithoutClause(): Seq[String] = peek match {
+      case Some(Ident("without")) =>
+        next(); expectSym("(")
+        val ls = scala.collection.mutable.ListBuffer(ident())
+        while (peek.contains(Sym(","))) { next(); ls += ident() }
+        expectSym(")")
+        ls.toSeq
+      case _ => Seq.empty
+    }
+
     private def parseTerm(): Expr = peek match {
       case Some(Ident(name)) if AggOps(name) =>
         next()
         val byBefore = parseByClause()
+        val woBefore = parseWithoutClause()
         expectSym("(")
         var k: Option[Long] = None
         var q: Option[Double] = None
@@ -227,8 +251,12 @@ object PromQL {
         val body = parseExpr()
         expectSym(")")
         val byAfter = parseByClause()
+        val woAfter = parseWithoutClause()
         val by = if (byBefore.nonEmpty) byBefore else byAfter
-        Agg(name, k, q, by, body)
+        val wo = if (woBefore.nonEmpty) woBefore else woAfter
+        if (by.nonEmpty && wo.nonEmpty)
+          fail("an aggregation takes either 'by' or 'without', not both")
+        Agg(name, k, q, by, body, wo)
 
       case Some(Ident(name)) if RangeFns(name) =>
         next(); expectSym("(")
@@ -327,7 +355,8 @@ object PromQL {
       start: Long,
       end: Long,
       buckets: Seq[Double] = Seq.empty): DataFrame =
-    compile(t, parse(input), start, end, buckets, rollupStep = None)
+    compile(t, resolveWithout(t, parse(input)), start, end, buckets,
+      rollupStep = None)
 
   /** [[query]], but moment aggregations and ratios are served FROM the
     * materialized rollup tier at `rollupStepSec` instead of raw samples —
@@ -342,12 +371,66 @@ object PromQL {
       start: Long,
       end: Long,
       rollupStepSec: Long): DataFrame =
-    compile(t, parse(input), start, end, Seq.empty,
+    compile(t, resolveWithout(t, parse(input)), start, end, Seq.empty,
       rollupStep = Some(rollupStepSec))
 
   private def stepOf(sel: Selector, shape: String): Long =
     sel.rangeSec.getOrElse(throw new IllegalArgumentException(
       s"$shape needs a step range on the selector: ${sel.metric}[d]"))
+
+  private def metricOf(e: Expr): Option[String] = e match {
+    case s: Selector => Some(s.metric)
+    case RangeFn(_, _, sel, _, _) => Some(sel.metric)
+    case a: Agg => metricOf(a.body)
+    case _ => None
+  }
+
+  /** The metric's label-key universe from the series DIMENSION (never the
+    * fact table): distinct map keys minus the metric name. Bounded by the
+    * schema's label-key count — a handful of strings — so the collect is
+    * driver-safe at any series cardinality. Sorted for a deterministic
+    * grouping column order. */
+  private def labelKeys(t: Tsdb, metric: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, explode, map_keys}
+    t.seriesMeta
+      .where(col("labels").getItem(Tsdb.MetricLabel) === metric)
+      .select(explode(map_keys(col("labels"))).as("k"))
+      .where(col("k") =!= Tsdb.MetricLabel)
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Resolve `without (labels)` clauses into explicit `by` lists against
+    * the metric's actual label keys — after this pass the compiler only
+    * ever sees `by`. */
+  private def resolveWithout(t: Tsdb, e: Expr): Expr = e match {
+    case a @ Agg(_, _, _, by, body, wo) =>
+      val rBody = resolveWithout(t, body)
+      if (wo.isEmpty) a.copy(body = rBody)
+      else {
+        val metric = metricOf(body).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot resolve 'without' — no selector inside: $e"))
+        a.copy(by = labelKeys(t, metric).filterNot(wo.contains),
+          body = rBody, without = Seq.empty)
+      }
+    case BinOp(op, l, r) =>
+      BinOp(op, resolveWithout(t, l), resolveWithout(t, r))
+    case other => other
+  }
+
+  /** The vector-match column op. Sums arrive as exact-DECIMAL-derived
+    * doubles; `+ - *` on them are single IEEE ops reproducible across
+    * engines, while `/` rounds to 6 decimals (the engine's documented
+    * ratio form, shared with the tsdb_ratio oracle). */
+  private def arith(op: String): (
+      org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    op match {
+      case "/" => (a, b) => round(a / b, 6)
+      case "*" => (a, b) => a * b
+      case "+" => (a, b) => a + b
+      case "-" => (a, b) => a - b
+    }
 
   private def checkRollupStep(sel: Selector, rollupStep: Long): Long = {
     val s = stepOf(sel, "rollup-served aggregation")
@@ -366,18 +449,19 @@ object PromQL {
       rollupStep: Option[Long]): DataFrame =
     e match {
       // rollup-served forms first: the same strings, the downsampled tier
-      case Agg(op, _, _, by, sel: Selector)
+      case Agg(op, _, _, by, sel: Selector, _)
           if rollupStep.isDefined &&
             Set("sum", "avg", "min", "max", "count")(op) =>
         t.aggregateByFromRollup(checkRollupStep(sel, rollupStep.get),
           sel.metric, sel.matchers, start, end, by)
-      case Ratio(Agg("sum", _, _, byA, a: Selector),
-          Agg("sum", _, _, byB, b: Selector)) if rollupStep.isDefined =>
+      case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
+          Agg("sum", _, _, byB, b: Selector, _)) if rollupStep.isDefined =>
         require(byA == byB,
-          s"ratio sides must aggregate by the same labels: $byA vs $byB")
+          s"vector-match sides must aggregate by the same labels: " +
+          s"$byA vs $byB")
         t.binaryOpByFromRollup(checkRollupStep(a, rollupStep.get),
           a.metric, b.metric, a.matchers ++ b.matchers, start, end,
-          byA)((x, y) => round(x / y, 6))
+          byA)(arith(op))
       case other if rollupStep.isDefined =>
         throw new IllegalArgumentException(
           s"only moment aggregations and sum-by ratios can be served " +
@@ -388,42 +472,42 @@ object PromQL {
         t.queryRange(m, ms, start - off, end - off)
 
       // moment aggregations over a plain selector → ONE hash aggregation
-      case Agg(op, _, _, by, sel: Selector)
+      case Agg(op, _, _, by, sel: Selector, _)
           if Set("sum", "avg", "min", "max", "count")(op) =>
         t.aggregateBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"$op by"), sel.offsetSec)
 
-      case Agg(op, _, _, by, sel: Selector)
+      case Agg(op, _, _, by, sel: Selector, _)
           if op == "stddev" || op == "stdvar" =>
         t.stddevBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"$op by"))
 
-      case Agg("quantile", _, Some(q), by, sel: Selector) =>
+      case Agg("quantile", _, Some(q), by, sel: Selector, _) =>
         t.quantileBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "quantile by"), q)
 
-      case Agg("count_values", _, _, by, sel: Selector) =>
+      case Agg("count_values", _, _, by, sel: Selector, _) =>
         t.countValuesBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "count_values"))
 
       // rank compositions: topk/bottomk over an inner sum-by
-      case Agg("topk", Some(k), _, _, Agg("sum", _, _, by, sel: Selector)) =>
+      case Agg("topk", Some(k), _, _, Agg("sum", _, _, by, sel: Selector, _), _) =>
         t.topKBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "topk(sum by)"), k.toInt)
       case Agg("bottomk", Some(k), _, _,
-          Agg("sum", _, _, by, sel: Selector)) =>
+          Agg("sum", _, _, by, sel: Selector, _), _) =>
         t.bottomKBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "bottomk(sum by)"), k.toInt)
 
       // counter family composed with the label aggregation
       case Agg("sum", _, _, by,
-          RangeFn(fn, _, sel, _, _)) if fn == "rate" || fn == "increase" =>
+          RangeFn(fn, _, sel, _, _), _) if fn == "rate" || fn == "increase" =>
         t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"sum by ($fn)"))
-      case Agg("sum", _, _, by, RangeFn("resets", _, sel, _, _)) =>
+      case Agg("sum", _, _, by, RangeFn("resets", _, sel, _, _), _) =>
         t.resetsBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "sum by (resets)"))
-      case Agg("sum", _, _, by, RangeFn("changes", _, sel, _, _)) =>
+      case Agg("sum", _, _, by, RangeFn("changes", _, sel, _, _), _) =>
         t.changesBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "sum by (changes)"))
 
@@ -461,13 +545,14 @@ object PromQL {
         t.histogramQuantile(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "histogram_quantile"), phi, buckets)
 
-      // vector ratio between two matching sum-by aggregations
-      case Ratio(Agg("sum", _, _, byA, a: Selector),
-          Agg("sum", _, _, byB, b: Selector)) =>
+      // arithmetic vector match between two matching sum-by aggregations
+      case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
+          Agg("sum", _, _, byB, b: Selector, _)) =>
         require(byA == byB,
-          s"ratio sides must aggregate by the same labels: $byA vs $byB")
+          s"vector-match sides must aggregate by the same labels: " +
+          s"$byA vs $byB")
         t.binaryOpBy(a.metric, b.metric, a.matchers ++ b.matchers, start,
-          end, byA, stepOf(a, "ratio"))((x, y) => round(x / y, 6))
+          end, byA, stepOf(a, "vector match"))(arith(op))
 
       case other =>
         throw new IllegalArgumentException(

@@ -158,13 +158,49 @@ class PromQLSpec extends SparkSuite {
     assert(absent.join(present, "eval_ts").count() == 0L)
   }
 
-  test("ratio of two sum-by aggregations == binaryOpBy") {
+  test("arithmetic vector matches (/ * + -) == binaryOpBy") {
     assertSame(
       PromQL.query(t,
         "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])",
         T0, T1),
       t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
         3600L)((a, b) => round(a / b, 6)))
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) + sum by (cohort) (click[1h])",
+        T0, T1),
+      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L)((a, b) => a + b))
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) - sum by (cohort) (click[1h])",
+        T0, T1),
+      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L)((a, b) => a - b))
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) * sum by (cohort) (click[1h])",
+        T0, T1),
+      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L)((a, b) => a * b))
+  }
+
+  test("without clause resolves against the series label universe") {
+    // labels are {user_id, cohort}: without (user_id) ≡ by (cohort)
+    assertSame(
+      PromQL.query(t, "sum without (user_id) (click[1h])", T0, T1),
+      t.aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L))
+    // without() on both sides of a vector match
+    assertSame(
+      PromQL.query(t,
+        "sum without (user_id) (purchase[1h]) / " +
+        "sum without (user_id) (click[1h])", T0, T1),
+      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L)((a, b) => round(a / b, 6)))
+    // by and without together is a parse error
+    val e = intercept[IllegalArgumentException](
+      PromQL.parse("sum by (cohort) without (user_id) (click[1h])"))
+    assert(e.getMessage.contains("either 'by' or 'without'"))
   }
 
   test("histogram_quantile compiles with caller-supplied buckets") {
