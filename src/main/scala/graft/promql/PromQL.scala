@@ -330,6 +330,50 @@ object PromQL {
     }
   }
 
+  /** Render an AST back to its canonical query string — the inverse of
+    * [[parse]] (`parse(render(e)) == e` is property-tested). Durations
+    * render in seconds; matcher values escape `\` and `"`. */
+  def render(e: Expr): String = e match {
+    case Selector(metric, ms, range, off) =>
+      val m =
+        if (ms.isEmpty) ""
+        else ms.map { lm =>
+          val op = (lm.isRegex, lm.negate) match {
+            case (false, false) => "="
+            case (false, true) => "!="
+            case (true, false) => "=~"
+            case (true, true) => "!~"
+          }
+          val v = lm.value.replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""${lm.name}$op"$v""""
+        }.mkString("{", ", ", "}")
+      val r = range.map(s => s"[${s}s]").getOrElse("")
+      val o = if (off != 0L) s" offset ${off}s" else ""
+      s"$metric$m$r$o"
+    case RangeFn(name, numArg, sel, by, atSec) =>
+      val lead = numArg.map(q => s"$q, ").getOrElse("")
+      val at = atSec.map(s => s", ${s}s").getOrElse("")
+      val byC = if (by.isEmpty) "" else by.mkString(" by (", ", ", ")")
+      s"$name($lead${render(sel)}$at)$byC"
+    case Agg(op, k, q, by, body, wo) =>
+      val lead = (op, k, q) match {
+        case ("count_values", _, _) =>
+          // the AST doesn't record the value-label string (the engine's
+          // countValuesBy groups by the value column itself), so the
+          // canonical rendering uses the conventional "value"
+          "\"value\", "
+        case (_, Some(kk), _) => s"$kk, "
+        case (_, _, Some(qq)) => s"$qq, "
+        case _ => ""
+      }
+      val grouping =
+        if (by.nonEmpty) by.mkString(" by (", ", ", ")")
+        else if (wo.nonEmpty) wo.mkString(" without (", ", ", ")")
+        else ""
+      s"$op($lead${render(body)})$grouping"
+    case BinOp(op, l, r) => s"${render(l)} $op ${render(r)}"
+  }
+
   /** Parse a query string to its AST (throws IllegalArgumentException with
     * the offending token window on malformed input). */
   def parse(input: String): Expr = {

@@ -178,6 +178,69 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("promql: parse(render(ast)) == ast over random query shapes") {
+    import graft.promql.PromQL
+    import graft.promql.PromQL._
+    import graft.model.LabelMatcher
+    val rnd = new scala.util.Random(11)
+    def randMatcher(): LabelMatcher = {
+      val name = Seq("user_id", "cohort", "dc")(rnd.nextInt(3))
+      // exercise escaping: values may carry quotes and backslashes
+      val value = Seq("7", "a\"b", "x\\y", "1|2", "")(rnd.nextInt(5))
+      Seq(
+        LabelMatcher.eq(name, value), LabelMatcher.neq(name, value),
+        LabelMatcher.re(name, value), LabelMatcher.nre(name, value))(
+        rnd.nextInt(4))
+    }
+    def randSelector(withRange: Boolean): Selector =
+      Selector(
+        Seq("click", "view", "purchase")(rnd.nextInt(3)),
+        Seq.fill(rnd.nextInt(3))(randMatcher()),
+        if (withRange) Some(Seq(60L, 1800L, 3600L, 86400L)(rnd.nextInt(4)))
+        else None,
+        if (rnd.nextBoolean()) 0L else 3600L)
+    def randExpr(): Expr = rnd.nextInt(10) match {
+      case 0 => randSelector(rnd.nextBoolean())
+      case 1 =>
+        val op = Seq("sum", "avg", "min", "max", "count", "stddev",
+          "stdvar")(rnd.nextInt(7))
+        if (rnd.nextBoolean())
+          Agg(op, None, None, Seq("cohort"), randSelector(true))
+        else
+          Agg(op, None, None, Seq.empty, randSelector(true),
+            without = Seq("user_id"))
+      case 2 =>
+        Agg(Seq("topk", "bottomk")(rnd.nextInt(2)),
+          Some(1L + rnd.nextInt(9).toLong), None, Seq.empty,
+          Agg("sum", None, None, Seq("cohort"), randSelector(true)))
+      case 3 => Agg("quantile", None, Some(0.95), Seq("cohort"),
+        randSelector(true))
+      case 4 => Agg("count_values", None, None, Seq("cohort"),
+        randSelector(true))
+      case 5 => Agg("sum", None, None, Seq("cohort"),
+        RangeFn(Seq("rate", "increase", "resets", "changes")(
+          rnd.nextInt(4)), None, randSelector(true), Seq.empty))
+      case 6 => RangeFn(
+        Seq("avg_over_time", "min_over_time", "max_over_time",
+          "sum_over_time", "count_over_time", "last_over_time", "irate",
+          "idelta", "absent_over_time")(rnd.nextInt(9)),
+        None, randSelector(true), Seq("cohort"))
+      case 7 => RangeFn("quantile_over_time", Some(0.5),
+        randSelector(true), Seq("cohort"))
+      case 8 => RangeFn("predict_linear", None, randSelector(true),
+        Seq("user_id"), atSec = Some(3600L))
+      case 9 => BinOp(Seq("/", "*", "+", "-")(rnd.nextInt(4)),
+        Agg("sum", None, None, Seq("cohort"), randSelector(true)),
+        Agg("sum", None, None, Seq("cohort"), randSelector(true)))
+    }
+    for (i <- 0 until 500) {
+      val ast = randExpr()
+      val s = PromQL.render(ast)
+      val back = PromQL.parse(s)
+      assert(back == ast, s"round-trip $i failed:\n  $ast\n  «$s»\n  $back")
+    }
+  }
+
   test("bloom filter: zero false negatives on random corpora, fpp in spec") {
     // the property the two-phase exact decontamination rests on: a member
     // NEVER tests negative (misses are final, so the verify join can only
