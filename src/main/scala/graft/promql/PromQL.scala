@@ -108,9 +108,16 @@ object PromQL {
       val c = input.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c.isLetter || c == '_') {
+        // idents additionally accept INTERIOR dots (mandodb-style metric
+        // names like cpu.busy — not legal Prometheus, but this engine's
+        // reference data uses them); a dot only continues the ident when
+        // followed by another ident char, so `sum(x)...` still fails fast
         val j0 = i
-        while (i < n && (input.charAt(i).isLetterOrDigit ||
-          input.charAt(i) == '_' || input.charAt(i) == ':')) i += 1
+        def identChar(ch: Char) =
+          ch.isLetterOrDigit || ch == '_' || ch == ':'
+        while (i < n && (identChar(input.charAt(i)) ||
+          (input.charAt(i) == '.' && i + 1 < n &&
+            identChar(input.charAt(i + 1))))) i += 1
         out += Ident(input.substring(j0, i))
       } else if (c.isDigit ||
           (c == '.' && i + 1 < n && input.charAt(i + 1).isDigit)) {

@@ -238,6 +238,14 @@ class PromQLSpec extends SparkSuite {
     assert(e.getMessage.contains("rollup step"))
   }
 
+  test("README example strings parse (dotted mandodb metric names)") {
+    Seq(
+      """topk(3, sum by (dc) (cpu.busy[5m]))""",
+      """sum without (node) (rate(net.in.bytes{dc=~"eu.*"}[1m]))""",
+      """irate(cpu.busy[1m]) by (node)""",
+      """sum by (dc) (cpu.busy[1h])""").foreach(PromQL.parse)
+  }
+
   test("malformed and unsupported input fails with a clear message") {
     val bad = Seq(
       "sum by (cohort) (click[1h]",          // unbalanced paren

@@ -194,7 +194,7 @@ class PropertySpec extends SparkSuite {
     }
     def randSelector(withRange: Boolean): Selector =
       Selector(
-        Seq("click", "view", "purchase")(rnd.nextInt(3)),
+        Seq("click", "view", "purchase", "cpu.busy", "net.in.bytes")(rnd.nextInt(5)),
         Seq.fill(rnd.nextInt(3))(randMatcher()),
         if (withRange) Some(Seq(60L, 1800L, 3600L, 86400L)(rnd.nextInt(4)))
         else None,
