@@ -951,6 +951,34 @@ object OracleSql {
        |FROM r WHERE rk = 1 AND prev_ts IS NOT NULL
        |ORDER BY user_id, bucket_start""".stripMargin
 
+  /** group_left mirror: the left side aggregates per (cohort, user_id),
+    * the right per cohort only; the join keys the coarse labels and the
+    * result keeps the fine grain — same DECIMAL sums + round(…,6) ratio
+    * op order as tsdbRatio.
+    */
+  private val tsdbGroupLeft =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         user_id,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2, 3),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2)
+       |SELECT a.cohort, a.user_id, a.bucket_start, n_a, n_b,
+       |       round(sum_a / sum_b, 6) AS result
+       |FROM a JOIN b USING (cohort, bucket_start)
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** absent_over_time mirror: the same PromQL lookback window
     * `(e - range, e]` as the over_time grid join, negated — grid points
     * with no covering sample.
@@ -1512,6 +1540,7 @@ object OracleSql {
     "tsdb_changes" -> tsdbChanges,
     "tsdb_irate" -> tsdbIrate,
     "tsdb_absent_over_time" -> tsdbAbsentOverTime,
+    "tsdb_group_left" -> tsdbGroupLeft,
     "tsdb_selector_scan" -> tsdbSelectorScan,
     "tsdb_ratio" -> tsdbRatio,
     "tsdb_ratio_rollup" -> tsdbRatio,

@@ -181,6 +181,22 @@ object SparkEntry {
       .select("cohort", "bucket_start", "n_a", "n_b", "result")
       .orderBy("cohort", "bucket_start")
 
+  /** PromQL one-to-many vector matching through the STRING front-end:
+    * `sum by (cohort, user_id)(purchase[1d]) / on (cohort) group_left
+    * sum by (cohort)(click[1d])` — each user's purchases against their
+    * whole cohort's clicks (the share-of-total family), result at the
+    * left side's finer grain.
+    */
+  private def qTsdbGroupLeft(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort, user_id) (purchase[1d]) / on (cohort) group_left " +
+        "sum by (cohort) (click[1d])",
+      T0, T1)
+      .select(col("cohort"), col("user_id").cast("long").as("user_id"),
+        col("bucket_start"), col("n_a"), col("n_b"), col("result"))
+      .orderBy("cohort", "user_id", "bucket_start")
+
   /** PromQL `sum by (cohort) (resets(click[1h]))`: counter-reset counts
     * composing with the label-dimension aggregation.
     */
@@ -1488,6 +1504,7 @@ object SparkEntry {
     "tsdb_changes" -> (qTsdbChanges _),
     "tsdb_irate" -> (qTsdbIrate _),
     "tsdb_absent_over_time" -> (qTsdbAbsentOverTime _),
+    "tsdb_group_left" -> (qTsdbGroupLeft _),
     "tsdb_selector_scan" -> (qTsdbSelectorScan _),
     "tsdb_ratio" -> (qTsdbRatio _),
     "tsdb_ratio_rollup" -> (qTsdbRatioRollup _),

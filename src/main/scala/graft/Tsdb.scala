@@ -920,6 +920,43 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .withColumn("result", op(col("sum_a"), col("sum_b")))
   }
 
+  /** PromQL one-to-many vector matching —
+    * `A / on (matchLabels) group_left B`: the left side aggregates at a
+    * FINER label grain than the right (`byB` ⊆ `byA`), each left group
+    * joins the one right group sharing its match labels, and the result
+    * keeps the left side's full label set. The share-of-total /
+    * per-user-vs-cohort family every capacity dashboard needs.
+    *
+    * Plan: two one-shuffle aggregations joined on (matchLabels, bucket) —
+    * the join inputs are group-sized, never corpus-sized, and the coarser
+    * side broadcasts under AQE when small. Same vector-match shape as
+    * [[binaryOpBy]], different grain.
+    */
+  def binaryOpByGroupLeft(
+      metricA: String,
+      metricB: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byA: Seq[String],
+      byB: Seq[String],
+      stepSec: Long)(
+      op: (Column, Column) => Column): DataFrame = {
+    require(byB.forall(byA.contains),
+      s"group_left needs the right side's labels ($byB) to be a subset " +
+      s"of the left side's ($byA)")
+    val a = aggregateBy(metricA, matchers, start, end, byA, stepSec)
+      .select(byA.map(col) ++ Seq(col("bucket_start"),
+        col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
+    val b = aggregateBy(metricB, matchers, start, end, byB, stepSec)
+      .select(byB.map(col) ++ Seq(col("bucket_start"),
+        col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
+    a.join(b, byB :+ "bucket_start")
+      .withColumn("result", op(col("sum_a"), col("sum_b")))
+      .select(byA.map(col) ++ Seq(col("bucket_start"), col("n_a"),
+        col("n_b"), col("sum_a"), col("sum_b"), col("result")): _*)
+  }
+
   /** PromQL `sum by (labels) (resets(metric[step]))`: per-series counter
     * resets (a value drop between consecutive samples), summed across
     * series per (label subset, step bucket). Same two-stage shape as

@@ -89,8 +89,16 @@ object PromQL {
       without: Seq[String] = Seq.empty) extends Expr
   /** Arithmetic vector match between two aggregations; `op` is one of
     * `/ * + -`. Division (the dashboard ratio) rounds to 6 decimals for
-    * cross-engine reproducibility; the exact-DECIMAL ops don't need to. */
-  final case class BinOp(op: String, lhs: Expr, rhs: Expr) extends Expr
+    * cross-engine reproducibility; the exact-DECIMAL ops don't need to.
+    * `on` + `groupLeft` carry the one-to-many matching clause
+    * (`A / on (l) group_left B`): the right side joins on `on`-labels
+    * only and the result keeps the left side's finer label set. */
+  final case class BinOp(
+      op: String,
+      lhs: Expr,
+      rhs: Expr,
+      on: Seq[String] = Seq.empty,
+      groupLeft: Boolean = false) extends Expr
 
   // ---------------------------------------------------------- tokenizer
 
@@ -200,7 +208,19 @@ object PromQL {
       val lhs = parseTerm()
       peek match {
         case Some(Sym(op @ ("/" | "*" | "+" | "-"))) =>
-          next(); BinOp(op, lhs, parseTerm())
+          next()
+          // optional matching clause: on (labels) [group_left]
+          var on: Seq[String] = Seq.empty
+          var gl = false
+          if (peek.contains(Ident("on"))) {
+            next(); expectSym("(")
+            val ls = scala.collection.mutable.ListBuffer(ident())
+            while (peek.contains(Sym(","))) { next(); ls += ident() }
+            expectSym(")")
+            on = ls.toSeq
+            if (peek.contains(Ident("group_left"))) { next(); gl = true }
+          }
+          BinOp(op, lhs, parseTerm(), on, gl)
         case _ => lhs
       }
     }
@@ -378,7 +398,12 @@ object PromQL {
         else if (wo.nonEmpty) wo.mkString(" without (", ", ", ")")
         else ""
       s"$op($lead${render(body)})$grouping"
-    case BinOp(op, l, r) => s"${render(l)} $op ${render(r)}"
+    case BinOp(op, l, r, on, gl) =>
+      val clause =
+        if (on.isEmpty) ""
+        else on.mkString("on (", ", ", ")") + (if (gl) " group_left" else "")
+      val sep = if (clause.isEmpty) " " else s" $clause "
+      s"${render(l)} $op$sep${render(r)}"
   }
 
   /** Parse a query string to its AST (throws IllegalArgumentException with
@@ -464,8 +489,8 @@ object PromQL {
         a.copy(by = labelKeys(t, metric).filterNot(wo.contains),
           body = rBody, without = Seq.empty)
       }
-    case BinOp(op, l, r) =>
-      BinOp(op, resolveWithout(t, l), resolveWithout(t, r))
+    case b @ BinOp(_, l, r, _, _) =>
+      b.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
     case other => other
   }
 
@@ -506,7 +531,8 @@ object PromQL {
         t.aggregateByFromRollup(checkRollupStep(sel, rollupStep.get),
           sel.metric, sel.matchers, start, end, by)
       case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
-          Agg("sum", _, _, byB, b: Selector, _)) if rollupStep.isDefined =>
+          Agg("sum", _, _, byB, b: Selector, _), _, false)
+          if rollupStep.isDefined =>
         require(byA == byB,
           s"vector-match sides must aggregate by the same labels: " +
           s"$byA vs $byB")
@@ -597,11 +623,24 @@ object PromQL {
           stepOf(sel, "histogram_quantile"), phi, buckets)
 
       // arithmetic vector match between two matching sum-by aggregations
+      // one-to-many matching: A op on (l) group_left B — the right side
+      // aggregates at the on-label grain, the result keeps A's labels
       case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
-          Agg("sum", _, _, byB, b: Selector, _)) =>
+          Agg("sum", _, _, byB, b: Selector, _), on, true) =>
+        require(byB == on,
+          s"group_left: the on-labels ($on) must equal the right side's " +
+          s"grouping ($byB)")
+        t.binaryOpByGroupLeft(a.metric, b.metric,
+          a.matchers ++ b.matchers, start, end, byA, byB,
+          stepOf(a, "group_left vector match"))(arith(op))
+
+      case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
+          Agg("sum", _, _, byB, b: Selector, _), on, false) =>
         require(byA == byB,
           s"vector-match sides must aggregate by the same labels: " +
-          s"$byA vs $byB")
+          s"$byA vs $byB (use 'on (l) group_left' for one-to-many)")
+        require(on.isEmpty || on == byA,
+          s"on-labels ($on) must equal the grouping ($byA)")
         t.binaryOpBy(a.metric, b.metric, a.matchers ++ b.matchers, start,
           end, byA, stepOf(a, "vector match"))(arith(op))
 

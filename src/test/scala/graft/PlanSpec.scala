@@ -347,6 +347,14 @@ class PlanSpec extends SparkSuite {
     assert(!ir.contains("Join"), ir.take(3000))
   }
 
+  test("absent_over_time is a grid anti-join, no window, no nested loop") {
+    val plan = planOf(
+      SparkEntry.queries("tsdb_absent_over_time")(spark, sf0001))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("NestedLoop") && !plan.contains("WindowExec"),
+      plan.take(3000))
+  }
+
   test("promql-compiled topk shares the direct operator's physical plan") {
     val compiled = planOf(
       SparkEntry.queries("tsdb_promql_topk")(spark, sf0001))

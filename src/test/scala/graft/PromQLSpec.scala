@@ -238,6 +238,22 @@ class PromQLSpec extends SparkSuite {
     assert(e.getMessage.contains("rollup step"))
   }
 
+  test("group_left one-to-many vector match == binaryOpByGroupLeft") {
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort, user_id) (purchase[1d]) / on (cohort) " +
+        "group_left sum by (cohort) (click[1d])", T0, T1),
+      t.binaryOpByGroupLeft("purchase", "click", Seq.empty, T0, T1,
+        Seq("cohort", "user_id"), Seq("cohort"), 86400L)(
+        (a, b) => round(a / b, 6)))
+    // on-labels must equal the right side's grouping
+    val e = intercept[IllegalArgumentException](
+      PromQL.query(t,
+        "sum by (cohort, user_id) (purchase[1d]) / on (user_id) " +
+        "group_left sum by (cohort) (click[1d])", T0, T1))
+    assert(e.getMessage.contains("on-labels"))
+  }
+
   test("README example strings parse (dotted mandodb metric names)") {
     Seq(
       """topk(3, sum by (dc) (cpu.busy[5m]))""",

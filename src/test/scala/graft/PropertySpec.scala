@@ -229,9 +229,17 @@ class PropertySpec extends SparkSuite {
         randSelector(true), Seq("cohort"))
       case 8 => RangeFn("predict_linear", None, randSelector(true),
         Seq("user_id"), atSec = Some(3600L))
-      case 9 => BinOp(Seq("/", "*", "+", "-")(rnd.nextInt(4)),
-        Agg("sum", None, None, Seq("cohort"), randSelector(true)),
-        Agg("sum", None, None, Seq("cohort"), randSelector(true)))
+      case 9 =>
+        if (rnd.nextBoolean())
+          BinOp(Seq("/", "*", "+", "-")(rnd.nextInt(4)),
+            Agg("sum", None, None, Seq("cohort"), randSelector(true)),
+            Agg("sum", None, None, Seq("cohort"), randSelector(true)))
+        else // one-to-many matching clause round-trips too
+          BinOp("/",
+            Agg("sum", None, None, Seq("cohort", "user_id"),
+              randSelector(true)),
+            Agg("sum", None, None, Seq("cohort"), randSelector(true)),
+            on = Seq("cohort"), groupLeft = true)
     }
     for (i <- 0 until 500) {
       val ast = randExpr()
