@@ -434,6 +434,24 @@ object PromQL {
     compile(t, resolveWithout(t, parse(input)), start, end, buckets,
       rollupStep = None)
 
+  /** Serve a bare selector string FROM the Gorilla chunk cold tier
+    * ([[graft.Tsdb.queryRangeFromChunks]] — row-identical to the raw
+    * store by the codec's identity round-trip). Only selectors compile
+    * here: aggregations over the cold tier should decode through this
+    * and aggregate in the caller's plan, or use the rollup tier.
+    */
+  def queryFromChunks(
+      t: Tsdb,
+      input: String,
+      start: Long,
+      end: Long): DataFrame =
+    parse(input) match {
+      case Selector(m, ms, _, off) =>
+        t.queryRangeFromChunks(m, ms, start - off, end - off)
+      case other => throw new IllegalArgumentException(
+        s"only bare selectors are served from the chunk tier, got: $other")
+    }
+
   /** [[query]], but moment aggregations and ratios are served FROM the
     * materialized rollup tier at `rollupStepSec` instead of raw samples —
     * value-identical for bucket-aligned windows by partial-aggregate

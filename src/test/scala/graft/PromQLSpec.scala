@@ -254,6 +254,21 @@ class PromQLSpec extends SparkSuite {
     assert(e.getMessage.contains("on-labels"))
   }
 
+  test("chunk-tier selector serve equals the raw range scan") {
+    val disk = new Tsdb(spark, graft.model.TsdbConf(
+      dataPath = tempDir("promql_chunks"), compression = "zstd",
+      segmentDuration = 86400L))
+    disk.insertRows(events)
+    disk.materializeGorillaChunks()
+    assertSame(
+      PromQL.queryFromChunks(disk, """click{cohort="3"}""", T0, T1),
+      disk.queryRange("click", Seq(LabelMatcher.eq("cohort", "3")),
+        T0, T1))
+    val e = intercept[IllegalArgumentException](
+      PromQL.queryFromChunks(disk, "sum by (cohort) (click[1h])", T0, T1))
+    assert(e.getMessage.contains("bare selectors"))
+  }
+
   test("README example strings parse (dotted mandodb metric names)") {
     Seq(
       """topk(3, sum by (dc) (cpu.busy[5m]))""",
