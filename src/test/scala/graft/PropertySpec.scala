@@ -249,6 +249,23 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("promql: random garbage never hangs, loops, or escapes the API") {
+    import graft.promql.PromQL
+    val rnd = new scala.util.Random(23)
+    val atoms = Seq("sum", "by", "without", "on", "group_left", "(", ")",
+      "{", "}", "[", "]", ",", "/", "*", "+", "-", "=", "!=", "=~", "!~",
+      "\"x\"", "click", "cpu.busy", "5m", "1h", "0.5", "offset", "rate",
+      "topk", "\"", "\\", ".", ":", "__name__", "absent_over_time")
+    for (i <- 0 until 2000) {
+      val s = Seq.fill(rnd.nextInt(12))(atoms(rnd.nextInt(atoms.size)))
+        .mkString(" ")
+      try { PromQL.parse(s); () }
+      catch { case _: IllegalArgumentException => () }
+      // anything else (StackOverflow, NPE, infinite loop via timeout)
+      // fails the suite
+    }
+  }
+
   test("bloom filter: zero false negatives on random corpora, fpp in spec") {
     // the property the two-phase exact decontamination rests on: a member
     // NEVER tests negative (misses are final, so the verify join can only
