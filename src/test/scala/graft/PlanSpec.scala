@@ -355,6 +355,16 @@ class PlanSpec extends SparkSuite {
       plan.take(3000))
   }
 
+  test("group_left joins two group-sized aggregations, no nested loop") {
+    val plan = planOf(SparkEntry.queries("tsdb_group_left")(spark, sf0001))
+    // two one-shuffle aggregations + the vector-match join; the join
+    // inputs are group-sized so anything beyond hash/broadcast join or
+    // a handful of exchanges means the shape regressed
+    assert(!plan.contains("NestedLoop"), plan.take(3000))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 4, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+  }
+
   test("promql-compiled topk shares the direct operator's physical plan") {
     val compiled = planOf(
       SparkEntry.queries("tsdb_promql_topk")(spark, sf0001))
