@@ -1473,6 +1473,18 @@ object OracleSql {
   /** label_replace mirror: the anchored full-match capture expansion is the
     * same RE across Java regex and RE2 for this digit pattern.
     */
+  /** label_join mirror: the joined label is plain string concatenation
+    * of the source label values with the separator.
+    */
+  private val tsdbLabelJoin =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) || '-' ||
+       |         CAST(user_id AS VARCHAR) AS key,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val tsdbLabelReplace =
     s"""SELECT regexp_replace(CAST(user_id AS VARCHAR),
        |         '^(?:(\\d)\\d*)$$', '\\1') AS band,
@@ -1541,6 +1553,7 @@ object OracleSql {
     "tsdb_irate" -> tsdbIrate,
     "tsdb_absent_over_time" -> tsdbAbsentOverTime,
     "tsdb_group_left" -> tsdbGroupLeft,
+    "tsdb_label_join" -> tsdbLabelJoin,
     "tsdb_selector_scan" -> tsdbSelectorScan,
     "tsdb_ratio" -> tsdbRatio,
     "tsdb_ratio_rollup" -> tsdbRatio,

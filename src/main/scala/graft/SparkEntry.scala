@@ -117,6 +117,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dec2(col("value")).as("sum_v"))
       .orderBy("band")
 
+  /** PromQL `label_join()` feeding an aggregation: fuse (cohort, user_id)
+    * into one `key` label map-side, then group by it — relabeling composes
+    * with the aggregation without extra shuffles, like label_replace.
+    */
+  private def qTsdbLabelJoin(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .queryRange("click", Seq.empty, T0, T1)
+      .withColumn("labels", graft.functions.LabelFunctions.labelJoin(
+        col("labels"), "key", "-", Seq("cohort", "user_id")))
+      .groupBy(col("labels").getItem("key").as("key"))
+      .agg(count(lit(1)).as("n"), dec2(col("value")).as("sum_v"))
+      .orderBy("key")
+
   /** Continuous-downsampling tier: ingest, materialize the 1h rollup
     * store, then serve `sum by (cohort)` FROM THE ROLLUP — must merge to
     * exactly the raw-data aggregateBy answer (the tsdb_agg_by oracle).
@@ -1493,6 +1506,7 @@ object SparkEntry {
     "tsdb_histogram_quantile" -> (qTsdbHistogramQuantile _),
     "tsdb_predict_linear" -> (qTsdbPredictLinear _),
     "tsdb_label_replace" -> (qTsdbLabelReplace _),
+    "tsdb_label_join" -> (qTsdbLabelJoin _),
     "tsdb_quantile_over_time" -> (qTsdbQuantileOverTime _),
     "tsdb_offset" -> (qTsdbOffset _),
     "tsdb_bottomk" -> (qTsdbBottomk _),

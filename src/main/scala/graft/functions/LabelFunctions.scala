@@ -71,6 +71,25 @@ object LabelFunctions {
     * `map_filter` + `map_concat` performs the dst upsert/delete without
     * depending on a session dedup policy.
     */
+  /** PromQL `label_join(v, dst, sep, src...)`: set `dst` to the
+    * sep-joined values of the source labels (missing sources contribute
+    * empty strings, exactly like Prometheus). Pure map-side column math;
+    * an all-empty join result removes `dst`, mirroring [[labelReplace]]'s
+    * empty-expansion delete semantics.
+    */
+  def labelJoin(
+      labels: Column,
+      dst: String,
+      sep: String,
+      srcs: Seq[String]): Column = {
+    require(srcs.nonEmpty, "label_join needs at least one source label")
+    val joined = concat_ws(sep,
+      srcs.map(s => coalesce(labels.getItem(s), lit(""))): _*)
+    val withoutDst = map_filter(labels, (k, _) => k =!= dst)
+    when(joined === lit(""), withoutDst)
+      .otherwise(map_concat(withoutDst, map(lit(dst), joined)))
+  }
+
   def labelReplace(
       labels: Column,
       dst: String,

@@ -279,6 +279,10 @@ object PromQL {
         expectSym(")")
         val byAfter = parseByClause()
         val woAfter = parseWithoutClause()
+        if (byBefore.nonEmpty && byAfter.nonEmpty)
+          fail("duplicate 'by' clause (before and after the body)")
+        if (woBefore.nonEmpty && woAfter.nonEmpty)
+          fail("duplicate 'without' clause (before and after the body)")
         val by = if (byBefore.nonEmpty) byBefore else byAfter
         val wo = if (woBefore.nonEmpty) woBefore else woAfter
         if (by.nonEmpty && wo.nonEmpty)

@@ -201,6 +201,11 @@ class PromQLSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       PromQL.parse("sum by (cohort) without (user_id) (click[1h])"))
     assert(e.getMessage.contains("either 'by' or 'without'"))
+    // a grouping clause on both sides of the body is a loud error,
+    // never a silent drop of one of them
+    val e2 = intercept[IllegalArgumentException](
+      PromQL.parse("sum by (cohort) (click[1h]) by (user_id)"))
+    assert(e2.getMessage.contains("duplicate 'by'"))
   }
 
   test("histogram_quantile compiles with caller-supplied buckets") {

@@ -568,6 +568,29 @@ class TsdbSpec extends SparkSuite {
     assert(out(2) == Map.empty[String, String])
   }
 
+  test("labelJoin: sep-joined sources, missing -> empty, all-empty deletes dst") {
+    import spark.implicits._
+    import graft.functions.LabelFunctions.labelJoin
+    val out = Seq(
+      Map("a" -> "x", "b" -> "y", "dst" -> "old"), // x-y overwrites dst
+      Map("a" -> "x"),                             // missing b -> "x-"
+      Map("c" -> "z", "dst" -> "old"))             // both missing -> "-" kept
+      .toDF("labels")
+      .select(labelJoin(col("labels"), "dst", "-", Seq("a", "b")).as("l"))
+      .collect().map(_.getAs[Map[String, String]]("l"))
+    assert(out(0) == Map("a" -> "x", "b" -> "y", "dst" -> "x-y"))
+    assert(out(1) == Map("a" -> "x", "dst" -> "x-"))
+    // concat_ws skips NO args here (they're empty strings, not null), so
+    // two missing sources join to the bare separator — still non-empty,
+    // dst is kept; a truly empty join (one empty source, no separator
+    // content) deletes dst:
+    assert(out(2) == Map("c" -> "z", "dst" -> "-"))
+    val single = Seq(Map("c" -> "z", "dst" -> "old")).toDF("labels")
+      .select(labelJoin(col("labels"), "dst", "-", Seq("a")).as("l"))
+      .collect().map(_.getAs[Map[String, String]]("l"))
+    assert(single(0) == Map("c" -> "z"))
+  }
+
   test("series_meta auto-compacts on the append cadence; reads skip merge") {
     import spark.implicits._
     val t = new Tsdb(spark, TsdbConf(
