@@ -979,6 +979,184 @@ object OracleSql {
        |FROM a JOIN b USING (cohort, bucket_start)
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** group_right mirror: the coarse click aggregate joined onto each
+    * (cohort, user) purchase group — result at the right side's grain.
+    */
+  private val tsdbGroupRight =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         CAST(user_id AS BIGINT) AS user_id,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2, 3)
+       |SELECT b.cohort, b.user_id, b.bucket_start, n_a, n_b,
+       |       round(sum_a / sum_b, 6) AS result
+       |FROM b JOIN a USING (cohort, bucket_start)
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Bare per-series rate(): the tsdbAggIncrease lag pipeline with the
+    * full label set (cohort, user_id) as the output grain.
+    */
+  private val tsdbPromqlRate =
+    s"""WITH e AS (
+       |  SELECT CAST(user_id AS BIGINT) AS user_id,
+       |         CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, user_id, ts_s - (ts_s % 3600) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d)
+       |SELECT cohort, user_id, bucket_start,
+       |       CAST(SUM(delta) AS DOUBLE) AS increase,
+       |       round(CAST(SUM(delta) AS DOUBLE) / 3600, 6) AS rate_per_sec
+       |FROM x WHERE delta IS NOT NULL
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Bare per-series delta(): last-minus-first per (series, bucket) via
+    * the same lexicographic struct-max/min endpoint pick as the Spark
+    * aggregation.
+    */
+  private val tsdbPromqlDelta =
+    s"""WITH e AS (
+       |  SELECT CAST(user_id AS BIGINT) AS user_id,
+       |         CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1)
+       |SELECT cohort, user_id, bucket_start, count(*) AS n,
+       |       CAST((max(struct_pack(t := ts_s, v := v))).v -
+       |            (min(struct_pack(t := ts_s, v := v))).v AS DOUBLE)
+       |         AS delta
+       |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Scalar-op alert shape: the tsdbRatio pipeline scaled to percent and
+    * threshold-filtered (drop semantics) — arithmetic on the rounded
+    * ratio, single IEEE ops in both engines.
+    */
+  private val tsdbPromqlScalar =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT a.cohort, a.bucket_start, n_a, n_b,
+       |         round(sum_a / sum_b, 6) * 100 AS result
+       |  FROM a JOIN b USING (cohort, bucket_start))
+       |SELECT * FROM r WHERE result > 55
+       |ORDER BY 1, 2""".stripMargin
+
+  /** The two set-op oracles share this pair of aggregates: purchase
+    * cohort-hours (all moments, the engine's aggregateBy schema) and the
+    * thresholded click cohort-hours.
+    */
+  private def setOpCtes: String =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+       |           AS avg_v,
+       |         min(value) AS min_v, max(value) AS max_v
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 10)""".stripMargin
+
+  private val tsdbPromqlAnd =
+    s"""$setOpCtes
+       |SELECT a.* FROM a
+       |WHERE EXISTS (SELECT 1 FROM b
+       |  WHERE b.cohort = a.cohort AND b.bucket_start = a.bucket_start)
+       |ORDER BY 1, 2""".stripMargin
+
+  private val tsdbPromqlUnless =
+    s"""$setOpCtes
+       |SELECT a.* FROM a
+       |WHERE NOT EXISTS (SELECT 1 FROM b
+       |  WHERE b.cohort = a.cohort AND b.bucket_start = a.bucket_start)
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Non-sum vector match (max / avg): both sides aggregate the same
+    * metric at the same grain, so one pass computes both moments; the
+    * ratio divides them in the engines' shared double order.
+    */
+  private val tsdbPromqlMaxAvg =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       count(*) AS n_a, count(*) AS n_b,
+       |       round(max(value) /
+       |         (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |           / count(*)), 6) AS result
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-side matcher ratio: the numerator's user_id regex must NOT
+    * filter the denominator — the denominator scans ALL click rows.
+    */
+  private val tsdbPromqlRatioMatched =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND regexp_full_match(CAST(user_id AS VARCHAR), '(?:1.*)')
+       |    AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2)
+       |SELECT a.cohort, a.bucket_start, n_a, n_b,
+       |       round(sum_a / sum_b, 6) AS result
+       |FROM a JOIN b USING (cohort, bucket_start)
+       |ORDER BY 1, 2""".stripMargin
+
   /** absent_over_time mirror: the same PromQL lookback window
     * `(e - range, e]` as the over_time grid join, negated — grid points
     * with no covering sample.
@@ -988,7 +1166,7 @@ object OracleSql {
        |  SELECT $tsS AS ts_s
        |  FROM events
        |  WHERE event_type = 'click' AND CAST(user_id AS VARCHAR) = '7'
-       |    AND $tsS BETWEEN $T0 AND $T1),
+       |    AND $tsS BETWEEN ${T0 - 1800 + 1} AND $T1),
        |grid AS (SELECT unnest(range($T0, $T1 + 1, 3600)) AS eval_ts)
        |SELECT eval_ts, 1.0 AS value
        |FROM grid
@@ -1043,6 +1221,8 @@ object OracleSql {
   /** `*_over_time(click[2h])` family on the 1h eval grid: the naive
     * grid-join the map-side explode replaces; `max(struct)` mirrors the
     * Spark side's lexicographic (ts, value) last-sample pick exactly.
+    * The sample scan reaches one full lookback window before T0, like the
+    * Spark side — early eval windows are complete, not truncated.
     */
   private val tsdbOverTime =
     s"""WITH ev AS (
@@ -1050,7 +1230,8 @@ object OracleSql {
        |         CAST(user_id AS BIGINT) AS user_id,
        |         $tsS AS ts_s, value
        |  FROM events
-       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - 7200 + 1} AND $T1),
        |grid AS (SELECT unnest(range($T0, $T1 + 1, 3600)) AS eval_ts),
        |j AS (
        |  SELECT cohort, user_id, eval_ts, ts_s, value
@@ -1561,6 +1742,14 @@ object OracleSql {
     // the compiled queries share their direct twins' oracles verbatim
     "tsdb_promql_topk" -> tsdbTopk,
     "tsdb_promql_ratio" -> tsdbRatio,
+    "tsdb_promql_rate" -> tsdbPromqlRate,
+    "tsdb_promql_delta" -> tsdbPromqlDelta,
+    "tsdb_promql_scalar" -> tsdbPromqlScalar,
+    "tsdb_promql_and" -> tsdbPromqlAnd,
+    "tsdb_promql_unless" -> tsdbPromqlUnless,
+    "tsdb_promql_maxavg" -> tsdbPromqlMaxAvg,
+    "tsdb_promql_ratio_matched" -> tsdbPromqlRatioMatched,
+    "tsdb_group_right" -> tsdbGroupRight,
     "tsdb_rollup_agg" -> tsdbAggBy,
     "tsdb_gaps" -> tsdbGaps,
     "tsdb_compact_stats" -> tsdbCompactStats,

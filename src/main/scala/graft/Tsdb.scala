@@ -751,9 +751,6 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
             .partitionBy("seg")
             .parquet(tmp)
           promoteStagedFiles(tmp, path, s"b$id-")
-          val m = committed.get
-          fs.mkdirs(m.getParent)
-          fs.create(m, true).close()
       }
       writeModeMarker(path, "incremental")
       norm
@@ -768,6 +765,16 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         .option("compression", conf.compression)
         .parquet(metaPath)
       metaAppended()
+      // the commit marker is written LAST — after the series-meta append —
+      // so a crash in between replays the whole batch: re-promotion clears
+      // the batch-prefixed files first and meta duplicates are idempotent
+      // under the min/max merge, whereas a marker written before the meta
+      // append would make the replay a no-op and leave the batch's sids
+      // invisible to aggregateByFromRollup's sid semi-join forever
+      committed.foreach { m =>
+        fs.mkdirs(m.getParent)
+        fs.create(m, true).close()
+      }
     } finally norm.unpersist()
   }
 
@@ -871,22 +878,33 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * (cast to double) so ratio/difference arithmetic is reproducible.
     * Inner-join semantics: buckets present on only one side are dropped,
     * like PromQL's default vector matching.
+    *
+    * Each side carries ITS OWN matcher list (`errors{code="500"} /
+    * requests` filters only the numerator — applying the union of both
+    * sides' matchers to both metrics would silently produce wrong
+    * ratios). `momentA`/`momentB` pick which aggregated moment each side
+    * contributes (`sum_v` by default; any of `sum_v avg_v min_v max_v
+    * n`), enabling non-sum vector matches like `max / avg`; the matched
+    * values still surface as `sum_a`/`sum_b` for schema stability.
     */
   def binaryOpBy(
       metricA: String,
       metricB: String,
-      matchers: Seq[LabelMatcher],
+      matchersA: Seq[LabelMatcher],
+      matchersB: Seq[LabelMatcher],
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long)(
+      stepSec: Long,
+      momentA: String = "sum_v",
+      momentB: String = "sum_v")(
       op: (Column, Column) => Column): DataFrame = {
-    val a = aggregateBy(metricA, matchers, start, end, byLabels, stepSec)
+    val a = aggregateBy(metricA, matchersA, start, end, byLabels, stepSec)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
-        col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
-    val b = aggregateBy(metricB, matchers, start, end, byLabels, stepSec)
+        col("n").as("n_a"), col(momentA).as("sum_a")): _*)
+    val b = aggregateBy(metricB, matchersB, start, end, byLabels, stepSec)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
-        col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
+        col("n").as("n_b"), col(momentB).as("sum_b")): _*)
     a.join(b, byLabels :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
   }
@@ -903,16 +921,17 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       stepSec: Long,
       metricA: String,
       metricB: String,
-      matchers: Seq[LabelMatcher],
+      matchersA: Seq[LabelMatcher],
+      matchersB: Seq[LabelMatcher],
       start: Long,
       end: Long,
       byLabels: Seq[String])(
       op: (Column, Column) => Column): DataFrame = {
-    val a = aggregateByFromRollup(stepSec, metricA, matchers, start, end,
+    val a = aggregateByFromRollup(stepSec, metricA, matchersA, start, end,
         byLabels)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
-    val b = aggregateByFromRollup(stepSec, metricB, matchers, start, end,
+    val b = aggregateByFromRollup(stepSec, metricB, matchersB, start, end,
         byLabels)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
@@ -935,7 +954,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   def binaryOpByGroupLeft(
       metricA: String,
       metricB: String,
-      matchers: Seq[LabelMatcher],
+      matchersA: Seq[LabelMatcher],
+      matchersB: Seq[LabelMatcher],
       start: Long,
       end: Long,
       byA: Seq[String],
@@ -945,16 +965,115 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     require(byB.forall(byA.contains),
       s"group_left needs the right side's labels ($byB) to be a subset " +
       s"of the left side's ($byA)")
-    val a = aggregateBy(metricA, matchers, start, end, byA, stepSec)
+    val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec)
       .select(byA.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
-    val b = aggregateBy(metricB, matchers, start, end, byB, stepSec)
+    val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec)
       .select(byB.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
     a.join(b, byB :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
       .select(byA.map(col) ++ Seq(col("bucket_start"), col("n_a"),
         col("n_b"), col("sum_a"), col("sum_b"), col("result")): _*)
+  }
+
+  /** PromQL many-to-one vector matching — `A / on (matchLabels)
+    * group_right B`: the mirror of [[binaryOpByGroupLeft]]. Here the
+    * RIGHT side carries the finer label grain (`byA` ⊆ `byB`); each
+    * right group joins the one left group sharing its match labels, and
+    * the result keeps the right side's full label set. Same group-sized
+    * join-input shape; `op` still receives (left value, right value) in
+    * query order, so `coarse / fine` means what the query string says.
+    */
+  def binaryOpByGroupRight(
+      metricA: String,
+      metricB: String,
+      matchersA: Seq[LabelMatcher],
+      matchersB: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byA: Seq[String],
+      byB: Seq[String],
+      stepSec: Long)(
+      op: (Column, Column) => Column): DataFrame = {
+    require(byA.forall(byB.contains),
+      s"group_right needs the left side's labels ($byA) to be a subset " +
+      s"of the right side's ($byB)")
+    val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec)
+      .select(byA.map(col) ++ Seq(col("bucket_start"),
+        col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
+    val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec)
+      .select(byB.map(col) ++ Seq(col("bucket_start"),
+        col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
+    b.join(a, byA :+ "bucket_start")
+      .withColumn("result", op(col("sum_a"), col("sum_b")))
+      .select(byB.map(col) ++ Seq(col("bucket_start"), col("n_a"),
+        col("n_b"), col("sum_a"), col("sum_b"), col("result")): _*)
+  }
+
+  /** PromQL vector set operations — `A and B` / `A or B` / `A unless B`
+    * between two aggregated vectors on the same label grain. The match
+    * key is (byLabels, bucket_start), PromQL's label-set identity on the
+    * engine's bucket grid:
+    *
+    *  - `and`:    rows of A whose key exists in B       (left-semi join)
+    *  - `unless`: rows of A whose key does NOT exist     (left-anti join)
+    *  - `or`:     all of A, plus rows of B whose key is absent from A
+    *
+    * Everything stays group-sized: two one-shuffle aggregations and one
+    * equi-join on the aggregated tables (the `or` union adds B's anti
+    * rows by name, no extra shuffle). A-side values win on overlap,
+    * exactly Prometheus's `or` preference for the left operand.
+    */
+  def vectorSetOpBy(
+      setOp: String,
+      metricA: String,
+      metricB: String,
+      matchersA: Seq[LabelMatcher],
+      matchersB: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long): DataFrame = {
+    val keys = byLabels :+ "bucket_start"
+    val a = aggregateBy(metricA, matchersA, start, end, byLabels, stepSec)
+    val b = aggregateBy(metricB, matchersB, start, end, byLabels, stepSec)
+    setOp match {
+      case "and" => a.join(b.select(keys.map(col): _*), keys, "left_semi")
+      case "unless" => a.join(b.select(keys.map(col): _*), keys, "left_anti")
+      case "or" =>
+        a.unionByName(b.join(a.select(keys.map(col): _*), keys, "left_anti"))
+      case other => throw new IllegalArgumentException(
+        s"unknown vector set op: $other (expected and | or | unless)")
+    }
+  }
+
+  /** PromQL `delta(gauge[step])` on the engine's bucket grid: LAST minus
+    * FIRST sample value per (label subset, step bucket) — with the full
+    * label-key set this is exactly per-series. First/last are selected
+    * by struct-ordered min/max over (ts, value): one hash aggregation,
+    * no window, no per-series sort job; the (ts, value) ordering makes
+    * ties exact duplicates, so the endpoints are well-defined. Delta
+    * arithmetic stays DECIMAL until the final cast. Buckets with a
+    * single sample report delta 0 (the Prometheus one-point window).
+    */
+  def deltaBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long): DataFrame = {
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
+    queryRange(metric, matchers, start, end)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        (max(struct(col("ts"), col("v"))).getField("v") -
+          min(struct(col("ts"), col("v"))).getField("v"))
+          .cast("double").as("delta"))
   }
 
   /** PromQL `sum by (labels) (resets(metric[step]))`: per-series counter
@@ -1197,7 +1316,11 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     val gridEnd = Math.floorDiv(end, stepSec) * stepSec
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
       col("eval_ts")
-    queryRange(metric, matchers, start, end)
+    // the scan reaches back a full lookback window before `start`: eval
+    // points within rangeSec of the range start still see their whole
+    // PromQL window (e - rangeSec, e] — scanning only [start, end] would
+    // silently under-fill the first windows
+    queryRange(metric, matchers, start - rangeSec + 1, end)
       .withColumn("e0", greatest(firstEval, lit(gridStart)))
       .withColumn("e1", least(lastEval, lit(gridEnd)))
       .where(col("e0") <= col("e1"))
@@ -1246,7 +1369,9 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     val gridEnd = Math.floorDiv(end, stepSec) * stepSec
     val grid = spark.range(gridStart, gridEnd + 1, stepSec)
       .select(col("id").as("eval_ts"))
-    val present = queryRange(metric, matchers, start, end)
+    // full-lookback scan, mirroring overTimeBy — absence stays the exact
+    // complement of the present eval grid
+    val present = queryRange(metric, matchers, start - rangeSec + 1, end)
       .withColumn("e0", greatest(firstEval, lit(gridStart)))
       .withColumn("e1", least(lastEval, lit(gridEnd)))
       .where(col("e0") <= col("e1"))

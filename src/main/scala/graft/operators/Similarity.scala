@@ -369,7 +369,8 @@ object Similarity {
       nPlanes: Int = 32,
       bands: Int = 4,
       probeBits: Int = 3,
-      targetOcc: Long = 32L): DataFrame = {
+      targetOcc: Long = 32L,
+      maxBucket: Int = 0): DataFrame = {
     // verification work ≈ |queries| × bands × occupancy, so a LARGE query
     // set wants a tighter occupancy target (e.g. 8) than a near-dup
     // self-join does — measured on the 10× clustered corpus (500k rows,
@@ -378,7 +379,7 @@ object Similarity {
       if (nPlanes > 0) nPlanes else autoPlanes(emb.count(), bands, targetOcc)
     val cands = multiprobePairs(
       emb, queries, idCol, vecCol, np, bands,
-      math.min(probeBits, np / bands))
+      math.min(probeBits, np / bands), maxBucket)
     val sim = round(
       dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6)
     // distinctIds dedups multi-band admits inside the aggregation buffer
@@ -400,7 +401,8 @@ object Similarity {
       vecCol: String,
       nPlanes: Int,
       bands: Int,
-      probeBits: Int): DataFrame = {
+      probeBits: Int,
+      maxBucket: Int = 0): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val r = nPlanes / bands
     require(probeBits <= r && probeBits <= 20, "probeBits out of range")
@@ -432,7 +434,36 @@ object Similarity {
           (col("pos") / probes).cast("int").as("band"),
           col("col").as("bucket"))
     }
-    val c = banded(emb, "nid", "cvec", "cnrm", 0)
+    val c0 = banded(emb, "nid", "cvec", "cnrm", 0)
+    // In-bucket candidate CAP (maxBucket > 0): `autoPlanes` keeps RANDOM
+    // collisions at targetOcc, but a tight cluster agrees on every
+    // hyperplane bit at any band width, so its whole membership lands in
+    // one bucket per band and candidate generation goes quadratic in
+    // cluster size (the x10 clustered sweep measured 27.6× growth).
+    // The bound is the Jaccard df-cap idiom: a census pass counts
+    // per-(band, bucket) occupancy (map-side combined — the shuffle
+    // carries distinct buckets, not the corpus), only buckets OVER the
+    // cap survive it (≤ corpus/maxBucket rows, broadcastable by
+    // construction), and rows in those buckets thin deterministically by
+    // hash to ≈ maxBucket survivors. Admission per query is then
+    // O(bands × maxBucket) regardless of cluster size. APPROXIMATE on
+    // over-cap buckets by design — recall within a capped bucket is
+    // maxBucket/occupancy; corpora that cluster past the cap should use
+    // the IVF index (ivfProbeTopK), which probes whole cells exactly.
+    val c =
+      if (maxBucket <= 0) c0
+      else {
+        val heavy = c0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("occ"))
+          .where(col("occ") > maxBucket)
+          .select(col("band"), col("bucket"),
+            ceil(col("occ").cast("double") / maxBucket).cast("long")
+              .as("thin_rate"))
+        c0.join(broadcast(heavy), Seq("band", "bucket"), "left")
+          .where(col("thin_rate").isNull ||
+            pmod(xxhash64(col("nid")), col("thin_rate")) === 0)
+          .drop("thin_rate")
+      }
     val q = banded(queries, "qid", "qvec", "qnrm", probeBits)
     // NOTE: candidates are NOT deduped here — a pair admitted by several
     // bands appears once per admitting (band, bucket). Consumers either
@@ -457,8 +488,10 @@ object Similarity {
       vecCol: String,
       nPlanes: Int = 32,
       bands: Int = 4,
-      probeBits: Int = 3): DataFrame =
-    multiprobePairs(emb, queries, idCol, vecCol, nPlanes, bands, probeBits)
+      probeBits: Int = 3,
+      maxBucket: Int = 0): DataFrame =
+    multiprobePairs(emb, queries, idCol, vecCol, nPlanes, bands, probeBits,
+        maxBucket)
       .select("qid", "nid")
       .dropDuplicates("qid", "nid")
 

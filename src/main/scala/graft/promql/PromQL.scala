@@ -3,7 +3,7 @@ package graft.promql
 import graft.Tsdb
 import graft.model.LabelMatcher
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.round
+import org.apache.spark.sql.functions.{col, lit, round}
 
 /** A PromQL-shaped query language compiled onto the engine's operators —
   * the piece the reference explicitly lacks (mandodb README.md:36-40: no
@@ -34,16 +34,21 @@ import org.apache.spark.sql.functions.round
   *    ([[graft.Tsdb.binaryOpBy]]) with the ratio rounded to 6 decimals,
   *    the engine's cross-engine-reproducible form.
   *
-  * Grammar (recursive descent, no dependencies):
+  * Grammar (recursive descent, no dependencies; three left-associative
+  * precedence levels, loosest last):
   * {{{
-  * expr      := aggTerm (('/'|'*'|'+'|'-') aggTerm)?
+  * expr      := cmpExpr (('and'|'or'|'unless') cmpExpr)*
+  * cmpExpr   := arith (('>'|'<'|'>='|'<=') arith)*
+  * arith     := operand (('/'|'*'|'+'|'-') matchClause? operand)*
+  * matchClause := 'on' '(' labels ')' ('group_left'|'group_right')?
+  * operand   := number | aggTerm
   * aggTerm   := aggOp grouping? '(' aggBody ')' grouping?
   *            | fn '(' args ')' ('by' '(' labels ')')?
   *            | selector
   * grouping  := 'by' '(' labels ')' | 'without' '(' labels ')'
   * aggOp     := sum|avg|min|max|count|stddev|stdvar
   *            | topk|bottomk|quantile|count_values
-  * fn        := rate|increase|resets|changes|irate|idelta|absent
+  * fn        := rate|increase|delta|resets|changes|irate|idelta|absent
   *            | absent_over_time|predict_linear|histogram_quantile
   *            | (avg|min|max|sum|count|last)_over_time|quantile_over_time
   * selector  := name ('{' matchers '}')? ('[' duration ']')?
@@ -87,18 +92,24 @@ object PromQL {
       by: Seq[String],
       body: Expr,
       without: Seq[String] = Seq.empty) extends Expr
-  /** Arithmetic vector match between two aggregations; `op` is one of
-    * `/ * + -`. Division (the dashboard ratio) rounds to 6 decimals for
-    * cross-engine reproducibility; the exact-DECIMAL ops don't need to.
-    * `on` + `groupLeft` carry the one-to-many matching clause
-    * (`A / on (l) group_left B`): the right side joins on `on`-labels
-    * only and the result keeps the left side's finer label set. */
+  /** Binary operation between two vectors, or a vector and a scalar
+    * literal. `op` is arithmetic (`/ * + -`), a comparison filter
+    * (`> < >= <=`, PromQL drop semantics), or a vector set op
+    * (`and or unless`). Division (the dashboard ratio) rounds to 6
+    * decimals for cross-engine reproducibility; the exact-DECIMAL ops
+    * don't need to. `on` + `groupLeft`/`groupRight` carry the
+    * one-to-many / many-to-one matching clause (`A / on (l) group_left
+    * B`): the coarse side joins on `on`-labels only and the result
+    * keeps the finer side's label set. */
   final case class BinOp(
       op: String,
       lhs: Expr,
       rhs: Expr,
       on: Seq[String] = Seq.empty,
-      groupLeft: Boolean = false) extends Expr
+      groupLeft: Boolean = false,
+      groupRight: Boolean = false) extends Expr
+  /** A scalar literal operand (`… * 100`, `… > 0.5`). */
+  final case class NumLit(v: Double) extends Expr
 
   // ---------------------------------------------------------- tokenizer
 
@@ -152,6 +163,10 @@ object PromQL {
             input.charAt(i + 1) == '~')) {
           out += Sym(input.substring(i, i + 2)); i += 2
         } else { out += Sym(c.toString); i += 1 }
+      } else if (c == '<' || c == '>') {
+        if (i + 1 < n && input.charAt(i + 1) == '=') {
+          out += Sym(input.substring(i, i + 2)); i += 2
+        } else { out += Sym(c.toString); i += 1 }
       } else { out += Sym(c.toString); i += 1 }
     }
     out.toList
@@ -178,9 +193,14 @@ object PromQL {
     Set("avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
       "count_over_time", "last_over_time")
   private val RangeFns =
-    OverTime ++ Set("rate", "increase", "resets", "changes", "absent",
-      "irate", "idelta", "quantile_over_time", "predict_linear",
+    OverTime ++ Set("rate", "increase", "delta", "resets", "changes",
+      "absent", "irate", "idelta", "quantile_over_time", "predict_linear",
       "histogram_quantile", "absent_over_time")
+
+  private val MomentAggs = Set("sum", "avg", "min", "max", "count")
+  private val ArithOps = Set("/", "*", "+", "-")
+  private val CmpOps = Set(">", "<", ">=", "<=")
+  private val SetOps = Set("and", "or", "unless")
 
   private final class P(var toks: List[Tok], input: String) {
     def fail(msg: String): Nothing =
@@ -204,25 +224,63 @@ object PromQL {
       case t => fail(s"expected identifier, got '${tokText(t)}'")
     }
 
+    /** Three precedence levels, loosest last (a subset of PromQL's
+      * ladder): arithmetic, then comparison filters, then the vector
+      * set ops — so `a / b > 0.5 and c` groups as `((a/b) > 0.5) and c`.
+      * Each level is a left-associative loop. */
     def parseExpr(): Expr = {
-      val lhs = parseTerm()
-      peek match {
-        case Some(Sym(op @ ("/" | "*" | "+" | "-"))) =>
-          next()
-          // optional matching clause: on (labels) [group_left]
-          var on: Seq[String] = Seq.empty
-          var gl = false
-          if (peek.contains(Ident("on"))) {
-            next(); expectSym("(")
-            val ls = scala.collection.mutable.ListBuffer(ident())
-            while (peek.contains(Sym(","))) { next(); ls += ident() }
-            expectSym(")")
-            on = ls.toSeq
-            if (peek.contains(Ident("group_left"))) { next(); gl = true }
-          }
-          BinOp(op, lhs, parseTerm(), on, gl)
-        case _ => lhs
+      var lhs = parseCmp()
+      while (peek.exists {
+          case Ident("and" | "or" | "unless") => true; case _ => false }) {
+        val op = next() match { case Ident(s) => s; case _ => fail("setop") }
+        lhs = BinOp(op, lhs, parseCmp())
       }
+      lhs
+    }
+
+    private def parseCmp(): Expr = {
+      var lhs = parseArith()
+      while (peek.exists {
+          case Sym(">" | "<" | ">=" | "<=") => true; case _ => false }) {
+        val op = next() match { case Sym(s) => s; case _ => fail("cmp") }
+        lhs = BinOp(op, lhs, parseArith())
+      }
+      lhs
+    }
+
+    private def parseArith(): Expr = {
+      var lhs = parseOperand()
+      while (peek.exists {
+          case Sym("/" | "*" | "+" | "-") => true; case _ => false }) {
+        val op = next() match { case Sym(s) => s; case _ => fail("arith") }
+        // optional matching clause: on (labels) [group_left|group_right]
+        var on: Seq[String] = Seq.empty
+        var gl = false
+        var gr = false
+        if (peek.contains(Ident("on"))) {
+          next(); expectSym("(")
+          val ls = scala.collection.mutable.ListBuffer(ident())
+          while (peek.contains(Sym(","))) { next(); ls += ident() }
+          expectSym(")")
+          on = ls.toSeq
+          if (peek.contains(Ident("group_left"))) { next(); gl = true }
+          else if (peek.contains(Ident("group_right"))) { next(); gr = true }
+        }
+        lhs = BinOp(op, lhs, parseOperand(), on, gl, gr)
+      }
+      lhs
+    }
+
+    /** A term or a scalar literal operand (`… * 100`). */
+    private def parseOperand(): Expr = peek match {
+      case Some(Num(s)) =>
+        next()
+        val v =
+          try s.toDouble
+          catch { case _: NumberFormatException =>
+            fail(s"scalar operand must be a plain number, got '$s'") }
+        NumLit(v)
+      case _ => parseTerm()
     }
 
     private def parseByClause(): Seq[String] = peek match {
@@ -269,7 +327,12 @@ object PromQL {
             expectSym(",")
           case "count_values" =>
             next() match {
-              case Str(s) => valueLabel = Some(s)
+              // the engine's countValuesBy groups by the value column
+              // itself; any other output-label name would be silently
+              // ignored, so reject it loudly instead
+              case Str("value") => valueLabel = Some("value")
+              case Str(s) => fail(
+                s"""count_values output label must be "value", got "$s"""")
               case t => fail("count_values needs a leading string label")
             }
             expectSym(",")
@@ -402,12 +465,18 @@ object PromQL {
         else if (wo.nonEmpty) wo.mkString(" without (", ", ", ")")
         else ""
       s"$op($lead${render(body)})$grouping"
-    case BinOp(op, l, r, on, gl) =>
+    case BinOp(op, l, r, on, gl, gr) =>
       val clause =
         if (on.isEmpty) ""
-        else on.mkString("on (", ", ", ")") + (if (gl) " group_left" else "")
+        else on.mkString("on (", ", ", ")") +
+          (if (gl) " group_left" else if (gr) " group_right" else "")
       val sep = if (clause.isEmpty) " " else s" $clause "
       s"${render(l)} $op$sep${render(r)}"
+    case NumLit(v) =>
+      // integral scalars render without the trailing .0 so the canonical
+      // string looks like what a user types (`* 100`, not `* 100.0`)
+      if (v == v.floor && !v.isInfinite && v.abs < 1e15) v.toLong.toString
+      else v.toString
   }
 
   /** Parse a query string to its AST (throws IllegalArgumentException with
@@ -511,9 +580,73 @@ object PromQL {
         a.copy(by = labelKeys(t, metric).filterNot(wo.contains),
           body = rBody, without = Seq.empty)
       }
-    case b @ BinOp(_, l, r, _, _) =>
+    case b @ BinOp(_, l, r, _, _, _) =>
       b.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
     case other => other
+  }
+
+  /** The comparison filter op (PromQL drop semantics: rows failing the
+    * predicate are dropped, values pass through unchanged). */
+  private def cmp(op: String): (
+      org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    op match {
+      case ">" => (a, b) => a > b
+      case "<" => (a, b) => a < b
+      case ">=" => (a, b) => a >= b
+      case "<=" => (a, b) => a <= b
+    }
+
+  /** The aggregated-moment column each shape exposes to scalar
+    * arithmetic / threshold filtering — the column a hand-built query
+    * would operate on. Fails fast for shapes with no single value
+    * column. */
+  private def valueColOf(e: Expr): String = e match {
+    case Agg("sum", _, _, _, _, _) => "sum_v"
+    case Agg("avg", _, _, _, _, _) => "avg_v"
+    case Agg("min", _, _, _, _, _) => "min_v"
+    case Agg("max", _, _, _, _, _) => "max_v"
+    case Agg("count", _, _, _, _, _) => "n"
+    case Agg("quantile", _, _, _, _, _) => "q_v"
+    case RangeFn("rate", _, _, _, _) => "rate_per_sec"
+    case RangeFn("increase", _, _, _, _) => "increase"
+    case RangeFn("delta", _, _, _, _) => "delta"
+    case BinOp(op, _, _, _, _, _) if ArithOps(op) => "result"
+    case BinOp(op, l, _, _, _, _) if CmpOps(op) || SetOps(op) =>
+      valueColOf(l)
+    case other => throw new IllegalArgumentException(
+      s"scalar operand needs a single-valued vector side, got: $other")
+  }
+
+  /** The moment column a vector-match side contributes ([[Tsdb
+    * .aggregateBy]]'s output names) — enables non-sum matches like
+    * `max by (c)(a[1h]) / avg by (c)(b[1h])`. */
+  private def momentCol(aggOp: String): String = aggOp match {
+    case "sum" => "sum_v"; case "avg" => "avg_v"; case "min" => "min_v"
+    case "max" => "max_v"; case "count" => "n"
+  }
+
+  /** Fail fast on a parsed-but-unthreaded `offset` modifier: only the
+    * bare selector and the moment aggregations evaluate it; every other
+    * shape would silently compute the un-shifted window. */
+  private def noOffset(sel: Selector, shape: String): Unit =
+    require(sel.offsetSec == 0,
+      s"offset is not supported for $shape (supported on bare selectors " +
+      "and sum/avg/min/max/count aggregations)")
+
+  /** The label grouping a compiled vector side carries — the set-op /
+    * match key. Follows through scalar arithmetic, threshold filters and
+    * vector matches (a group_right match keeps the right side's grain). */
+  private def groupingOf(e: Expr): Option[Seq[String]] = e match {
+    case Agg(op, _, _, by, _: Selector, _) if MomentAggs(op) => Some(by)
+    case BinOp(op, l, r, _, gl, gr) if ArithOps(op) || CmpOps(op) =>
+      (l, r) match {
+        case (_, _: NumLit) => groupingOf(l)
+        case (_: NumLit, _) => groupingOf(r)
+        case _ if gr => groupingOf(r)
+        case _ => groupingOf(l)
+      }
+    case _ => None
   }
 
   /** The vector-match column op. Sums arrive as exact-DECIMAL-derived
@@ -548,70 +681,144 @@ object PromQL {
     e match {
       // rollup-served forms first: the same strings, the downsampled tier
       case Agg(op, _, _, by, sel: Selector, _)
-          if rollupStep.isDefined &&
-            Set("sum", "avg", "min", "max", "count")(op) =>
+          if rollupStep.isDefined && MomentAggs(op) =>
+        noOffset(sel, s"rollup-served $op by")
         t.aggregateByFromRollup(checkRollupStep(sel, rollupStep.get),
           sel.metric, sel.matchers, start, end, by)
       case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
-          Agg("sum", _, _, byB, b: Selector, _), _, false)
-          if rollupStep.isDefined =>
+          Agg("sum", _, _, byB, b: Selector, _), _, false, false)
+          if rollupStep.isDefined && ArithOps(op) =>
         require(byA == byB,
           s"vector-match sides must aggregate by the same labels: " +
           s"$byA vs $byB")
+        noOffset(a, "rollup-served vector match")
+        noOffset(b, "rollup-served vector match")
+        checkRollupStep(b, rollupStep.get)
         t.binaryOpByFromRollup(checkRollupStep(a, rollupStep.get),
-          a.metric, b.metric, a.matchers ++ b.matchers, start, end,
+          a.metric, b.metric, a.matchers, b.matchers, start, end,
           byA)(arith(op))
+
+      // scalar arithmetic / threshold filters recurse on their vector
+      // side, so they sit ABOVE the rollup catch-all and compose with
+      // rollup-served operands too
+      case BinOp(op, lhs, NumLit(v), _, false, false) if ArithOps(op) =>
+        compile(t, lhs, start, end, buckets, rollupStep)
+          .withColumn("result", arith(op)(col(valueColOf(lhs)), lit(v)))
+      case BinOp(op, NumLit(v), rhs, _, false, false) if ArithOps(op) =>
+        compile(t, rhs, start, end, buckets, rollupStep)
+          .withColumn("result", arith(op)(lit(v), col(valueColOf(rhs))))
+      case BinOp(op, lhs, NumLit(v), _, false, false) if CmpOps(op) =>
+        compile(t, lhs, start, end, buckets, rollupStep)
+          .where(cmp(op)(col(valueColOf(lhs)), lit(v)))
+      case BinOp(op, NumLit(v), rhs, _, false, false) if CmpOps(op) =>
+        compile(t, rhs, start, end, buckets, rollupStep)
+          .where(cmp(op)(lit(v), col(valueColOf(rhs))))
+
+      // vector set ops: both sides compile independently (so filtered /
+      // scalar-wrapped sides compose); the match key is (labels, bucket)
+      //  - and:    lhs rows whose key exists on the right (left-semi)
+      //  - unless: lhs rows whose key does not         (left-anti)
+      //  - or:     all of lhs plus right rows with absent keys
+      case BinOp(sop, l, r, _, false, false) if SetOps(sop) =>
+        def side(x: Expr, which: String): Seq[String] =
+          groupingOf(x).getOrElse(throw new IllegalArgumentException(
+            s"'$sop' needs an aggregated vector on the $which side, " +
+            s"got: $x"))
+        val byL = side(l, "left")
+        val byR = side(r, "right")
+        require(byL == byR,
+          s"'$sop' sides must aggregate by the same labels: $byL vs $byR")
+        val keys = byL :+ "bucket_start"
+        val dfL = compile(t, l, start, end, buckets, rollupStep)
+        val dfR = compile(t, r, start, end, buckets, rollupStep)
+        sop match {
+          case "and" =>
+            dfL.join(dfR.select(keys.map(col): _*), keys, "left_semi")
+          case "unless" =>
+            dfL.join(dfR.select(keys.map(col): _*), keys, "left_anti")
+          case _ =>
+            require(dfL.columns.toSeq == dfR.columns.toSeq,
+              s"'or' sides must produce the same columns: " +
+              s"${dfL.columns.toSeq} vs ${dfR.columns.toSeq}")
+            dfL.unionByName(
+              dfR.join(dfL.select(keys.map(col): _*), keys, "left_anti"))
+        }
+
       case other if rollupStep.isDefined =>
         throw new IllegalArgumentException(
-          s"only moment aggregations and sum-by ratios can be served " +
-          s"from the rollup tier, got: $other")
+          s"only moment aggregations, sum-by ratios and scalar ops over " +
+          s"them can be served from the rollup tier, got: $other")
       // bare selector: the raw range scan (instant selectors span the
       // whole query range, like a Prometheus matrix at full resolution)
       case Selector(m, ms, _, off) =>
         t.queryRange(m, ms, start - off, end - off)
 
       // moment aggregations over a plain selector → ONE hash aggregation
-      case Agg(op, _, _, by, sel: Selector, _)
-          if Set("sum", "avg", "min", "max", "count")(op) =>
+      case Agg(op, _, _, by, sel: Selector, _) if MomentAggs(op) =>
         t.aggregateBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"$op by"), sel.offsetSec)
 
       case Agg(op, _, _, by, sel: Selector, _)
           if op == "stddev" || op == "stdvar" =>
+        noOffset(sel, s"$op by")
         t.stddevBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"$op by"))
 
       case Agg("quantile", _, Some(q), by, sel: Selector, _) =>
+        noOffset(sel, "quantile by")
         t.quantileBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "quantile by"), q)
 
       case Agg("count_values", _, _, by, sel: Selector, _) =>
+        noOffset(sel, "count_values")
         t.countValuesBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "count_values"))
 
       // rank compositions: topk/bottomk over an inner sum-by
       case Agg("topk", Some(k), _, _, Agg("sum", _, _, by, sel: Selector, _), _) =>
+        noOffset(sel, "topk(sum by)")
         t.topKBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "topk(sum by)"), k.toInt)
       case Agg("bottomk", Some(k), _, _,
           Agg("sum", _, _, by, sel: Selector, _), _) =>
+        noOffset(sel, "bottomk(sum by)")
         t.bottomKBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "bottomk(sum by)"), k.toInt)
 
       // counter family composed with the label aggregation
       case Agg("sum", _, _, by,
           RangeFn(fn, _, sel, _, _), _) if fn == "rate" || fn == "increase" =>
+        noOffset(sel, s"sum by ($fn)")
         t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"sum by ($fn)"))
       case Agg("sum", _, _, by, RangeFn("resets", _, sel, _, _), _) =>
+        noOffset(sel, "sum by (resets)")
         t.resetsBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "sum by (resets)"))
       case Agg("sum", _, _, by, RangeFn("changes", _, sel, _, _), _) =>
+        noOffset(sel, "sum by (changes)")
         t.changesBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "sum by (changes)"))
 
+      // BARE rate/increase/delta — the most common PromQL shape. With no
+      // trailing `by`, the grouping is the metric's full label-key
+      // universe, i.e. exactly per-series; [[Tsdb.aggregateIncreaseBy]]
+      // returns both `increase` and `rate_per_sec`, callers project.
+      case RangeFn(fn, _, sel, by, _) if fn == "rate" || fn == "increase" =>
+        noOffset(sel, fn)
+        val keys = if (by.nonEmpty) by else labelKeys(t, sel.metric)
+        t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end, keys,
+          stepOf(sel, fn))
+
+      case RangeFn("delta", _, sel, by, _) =>
+        noOffset(sel, "delta")
+        val keys = if (by.nonEmpty) by else labelKeys(t, sel.metric)
+        t.deltaBy(sel.metric, sel.matchers, start, end, keys,
+          stepOf(sel, "delta"))
+
       // instant-pair family: per-series last-two-samples delta/rate
       case RangeFn(fn, _, sel, by, _) if fn == "irate" || fn == "idelta" =>
+        noOffset(sel, fn)
         t.instantDeltaBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, fn))
 
@@ -619,60 +826,98 @@ object PromQL {
       // equals the window (PromQL's default query_range alignment) —
       // overTimeBy returns every moment, callers project
       case RangeFn(fn, _, sel, by, _) if OverTime(fn) =>
+        noOffset(sel, fn)
         t.overTimeBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, fn), stepOf(sel, fn))
 
       case RangeFn("quantile_over_time", Some(q), sel, by, _) =>
+        noOffset(sel, "quantile_over_time")
         t.quantileBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "quantile_over_time"), q)
 
       case RangeFn("predict_linear", _, sel, by, Some(atSec)) =>
+        noOffset(sel, "predict_linear")
         t.predictLinear(sel.metric, sel.matchers, start, end, by,
           end + atSec)
 
       case RangeFn("absent", _, sel, _, _) =>
+        noOffset(sel, "absent")
         t.absentRange(sel.metric, sel.matchers, start, end)
 
       case RangeFn("absent_over_time", _, sel, _, _) =>
+        noOffset(sel, "absent_over_time")
         t.absentOverTime(sel.metric, sel.matchers, start, end,
           stepOf(sel, "absent_over_time"), stepOf(sel, "absent_over_time"))
 
       case RangeFn("histogram_quantile", Some(phi), sel, by, _) =>
+        noOffset(sel, "histogram_quantile")
         require(buckets.nonEmpty,
           "histogram_quantile needs bucket bounds: pass buckets = Seq(…) " +
           "to PromQL.query (raw observations are bucketed at query time)")
         t.histogramQuantile(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "histogram_quantile"), phi, buckets)
 
-      // arithmetic vector match between two matching sum-by aggregations
       // one-to-many matching: A op on (l) group_left B — the right side
-      // aggregates at the on-label grain, the result keeps A's labels
+      // aggregates at the on-label grain, the result keeps A's labels.
+      // Each side applies ITS OWN matcher list.
       case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
-          Agg("sum", _, _, byB, b: Selector, _), on, true) =>
+          Agg("sum", _, _, byB, b: Selector, _), on, true, false)
+          if ArithOps(op) =>
         require(byB == on,
           s"group_left: the on-labels ($on) must equal the right side's " +
           s"grouping ($byB)")
+        noOffset(a, "group_left vector match")
+        noOffset(b, "group_left vector match")
+        val step = stepOf(a, "group_left vector match")
+        require(step == stepOf(b, "group_left vector match"),
+          "vector-match sides must share the step grid")
         t.binaryOpByGroupLeft(a.metric, b.metric,
-          a.matchers ++ b.matchers, start, end, byA, byB,
-          stepOf(a, "group_left vector match"))(arith(op))
+          a.matchers, b.matchers, start, end, byA, byB, step)(arith(op))
 
+      // many-to-one: A op on (l) group_right B — the mirror, keeping B's
+      // finer label set
       case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
-          Agg("sum", _, _, byB, b: Selector, _), on, false) =>
+          Agg("sum", _, _, byB, b: Selector, _), on, false, true)
+          if ArithOps(op) =>
+        require(byA == on,
+          s"group_right: the on-labels ($on) must equal the left side's " +
+          s"grouping ($byA)")
+        noOffset(a, "group_right vector match")
+        noOffset(b, "group_right vector match")
+        val step = stepOf(b, "group_right vector match")
+        require(step == stepOf(a, "group_right vector match"),
+          "vector-match sides must share the step grid")
+        t.binaryOpByGroupRight(a.metric, b.metric,
+          a.matchers, b.matchers, start, end, byA, byB, step)(arith(op))
+
+      // arithmetic vector match between two matching aggregations —
+      // any moment pair (sum/avg/min/max/count), each side filtered by
+      // its own matchers only
+      case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
+          Agg(opB, _, _, byB, b: Selector, _), on, false, false)
+          if ArithOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
         require(byA == byB,
           s"vector-match sides must aggregate by the same labels: " +
           s"$byA vs $byB (use 'on (l) group_left' for one-to-many)")
         require(on.isEmpty || on == byA,
           s"on-labels ($on) must equal the grouping ($byA)")
-        t.binaryOpBy(a.metric, b.metric, a.matchers ++ b.matchers, start,
-          end, byA, stepOf(a, "vector match"))(arith(op))
+        noOffset(a, "vector match")
+        noOffset(b, "vector match")
+        val step = stepOf(a, "vector match")
+        require(step == stepOf(b, "vector match"),
+          "vector-match sides must share the step grid")
+        t.binaryOpBy(a.metric, b.metric, a.matchers, b.matchers, start,
+          end, byA, step, momentCol(opA), momentCol(opB))(arith(op))
 
       case other =>
         throw new IllegalArgumentException(
           s"unsupported query shape: $other — supported: selector, " +
           "sum/avg/min/max/count/stddev/stdvar/quantile/count_values by, " +
           "topk/bottomk(k, sum by), sum by (rate|increase|resets|changes), " +
-          "irate/idelta, " +
+          "bare rate/increase/delta, irate/idelta, " +
           "*_over_time, quantile_over_time, predict_linear, absent, " +
-          "ratio of two sum-by aggregations")
+          "vector matches between moment aggregations (incl. group_left/" +
+          "group_right), and/or/unless, scalar arithmetic and " +
+          "threshold filters")
     }
 }

@@ -217,6 +217,39 @@ class OperatorSpec extends SparkSuite {
     assert(frac <= 0.1, s"clustered candidate fraction = $frac")
   }
 
+  test("maxBucket caps in-bucket LSH candidate generation deterministically") {
+    // a corpus whose clusters (~n/32 members) far exceed the cap: every
+    // cluster bucket is heavy, so the census-thinning path engages
+    val c = graft.sources.ClusteredEmbeddings.generate(spark, 5000L)
+      .localCheckpoint()
+    val queries = c.where(col("vec_id") % 100 === 0)
+    val nQ = queries.count()
+    val capped = Similarity.multiprobeCandidates(c, queries, "vec_id",
+      "embedding", nPlanes = 24, bands = 4, probeBits = 0, maxBucket = 32)
+    val uncapped = Similarity.multiprobeCandidates(c, queries, "vec_id",
+      "embedding", nPlanes = 24, bands = 4, probeBits = 0)
+    // admission per query is bounded by ~bands × maxBucket (hash thinning
+    // keeps ≈ occ/rate ≤ ~2×maxBucket per bucket), independent of the
+    // ~156-member clusters the uncapped path admits wholesale
+    val maxPerQuery = capped.groupBy("qid").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerQuery <= 4L * 32 * 2, s"capped admission = $maxPerQuery")
+    assert(capped.count() < uncapped.count(),
+      "cap did not reduce admission on an over-cap corpus")
+    // deterministic: the hash-ordered thinning yields the same set twice
+    val a = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.multiprobeCandidates(c, queries, "vec_id",
+        "embedding", nPlanes = 24, bands = 4, probeBits = 0, maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // the capped top-k still returns k ranked rows per query
+    val topk = Similarity.multiprobeTopK(c, queries, "vec_id", "embedding",
+      5, nPlanes = 24, bands = 4, probeBits = 0, maxBucket = 32)
+    assert(topk.groupBy("qid").count().where(col("count") =!= 5).count()
+      == 0L)
+    assert(topk.select("qid").distinct().count() == nQ)
+  }
+
   test("multiprobe LSH on an empty corpus returns an empty result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")

@@ -73,7 +73,7 @@ class PromQLSpec extends SparkSuite {
       PromQL.query(t, "quantile(0.95, click[1h]) by (cohort)", T0, T1),
       t.quantileBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, 0.95))
     assertSame(
-      PromQL.query(t, """count_values("v", click[1d]) by (cohort)""",
+      PromQL.query(t, """count_values("value", click[1d]) by (cohort)""",
         T0, T1),
       t.countValuesBy("click", Seq.empty, T0, T1, Seq("cohort"), 86400L))
   }
@@ -163,25 +163,25 @@ class PromQLSpec extends SparkSuite {
       PromQL.query(t,
         "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])",
         T0, T1),
-      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+      t.binaryOpBy("purchase", "click", Seq.empty, Seq.empty, T0, T1, Seq("cohort"),
         3600L)((a, b) => round(a / b, 6)))
     assertSame(
       PromQL.query(t,
         "sum by (cohort) (purchase[1h]) + sum by (cohort) (click[1h])",
         T0, T1),
-      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+      t.binaryOpBy("purchase", "click", Seq.empty, Seq.empty, T0, T1, Seq("cohort"),
         3600L)((a, b) => a + b))
     assertSame(
       PromQL.query(t,
         "sum by (cohort) (purchase[1h]) - sum by (cohort) (click[1h])",
         T0, T1),
-      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+      t.binaryOpBy("purchase", "click", Seq.empty, Seq.empty, T0, T1, Seq("cohort"),
         3600L)((a, b) => a - b))
     assertSame(
       PromQL.query(t,
         "sum by (cohort) (purchase[1h]) * sum by (cohort) (click[1h])",
         T0, T1),
-      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+      t.binaryOpBy("purchase", "click", Seq.empty, Seq.empty, T0, T1, Seq("cohort"),
         3600L)((a, b) => a * b))
   }
 
@@ -195,7 +195,7 @@ class PromQLSpec extends SparkSuite {
       PromQL.query(t,
         "sum without (user_id) (purchase[1h]) / " +
         "sum without (user_id) (click[1h])", T0, T1),
-      t.binaryOpBy("purchase", "click", Seq.empty, T0, T1, Seq("cohort"),
+      t.binaryOpBy("purchase", "click", Seq.empty, Seq.empty, T0, T1, Seq("cohort"),
         3600L)((a, b) => round(a / b, 6)))
     // by and without together is a parse error
     val e = intercept[IllegalArgumentException](
@@ -248,7 +248,7 @@ class PromQLSpec extends SparkSuite {
       PromQL.query(t,
         "sum by (cohort, user_id) (purchase[1d]) / on (cohort) " +
         "group_left sum by (cohort) (click[1d])", T0, T1),
-      t.binaryOpByGroupLeft("purchase", "click", Seq.empty, T0, T1,
+      t.binaryOpByGroupLeft("purchase", "click", Seq.empty, Seq.empty, T0, T1,
         Seq("cohort", "user_id"), Seq("cohort"), 86400L)(
         (a, b) => round(a / b, 6)))
     // on-labels must equal the right side's grouping
@@ -272,6 +272,176 @@ class PromQLSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       PromQL.queryFromChunks(disk, "sum by (cohort) (click[1h])", T0, T1))
     assert(e.getMessage.contains("bare selectors"))
+  }
+
+  test("each vector-match side applies ITS OWN matchers only") {
+    // the numerator filter is on a label OUTSIDE the grouping, so the
+    // old union-of-matchers behavior would (wrongly) filter the
+    // denominator too — this asserts the per-side semantics
+    val m = Seq(LabelMatcher.re("user_id", "1.*"))
+    assertSame(
+      PromQL.query(t,
+        """sum by (cohort) (purchase{user_id=~"1.*"}[1d]) / """ +
+        "sum by (cohort) (click[1d])", T0, T1),
+      t.binaryOpBy("purchase", "click", m, Seq.empty, T0, T1,
+        Seq("cohort"), 86400L)((a, b) => round(a / b, 6)))
+    // and the union version is genuinely different (the test bites)
+    val perSide = t.binaryOpBy("purchase", "click", m, Seq.empty, T0, T1,
+      Seq("cohort"), 86400L)((a, b) => round(a / b, 6))
+    val union = t.binaryOpBy("purchase", "click", m, m, T0, T1,
+      Seq("cohort"), 86400L)((a, b) => round(a / b, 6))
+    val joined = perSide.select(col("cohort"), col("bucket_start"),
+        col("result").as("r1"))
+      .join(union.select(col("cohort"), col("bucket_start"),
+        col("result").as("r2")), Seq("cohort", "bucket_start"))
+    assert(joined.where(col("r1") =!= col("r2")).count() > 0,
+      "fixture too weak: per-side and union matchers agree everywhere")
+  }
+
+  test("bare rate/increase/delta compile per-series (full label set)") {
+    assertSame(
+      PromQL.query(t, "increase(click[1h])", T0, T1),
+      t.aggregateIncreaseBy("click", Seq.empty, T0, T1,
+        Seq("cohort", "user_id"), 3600L))
+    assertSame(
+      PromQL.query(t, "rate(click[1h])", T0, T1),
+      t.aggregateIncreaseBy("click", Seq.empty, T0, T1,
+        Seq("cohort", "user_id"), 3600L))
+    assertSame(
+      PromQL.query(t, "delta(click[1h])", T0, T1),
+      t.deltaBy("click", Seq.empty, T0, T1, Seq("cohort", "user_id"),
+        3600L))
+    // a trailing by () projects instead
+    assertSame(
+      PromQL.query(t, "delta(click[1h]) by (cohort)", T0, T1),
+      t.deltaBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L))
+  }
+
+  test("delta endpoints: single-sample buckets are 0, n counts samples") {
+    val d = t.deltaBy("click", Seq.empty, T0, T1, Seq("cohort", "user_id"),
+      3600L)
+    assert(d.where(col("n") === 1 && col("delta") =!= 0.0).count() == 0L)
+  }
+
+  test("scalar arithmetic and threshold filters on aggregated vectors") {
+    val base = t.aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"),
+      3600L)
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (click[1h]) * 100", T0, T1),
+      base.withColumn("result", col("sum_v") * 100))
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (click[1h]) > 500", T0, T1),
+      base.where(col("sum_v") > 500))
+    // chained: ratio, scaled, thresholded — the alert-rule shape
+    val ratio = t.binaryOpBy("purchase", "click", Seq.empty, Seq.empty,
+      T0, T1, Seq("cohort"), 3600L)((a, b) => round(a / b, 6))
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])" +
+        " * 100 > 55", T0, T1),
+      ratio.withColumn("result", col("result") * 100)
+        .where(col("result") > 55))
+  }
+
+  test("and / or / unless vector set ops == vectorSetOpBy") {
+    for (sop <- Seq("and", "or", "unless")) {
+      assertSame(
+        PromQL.query(t,
+          s"sum by (cohort) (purchase[1h]) $sop " +
+          "sum by (cohort) (click[1h])", T0, T1),
+        t.vectorSetOpBy(sop, "purchase", "click", Seq.empty, Seq.empty,
+          T0, T1, Seq("cohort"), 3600L))
+    }
+    // 'unless' with a thresholded right side: purchases in hours where
+    // clicks did NOT exceed the threshold
+    val a = t.aggregateBy("purchase", Seq.empty, T0, T1, Seq("cohort"),
+      3600L)
+    val b = t.aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+      .where(col("sum_v") > 500)
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) unless " +
+        "sum by (cohort) (click[1h]) > 500", T0, T1),
+      a.join(b.select("cohort", "bucket_start"),
+        Seq("cohort", "bucket_start"), "left_anti"))
+    // sanity: and + unless partition the left side
+    val n = a.count()
+    val nAnd = PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) and sum by (cohort) (click[1h])",
+      T0, T1).count()
+    val nUnless = PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) unless sum by (cohort) (click[1h])",
+      T0, T1).count()
+    assert(nAnd + nUnless == n)
+  }
+
+  test("group_right many-to-one vector match == binaryOpByGroupRight") {
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (click[1d]) / on (cohort) group_right " +
+        "sum by (cohort, user_id) (purchase[1d])", T0, T1),
+      t.binaryOpByGroupRight("click", "purchase", Seq.empty, Seq.empty,
+        T0, T1, Seq("cohort"), Seq("cohort", "user_id"), 86400L)(
+        (a, b) => round(a / b, 6)))
+    // group_right keeps the RIGHT side's finer labels; its result is the
+    // value-mirror of the equivalent group_left with sides swapped
+    val gr = PromQL.query(t,
+      "sum by (cohort) (click[1d]) / on (cohort) group_right " +
+      "sum by (cohort, user_id) (purchase[1d])", T0, T1)
+      .select(col("cohort"), col("user_id"), col("bucket_start"),
+        col("result"))
+    val gl = PromQL.query(t,
+      "sum by (cohort, user_id) (purchase[1d]) / on (cohort) group_left " +
+      "sum by (cohort) (click[1d])", T0, T1)
+      .where(col("result") =!= 0.0)
+      .select(col("cohort"), col("user_id"), col("bucket_start"),
+        (lit(1.0) / col("result")).as("inv"))
+    val cmp = gr.join(gl, Seq("cohort", "user_id", "bucket_start"))
+    assert(cmp.count() > 0)
+    // both sides round their ratio to 6 decimals, so compare the
+    // reciprocals with a relative tolerance
+    assert(cmp.where(abs(col("result") - col("inv")) / abs(col("inv")) >
+      lit(0.001)).count() == 0L)
+    // on-labels must equal the LEFT side's grouping for group_right
+    val e = intercept[IllegalArgumentException](
+      PromQL.query(t,
+        "sum by (cohort) (click[1d]) / on (user_id) group_right " +
+        "sum by (cohort, user_id) (purchase[1d])", T0, T1))
+    assert(e.getMessage.contains("on-labels"))
+  }
+
+  test("non-sum vector matching picks each side's moment column") {
+    assertSame(
+      PromQL.query(t,
+        "max by (cohort) (click[1h]) / avg by (cohort) (click[1h])",
+        T0, T1),
+      t.binaryOpBy("click", "click", Seq.empty, Seq.empty, T0, T1,
+        Seq("cohort"), 3600L, momentA = "max_v", momentB = "avg_v")(
+        (a, b) => round(a / b, 6)))
+  }
+
+  test("offset on an unthreaded shape fails fast, never silently") {
+    val bad = Seq(
+      "quantile(0.5, click[1h] offset 1h)",
+      "topk(3, sum by (cohort) (click[1h] offset 1h))",
+      "sum by (cohort) (rate(click[1h] offset 1h))",
+      "rate(click[1h] offset 1h)",
+      "avg_over_time(click[1h] offset 1h) by (cohort)",
+      "sum by (cohort) (purchase[1h] offset 1h) / " +
+        "sum by (cohort) (click[1h])")
+    bad.foreach { q =>
+      val e = intercept[IllegalArgumentException](PromQL.query(t, q, T0, T1))
+      assert(e.getMessage.contains("offset"), s"no offset error for: $q")
+    }
+    // the threading shapes still accept it
+    PromQL.query(t, "sum by (cohort) (click[1h] offset 1h)", T0 + 3600L, T1)
+    PromQL.query(t, "click offset 1h", T0 + 3600L, T1)
+  }
+
+  test("""count_values rejects output labels other than "value"""") {
+    val e = intercept[IllegalArgumentException](
+      PromQL.parse("""count_values("band", click[1h]) by (cohort)"""))
+    assert(e.getMessage.contains("\"value\""))
   }
 
   test("README example strings parse (dotted mandodb metric names)") {

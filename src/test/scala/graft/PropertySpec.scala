@@ -199,7 +199,7 @@ class PropertySpec extends SparkSuite {
         if (withRange) Some(Seq(60L, 1800L, 3600L, 86400L)(rnd.nextInt(4)))
         else None,
         if (rnd.nextBoolean()) 0L else 3600L)
-    def randExpr(): Expr = rnd.nextInt(10) match {
+    def randExpr(): Expr = rnd.nextInt(14) match {
       case 0 => randSelector(rnd.nextBoolean())
       case 1 =>
         val op = Seq("sum", "avg", "min", "max", "count", "stddev",
@@ -240,6 +240,28 @@ class PropertySpec extends SparkSuite {
               randSelector(true)),
             Agg("sum", None, None, Seq("cohort"), randSelector(true)),
             on = Seq("cohort"), groupLeft = true)
+      case 10 => // many-to-one (group_right) mirror
+        BinOp("/",
+          Agg("sum", None, None, Seq("cohort"), randSelector(true)),
+          Agg("sum", None, None, Seq("cohort", "user_id"),
+            randSelector(true)),
+          on = Seq("cohort"), groupRight = true)
+      case 11 => // bare counter / gauge functions, optional projection
+        RangeFn(Seq("rate", "increase", "delta")(rnd.nextInt(3)), None,
+          randSelector(true),
+          if (rnd.nextBoolean()) Seq("cohort") else Seq.empty)
+      case 12 => // scalar arithmetic and threshold filters
+        val vec = Agg("sum", None, None, Seq("cohort"), randSelector(true))
+        val num = NumLit(Seq(100.0, 0.5, 2.0, 55.0)(rnd.nextInt(4)))
+        val op = Seq("/", "*", "+", "-", ">", "<", ">=", "<=")(
+          rnd.nextInt(8))
+        if (rnd.nextBoolean()) BinOp(op, vec, num) else BinOp(op, num, vec)
+      case 13 => // vector set ops, possibly with a thresholded side
+        val l = Agg("sum", None, None, Seq("cohort"), randSelector(true))
+        val r0 = Agg("sum", None, None, Seq("cohort"), randSelector(true))
+        val r = if (rnd.nextBoolean()) r0
+          else BinOp(">", r0, NumLit(500.0))
+        BinOp(Seq("and", "or", "unless")(rnd.nextInt(3)), l, r)
     }
     for (i <- 0 until 500) {
       val ast = randExpr()
@@ -255,7 +277,9 @@ class PropertySpec extends SparkSuite {
     val atoms = Seq("sum", "by", "without", "on", "group_left", "(", ")",
       "{", "}", "[", "]", ",", "/", "*", "+", "-", "=", "!=", "=~", "!~",
       "\"x\"", "click", "cpu.busy", "5m", "1h", "0.5", "offset", "rate",
-      "topk", "\"", "\\", ".", ":", "__name__", "absent_over_time")
+      "topk", "\"", "\\", ".", ":", "__name__", "absent_over_time",
+      ">", "<", ">=", "<=", "and", "or", "unless", "group_right", "delta",
+      "100", "value")
     for (i <- 0 until 2000) {
       val s = Seq.fill(rnd.nextInt(12))(atoms(rnd.nextInt(atoms.size)))
         .mkString(" ")
