@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.model.{LabelMatcher, TsdbConf}
+import graft.operators.Similarity
 import graft.sources.Tables
 
 /** Plan-shape regression gates: the scale-critical physical-plan
@@ -363,6 +364,45 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop"), plan.take(3000))
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hashExchanges <= 4, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+  }
+
+  test("vector set ops compile to semi/anti joins, no nested loop") {
+    val andPlan = planOf(SparkEntry.queries("tsdb_promql_and")(spark, sf0001))
+    assert(andPlan.contains("LeftSemi"), andPlan.take(3000))
+    assert(!andPlan.contains("NestedLoop"), andPlan.take(3000))
+    val unlessPlan =
+      planOf(SparkEntry.queries("tsdb_promql_unless")(spark, sf0001))
+    assert(unlessPlan.contains("LeftAnti"), unlessPlan.take(3000))
+    assert(!unlessPlan.contains("NestedLoop"), unlessPlan.take(3000))
+  }
+
+  test("group_right mirrors group_left's join shape, no nested loop") {
+    val plan = planOf(SparkEntry.queries("tsdb_group_right")(spark, sf0001))
+    assert(!plan.contains("NestedLoop"), plan.take(3000))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 4, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+  }
+
+  test("scalar arithmetic/threshold adds no shuffle over the bare ratio") {
+    val scalarPlan =
+      planOf(SparkEntry.queries("tsdb_promql_scalar")(spark, sf0001))
+    val ratioPlan = planOf(SparkEntry.queries("tsdb_ratio")(spark, sf0001))
+    def exchanges(p: String) =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges(scalarPlan) == exchanges(ratioPlan),
+      s"${exchanges(scalarPlan)} vs ${exchanges(ratioPlan)}")
+  }
+
+  test("capped LSH keeps the map-side probe join (no cartesian product)") {
+    val c = graft.sources.ClusteredEmbeddings.generate(spark, 2000L)
+    val q = c.where(col("vec_id") % 100 === 0)
+    val plan = planOf(Similarity.multiprobeTopK(
+      c, q, "vec_id", "embedding", 5, nPlanes = 24, bands = 4,
+      probeBits = 0, maxBucket = 32))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(3000))
+    // the census join against the heavy-bucket list stays a broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
   test("promql-compiled topk shares the direct operator's physical plan") {
