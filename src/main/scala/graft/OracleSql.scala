@@ -1157,6 +1157,34 @@ object OracleSql {
        |FROM a JOIN b USING (cohort, bucket_start)
        |ORDER BY 1, 2""".stripMargin
 
+  /** Day-over-day per-side-offset ratio: the offset side scans yesterday's
+    * window and reports at today's grid (+86400), the plain side scans
+    * today — matched on (cohort, day bucket).
+    */
+  private val tsdbPromqlDod =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         ($tsS - ($tsS % 86400)) + 86400 AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND $tsS BETWEEN $T0 AND ${T1 - 86400L}
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND $tsS BETWEEN ${T0 + 86400L} AND $T1
+       |  GROUP BY 1, 2)
+       |SELECT a.cohort, a.bucket_start, n_a, n_b,
+       |       round(sum_a / sum_b, 6) AS result
+       |FROM a JOIN b USING (cohort, bucket_start)
+       |ORDER BY 1, 2""".stripMargin
+
   /** absent_over_time mirror: the same PromQL lookback window
     * `(e - range, e]` as the over_time grid join, negated — grid points
     * with no covering sample.
@@ -1749,6 +1777,10 @@ object OracleSql {
     "tsdb_promql_unless" -> tsdbPromqlUnless,
     "tsdb_promql_maxavg" -> tsdbPromqlMaxAvg,
     "tsdb_promql_ratio_matched" -> tsdbPromqlRatioMatched,
+    // the [2h:1h] subquery compiles onto the same overTimeBy(1h, 2h) as
+    // the direct query — identical rows, shared oracle
+    "tsdb_promql_subquery" -> tsdbOverTime,
+    "tsdb_promql_dod" -> tsdbPromqlDod,
     "tsdb_group_right" -> tsdbGroupRight,
     "tsdb_rollup_agg" -> tsdbAggBy,
     "tsdb_gaps" -> tsdbGaps,

@@ -331,6 +331,35 @@ object SparkEntry {
       .select("cohort", "bucket_start", "n_a", "n_b", "result")
       .orderBy("cohort", "bucket_start")
 
+  /** PromQL SUBQUERY resolution through the string front-end:
+    * `avg_over_time(click[2h:1h])` — the [range:step] form pins the
+    * eval-grid step independently of the lookback window, compiling to
+    * the same overTimeBy(step=1h, range=2h) as tsdb_over_time (shared
+    * oracle byte-for-byte).
+    */
+  private def qTsdbPromqlSubquery(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "avg_over_time(click[2h:1h]) by (cohort, user_id)", T0, T1)
+      .select(col("cohort"), col("user_id").cast("long").as("user_id"),
+        col("eval_ts"), col("n"), col("sum_v"), col("avg_v"),
+        col("min_v"), col("max_v"), col("last_v"))
+      .orderBy("cohort", "user_id", "eval_ts")
+
+  /** Per-side offset vector match — the day-over-day comparison every
+    * traffic dashboard runs: `sum by (cohort)(purchase[1d] offset 1d) /
+    * sum by (cohort)(purchase[1d])`. Each side evaluates ITS OWN offset
+    * window (yesterday vs today) and the match lands on the requested
+    * grid.
+    */
+  private def qTsdbPromqlDod(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (purchase[1d] offset 1d) / " +
+        "sum by (cohort) (purchase[1d])", T0 + 86400L, T1)
+      .select("cohort", "bucket_start", "n_a", "n_b", "result")
+      .orderBy("cohort", "bucket_start")
+
   /** PromQL `sum by (cohort) (resets(click[1h]))`: counter-reset counts
     * composing with the label-dimension aggregation.
     */
@@ -1653,6 +1682,8 @@ object SparkEntry {
     "tsdb_promql_unless" -> (qTsdbPromqlUnless _),
     "tsdb_promql_maxavg" -> (qTsdbPromqlMaxAvg _),
     "tsdb_promql_ratio_matched" -> (qTsdbPromqlRatioMatched _),
+    "tsdb_promql_subquery" -> (qTsdbPromqlSubquery _),
+    "tsdb_promql_dod" -> (qTsdbPromqlDod _),
     "tsdb_group_right" -> (qTsdbGroupRight _),
     "tsdb_rollup_agg" -> (qTsdbRollupAgg _),
     "tsdb_gaps" -> (qTsdbGaps _),

@@ -595,11 +595,14 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       end: Long,
       byLabels: Seq[String],
       stepSec: Long,
-      q: Double): DataFrame = {
+      q: Double,
+      offsetSec: Long = 0L): DataFrame = {
     require(q >= 0 && q <= 1, s"quantile must be in [0,1]: $q")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
-    queryRange(metric, matchers, start, end)
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start")
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
       .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n"),
@@ -624,12 +627,14 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("sid").orderBy(col("ts"), col("value"))
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
-    queryRange(metric, matchers, start, end)
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start")
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
       .withColumn("v", col("value").cast("decimal(18,2)"))
       .withColumn("prev", lag("v", 1).over(w))
       .withColumn("delta",
@@ -897,12 +902,16 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       byLabels: Seq[String],
       stepSec: Long,
       momentA: String = "sum_v",
-      momentB: String = "sum_v")(
+      momentB: String = "sum_v",
+      offsetA: Long = 0L,
+      offsetB: Long = 0L)(
       op: (Column, Column) => Column): DataFrame = {
-    val a = aggregateBy(metricA, matchersA, start, end, byLabels, stepSec)
+    val a = aggregateBy(metricA, matchersA, start, end, byLabels, stepSec,
+        offsetA)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_a"), col(momentA).as("sum_a")): _*)
-    val b = aggregateBy(metricB, matchersB, start, end, byLabels, stepSec)
+    val b = aggregateBy(metricB, matchersB, start, end, byLabels, stepSec,
+        offsetB)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col(momentB).as("sum_b")): _*)
     a.join(b, byLabels :+ "bucket_start")
@@ -960,15 +969,19 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       end: Long,
       byA: Seq[String],
       byB: Seq[String],
-      stepSec: Long)(
+      stepSec: Long,
+      offsetA: Long = 0L,
+      offsetB: Long = 0L)(
       op: (Column, Column) => Column): DataFrame = {
     require(byB.forall(byA.contains),
       s"group_left needs the right side's labels ($byB) to be a subset " +
       s"of the left side's ($byA)")
-    val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec)
+    val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec,
+        offsetA)
       .select(byA.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
-    val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec)
+    val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec,
+        offsetB)
       .select(byB.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
     a.join(b, byB :+ "bucket_start")
@@ -994,15 +1007,19 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       end: Long,
       byA: Seq[String],
       byB: Seq[String],
-      stepSec: Long)(
+      stepSec: Long,
+      offsetA: Long = 0L,
+      offsetB: Long = 0L)(
       op: (Column, Column) => Column): DataFrame = {
     require(byA.forall(byB.contains),
       s"group_right needs the left side's labels ($byA) to be a subset " +
       s"of the right side's ($byB)")
-    val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec)
+    val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec,
+        offsetA)
       .select(byA.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
-    val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec)
+    val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec,
+        offsetB)
       .select(byB.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
     b.join(a, byA :+ "bucket_start")
@@ -1034,10 +1051,14 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long,
+      offsetA: Long = 0L,
+      offsetB: Long = 0L): DataFrame = {
     val keys = byLabels :+ "bucket_start"
-    val a = aggregateBy(metricA, matchersA, start, end, byLabels, stepSec)
-    val b = aggregateBy(metricB, matchersB, start, end, byLabels, stepSec)
+    val a = aggregateBy(metricA, matchersA, start, end, byLabels, stepSec,
+      offsetA)
+    val b = aggregateBy(metricB, matchersB, start, end, byLabels, stepSec,
+      offsetB)
     setOp match {
       case "and" => a.join(b.select(keys.map(col): _*), keys, "left_semi")
       case "unless" => a.join(b.select(keys.map(col): _*), keys, "left_anti")
@@ -1063,10 +1084,12 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
-    queryRange(metric, matchers, start, end)
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start")
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
       .withColumn("v", col("value").cast("decimal(18,2)"))
       .groupBy(keys: _*)
       .agg(
@@ -1089,12 +1112,14 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("sid").orderBy(col("ts"), col("value"))
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
-    queryRange(metric, matchers, start, end)
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start")
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
       .withColumn("v", col("value").cast("decimal(18,2)"))
       .withColumn("prev", lag("v", 1).over(w))
       .where(col("prev").isNotNull)
@@ -1117,12 +1142,14 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("sid").orderBy(col("ts"), col("value"))
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
-    queryRange(metric, matchers, start, end)
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start")
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
       .withColumn("v", col("value").cast("decimal(18,2)"))
       .withColumn("prev", lag("v", 1).over(w))
       .where(col("prev").isNotNull)
@@ -1152,14 +1179,16 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
     val byCols = byLabels.map(l => col("labels").getItem(l).as(l))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sid"), col("bucket_start"))
       .orderBy(col("ts").desc, col("v").desc)
-    queryRange(metric, matchers, start, end)
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
       .select((byCols ++ Seq(col("sid"), col("ts"),
-        (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start"),
+        ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start"),
         col("value").cast("decimal(18,2)").as("v"))): _*)
       .withColumn("rk", row_number().over(w))
       .withColumn("prev_ts", lead("ts", 1).over(w))
@@ -1189,11 +1218,12 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       end: Long,
       byLabels: Seq[String],
       stepSec: Long,
-      k: Int): DataFrame = {
+      k: Int,
+      offsetSec: Long = 0L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket_start")
       .orderBy(col("sum_v").desc +: byLabels.map(col): _*)
-    aggregateBy(metric, matchers, start, end, byLabels, stepSec)
+    aggregateBy(metric, matchers, start, end, byLabels, stepSec, offsetSec)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"), col("rk"),
@@ -1211,11 +1241,12 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       end: Long,
       byLabels: Seq[String],
       stepSec: Long,
-      k: Int): DataFrame = {
+      k: Int,
+      offsetSec: Long = 0L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket_start")
       .orderBy(col("sum_v").asc +: byLabels.map(col): _*)
-    aggregateBy(metric, matchers, start, end, byLabels, stepSec)
+    aggregateBy(metric, matchers, start, end, byLabels, stepSec, offsetSec)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"), col("rk"),
@@ -1236,13 +1267,15 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start")
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start")
     val n = col("n").cast("double")
     val meanC = col("sum_c").cast("double") / n
     val stdvar = (col("sum2_c").cast("double") / n - meanC * meanC) / 1e4
-    queryRange(metric, matchers, start, end)
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .groupBy(keys: _*)
       .agg(
@@ -1269,11 +1302,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      stepSec: Long): DataFrame = {
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) ++ Seq(
-      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start"),
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start"),
       col("value"))
-    queryRange(metric, matchers, start, end)
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("n"))
   }
@@ -1301,31 +1336,38 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       end: Long,
       byLabels: Seq[String],
       stepSec: Long,
-      rangeSec: Long): DataFrame = {
+      rangeSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
     require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     // eval grid: e = k*stepSec with start <= e <= end; sample ts
     // contributes to e iff ts <= e < ts + rangeSec. All integer
     // arithmetic; a sample whose window set falls outside the grid is
     // dropped BEFORE explode (sequence() rejects inverted bounds).
+    // An offset evaluates on the shifted window [start-o, end-o] and
+    // reports eval points shifted back (+o), the aggregateBy convention.
+    val start0 = start - offsetSec
+    val end0 = end - offsetSec
     val firstEval =
       floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
     val lastEval =
       floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
-    val gridStart = // first grid point >= start
-      Math.floorDiv(start + stepSec - 1, stepSec) * stepSec
-    val gridEnd = Math.floorDiv(end, stepSec) * stepSec
+    val gridStart = // first grid point >= start0
+      Math.floorDiv(start0 + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end0, stepSec) * stepSec
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
       col("eval_ts")
     // the scan reaches back a full lookback window before `start`: eval
     // points within rangeSec of the range start still see their whole
     // PromQL window (e - rangeSec, e] — scanning only [start, end] would
     // silently under-fill the first windows
-    queryRange(metric, matchers, start - rangeSec + 1, end)
+    queryRange(metric, matchers, start0 - rangeSec + 1, end0)
       .withColumn("e0", greatest(firstEval, lit(gridStart)))
       .withColumn("e1", least(lastEval, lit(gridEnd)))
       .where(col("e0") <= col("e1"))
       .withColumn("eval_ts", explode(sequence(col("e0"), col("e1"),
         lit(stepSec))))
+      .withColumn("eval_ts", col("eval_ts") + offsetSec)
       .groupBy((col("sid") +: keys): _*)
       .agg(
         count(lit(1)).as("n"),
@@ -1359,19 +1401,23 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       stepSec: Long,
-      rangeSec: Long): DataFrame = {
+      rangeSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
     require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val start0 = start - offsetSec
+    val end0 = end - offsetSec
     val firstEval =
       floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
     val lastEval =
       floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
-    val gridStart = Math.floorDiv(start + stepSec - 1, stepSec) * stepSec
-    val gridEnd = Math.floorDiv(end, stepSec) * stepSec
+    val gridStart = Math.floorDiv(start0 + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end0, stepSec) * stepSec
     val grid = spark.range(gridStart, gridEnd + 1, stepSec)
       .select(col("id").as("eval_ts"))
     // full-lookback scan, mirroring overTimeBy — absence stays the exact
     // complement of the present eval grid
-    val present = queryRange(metric, matchers, start - rangeSec + 1, end)
+    val present = queryRange(metric, matchers, start0 - rangeSec + 1, end0)
       .withColumn("e0", greatest(firstEval, lit(gridStart)))
       .withColumn("e1", least(lastEval, lit(gridEnd)))
       .where(col("e0") <= col("e1"))
@@ -1379,7 +1425,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         lit(stepSec))))
       .select("eval_ts").distinct()
     grid.join(present, Seq("eval_ts"), "left_anti")
-      .select(col("eval_ts"), lit(1.0).as("value"))
+      .select((col("eval_ts") + offsetSec).as("eval_ts"),
+        lit(1.0).as("value"))
   }
 
   /** PromQL `absent(metric{matchers}[start..end])`: a single row with

@@ -51,8 +51,8 @@ import org.apache.spark.sql.functions.{col, lit, round}
   * fn        := rate|increase|delta|resets|changes|irate|idelta|absent
   *            | absent_over_time|predict_linear|histogram_quantile
   *            | (avg|min|max|sum|count|last)_over_time|quantile_over_time
-  * selector  := name ('{' matchers '}')? ('[' duration ']')?
-  *              ('offset' duration)?
+  * selector  := name ('{' matchers '}')? ('[' duration (':' duration)? ']')?
+  *              ('offset' duration)?         // [range:step] = subquery
   * matcher   := label ('='|'!='|'=~'|'!~') quotedString
   * duration  := integer (s|m|h|d|w)?          // bare integer = seconds
   * }}}
@@ -67,12 +67,16 @@ object PromQL {
 
   sealed trait Expr
   /** `metric{l="v",…}[rangeSec] offset o` — rangeSec doubles as the step
-    * grid when the selector feeds an aggregation. */
+    * grid when the selector feeds an aggregation. The subquery form
+    * `metric[rangeSec:stepSec]` additionally pins the eval-grid step
+    * independently of the window (PromQL subquery resolution); only the
+    * `*_over_time` family consumes it. */
   final case class Selector(
       metric: String,
       matchers: Seq[LabelMatcher],
       rangeSec: Option[Long],
-      offsetSec: Long) extends Expr
+      offsetSec: Long,
+      stepSec: Option[Long] = None) extends Expr
   /** A range-vector function over a selector: rate, increase, resets,
     * the *_over_time family (with optional numeric/first-string args). */
   final case class RangeFn(
@@ -404,12 +408,21 @@ object PromQL {
         expectSym("}")
       }
       var rangeSec: Option[Long] = None
+      var stepSec: Option[Long] = None
       if (peek.contains(Sym("["))) {
         next()
         rangeSec = Some(next() match {
           case Num(s) => durationSec(s)
           case t => fail("range must be a duration")
         })
+        // subquery resolution: [range:step] pins the eval-grid step
+        if (peek.contains(Sym(":"))) {
+          next()
+          stepSec = Some(next() match {
+            case Num(s) => durationSec(s)
+            case t => fail("subquery step must be a duration")
+          })
+        }
         expectSym("]")
       }
       var offsetSec = 0L
@@ -420,7 +433,7 @@ object PromQL {
           case t => fail("offset must be a duration")
         }
       }
-      Selector(metric, matchers.toSeq, rangeSec, offsetSec)
+      Selector(metric, matchers.toSeq, rangeSec, offsetSec, stepSec)
     }
   }
 
@@ -428,7 +441,7 @@ object PromQL {
     * [[parse]] (`parse(render(e)) == e` is property-tested). Durations
     * render in seconds; matcher values escape `\` and `"`. */
   def render(e: Expr): String = e match {
-    case Selector(metric, ms, range, off) =>
+    case Selector(metric, ms, range, off, step) =>
       val m =
         if (ms.isEmpty) ""
         else ms.map { lm =>
@@ -441,7 +454,8 @@ object PromQL {
           val v = lm.value.replace("\\", "\\\\").replace("\"", "\\\"")
           s"""${lm.name}$op"$v""""
         }.mkString("{", ", ", "}")
-      val r = range.map(s => s"[${s}s]").getOrElse("")
+      val st = step.map(s => s":${s}s").getOrElse("")
+      val r = range.map(s => s"[${s}s$st]").getOrElse("")
       val o = if (off != 0L) s" offset ${off}s" else ""
       s"$metric$m$r$o"
     case RangeFn(name, numArg, sel, by, atSec) =>
@@ -503,9 +517,12 @@ object PromQL {
       input: String,
       start: Long,
       end: Long,
-      buckets: Seq[Double] = Seq.empty): DataFrame =
-    compile(t, resolveWithout(t, parse(input)), start, end, buckets,
+      buckets: Seq[Double] = Seq.empty): DataFrame = {
+    val ast = parse(input)
+    validateSubquerySteps(ast)
+    compile(t, resolveWithout(t, ast), start, end, buckets,
       rollupStep = None)
+  }
 
   /** Serve a bare selector string FROM the Gorilla chunk cold tier
     * ([[graft.Tsdb.queryRangeFromChunks]] — row-identical to the raw
@@ -519,7 +536,7 @@ object PromQL {
       start: Long,
       end: Long): DataFrame =
     parse(input) match {
-      case Selector(m, ms, _, off) =>
+      case Selector(m, ms, _, off, None) =>
         t.queryRangeFromChunks(m, ms, start - off, end - off)
       case other => throw new IllegalArgumentException(
         s"only bare selectors are served from the chunk tier, got: $other")
@@ -537,9 +554,33 @@ object PromQL {
       input: String,
       start: Long,
       end: Long,
-      rollupStepSec: Long): DataFrame =
-    compile(t, resolveWithout(t, parse(input)), start, end, Seq.empty,
+      rollupStepSec: Long): DataFrame = {
+    val ast = parse(input)
+    validateSubquerySteps(ast)
+    compile(t, resolveWithout(t, ast), start, end, Seq.empty,
       rollupStep = Some(rollupStepSec))
+  }
+
+  /** A `[range:step]` subquery step is consumed ONLY by the
+    * `*_over_time` family (the eval grid); anywhere else it would be
+    * silently ignored — reject it up front, one traversal, no
+    * per-shape guard to forget. */
+  private def validateSubquerySteps(e: Expr): Unit = e match {
+    case RangeFn(fn, _, sel, _, _) =>
+      if (sel.stepSec.nonEmpty && !OverTime(fn) && fn != "absent_over_time")
+        throw new IllegalArgumentException(
+          s"a [range:step] subquery step is only supported by the " +
+          s"*_over_time family, not $fn")
+    case s: Selector =>
+      if (s.stepSec.nonEmpty)
+        throw new IllegalArgumentException(
+          "a [range:step] subquery step is only supported by the " +
+          "*_over_time family, not a bare selector or aggregation body")
+    case Agg(_, _, _, _, body, _) => validateSubquerySteps(body)
+    case BinOp(_, l, r, _, _, _) =>
+      validateSubquerySteps(l); validateSubquerySteps(r)
+    case _: NumLit => ()
+  }
 
   private def stepOf(sel: Selector, shape: String): Long =
     sel.rangeSec.getOrElse(throw new IllegalArgumentException(
@@ -626,13 +667,15 @@ object PromQL {
     case "max" => "max_v"; case "count" => "n"
   }
 
-  /** Fail fast on a parsed-but-unthreaded `offset` modifier: only the
-    * bare selector and the moment aggregations evaluate it; every other
-    * shape would silently compute the un-shifted window. */
+  /** Fail fast on a parsed-but-unthreaded `offset` modifier. As of
+    * round 5 nearly every shape threads offset (evaluate the shifted
+    * window, report at the requested grid); the holdouts are
+    * predict_linear / absent / histogram_quantile and the rollup-served
+    * forms (a rollup tier is bucket-aligned — an arbitrary offset
+    * cannot be served exactly). */
   private def noOffset(sel: Selector, shape: String): Unit =
     require(sel.offsetSec == 0,
-      s"offset is not supported for $shape (supported on bare selectors " +
-      "and sum/avg/min/max/count aggregations)")
+      s"offset is not supported for $shape")
 
   /** The label grouping a compiled vector side carries — the set-op /
     * match key. Follows through scalar arithmetic, threshold filters and
@@ -750,7 +793,7 @@ object PromQL {
           s"them can be served from the rollup tier, got: $other")
       // bare selector: the raw range scan (instant selectors span the
       // whole query range, like a Prometheus matrix at full resolution)
-      case Selector(m, ms, _, off) =>
+      case Selector(m, ms, _, off, _) =>
         t.queryRange(m, ms, start - off, end - off)
 
       // moment aggregations over a plain selector → ONE hash aggregation
@@ -760,80 +803,69 @@ object PromQL {
 
       case Agg(op, _, _, by, sel: Selector, _)
           if op == "stddev" || op == "stdvar" =>
-        noOffset(sel, s"$op by")
         t.stddevBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, s"$op by"))
+          stepOf(sel, s"$op by"), sel.offsetSec)
 
       case Agg("quantile", _, Some(q), by, sel: Selector, _) =>
-        noOffset(sel, "quantile by")
         t.quantileBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "quantile by"), q)
+          stepOf(sel, "quantile by"), q, sel.offsetSec)
 
       case Agg("count_values", _, _, by, sel: Selector, _) =>
-        noOffset(sel, "count_values")
         t.countValuesBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "count_values"))
+          stepOf(sel, "count_values"), sel.offsetSec)
 
       // rank compositions: topk/bottomk over an inner sum-by
       case Agg("topk", Some(k), _, _, Agg("sum", _, _, by, sel: Selector, _), _) =>
-        noOffset(sel, "topk(sum by)")
         t.topKBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "topk(sum by)"), k.toInt)
+          stepOf(sel, "topk(sum by)"), k.toInt, sel.offsetSec)
       case Agg("bottomk", Some(k), _, _,
           Agg("sum", _, _, by, sel: Selector, _), _) =>
-        noOffset(sel, "bottomk(sum by)")
         t.bottomKBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "bottomk(sum by)"), k.toInt)
+          stepOf(sel, "bottomk(sum by)"), k.toInt, sel.offsetSec)
 
       // counter family composed with the label aggregation
       case Agg("sum", _, _, by,
           RangeFn(fn, _, sel, _, _), _) if fn == "rate" || fn == "increase" =>
-        noOffset(sel, s"sum by ($fn)")
         t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, s"sum by ($fn)"))
+          stepOf(sel, s"sum by ($fn)"), sel.offsetSec)
       case Agg("sum", _, _, by, RangeFn("resets", _, sel, _, _), _) =>
-        noOffset(sel, "sum by (resets)")
         t.resetsBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "sum by (resets)"))
+          stepOf(sel, "sum by (resets)"), sel.offsetSec)
       case Agg("sum", _, _, by, RangeFn("changes", _, sel, _, _), _) =>
-        noOffset(sel, "sum by (changes)")
         t.changesBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "sum by (changes)"))
+          stepOf(sel, "sum by (changes)"), sel.offsetSec)
 
       // BARE rate/increase/delta — the most common PromQL shape. With no
       // trailing `by`, the grouping is the metric's full label-key
       // universe, i.e. exactly per-series; [[Tsdb.aggregateIncreaseBy]]
       // returns both `increase` and `rate_per_sec`, callers project.
       case RangeFn(fn, _, sel, by, _) if fn == "rate" || fn == "increase" =>
-        noOffset(sel, fn)
         val keys = if (by.nonEmpty) by else labelKeys(t, sel.metric)
         t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end, keys,
-          stepOf(sel, fn))
+          stepOf(sel, fn), sel.offsetSec)
 
       case RangeFn("delta", _, sel, by, _) =>
-        noOffset(sel, "delta")
         val keys = if (by.nonEmpty) by else labelKeys(t, sel.metric)
         t.deltaBy(sel.metric, sel.matchers, start, end, keys,
-          stepOf(sel, "delta"))
+          stepOf(sel, "delta"), sel.offsetSec)
 
       // instant-pair family: per-series last-two-samples delta/rate
       case RangeFn(fn, _, sel, by, _) if fn == "irate" || fn == "idelta" =>
-        noOffset(sel, fn)
         t.instantDeltaBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, fn))
+          stepOf(sel, fn), sel.offsetSec)
 
       // the *_over_time family on the sliding eval grid; the grid step
-      // equals the window (PromQL's default query_range alignment) —
+      // defaults to the window (PromQL's default query_range alignment),
+      // or is pinned independently by the [range:step] subquery form —
       // overTimeBy returns every moment, callers project
       case RangeFn(fn, _, sel, by, _) if OverTime(fn) =>
-        noOffset(sel, fn)
         t.overTimeBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, fn), stepOf(sel, fn))
+          sel.stepSec.getOrElse(stepOf(sel, fn)), stepOf(sel, fn),
+          sel.offsetSec)
 
       case RangeFn("quantile_over_time", Some(q), sel, by, _) =>
-        noOffset(sel, "quantile_over_time")
         t.quantileBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "quantile_over_time"), q)
+          stepOf(sel, "quantile_over_time"), q, sel.offsetSec)
 
       case RangeFn("predict_linear", _, sel, by, Some(atSec)) =>
         noOffset(sel, "predict_linear")
@@ -845,9 +877,9 @@ object PromQL {
         t.absentRange(sel.metric, sel.matchers, start, end)
 
       case RangeFn("absent_over_time", _, sel, _, _) =>
-        noOffset(sel, "absent_over_time")
         t.absentOverTime(sel.metric, sel.matchers, start, end,
-          stepOf(sel, "absent_over_time"), stepOf(sel, "absent_over_time"))
+          sel.stepSec.getOrElse(stepOf(sel, "absent_over_time")),
+          stepOf(sel, "absent_over_time"), sel.offsetSec)
 
       case RangeFn("histogram_quantile", Some(phi), sel, by, _) =>
         noOffset(sel, "histogram_quantile")
@@ -866,13 +898,12 @@ object PromQL {
         require(byB == on,
           s"group_left: the on-labels ($on) must equal the right side's " +
           s"grouping ($byB)")
-        noOffset(a, "group_left vector match")
-        noOffset(b, "group_left vector match")
         val step = stepOf(a, "group_left vector match")
         require(step == stepOf(b, "group_left vector match"),
           "vector-match sides must share the step grid")
         t.binaryOpByGroupLeft(a.metric, b.metric,
-          a.matchers, b.matchers, start, end, byA, byB, step)(arith(op))
+          a.matchers, b.matchers, start, end, byA, byB, step,
+          a.offsetSec, b.offsetSec)(arith(op))
 
       // many-to-one: A op on (l) group_right B — the mirror, keeping B's
       // finer label set
@@ -882,13 +913,12 @@ object PromQL {
         require(byA == on,
           s"group_right: the on-labels ($on) must equal the left side's " +
           s"grouping ($byA)")
-        noOffset(a, "group_right vector match")
-        noOffset(b, "group_right vector match")
         val step = stepOf(b, "group_right vector match")
         require(step == stepOf(a, "group_right vector match"),
           "vector-match sides must share the step grid")
         t.binaryOpByGroupRight(a.metric, b.metric,
-          a.matchers, b.matchers, start, end, byA, byB, step)(arith(op))
+          a.matchers, b.matchers, start, end, byA, byB, step,
+          a.offsetSec, b.offsetSec)(arith(op))
 
       // arithmetic vector match between two matching aggregations —
       // any moment pair (sum/avg/min/max/count), each side filtered by
@@ -901,13 +931,12 @@ object PromQL {
           s"$byA vs $byB (use 'on (l) group_left' for one-to-many)")
         require(on.isEmpty || on == byA,
           s"on-labels ($on) must equal the grouping ($byA)")
-        noOffset(a, "vector match")
-        noOffset(b, "vector match")
         val step = stepOf(a, "vector match")
         require(step == stepOf(b, "vector match"),
           "vector-match sides must share the step grid")
         t.binaryOpBy(a.metric, b.metric, a.matchers, b.matchers, start,
-          end, byA, step, momentCol(opA), momentCol(opB))(arith(op))
+          end, byA, step, momentCol(opA), momentCol(opB),
+          a.offsetSec, b.offsetSec)(arith(op))
 
       case other =>
         throw new IllegalArgumentException(

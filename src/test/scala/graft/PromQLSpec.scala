@@ -420,28 +420,86 @@ class PromQLSpec extends SparkSuite {
         (a, b) => round(a / b, 6)))
   }
 
-  test("offset on an unthreaded shape fails fast, never silently") {
+  test("offset threads through every tumbling shape: shifted window, " +
+      "requested grid") {
+    val o = 86400L
+    val S = T0 + o
+    assertSame(
+      PromQL.query(t, "quantile(0.5, click[1h] offset 1d) by (cohort)",
+        S, T1),
+      t.quantileBy("click", Seq.empty, S, T1, Seq("cohort"), 3600L, 0.5, o))
+    assertSame(
+      PromQL.query(t, "topk(3, sum by (cohort) (click[1h] offset 1d))",
+        S, T1),
+      t.topKBy("click", Seq.empty, S, T1, Seq("cohort"), 3600L, 3, o))
+    assertSame(
+      PromQL.query(t, "rate(click[1h] offset 1d)", S, T1),
+      t.aggregateIncreaseBy("click", Seq.empty, S, T1,
+        Seq("cohort", "user_id"), 3600L, o))
+    assertSame(
+      PromQL.query(t, "avg_over_time(click[30m] offset 1d) by (cohort)",
+        S, T1),
+      t.overTimeBy("click", Seq.empty, S, T1, Seq("cohort"), 1800L, 1800L,
+        o))
+    // the offset answer IS the unshifted answer, re-gridded: identical
+    // to querying the shifted window directly and adding o to the bucket
+    val direct = t.deltaBy("click", Seq.empty, T0, T1 - o,
+        Seq("cohort", "user_id"), 3600L)
+      .withColumn("bucket_start", col("bucket_start") + o)
+    assertSame(
+      PromQL.query(t, "delta(click[1h] offset 1d)", S, T1), direct)
+  }
+
+  test("per-side offsets: the day-over-day ratio shape") {
+    // purchase yesterday vs purchase today per cohort-day — each side
+    // evaluates its own offset window, matched on the requested grid
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1d] offset 1d) / " +
+        "sum by (cohort) (purchase[1d])", T0 + 86400L, T1),
+      t.binaryOpBy("purchase", "purchase", Seq.empty, Seq.empty,
+        T0 + 86400L, T1, Seq("cohort"), 86400L,
+        offsetA = 86400L, offsetB = 0L)((a, b) => round(a / b, 6)))
+  }
+
+  test("offset on the remaining unthreaded shapes still fails fast") {
     val bad = Seq(
-      "quantile(0.5, click[1h] offset 1h)",
-      "topk(3, sum by (cohort) (click[1h] offset 1h))",
-      "sum by (cohort) (rate(click[1h] offset 1h))",
-      "rate(click[1h] offset 1h)",
-      "avg_over_time(click[1h] offset 1h) by (cohort)",
-      "sum by (cohort) (purchase[1h] offset 1h) / " +
-        "sum by (cohort) (click[1h])")
+      "predict_linear(click[1h] offset 1h, 1h) by (user_id)",
+      "absent(no_such_metric offset 1h)",
+      "histogram_quantile(0.9, click[1h] offset 1h) by (cohort)")
     bad.foreach { q =>
-      val e = intercept[IllegalArgumentException](PromQL.query(t, q, T0, T1))
+      val e = intercept[IllegalArgumentException](
+        PromQL.query(t, q, T0, T1, Seq(5.0, 10.0)))
       assert(e.getMessage.contains("offset"), s"no offset error for: $q")
     }
-    // the threading shapes still accept it
-    PromQL.query(t, "sum by (cohort) (click[1h] offset 1h)", T0 + 3600L, T1)
-    PromQL.query(t, "click offset 1h", T0 + 3600L, T1)
   }
 
   test("""count_values rejects output labels other than "value"""") {
     val e = intercept[IllegalArgumentException](
       PromQL.parse("""count_values("band", click[1h]) by (cohort)"""))
     assert(e.getMessage.contains("\"value\""))
+  }
+
+  test("[range:step] subquery pins the over_time eval grid") {
+    assertSame(
+      PromQL.query(t, "avg_over_time(click[2h:1h]) by (cohort)", T0, T1),
+      t.overTimeBy("click", Seq.empty, T0, T1, Seq("cohort"),
+        stepSec = 3600L, rangeSec = 7200L))
+    assertSame(
+      PromQL.query(t, """absent_over_time(click{user_id="7"}[30m:1h])""",
+        T0, T1),
+      t.absentOverTime("click", Seq(LabelMatcher.eq("user_id", "7")),
+        T0, T1, 3600L, 1800L))
+    // a subquery step anywhere else is rejected up front, never ignored
+    val bad = Seq(
+      "sum by (cohort) (click[1h:5m])",
+      "click[1h:5m]",
+      "rate(click[1h:5m])",
+      "quantile_over_time(0.5, click[1h:5m]) by (cohort)")
+    bad.foreach { q =>
+      val e = intercept[IllegalArgumentException](PromQL.query(t, q, T0, T1))
+      assert(e.getMessage.contains("subquery"), s"no subquery error for: $q")
+    }
   }
 
   test("README example strings parse (dotted mandodb metric names)") {

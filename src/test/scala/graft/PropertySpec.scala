@@ -198,7 +198,10 @@ class PropertySpec extends SparkSuite {
         Seq.fill(rnd.nextInt(3))(randMatcher()),
         if (withRange) Some(Seq(60L, 1800L, 3600L, 86400L)(rnd.nextInt(4)))
         else None,
-        if (rnd.nextBoolean()) 0L else 3600L)
+        if (rnd.nextBoolean()) 0L else 3600L,
+        // subquery step renders/parses on any ranged selector (compile
+        // restricts it to over_time; round-trip doesn't care)
+        if (withRange && rnd.nextInt(3) == 0) Some(900L) else None)
     def randExpr(): Expr = rnd.nextInt(14) match {
       case 0 => randSelector(rnd.nextBoolean())
       case 1 =>
