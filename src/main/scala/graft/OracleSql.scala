@@ -1157,6 +1157,39 @@ object OracleSql {
        |FROM a JOIN b USING (cohort, bucket_start)
        |ORDER BY 1, 2""".stripMargin
 
+  /** avg(increase) mirror: the tsdbAggIncrease lag pipeline, but the
+    * deltas roll up per (series, bucket) first and the cross-series
+    * moments aggregate those per-series increases — avg divides the
+    * exact double sum by the exact series count.
+    */
+  private val tsdbPromqlAvgRate =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, user_id, ts_s - (ts_s % 3600) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |p AS (
+       |  SELECT cohort, user_id, bucket_start, SUM(delta) AS inc
+       |  FROM x WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2, 3)
+       |SELECT cohort, bucket_start,
+       |       count(*) AS n_series,
+       |       CAST(SUM(inc) AS DOUBLE) AS sum_increase,
+       |       CAST(SUM(inc) AS DOUBLE) / count(*) AS avg_increase,
+       |       CAST(MIN(inc) AS DOUBLE) AS min_increase,
+       |       CAST(MAX(inc) AS DOUBLE) AS max_increase
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Day-over-day per-side-offset ratio: the offset side scans yesterday's
     * window and reports at today's grid (+86400), the plain side scans
     * today — matched on (cohort, day bucket).
@@ -1781,6 +1814,7 @@ object OracleSql {
     // the direct query — identical rows, shared oracle
     "tsdb_promql_subquery" -> tsdbOverTime,
     "tsdb_promql_dod" -> tsdbPromqlDod,
+    "tsdb_promql_avg_rate" -> tsdbPromqlAvgRate,
     "tsdb_group_right" -> tsdbGroupRight,
     "tsdb_rollup_agg" -> tsdbAggBy,
     "tsdb_gaps" -> tsdbGaps,

@@ -360,6 +360,18 @@ object SparkEntry {
       .select("cohort", "bucket_start", "n_a", "n_b", "result")
       .orderBy("cohort", "bucket_start")
 
+  /** PromQL `avg by (cohort) (increase(click[1h]))` through the string
+    * front-end: cross-series moments (count/sum/avg/min/max) of the
+    * per-series reset-robust increase — the `avg(rate(...))` dashboard
+    * family; sum_increase must equal tsdb_agg_increase's increase
+    * (spec cross-check).
+    */
+  private def qTsdbPromqlAvgRate(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "avg by (cohort) (increase(click[1h]))", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
   /** PromQL `sum by (cohort) (resets(click[1h]))`: counter-reset counts
     * composing with the label-dimension aggregation.
     */
@@ -1338,30 +1350,46 @@ object SparkEntry {
     * not index construction — exactly how a production system amortizes an
     * ANN index across its query lifetime. Idempotent; called by Bench
     * before timing (and harmless anywhere else).
+    *
+    * @param selected when a query subset is being benched, only the
+    *   artifacts that subset consumes are built — at large scale points
+    *   (x100) an unneeded 5M-vector clustered fixture + k-means build
+    *   would dwarf the timed subset.
     */
-  def prewarm(s: SparkSession, dir: String): Unit = {
-    tieredTsdb(s, dir) // rollup + gorilla-chunk tiers, built once per dir
-    val emb = Tables.embeddings(s, dir)
-    Similarity.ensureIvfIndex(
-      emb, "vec_id", "embedding", 16, ivfPath(dir, "emb", 16))
-    val c = ClusteredEmbeddings.ensure(s, dir)
-    Similarity.ensureIvfIndex(
-      c, "vec_id", "embedding", 32, ivfPath(dir, "clustered", 32),
-      trainFraction = 0.2)
-    // compile the heavyweight plan shapes once with a single-query probe:
-    // codegen + encoder compilation for the bounded aggregator, bucket
-    // explode, and probe join are JVM-wide one-off costs shared by ALL ANN
-    // paths (brute force included) — warming them keeps the timed queries
-    // measuring throughput, not Janino latency
-    val one = c.where(col("vec_id") === 0)
-    Similarity.bruteForceTopKAgg(c, one, "vec_id", "embedding", 5).count()
-    Similarity.multiprobeTopK(
-      c, one, "vec_id", "embedding", 5, -1, 4, 2, targetOcc = 8L).count()
-    Similarity.ivfProbeTopK(
-      s, ivfPath(dir, "clustered", 32), one, "vec_id", "embedding", 5, 2).count()
-    Similarity.ivfProbeTopK(
-      s, ivfPath(dir, "emb", 16),
-      emb.where(col("vec_id") === 0), "vec_id", "embedding", 5, 4).count()
+  def prewarm(
+      s: SparkSession,
+      dir: String,
+      selected: Option[Set[String]] = None): Unit = {
+    def wanted(prefixes: String*): Boolean =
+      selected.forall(names => prefixes.exists(p => names.exists(_.startsWith(p))))
+    if (wanted("tsdb_rollup", "tsdb_ratio_rollup", "tsdb_range_chunks"))
+      tieredTsdb(s, dir) // rollup + gorilla-chunk tiers, built once per dir
+    if (wanted("ann_topk")) {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ensureIvfIndex(
+        emb, "vec_id", "embedding", 16, ivfPath(dir, "emb", 16))
+      Similarity.ivfProbeTopK(
+        s, ivfPath(dir, "emb", 16),
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", 5, 4).count()
+    }
+    if (wanted("ann_clustered")) {
+      val c = ClusteredEmbeddings.ensure(s, dir)
+      Similarity.ensureIvfIndex(
+        c, "vec_id", "embedding", 32, ivfPath(dir, "clustered", 32),
+        trainFraction = 0.2)
+      // compile the heavyweight plan shapes once with a single-query
+      // probe: codegen + encoder compilation for the bounded aggregator,
+      // bucket explode, and probe join are JVM-wide one-off costs shared
+      // by ALL ANN paths (brute force included) — warming them keeps the
+      // timed queries measuring throughput, not Janino latency
+      val one = c.where(col("vec_id") === 0)
+      Similarity.bruteForceTopKAgg(c, one, "vec_id", "embedding", 5).count()
+      Similarity.multiprobeTopK(
+        c, one, "vec_id", "embedding", 5, -1, 4, 2, targetOcc = 8L).count()
+      Similarity.ivfProbeTopK(
+        s, ivfPath(dir, "clustered", 32), one, "vec_id", "embedding", 5, 2)
+        .count()
+    }
   }
 
   // ---------------------------------------------------------- text analysis
@@ -1684,6 +1712,7 @@ object SparkEntry {
     "tsdb_promql_ratio_matched" -> (qTsdbPromqlRatioMatched _),
     "tsdb_promql_subquery" -> (qTsdbPromqlSubquery _),
     "tsdb_promql_dod" -> (qTsdbPromqlDod _),
+    "tsdb_promql_avg_rate" -> (qTsdbPromqlAvgRate _),
     "tsdb_group_right" -> (qTsdbGroupRight _),
     "tsdb_rollup_agg" -> (qTsdbRollupAgg _),
     "tsdb_gaps" -> (qTsdbGaps _),

@@ -649,6 +649,55 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
           .as("rate_per_sec"))
   }
 
+  /** `avg/min/max/count by (labels) (increase(metric[step]))` — the
+    * cross-series MOMENTS of the per-series reset-robust increase
+    * ([[aggregateIncreaseBy]] is the `sum by` member of this family;
+    * its `increase` equals this output's `sum_increase`, cross-checked
+    * in tests). Prometheus's `avg(rate(...))` dashboard family.
+    *
+    * Three stages by nature: the per-series lag window (shuffle on
+    * sid), a per-(series, bucket) increase aggregation, then the
+    * cross-series moment aggregation — each increase stays DECIMAL
+    * until the final cast, and the avg divides the exact double sum by
+    * the exact series count in the engines' shared op order. Series
+    * contribute to a bucket only when they have ≥ 1 delta in it, same
+    * membership rule as the sum form.
+    */
+  def momentIncreaseBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("ts"), col("value"))
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start")
+    val perSeries = queryRange(metric, matchers, start - offsetSec,
+        end - offsetSec)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("v") >= col("prev"), col("v") - col("prev"))
+          .otherwise(col("v")))
+      .where(col("delta").isNotNull)
+      .groupBy((col("sid") +: keys): _*)
+      .agg(sum(col("delta")).as("inc_dec"))
+    perSeries
+      .groupBy((byLabels.map(col) :+ col("bucket_start")): _*)
+      .agg(
+        count(lit(1)).as("n_series"),
+        sum(col("inc_dec")).cast("double").as("sum_increase"),
+        (sum(col("inc_dec")).cast("double") / count(lit(1)))
+          .as("avg_increase"),
+        min(col("inc_dec")).cast("double").as("min_increase"),
+        max(col("inc_dec")).cast("double").as("max_increase"))
+  }
+
   /** Materialize a per-(sid, step-bucket) rollup store — the continuous
     * downsampling tier (Thanos/M3-style) that serves coarse-range queries
     * without touching raw samples. Partial aggregates (count, exact

@@ -177,20 +177,57 @@ object TextAnalysis {
   /** Quantile quality gate: drop the lowest `dropFrac` of documents per
     * language by composite quality score (the relative-threshold filter a
     * mixture pipeline applies per subcorpus, rather than one absolute
-    * cutoff). Scoring is map-side (single scan — no self-join); the one
-    * shuffle is the per-language percent_rank window, and ranking is
-    * deterministic because ties share a percent_rank value.
+    * cutoff). Scoring is map-side (single scan — no self-join).
+    *
+    * Ranking is the DISTRIBUTED two-level form (the pack_sequences
+    * prefix-sum idiom): a naive `percent_rank() over (partition by
+    * lang)` serializes each language into ONE task — with a handful of
+    * languages over a 100 TB corpus that is a single-reducer sort (the
+    * x100 sweep measured it at 62× its sf0.1 time). Instead: quality is
+    * value-range-bucketed (`floor(quality·B)` — scores live in [0,1], so
+    * ties always share a bucket), per-(lang, bucket) counts prefix-sum
+    * into bucket offsets on a langs×B-row table, and the ranking window
+    * runs per (lang, bucket) with bounded partitions. globalRank =
+    * offset + rank-within-bucket reproduces `percent_rank`'s tie
+    * semantics exactly — same integers, same double division, same
+    * round — so the oracle is unchanged.
     */
   def qualityFilter(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       langCol: String,
-      dropFrac: Double): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(langCol).orderBy("quality")
-    qualityScore(docs, idCol, textCol, keep = Seq(langCol))
-      .withColumn("q_rank", round(percent_rank().over(w), 6))
+      dropFrac: Double,
+      rankBuckets: Int = 256): DataFrame = {
+    // the regex-heavy scoring scan feeds TWO consumers (the bucket
+    // census and the ranking join) — materialize it once; the scored
+    // projection carries no text, so the checkpoint is rows × a few
+    // numeric columns, the table a production pipeline would persist
+    // before ranking anyway
+    val scored = qualityScore(docs, idCol, textCol, keep = Seq(langCol))
+      .withColumn("qb",
+        least(floor(col("quality") * rankBuckets), lit(rankBuckets - 1))
+          .cast("int"))
+      .localCheckpoint()
+    val counts = scored.groupBy(col(langCol), col("qb"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy("qb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum("bucket_n").over(wOff), lit(0L)))
+      .withColumn("lang_n", sum("bucket_n").over(wN))
+      .select(col(langCol), col("qb"), col("offset"), col("lang_n"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol), col("qb")).orderBy("quality")
+    scored.join(broadcast(offsets), Seq(langCol, "qb"))
+      .withColumn("rk", rank().over(wIn))
+      .withColumn("q_rank",
+        when(col("lang_n") === 1L, lit(0.0))
+          .otherwise(round(
+            (col("offset") + col("rk") - 1).cast("double") /
+              (col("lang_n") - 1).cast("double"), 6)))
       .where(col("q_rank") >= dropFrac)
       .select(col("doc_id"), col(langCol).as("lang"), col("quality"),
         col("q_rank"))

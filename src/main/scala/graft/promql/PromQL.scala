@@ -828,6 +828,15 @@ object PromQL {
           RangeFn(fn, _, sel, _, _), _) if fn == "rate" || fn == "increase" =>
         t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"sum by ($fn)"), sel.offsetSec)
+      // cross-series moments of the per-series increase: avg(rate(...))
+      // and friends — sum stays on the one-shot aggregateIncreaseBy path
+      case Agg(op, _, _, by,
+          RangeFn(fn, _, sel, _, _), _)
+          if Set("avg", "min", "max", "count")(op) &&
+            (fn == "rate" || fn == "increase") =>
+        t.momentIncreaseBy(sel.metric, sel.matchers, start, end, by,
+          stepOf(sel, s"$op by ($fn)"), sel.offsetSec)
+
       case Agg("sum", _, _, by, RangeFn("resets", _, sel, _, _), _) =>
         t.resetsBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "sum by (resets)"), sel.offsetSec)

@@ -234,15 +234,20 @@ class PlanSpec extends SparkSuite {
       plan.take(3000))
   }
 
-  test("quality filter is one window shuffle over a single scan") {
+  test("quality filter ranks per (lang, bucket) — no per-language window") {
     val plan = planOf(SparkEntry.queries("text_quality_filter")(spark, sf0001))
-    // map-side scoring (no self-join): exactly one hash exchange (the
-    // per-language window), exactly one parquet scan of documents
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"$scans scans\n${plan.take(3000)}")
+    // the distributed two-level rank: the corpus-sized ranking window is
+    // keyed by (lang, quality-bucket) — a bare per-language partitioning
+    // would serialize each language into one task at scale; the bucket
+    // offsets join back as a broadcast of the langs×B count table
     assert(plan.contains("Window"), plan.take(3000))
+    // the corpus-sized rank window shuffles on BOTH keys (lang, qb) —
+    // lang-only hashpartitioning may appear only for the tiny
+    // bucket-count offsets table
+    assert("hashpartitioning\\(lang#\\d+, qb#\\d+".r.findFirstIn(plan)
+      .nonEmpty, plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("NestedLoop"), plan.take(3000))
   }
 
   test("histogram_quantile: corpus exchange keys the full bucket group") {

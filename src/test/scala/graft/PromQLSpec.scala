@@ -480,6 +480,28 @@ class PromQLSpec extends SparkSuite {
     assert(e.getMessage.contains("\"value\""))
   }
 
+  test("avg/min/max/count over increase: cross-series counter moments") {
+    assertSame(
+      PromQL.query(t, "avg by (cohort) (increase(click[1h]))", T0, T1),
+      t.momentIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L))
+    // the family's sum member equals the one-shot sum-by path exactly
+    val moments = t.momentIncreaseBy("click", Seq.empty, T0, T1,
+        Seq("cohort"), 3600L)
+      .select(col("cohort"), col("bucket_start"), col("sum_increase"))
+    val sumBy = t.aggregateIncreaseBy("click", Seq.empty, T0, T1,
+        Seq("cohort"), 3600L)
+      .select(col("cohort"), col("bucket_start"), col("increase"))
+    val joined = moments.join(sumBy, Seq("cohort", "bucket_start"))
+    assert(joined.count() > 0)
+    assert(joined.where(col("sum_increase") =!= col("increase")).count()
+      == 0L)
+    // min <= avg <= max on every group
+    val m = t.momentIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"),
+      3600L)
+    assert(m.where(col("min_increase") > col("avg_increase") ||
+      col("avg_increase") > col("max_increase")).count() == 0L)
+  }
+
   test("[range:step] subquery pins the over_time eval grid") {
     assertSame(
       PromQL.query(t, "avg_over_time(click[2h:1h]) by (cohort)", T0, T1),
