@@ -1190,6 +1190,32 @@ object OracleSql {
        |       CAST(MAX(inc) AS DOUBLE) AS max_increase
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Chained math functions over the vector difference: the diff is one
+    * IEEE subtraction of the exact decimal-derived sums; abs + least are
+    * pointwise and identical across engines.
+    */
+  private val tsdbPromqlClamp =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2)
+       |SELECT a.cohort, a.bucket_start, n_a, n_b,
+       |       least(abs(sum_a - sum_b), 500.0) AS result
+       |FROM a JOIN b USING (cohort, bucket_start)
+       |ORDER BY 1, 2""".stripMargin
+
   /** Day-over-day per-side-offset ratio: the offset side scans yesterday's
     * window and reports at today's grid (+86400), the plain side scans
     * today — matched on (cohort, day bucket).
@@ -1815,6 +1841,7 @@ object OracleSql {
     "tsdb_promql_subquery" -> tsdbOverTime,
     "tsdb_promql_dod" -> tsdbPromqlDod,
     "tsdb_promql_avg_rate" -> tsdbPromqlAvgRate,
+    "tsdb_promql_clamp" -> tsdbPromqlClamp,
     "tsdb_group_right" -> tsdbGroupRight,
     "tsdb_rollup_agg" -> tsdbAggBy,
     "tsdb_gaps" -> tsdbGaps,

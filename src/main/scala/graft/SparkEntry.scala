@@ -372,6 +372,19 @@ object SparkEntry {
       "avg by (cohort) (increase(click[1h]))", T0, T1)
       .orderBy("cohort", "bucket_start")
 
+  /** PromQL math functions chained over a vector difference:
+    * `clamp_max(abs(sum by (c)(click) - sum by (c)(purchase)), 500)` —
+    * the pointwise family (abs/ceil/floor/clamp_min/clamp_max) riding
+    * the compiled vector's result column, map-side only.
+    */
+  private def qTsdbPromqlClamp(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "clamp_max(abs(sum by (cohort) (click[1h]) - " +
+        "sum by (cohort) (purchase[1h])), 500)", T0, T1)
+      .select("cohort", "bucket_start", "n_a", "n_b", "result")
+      .orderBy("cohort", "bucket_start")
+
   /** PromQL `sum by (cohort) (resets(click[1h]))`: counter-reset counts
     * composing with the label-dimension aggregation.
     */
@@ -1713,6 +1726,7 @@ object SparkEntry {
     "tsdb_promql_subquery" -> (qTsdbPromqlSubquery _),
     "tsdb_promql_dod" -> (qTsdbPromqlDod _),
     "tsdb_promql_avg_rate" -> (qTsdbPromqlAvgRate _),
+    "tsdb_promql_clamp" -> (qTsdbPromqlClamp _),
     "tsdb_group_right" -> (qTsdbGroupRight _),
     "tsdb_rollup_agg" -> (qTsdbRollupAgg _),
     "tsdb_gaps" -> (qTsdbGaps _),

@@ -3,7 +3,7 @@ package graft.promql
 import graft.Tsdb
 import graft.model.LabelMatcher
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit, round}
+import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor => cFloor, greatest, least, lit, round}
 
 /** A PromQL-shaped query language compiled onto the engine's operators —
   * the piece the reference explicitly lacks (mandodb README.md:36-40: no
@@ -114,6 +114,13 @@ object PromQL {
       groupRight: Boolean = false) extends Expr
   /** A scalar literal operand (`… * 100`, `… > 0.5`). */
   final case class NumLit(v: Double) extends Expr
+  /** A pointwise math function over a vector (`abs(v)`, `ceil(v)`,
+    * `floor(v)`, `clamp_min(v, s)`, `clamp_max(v, s)`) — applies to the
+    * inner vector's value column, PromQL's instant-vector math family. */
+  final case class MathFn(
+      name: String,
+      arg: Expr,
+      num: Option[Double] = None) extends Expr
 
   // ---------------------------------------------------------- tokenizer
 
@@ -205,6 +212,7 @@ object PromQL {
   private val ArithOps = Set("/", "*", "+", "-")
   private val CmpOps = Set(">", "<", ">=", "<=")
   private val SetOps = Set("and", "or", "unless")
+  private val MathFns = Set("abs", "ceil", "floor", "clamp_min", "clamp_max")
 
   private final class P(var toks: List[Tok], input: String) {
     def fail(msg: String): Nothing =
@@ -356,6 +364,23 @@ object PromQL {
           fail("an aggregation takes either 'by' or 'without', not both")
         Agg(name, k, q, by, body, wo)
 
+      case Some(Ident(name)) if MathFns(name) =>
+        next(); expectSym("(")
+        val arg = parseExpr()
+        var num: Option[Double] = None
+        if (name.startsWith("clamp")) {
+          expectSym(",")
+          num = Some(next() match {
+            case Num(s) =>
+              try s.toDouble
+              catch { case _: NumberFormatException =>
+                fail(s"$name bound must be a plain number, got '$s'") }
+            case t => fail(s"$name needs a trailing scalar bound")
+          })
+        }
+        expectSym(")")
+        MathFn(name, arg, num)
+
       case Some(Ident(name)) if RangeFns(name) =>
         next(); expectSym("(")
         var numArg: Option[Double] = None
@@ -486,12 +511,16 @@ object PromQL {
           (if (gl) " group_left" else if (gr) " group_right" else "")
       val sep = if (clause.isEmpty) " " else s" $clause "
       s"${render(l)} $op$sep${render(r)}"
-    case NumLit(v) =>
-      // integral scalars render without the trailing .0 so the canonical
-      // string looks like what a user types (`* 100`, not `* 100.0`)
-      if (v == v.floor && !v.isInfinite && v.abs < 1e15) v.toLong.toString
-      else v.toString
+    case NumLit(v) => renderNum(v)
+    case MathFn(name, arg, num) =>
+      s"$name(${render(arg)}${num.map(n => ", " + renderNum(n)).getOrElse("")})"
   }
+
+  // integral scalars render without the trailing .0 so the canonical
+  // string looks like what a user types (`* 100`, not `* 100.0`)
+  private def renderNum(v: Double): String =
+    if (v == v.floor && !v.isInfinite && v.abs < 1e15) v.toLong.toString
+    else v.toString
 
   /** Parse a query string to its AST (throws IllegalArgumentException with
     * the offending token window on malformed input). */
@@ -579,6 +608,7 @@ object PromQL {
     case Agg(_, _, _, _, body, _) => validateSubquerySteps(body)
     case BinOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
+    case MathFn(_, arg, _) => validateSubquerySteps(arg)
     case _: NumLit => ()
   }
 
@@ -590,6 +620,7 @@ object PromQL {
     case s: Selector => Some(s.metric)
     case RangeFn(_, _, sel, _, _) => Some(sel.metric)
     case a: Agg => metricOf(a.body)
+    case MathFn(_, arg, _) => metricOf(arg)
     case _ => None
   }
 
@@ -623,6 +654,7 @@ object PromQL {
       }
     case b @ BinOp(_, l, r, _, _, _) =>
       b.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
+    case m @ MathFn(_, arg, _) => m.copy(arg = resolveWithout(t, arg))
     case other => other
   }
 
@@ -655,6 +687,7 @@ object PromQL {
     case BinOp(op, _, _, _, _, _) if ArithOps(op) => "result"
     case BinOp(op, l, _, _, _, _) if CmpOps(op) || SetOps(op) =>
       valueColOf(l)
+    case _: MathFn => "result"
     case other => throw new IllegalArgumentException(
       s"scalar operand needs a single-valued vector side, got: $other")
   }
@@ -689,6 +722,7 @@ object PromQL {
         case _ if gr => groupingOf(r)
         case _ => groupingOf(l)
       }
+    case MathFn(_, arg, _) => groupingOf(arg)
     case _ => None
   }
 
@@ -786,6 +820,20 @@ object PromQL {
             dfL.unionByName(
               dfR.join(dfL.select(keys.map(col): _*), keys, "left_anti"))
         }
+
+      // pointwise math functions ride the compiled vector's value column
+      case MathFn(name, arg, num) =>
+        val df = compile(t, arg, start, end, buckets, rollupStep)
+        val v = col(valueColOf(arg))
+        val e = name match {
+          case "abs" => cAbs(v)
+          // Spark's ceil/floor return LONG on doubles; PromQL stays float
+          case "ceil" => cCeil(v).cast("double")
+          case "floor" => cFloor(v).cast("double")
+          case "clamp_min" => greatest(v, lit(num.get))
+          case "clamp_max" => least(v, lit(num.get))
+        }
+        df.withColumn("result", e)
 
       case other if rollupStep.isDefined =>
         throw new IllegalArgumentException(

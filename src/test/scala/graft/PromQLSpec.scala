@@ -502,6 +502,31 @@ class PromQLSpec extends SparkSuite {
       col("avg_increase") > col("max_increase")).count() == 0L)
   }
 
+  test("math functions ride the value column pointwise, chainable") {
+    val base = t.aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"),
+      3600L)
+    assertSame(
+      PromQL.query(t, "clamp_min(sum by (cohort) (click[1h]), 100)",
+        T0, T1),
+      base.withColumn("result", greatest(col("sum_v"), lit(100.0))))
+    assertSame(
+      PromQL.query(t, "floor(sum by (cohort) (click[1h]))", T0, T1),
+      base.withColumn("result", floor(col("sum_v")).cast("double")))
+    // chained over a vector difference, then thresholded
+    val diff = t.binaryOpBy("click", "purchase", Seq.empty, Seq.empty,
+      T0, T1, Seq("cohort"), 3600L)((a, b) => a - b)
+    assertSame(
+      PromQL.query(t,
+        "abs(sum by (cohort) (click[1h]) - " +
+        "sum by (cohort) (purchase[1h])) > 50", T0, T1),
+      diff.withColumn("result", abs(col("result")))
+        .where(col("result") > 50))
+    // clamp without its scalar bound is a parse error
+    val e = intercept[IllegalArgumentException](
+      PromQL.parse("clamp_min(sum by (cohort) (click[1h]))"))
+    assert(e.getMessage.nonEmpty)
+  }
+
   test("[range:step] subquery pins the over_time eval grid") {
     assertSame(
       PromQL.query(t, "avg_over_time(click[2h:1h]) by (cohort)", T0, T1),

@@ -202,7 +202,7 @@ class PropertySpec extends SparkSuite {
         // subquery step renders/parses on any ranged selector (compile
         // restricts it to over_time; round-trip doesn't care)
         if (withRange && rnd.nextInt(3) == 0) Some(900L) else None)
-    def randExpr(): Expr = rnd.nextInt(14) match {
+    def randExpr(): Expr = rnd.nextInt(15) match {
       case 0 => randSelector(rnd.nextBoolean())
       case 1 =>
         val op = Seq("sum", "avg", "min", "max", "count", "stddev",
@@ -265,6 +265,13 @@ class PropertySpec extends SparkSuite {
         val r = if (rnd.nextBoolean()) r0
           else BinOp(">", r0, NumLit(500.0))
         BinOp(Seq("and", "or", "unless")(rnd.nextInt(3)), l, r)
+      case 14 => // pointwise math functions, sometimes nested
+        val inner = Agg("sum", None, None, Seq("cohort"), randSelector(true))
+        val name = Seq("abs", "ceil", "floor", "clamp_min", "clamp_max")(
+          rnd.nextInt(5))
+        val num = if (name.startsWith("clamp")) Some(100.0) else None
+        if (rnd.nextBoolean()) MathFn(name, inner, num)
+        else MathFn("abs", MathFn(name, inner, num))
     }
     for (i <- 0 until 500) {
       val ast = randExpr()
