@@ -1020,7 +1020,9 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       byB: Seq[String],
       stepSec: Long,
       offsetA: Long = 0L,
-      offsetB: Long = 0L)(
+      offsetB: Long = 0L,
+      momentA: String = "sum_v",
+      momentB: String = "sum_v")(
       op: (Column, Column) => Column): DataFrame = {
     require(byB.forall(byA.contains),
       s"group_left needs the right side's labels ($byB) to be a subset " +
@@ -1028,11 +1030,11 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec,
         offsetA)
       .select(byA.map(col) ++ Seq(col("bucket_start"),
-        col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
+        col("n").as("n_a"), col(momentA).as("sum_a")): _*)
     val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec,
         offsetB)
       .select(byB.map(col) ++ Seq(col("bucket_start"),
-        col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
+        col("n").as("n_b"), col(momentB).as("sum_b")): _*)
     a.join(b, byB :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
       .select(byA.map(col) ++ Seq(col("bucket_start"), col("n_a"),
@@ -1058,7 +1060,9 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       byB: Seq[String],
       stepSec: Long,
       offsetA: Long = 0L,
-      offsetB: Long = 0L)(
+      offsetB: Long = 0L,
+      momentA: String = "sum_v",
+      momentB: String = "sum_v")(
       op: (Column, Column) => Column): DataFrame = {
     require(byA.forall(byB.contains),
       s"group_right needs the left side's labels ($byA) to be a subset " +
@@ -1066,11 +1070,11 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec,
         offsetA)
       .select(byA.map(col) ++ Seq(col("bucket_start"),
-        col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
+        col("n").as("n_a"), col(momentA).as("sum_a")): _*)
     val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec,
         offsetB)
       .select(byB.map(col) ++ Seq(col("bucket_start"),
-        col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
+        col("n").as("n_b"), col(momentB).as("sum_b")): _*)
     b.join(a, byA :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
       .select(byB.map(col) ++ Seq(col("bucket_start"), col("n_a"),

@@ -949,9 +949,9 @@ object PromQL {
       // one-to-many matching: A op on (l) group_left B — the right side
       // aggregates at the on-label grain, the result keeps A's labels.
       // Each side applies ITS OWN matcher list.
-      case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
-          Agg("sum", _, _, byB, b: Selector, _), on, true, false)
-          if ArithOps(op) =>
+      case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
+          Agg(opB, _, _, byB, b: Selector, _), on, true, false)
+          if ArithOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
         require(byB == on,
           s"group_left: the on-labels ($on) must equal the right side's " +
           s"grouping ($byB)")
@@ -960,13 +960,14 @@ object PromQL {
           "vector-match sides must share the step grid")
         t.binaryOpByGroupLeft(a.metric, b.metric,
           a.matchers, b.matchers, start, end, byA, byB, step,
-          a.offsetSec, b.offsetSec)(arith(op))
+          a.offsetSec, b.offsetSec,
+          momentCol(opA), momentCol(opB))(arith(op))
 
       // many-to-one: A op on (l) group_right B — the mirror, keeping B's
       // finer label set
-      case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
-          Agg("sum", _, _, byB, b: Selector, _), on, false, true)
-          if ArithOps(op) =>
+      case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
+          Agg(opB, _, _, byB, b: Selector, _), on, false, true)
+          if ArithOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
         require(byA == on,
           s"group_right: the on-labels ($on) must equal the left side's " +
           s"grouping ($byA)")
@@ -975,7 +976,8 @@ object PromQL {
           "vector-match sides must share the step grid")
         t.binaryOpByGroupRight(a.metric, b.metric,
           a.matchers, b.matchers, start, end, byA, byB, step,
-          a.offsetSec, b.offsetSec)(arith(op))
+          a.offsetSec, b.offsetSec,
+          momentCol(opA), momentCol(opB))(arith(op))
 
       // arithmetic vector match between two matching aggregations —
       // any moment pair (sum/avg/min/max/count), each side filtered by

@@ -418,6 +418,34 @@ class PromQLSpec extends SparkSuite {
       t.binaryOpBy("click", "click", Seq.empty, Seq.empty, T0, T1,
         Seq("cohort"), 3600L, momentA = "max_v", momentB = "avg_v")(
         (a, b) => round(a / b, 6)))
+    // group_left/group_right accept non-sum moment pairs too:
+    // each user's daily max click against their cohort's daily avg
+    assertSame(
+      PromQL.query(t,
+        "max by (cohort, user_id) (click[1d]) / on (cohort) group_left " +
+        "avg by (cohort) (click[1d])", T0, T1),
+      t.binaryOpByGroupLeft("click", "click", Seq.empty, Seq.empty,
+        T0, T1, Seq("cohort", "user_id"), Seq("cohort"), 86400L,
+        momentA = "max_v", momentB = "avg_v")((a, b) => round(a / b, 6)))
+    assertSame(
+      PromQL.query(t,
+        "avg by (cohort) (click[1d]) / on (cohort) group_right " +
+        "max by (cohort, user_id) (click[1d])", T0, T1),
+      t.binaryOpByGroupRight("click", "click", Seq.empty, Seq.empty,
+        T0, T1, Seq("cohort"), Seq("cohort", "user_id"), 86400L,
+        momentA = "avg_v", momentB = "max_v")((a, b) => round(a / b, 6)))
+  }
+
+  test("scalar ops compose over rollup-served aggregations") {
+    val path = tempDir("promql_rollup_scalar")
+    val disk = new Tsdb(spark, graft.model.TsdbConf(
+      dataPath = path, compression = "zstd", segmentDuration = 86400L))
+    disk.insertRows(events)
+    disk.materializeRollup(3600L)
+    val q = "sum by (cohort) (click[1h]) * 100 > 500"
+    assertSame(
+      PromQL.queryFromRollup(disk, q, T0, T1, 3600L),
+      PromQL.query(disk, q, T0, T1))
   }
 
   test("offset threads through every tumbling shape: shifted window, " +
