@@ -41,7 +41,9 @@ import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor =>
   * cmpExpr   := arith (('>'|'<'|'>='|'<=') arith)*
   * arith     := operand (('/'|'*'|'+'|'-') matchClause? operand)*
   * matchClause := 'on' '(' labels ')' ('group_left'|'group_right')?
-  * operand   := number | aggTerm
+  * operand   := number | mathFn | aggTerm
+  * mathFn    := (abs|ceil|floor|sqrt|sgn) '(' expr ')'
+  *            | (clamp_min|clamp_max) '(' expr ',' number ')' 
   * aggTerm   := aggOp grouping? '(' aggBody ')' grouping?
   *            | fn '(' args ')' ('by' '(' labels ')')?
   *            | selector
@@ -115,8 +117,9 @@ object PromQL {
   /** A scalar literal operand (`… * 100`, `… > 0.5`). */
   final case class NumLit(v: Double) extends Expr
   /** A pointwise math function over a vector (`abs(v)`, `ceil(v)`,
-    * `floor(v)`, `clamp_min(v, s)`, `clamp_max(v, s)`) — applies to the
-    * inner vector's value column, PromQL's instant-vector math family. */
+    * `floor(v)`, `sqrt(v)`, `sgn(v)`, `clamp_min(v, s)`,
+    * `clamp_max(v, s)`) — applies to the inner vector's value column,
+    * PromQL's instant-vector math family. */
   final case class MathFn(
       name: String,
       arg: Expr,
@@ -212,7 +215,8 @@ object PromQL {
   private val ArithOps = Set("/", "*", "+", "-")
   private val CmpOps = Set(">", "<", ">=", "<=")
   private val SetOps = Set("and", "or", "unless")
-  private val MathFns = Set("abs", "ceil", "floor", "clamp_min", "clamp_max")
+  private val MathFns =
+    Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max")
 
   private final class P(var toks: List[Tok], input: String) {
     def fail(msg: String): Nothing =
@@ -830,6 +834,8 @@ object PromQL {
           // Spark's ceil/floor return LONG on doubles; PromQL stays float
           case "ceil" => cCeil(v).cast("double")
           case "floor" => cFloor(v).cast("double")
+          case "sqrt" => org.apache.spark.sql.functions.sqrt(v)
+          case "sgn" => org.apache.spark.sql.functions.signum(v)
           case "clamp_min" => greatest(v, lit(num.get))
           case "clamp_max" => least(v, lit(num.get))
         }

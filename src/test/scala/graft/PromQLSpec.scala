@@ -549,6 +549,16 @@ class PromQLSpec extends SparkSuite {
         "sum by (cohort) (purchase[1h])) > 50", T0, T1),
       diff.withColumn("result", abs(col("result")))
         .where(col("result") > 50))
+    assertSame(
+      PromQL.query(t, "sqrt(sum by (cohort) (click[1h]))", T0, T1),
+      base.withColumn("result", sqrt(col("sum_v"))))
+    assertSame(
+      PromQL.query(t,
+        "sgn(sum by (cohort) (click[1h]) - " +
+        "sum by (cohort) (purchase[1h]))", T0, T1),
+      t.binaryOpBy("click", "purchase", Seq.empty, Seq.empty, T0, T1,
+          Seq("cohort"), 3600L)((a, b) => a - b)
+        .withColumn("result", signum(col("result"))))
     // clamp without its scalar bound is a parse error
     val e = intercept[IllegalArgumentException](
       PromQL.parse("clamp_min(sum by (cohort) (click[1h]))"))

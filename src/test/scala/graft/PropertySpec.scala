@@ -267,8 +267,8 @@ class PropertySpec extends SparkSuite {
         BinOp(Seq("and", "or", "unless")(rnd.nextInt(3)), l, r)
       case 14 => // pointwise math functions, sometimes nested
         val inner = Agg("sum", None, None, Seq("cohort"), randSelector(true))
-        val name = Seq("abs", "ceil", "floor", "clamp_min", "clamp_max")(
-          rnd.nextInt(5))
+        val name = Seq("abs", "ceil", "floor", "sqrt", "sgn",
+          "clamp_min", "clamp_max")(rnd.nextInt(7))
         val num = if (name.startsWith("clamp")) Some(100.0) else None
         if (rnd.nextBoolean()) MathFn(name, inner, num)
         else MathFn("abs", MathFn(name, inner, num))
