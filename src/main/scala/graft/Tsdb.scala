@@ -566,12 +566,18 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       end: Long,
       byLabels: Seq[String],
       stepSec: Long,
-      offsetSec: Long = 0L): DataFrame = {
+      offsetSec: Long = 0L,
+      relabel: Column => Column = c => c): DataFrame = {
     require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
       ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
         .as("bucket_start")
+    // `relabel` rewrites the label map BEFORE grouping (PromQL's
+    // label_replace / label_join feeding an aggregation) — selector
+    // matchers still apply to the ORIGINAL labels, like Prometheus,
+    // and the default identity keeps the plan unchanged
     queryRange(metric, matchers, start - offsetSec, end - offsetSec)
+      .withColumn("labels", relabel(col("labels")))
       .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n"),
@@ -900,18 +906,27 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       matchers: Seq[LabelMatcher],
       start: Long,
       end: Long,
-      byLabels: Seq[String]): DataFrame = {
+      byLabels: Seq[String],
+      offsetSec: Long = 0L): DataFrame = {
     require(start % stepSec == 0 && (end + 1) % stepSec == 0,
       s"window [$start, $end] must be aligned to $stepSec-second buckets")
+    // the rollup tier is bucket-aligned, so only a bucket-MULTIPLE
+    // offset can be served exactly (day-over-day on an hourly tier);
+    // anything else must go to the raw path — loud, never approximate
+    require(offsetSec >= 0 && offsetSec % stepSec == 0,
+      s"a rollup-served offset must be a multiple of the $stepSec-second " +
+      s"bucket to be exact: $offsetSec")
+    val start0 = start - offsetSec
+    val end0 = end - offsetSec
     val roll = spark.read.parquet(s"${conf.dataPath}/rollup_$stepSec")
-      .where(segPredicate(start, end))
-      .where(col("bucket_start").between(start, end))
+      .where(segPredicate(start0, end0))
+      .where(col("bucket_start").between(start0, end0))
     val matching = seriesMeta
       .where(matcherPredicate(col("labels"),
         LabelMatcher.eq(MetricLabel, metric) +: matchers))
       .select("sid", "labels")
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      col("bucket_start")
+      (col("bucket_start") + offsetSec).as("bucket_start")
     roll
       .join(dimHint(matching), "sid")
       .groupBy(keys: _*)
@@ -983,14 +998,16 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       matchersB: Seq[LabelMatcher],
       start: Long,
       end: Long,
-      byLabels: Seq[String])(
+      byLabels: Seq[String],
+      offsetA: Long = 0L,
+      offsetB: Long = 0L)(
       op: (Column, Column) => Column): DataFrame = {
     val a = aggregateByFromRollup(stepSec, metricA, matchersA, start, end,
-        byLabels)
+        byLabels, offsetA)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_a"), col("sum_v").as("sum_a")): _*)
     val b = aggregateByFromRollup(stepSec, metricB, matchersB, start, end,
-        byLabels)
+        byLabels, offsetB)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
     a.join(b, byLabels :+ "bucket_start")
@@ -1522,16 +1539,22 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       byLabels: Seq[String],
       stepSec: Long,
       phi: Double,
-      buckets: Seq[Double]): DataFrame = {
+      buckets: Seq[Double],
+      offsetSec: Long = 0L): DataFrame = {
     require(phi > 0 && phi < 1, s"phi must be in (0,1): $phi")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     require(buckets.nonEmpty && buckets == buckets.sorted,
       "bucket bounds must be ascending")
     val le = buckets.foldRight(lit(Double.PositiveInfinity): Column) {
       (b, rest) => when(col("value") <= b, lit(b)).otherwise(rest)
     }
+    // offset shifts the scanned window back and reports buckets at the
+    // REQUESTED grid, same convention as [[aggregateBy]]
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) ++ Seq(
-      (col("ts") - pmod(col("ts"), lit(stepSec))).as("bucket_start"))
-    val grouped = queryRange(metric, matchers, start, end)
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start"))
+    val grouped = queryRange(metric, matchers, start - offsetSec,
+        end - offsetSec)
       .withColumn("le", le)
       .groupBy(keys :+ col("le"): _*)
       .agg(count(lit(1)).as("cnt"))

@@ -34,14 +34,18 @@ import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor =>
   *    ([[graft.Tsdb.binaryOpBy]]) with the ratio rounded to 6 decimals,
   *    the engine's cross-engine-reproducible form.
   *
-  * Grammar (recursive descent, no dependencies; three left-associative
-  * precedence levels, loosest last):
+  * Grammar (recursive descent, no dependencies; five left-associative
+  * precedence levels matching Prometheus's ladder, loosest first —
+  * so `a - b * 100` groups as `a - (b * 100)` and `a or b and c` as
+  * `a or (b and c)`; parentheses override):
   * {{{
-  * expr      := cmpExpr (('and'|'or'|'unless') cmpExpr)*
-  * cmpExpr   := arith (('>'|'<'|'>='|'<=') arith)*
-  * arith     := operand (('/'|'*'|'+'|'-') matchClause? operand)*
+  * expr      := andExpr ('or' andExpr)*
+  * andExpr   := cmpExpr (('and'|'unless') cmpExpr)*
+  * cmpExpr   := addSub (('>'|'<'|'>='|'<=') addSub)*
+  * addSub    := mulDiv (('+'|'-') matchClause? mulDiv)*
+  * mulDiv    := operand (('/'|'*') matchClause? operand)*
   * matchClause := 'on' '(' labels ')' ('group_left'|'group_right')?
-  * operand   := number | mathFn | aggTerm
+  * operand   := number | '(' expr ')' | mathFn | aggTerm
   * mathFn    := (abs|ceil|floor|sqrt|sgn) '(' expr ')'
   *            | (clamp_min|clamp_max) '(' expr ',' number ')' 
   * aggTerm   := aggOp grouping? '(' aggBody ')' grouping?
@@ -124,6 +128,17 @@ object PromQL {
       name: String,
       arg: Expr,
       num: Option[Double] = None) extends Expr
+  /** A label-set transform over a vector — PromQL's
+    * `label_replace(v, dst, replacement, src, regex)` /
+    * `label_join(v, dst, sep, src…)` relabeling family. `args` holds
+    * the trailing string arguments in Prometheus's order. Compiles to a
+    * map-side column rewrite ([[graft.functions.LabelFunctions]]), so
+    * relabeling composes with an enclosing aggregation at zero extra
+    * shuffles. */
+  final case class LabelFn(
+      name: String,
+      inner: Expr,
+      args: Seq[String]) extends Expr
 
   // ---------------------------------------------------------- tokenizer
 
@@ -209,7 +224,8 @@ object PromQL {
   private val RangeFns =
     OverTime ++ Set("rate", "increase", "delta", "resets", "changes",
       "absent", "irate", "idelta", "quantile_over_time", "predict_linear",
-      "histogram_quantile", "absent_over_time")
+      "histogram_quantile", "absent_over_time", "deriv")
+  private val LabelFns = Set("label_replace", "label_join")
 
   private val MomentAggs = Set("sum", "avg", "min", "max", "count")
   private val ArithOps = Set("/", "*", "+", "-")
@@ -240,14 +256,24 @@ object PromQL {
       case t => fail(s"expected identifier, got '${tokText(t)}'")
     }
 
-    /** Three precedence levels, loosest last (a subset of PromQL's
-      * ladder): arithmetic, then comparison filters, then the vector
-      * set ops — so `a / b > 0.5 and c` groups as `((a/b) > 0.5) and c`.
-      * Each level is a left-associative loop. */
+    /** Five precedence levels, Prometheus's ladder (loosest first):
+      * `or`, then `and`/`unless`, then comparison filters, then `+ -`,
+      * then `* /` — so `a / b > 0.5 and c` groups as `((a/b) > 0.5) and
+      * c` and `a - b * 100` as `a - (b * 100)`. Each level is a
+      * left-associative loop; parentheses override. */
     def parseExpr(): Expr = {
+      var lhs = parseAnd()
+      while (peek.contains(Ident("or"))) {
+        next()
+        lhs = BinOp("or", lhs, parseAnd())
+      }
+      lhs
+    }
+
+    private def parseAnd(): Expr = {
       var lhs = parseCmp()
       while (peek.exists {
-          case Ident("and" | "or" | "unless") => true; case _ => false }) {
+          case Ident("and" | "unless") => true; case _ => false }) {
         val op = next() match { case Ident(s) => s; case _ => fail("setop") }
         lhs = BinOp(op, lhs, parseCmp())
       }
@@ -255,39 +281,51 @@ object PromQL {
     }
 
     private def parseCmp(): Expr = {
-      var lhs = parseArith()
+      var lhs = parseAddSub()
       while (peek.exists {
           case Sym(">" | "<" | ">=" | "<=") => true; case _ => false }) {
         val op = next() match { case Sym(s) => s; case _ => fail("cmp") }
-        lhs = BinOp(op, lhs, parseArith())
+        lhs = BinOp(op, lhs, parseAddSub())
       }
       lhs
     }
 
-    private def parseArith(): Expr = {
+    // optional matching clause: on (labels) [group_left|group_right]
+    private def parseMatchClause(): (Seq[String], Boolean, Boolean) =
+      if (peek.contains(Ident("on"))) {
+        next(); expectSym("(")
+        val ls = scala.collection.mutable.ListBuffer(ident())
+        while (peek.contains(Sym(","))) { next(); ls += ident() }
+        expectSym(")")
+        if (peek.contains(Ident("group_left"))) { next(); (ls.toSeq, true, false) }
+        else if (peek.contains(Ident("group_right"))) { next(); (ls.toSeq, false, true) }
+        else (ls.toSeq, false, false)
+      } else (Seq.empty, false, false)
+
+    private def parseAddSub(): Expr = {
+      var lhs = parseMulDiv()
+      while (peek.exists {
+          case Sym("+" | "-") => true; case _ => false }) {
+        val op = next() match { case Sym(s) => s; case _ => fail("arith") }
+        val (on, gl, gr) = parseMatchClause()
+        lhs = BinOp(op, lhs, parseMulDiv(), on, gl, gr)
+      }
+      lhs
+    }
+
+    private def parseMulDiv(): Expr = {
       var lhs = parseOperand()
       while (peek.exists {
-          case Sym("/" | "*" | "+" | "-") => true; case _ => false }) {
+          case Sym("/" | "*") => true; case _ => false }) {
         val op = next() match { case Sym(s) => s; case _ => fail("arith") }
-        // optional matching clause: on (labels) [group_left|group_right]
-        var on: Seq[String] = Seq.empty
-        var gl = false
-        var gr = false
-        if (peek.contains(Ident("on"))) {
-          next(); expectSym("(")
-          val ls = scala.collection.mutable.ListBuffer(ident())
-          while (peek.contains(Sym(","))) { next(); ls += ident() }
-          expectSym(")")
-          on = ls.toSeq
-          if (peek.contains(Ident("group_left"))) { next(); gl = true }
-          else if (peek.contains(Ident("group_right"))) { next(); gr = true }
-        }
+        val (on, gl, gr) = parseMatchClause()
         lhs = BinOp(op, lhs, parseOperand(), on, gl, gr)
       }
       lhs
     }
 
-    /** A term or a scalar literal operand (`… * 100`). */
+    /** A term, a parenthesized grouping, or a scalar literal operand
+      * (`… * 100`). */
     private def parseOperand(): Expr = peek match {
       case Some(Num(s)) =>
         next()
@@ -296,6 +334,11 @@ object PromQL {
           catch { case _: NumberFormatException =>
             fail(s"scalar operand must be a plain number, got '$s'") }
         NumLit(v)
+      case Some(Sym("(")) =>
+        next()
+        val e = parseExpr()
+        expectSym(")")
+        e
       case _ => parseTerm()
     }
 
@@ -384,6 +427,28 @@ object PromQL {
         }
         expectSym(")")
         MathFn(name, arg, num)
+
+      case Some(Ident(name)) if LabelFns(name) =>
+        next(); expectSym("(")
+        val inner = parseExpr()
+        val args = scala.collection.mutable.ListBuffer.empty[String]
+        while (peek.contains(Sym(","))) {
+          next()
+          args += (next() match {
+            case Str(s) => s
+            case t => fail(s"$name arguments must be quoted strings")
+          })
+        }
+        expectSym(")")
+        if (name == "label_replace")
+          require(args.size == 4,
+            s"label_replace(v, dst, replacement, src, regex) takes 4 " +
+            s"string arguments, got ${args.size}")
+        else
+          require(args.size >= 3,
+            s"label_join(v, dst, sep, src…) takes at least 3 string " +
+            s"arguments, got ${args.size}")
+        LabelFn(name, inner, args.toSeq)
 
       case Some(Ident(name)) if RangeFns(name) =>
         next(); expectSym("(")
@@ -508,16 +573,39 @@ object PromQL {
         else if (wo.nonEmpty) wo.mkString(" without (", ", ", ")")
         else ""
       s"$op($lead${render(body)})$grouping"
-    case BinOp(op, l, r, on, gl, gr) =>
+    case b @ BinOp(op, l, r, on, gl, gr) =>
       val clause =
         if (on.isEmpty) ""
         else on.mkString("on (", ", ", ")") +
           (if (gl) " group_left" else if (gr) " group_right" else "")
       val sep = if (clause.isEmpty) " " else s" $clause "
-      s"${render(l)} $op$sep${render(r)}"
+      // parenthesize a child whose operator binds looser than this one
+      // (or as loose, on the right — the parser is left-associative),
+      // so parse(render(e)) == e holds across the precedence ladder
+      val p = precOf(b)
+      def sub(x: Expr, rhs: Boolean): String = {
+        val px = precOf(x)
+        if (px < p || (rhs && px == p)) s"(${render(x)})" else render(x)
+      }
+      s"${sub(l, rhs = false)} $op$sep${sub(r, rhs = true)}"
     case NumLit(v) => renderNum(v)
     case MathFn(name, arg, num) =>
       s"$name(${render(arg)}${num.map(n => ", " + renderNum(n)).getOrElse("")})"
+    case LabelFn(name, inner, args) =>
+      val quoted = args.map(a =>
+        "\"" + a.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      s"$name(${render(inner)}, ${quoted.mkString(", ")})"
+  }
+
+  /** Binding strength on the parser's ladder — non-BinOp nodes are
+    * atoms (self-delimiting), so they never need parentheses. */
+  private def precOf(e: Expr): Int = e match {
+    case BinOp("or", _, _, _, _, _) => 1
+    case BinOp("and" | "unless", _, _, _, _, _) => 2
+    case BinOp(op, _, _, _, _, _) if CmpOps(op) => 3
+    case BinOp("+" | "-", _, _, _, _, _) => 4
+    case BinOp("/" | "*", _, _, _, _, _) => 5
+    case _ => 9
   }
 
   // integral scalars render without the trailing .0 so the canonical
@@ -613,6 +701,7 @@ object PromQL {
     case BinOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
     case MathFn(_, arg, _) => validateSubquerySteps(arg)
+    case LabelFn(_, inner, _) => validateSubquerySteps(inner)
     case _: NumLit => ()
   }
 
@@ -625,6 +714,7 @@ object PromQL {
     case RangeFn(_, _, sel, _, _) => Some(sel.metric)
     case a: Agg => metricOf(a.body)
     case MathFn(_, arg, _) => metricOf(arg)
+    case LabelFn(_, inner, _) => metricOf(inner)
     case _ => None
   }
 
@@ -659,6 +749,7 @@ object PromQL {
     case b @ BinOp(_, l, r, _, _, _) =>
       b.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
     case m @ MathFn(_, arg, _) => m.copy(arg = resolveWithout(t, arg))
+    case lf @ LabelFn(_, inner, _) => lf.copy(inner = resolveWithout(t, inner))
     case other => other
   }
 
@@ -679,12 +770,31 @@ object PromQL {
     * would operate on. Fails fast for shapes with no single value
     * column. */
   private def valueColOf(e: Expr): String = e match {
+    // agg-of-rangefn shapes first (the canonical alert rule is
+    // `sum by (c)(rate(x[1h])) > 0.5`): the compiled output carries the
+    // counter family's column names, not the moment aggregation's —
+    // sum compiles to aggregateIncreaseBy (increase / rate_per_sec),
+    // the other moments to momentIncreaseBy (*_increase, plus *_rate
+    // columns added by the compiler when fn == rate)
+    case Agg(op, _, _, _, RangeFn(fn, _, _, _, _), _)
+        if MomentAggs(op) && (fn == "rate" || fn == "increase") =>
+      (op, fn) match {
+        case ("sum", "increase") => "increase"
+        case ("sum", "rate") => "rate_per_sec"
+        case ("count", _) => "n_series"
+        case (m, "increase") => s"${m}_increase"
+        case (m, _) => s"${m}_rate"
+      }
+    case Agg("sum", _, _, _, RangeFn("resets", _, _, _, _), _) => "resets"
+    case Agg("sum", _, _, _, RangeFn("changes", _, _, _, _), _) => "changes"
     case Agg("sum", _, _, _, _, _) => "sum_v"
     case Agg("avg", _, _, _, _, _) => "avg_v"
     case Agg("min", _, _, _, _, _) => "min_v"
     case Agg("max", _, _, _, _, _) => "max_v"
     case Agg("count", _, _, _, _, _) => "n"
     case Agg("quantile", _, _, _, _, _) => "q_v"
+    case Agg("stddev", _, _, _, _, _) => "stddev"
+    case Agg("stdvar", _, _, _, _, _) => "stdvar"
     case RangeFn("rate", _, _, _, _) => "rate_per_sec"
     case RangeFn("increase", _, _, _, _) => "increase"
     case RangeFn("delta", _, _, _, _) => "delta"
@@ -719,6 +829,14 @@ object PromQL {
     * vector matches (a group_right match keeps the right side's grain). */
   private def groupingOf(e: Expr): Option[Seq[String]] = e match {
     case Agg(op, _, _, by, _: Selector, _) if MomentAggs(op) => Some(by)
+    // agg-of-rangefn sides carry their `by` labels too, so set ops and
+    // threshold filters compose over e.g. `sum by (c)(rate(x[1h]))`
+    case Agg(op, _, _, by, RangeFn(fn, _, _, _, _), _)
+        if MomentAggs(op) && (fn == "rate" || fn == "increase") => Some(by)
+    case Agg("sum", _, _, by, RangeFn("resets" | "changes", _, _, _, _), _) =>
+      Some(by)
+    case Agg(op, _, _, by, LabelFn(_, _: Selector, _), _)
+        if MomentAggs(op) => Some(by)
     case BinOp(op, l, r, _, gl, gr) if ArithOps(op) || CmpOps(op) =>
       (l, r) match {
         case (_, _: NumLit) => groupingOf(l)
@@ -888,8 +1006,19 @@ object PromQL {
           RangeFn(fn, _, sel, _, _), _)
           if Set("avg", "min", "max", "count")(op) &&
             (fn == "rate" || fn == "increase") =>
-        t.momentIncreaseBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, s"$op by ($fn)"), sel.offsetSec)
+        val step = stepOf(sel, s"$op by ($fn)")
+        val df = t.momentIncreaseBy(sel.metric, sel.matchers, start, end,
+          by, step, sel.offsetSec)
+        // a rate-moment query gets per-second columns alongside the
+        // increase moments (aggregateIncreaseBy's dual-column
+        // convention) — without them `avg by (l)(rate(x[1h]))` would
+        // silently return increase moments, 3600x off for [1h]
+        if (fn == "rate")
+          df.withColumn("sum_rate", round(col("sum_increase") / step, 6))
+            .withColumn("avg_rate", round(col("avg_increase") / step, 6))
+            .withColumn("min_rate", round(col("min_increase") / step, 6))
+            .withColumn("max_rate", round(col("max_increase") / step, 6))
+        else df
 
       case Agg("sum", _, _, by, RangeFn("resets", _, sel, _, _), _) =>
         t.resetsBy(sel.metric, sel.matchers, start, end, by,
