@@ -798,6 +798,7 @@ object PromQL {
     case RangeFn("rate", _, _, _, _) => "rate_per_sec"
     case RangeFn("increase", _, _, _, _) => "increase"
     case RangeFn("delta", _, _, _, _) => "delta"
+    case RangeFn("deriv", _, _, _, _) => "slope_per_sec"
     case BinOp(op, _, _, _, _, _) if ArithOps(op) => "result"
     case BinOp(op, l, _, _, _, _) if CmpOps(op) || SetOps(op) =>
       valueColOf(l)
