@@ -42,16 +42,32 @@ object Bench {
     // fixture): built outside the timed region — and only the ones the
     // selected queries actually consume
     SparkEntry.prewarm(spark, sfDir, only)
-    def time(qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]) =
+    // min of two back-to-back runs per query: the round-5 driver sweep
+    // flagged 39 "regressions" that were all container I/O variance (a
+    // uniform ~1.7× on an otherwise idle host). The min discards the
+    // one-off page-cache/JIT miss and measures the query's compute, so a
+    // cross-host flag means the PLAN changed, not the weather. Errors
+    // (-1) are not retried.
+    def time(qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+        reps: Int) =
       qs.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }
+        val first = once()
+        val best = (1 until reps).foldLeft(first) { (b, _) =>
+          if (b < 0) b else math.min(b, once())
+        }
+        name -> best
       }
-    val results = time(selected)
+    val results = time(selected, reps = 2)
+    // the deliberately-quadratic comparators run once — min-of-2 would
+    // double the most expensive section for a number nobody gates on
     val compResults =
       if (withComparators && only.isEmpty)
-        time(SparkEntry.queries.filter(kv => comparators(kv._1)))
+        time(SparkEntry.queries.filter(kv => comparators(kv._1)), reps = 1)
       else Map.empty[String, Double]
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

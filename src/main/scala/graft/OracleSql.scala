@@ -1762,6 +1762,96 @@ object OracleSql {
        |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The parser-reachable label_replace/label_join twins: the same
+    * relabeling, day-bucketed through the aggregateBy grid. */
+  private val tsdbPromqlLabelReplace =
+    s"""SELECT regexp_replace(CAST(user_id AS VARCHAR),
+       |         '^(?:(\\d)\\d*)$$', '\\1') AS band,
+       |       $tsS - ($tsS % 86400) AS bucket_start,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val tsdbPromqlLabelJoin =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) || '-' ||
+       |         CAST(user_id AS VARCHAR) AS key,
+       |       $tsS - ($tsS % 86400) AS bucket_start,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** deriv(): the slope-only projection of the predict_linear fit. */
+  private val tsdbPromqlDeriv =
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |         CAST($tsS - $T0 AS HUGEINT) AS x,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |a AS (
+       |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+       |         SUM(x) AS sx, SUM(yc) AS syc,
+       |         SUM(x*yc) AS sxyc, SUM(x*x) AS sxx
+       |  FROM e GROUP BY 1),
+       |b AS (
+       |  SELECT user_id, n,
+       |         n*sxyc - sx*syc AS numc,
+       |         n*sxx - sx*sx AS den
+       |  FROM a)
+       |SELECT user_id, CAST(n AS BIGINT) AS n,
+       |       CAST(numc AS DOUBLE) / CAST(den AS DOUBLE) / 100.0
+       |         AS slope_per_sec
+       |FROM b WHERE n >= 2 AND den <> 0
+       |ORDER BY user_id""".stripMargin
+
+  /** predict_linear offset 1d: the fit window shifts back one day, x is
+    * re-origined to the shifted start, and the horizon is unchanged
+    * (xp = atSec - requestedStart, offset-free by construction). */
+  private val tsdbPromqlPredictOffset = {
+    val xp = (T1 + 3600L) - (T0 + 86400L)
+    val wEnd = T1 - 86400L
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |         CAST($tsS - $T0 AS HUGEINT) AS x,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $wEnd),
+       |a AS (
+       |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+       |         SUM(x) AS sx, SUM(yc) AS syc,
+       |         SUM(x*yc) AS sxyc, SUM(x*x) AS sxx
+       |  FROM e GROUP BY 1),
+       |b AS (
+       |  SELECT user_id, n, sx, syc,
+       |         n*sxyc - sx*syc AS numc,
+       |         n*sxx - sx*sx AS den
+       |  FROM a)
+       |SELECT user_id, CAST(n AS BIGINT) AS n,
+       |       CAST(numc AS DOUBLE) / CAST(den AS DOUBLE) / 100.0
+       |         AS slope_per_sec,
+       |       CAST(syc*den + numc*(n*CAST($xp AS HUGEINT) - sx) AS DOUBLE)
+       |         / CAST(n*den AS DOUBLE) / 100.0 AS predicted
+       |FROM b WHERE n >= 2 AND den <> 0
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** Day-over-day sum-by served from the rollup tier: the raw-data
+    * answer on the shifted window, reported at the requested grid. */
+  private val tsdbRollupAggOffset =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       ($tsS - ($tsS % 3600)) + 86400 AS bucket_start,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v,
+       |       min(value) AS min_v, max(value) AS max_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND ${T1 - 86400L}
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val tsdbTopk =
     s"""WITH agg AS (
        |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
@@ -1809,6 +1899,12 @@ object OracleSql {
     "tsdb_histogram_quantile" -> tsdbHistogramQuantile,
     "tsdb_predict_linear" -> tsdbPredictLinear,
     "tsdb_label_replace" -> tsdbLabelReplace,
+    "tsdb_promql_label_replace" -> tsdbPromqlLabelReplace,
+    "tsdb_promql_label_join" -> tsdbPromqlLabelJoin,
+    "tsdb_promql_deriv" -> tsdbPromqlDeriv,
+    "tsdb_promql_predict_offset" -> tsdbPromqlPredictOffset,
+    "tsdb_rollup_agg_offset" -> tsdbRollupAggOffset,
+    "tsdb_promql_histq" -> tsdbHistogramQuantile,
     "tsdb_quantile_over_time" -> tsdbQuantileOverTime,
     "tsdb_offset" -> tsdbOffset,
     "tsdb_bottomk" -> tsdbBottomk,

@@ -1602,13 +1602,21 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       start: Long,
       end: Long,
       byLabels: Seq[String],
-      atSec: Long): DataFrame = {
+      atSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     val dec = "decimal(20,0)"
     val byCols = byLabels.map(l => col("labels").getItem(l).as(l))
+    // offset shifts the fitted window back by `offsetSec` and
+    // extrapolates the same horizon from the shifted origin — `x` is
+    // re-origined to the SHIFTED start, so `xp = atSec - start` holds
+    // unchanged (the day-over-day "what would yesterday have predicted")
+    val start0 = start - offsetSec
+    val end0 = end - offsetSec
     val xp = lit(atSec - start).cast(dec)
-    queryRange(metric, matchers, start, end)
+    queryRange(metric, matchers, start0, end0)
       .select(byCols ++ Seq(
-        (col("ts") - lit(start)).cast(dec).as("x"),
+        (col("ts") - lit(start0)).cast(dec).as("x"),
         (col("value").cast("decimal(18,2)") * 100).cast(dec).as("yc")): _*)
       .groupBy(byLabels.map(col): _*)
       .agg(

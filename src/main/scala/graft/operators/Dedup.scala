@@ -124,19 +124,12 @@ object Dedup {
       k: Int,
       threshold: Double,
       numHashes: Int = 128,
-      bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+      bands: Int = 32,
+      maxBucket: Int = 0): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, k)
       .where(size(col("shingles")) > 0)
       .withColumn("n", size(col("shingles")))
-    val sigs = minHashSignatures(sets, numHashes)
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = bandedBuckets(sets, numHashes, bands, maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
     val cands = a
@@ -145,13 +138,63 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    // exact-Jaccard verification: semi-join the shingle dimension down to
-    // the docs that actually appear in a candidate pair FIRST — the full
-    // dimension is corpus-sized (unbroadcastable at scale), but the
-    // candidate id set is output-sized, so the reduced dimension is small.
-    // The joins below then shuffle candidate-sized relations only; Catalyst
-    // (with AQE) may still choose to broadcast the *reduced* side, which is
-    // the safe direction.
+    verifyJaccard(cands, sets, threshold)
+  }
+
+  /** The (doc_id, band, bucket) LSH assignment table shared by the pair
+    * and cluster forms. With `maxBucket > 0`, over-cap (band, bucket)
+    * cells thin deterministically to ≈ `maxBucket` survivors — the
+    * [[graft.operators.Similarity]] occupancy-census idiom: the census
+    * shuffle carries distinct buckets (map-side combined), only over-cap
+    * cells survive it (≤ corpus/maxBucket rows, broadcastable by
+    * construction), and thinning keys on `xxhash64(doc_id)` alone so a
+    * surviving doc keeps a CONSISTENT bucket membership across bands.
+    * Near-dup mass is exactly what fills a bucket past any cap, so the
+    * uncapped pairwise form is quadratic in the worst clique; the cap
+    * bounds candidate generation at maxBucket² per cell. APPROXIMATE on
+    * over-cap cells by design; under-cap cells are byte-identical.
+    */
+  private def bandedBuckets(
+      sets: DataFrame, // (doc_id, shingles, n)
+      numHashes: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(sets, numHashes)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    if (maxBucket <= 0) banded
+    else {
+      val heavy = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("occ"))
+        .where(col("occ") > maxBucket)
+        .select(col("band"), col("bucket"),
+          ceil(col("occ").cast("double") / maxBucket).cast("long")
+            .as("thin_rate"))
+      banded.join(broadcast(heavy), Seq("band", "bucket"), "left")
+        .where(col("thin_rate").isNull ||
+          pmod(xxhash64(col("doc_id")), col("thin_rate")) === 0)
+        .drop("thin_rate")
+    }
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: semi-join the shingle
+    * dimension down to the docs that actually appear in a candidate pair
+    * FIRST — the full dimension is corpus-sized (unbroadcastable at
+    * scale), but the candidate id set is output-sized, so the reduced
+    * dimension is small. The joins below then shuffle candidate-sized
+    * relations only; Catalyst (with AQE) may still choose to broadcast
+    * the *reduced* side, which is the safe direction.
+    */
+  private def verifyJaccard(
+      cands: DataFrame, // (id1, id2)
+      sets: DataFrame, // (doc_id, shingles, n)
+      threshold: Double): DataFrame = {
     val candIds = cands.select(col("id1").as("doc_id"))
       .union(cands.select(col("id2").as("doc_id")))
       .distinct()
@@ -168,6 +211,45 @@ object Dedup {
         round(col("common") / (col("n1") + col("n2") - col("common")), 6))
       .where(col("common") / (col("n1") + col("n2") - col("common")) >= threshold)
       .select("id1", "id2", "jaccard")
+  }
+
+  /** Representative-emitting MinHash near-dup CLUSTERS — the 100 TB form
+    * of [[minHashPairs]]. Any pair-enumerating plan is quadratic in the
+    * worst near-dup clique no matter how good the blocking (a 100-member
+    * clique is ~4,950 pairs); this variant never materializes the clique:
+    * each (band, bucket) cell emits STAR edges to the cell's minimum doc
+    * id — `occupancy − 1` edges where the pairwise form emits
+    * `occupancy²` — then exact Jaccard verifies the LINEAR edge set and
+    * [[connectedComponentsStar]] closes the transitive clusters in
+    * O(log diameter) rounds. Within a cell, star edges connect exactly
+    * the same member set as the full pairwise clique, so pre-verification
+    * connectivity is identical; post-verification the clusters are a
+    * REFINEMENT of the pair-graph components (every surviving star edge
+    * is a true ≥-threshold pair, but a spoke similar only to another
+    * spoke — not the hub — can split off). Output: (doc_id, component),
+    * component = min reachable doc id, like the other cluster forms.
+    */
+  def minHashClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k)
+      .where(size(col("shingles")) > 0)
+      .withColumn("n", size(col("shingles")))
+    val banded = bandedBuckets(sets, numHashes, bands, maxBucket = 0)
+    // one hub per cell via a whole-partition window min — ONE exchange of
+    // the assignment table, never a self-join
+    val edges = banded
+      .withColumn("hub",
+        min("doc_id").over(Window.partitionBy("band", "bucket")))
+      .where(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("id1"), col("doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    connectedComponentsStar(verifyJaccard(edges, sets, threshold))
   }
 
   /** 60-bit SimHash over (all, non-distinct) whitespace tokens, using the

@@ -203,12 +203,18 @@ object TextAnalysis {
     // census and the ranking join) — materialize it once; the scored
     // projection carries no text, so the checkpoint is rows × a few
     // numeric columns, the table a production pipeline would persist
-    // before ranking anyway
+    // before ranking anyway. LAZY (eager = false): materialization
+    // happens on the caller's first action, not at DataFrame
+    // construction — building the plan stays side-effect-free, and the
+    // blocks are computed only if the filter is actually executed.
+    // Callers own the lifecycle: blocks age out of the block manager
+    // under LRU; long-lived sessions issuing many distinct
+    // qualityFilter plans can unpersist via `df.rdd.unpersist()`.
     val scored = qualityScore(docs, idCol, textCol, keep = Seq(langCol))
       .withColumn("qb",
         least(floor(col("quality") * rankBuckets), lit(rankBuckets - 1))
           .cast("int"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val counts = scored.groupBy(col(langCol), col("qb"))
       .agg(count(lit(1)).as("bucket_n"))
     val wOff = org.apache.spark.sql.expressions.Window

@@ -2,7 +2,7 @@ package graft.promql
 
 import graft.Tsdb
 import graft.model.LabelMatcher
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor => cFloor, greatest, least, lit, round}
 
 /** A PromQL-shaped query language compiled onto the engine's operators —
@@ -55,8 +55,9 @@ import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor =>
   * aggOp     := sum|avg|min|max|count|stddev|stdvar
   *            | topk|bottomk|quantile|count_values
   * fn        := rate|increase|delta|resets|changes|irate|idelta|absent
-  *            | absent_over_time|predict_linear|histogram_quantile
+  *            | absent_over_time|predict_linear|histogram_quantile|deriv
   *            | (avg|min|max|sum|count|last)_over_time|quantile_over_time
+  * labelFn   := (label_replace|label_join) '(' expr (',' string)+ ')'
   * selector  := name ('{' matchers '}')? ('[' duration (':' duration)? ']')?
   *              ('offset' duration)?         // [range:step] = subquery
   * matcher   := label ('='|'!='|'=~'|'!~') quotedString
@@ -627,11 +628,12 @@ object PromQL {
 
   /** Compile and run `input` against `t` over `[start, end]` (epoch
     * seconds), like a Prometheus `query_range` call. The step grid comes
-    * from the selector's `[d]` range. `histogram_quantile` needs the
-    * cumulative bucket bounds passed via `buckets` (the engine buckets
-    * raw observations at query time — there is no precomputed `_bucket`
-    * metric to read bounds from). Unsupported compositions fail fast
-    * with a shape description, never a wrong answer.
+    * from the selector's `[d]` range. `histogram_quantile` takes its
+    * cumulative bucket bounds from `buckets` when supplied, else from
+    * the metric's `le` label domain on the series dimension (the
+    * Prometheus convention); the engine buckets raw observations at
+    * query time either way. Unsupported compositions fail fast with a
+    * shape description, never a wrong answer.
     */
   def query(
       t: Tsdb,
@@ -815,15 +817,41 @@ object PromQL {
     case "max" => "max_v"; case "count" => "n"
   }
 
-  /** Fail fast on a parsed-but-unthreaded `offset` modifier. As of
-    * round 5 nearly every shape threads offset (evaluate the shifted
-    * window, report at the requested grid); the holdouts are
-    * predict_linear / absent / histogram_quantile and the rollup-served
-    * forms (a rollup tier is bucket-aligned — an arbitrary offset
-    * cannot be served exactly). */
-  private def noOffset(sel: Selector, shape: String): Unit =
-    require(sel.offsetSec == 0,
-      s"offset is not supported for $shape")
+  /** `histogram_quantile` bucket bounds from the metric's `le` label
+    * domain on the series DIMENSION — the Prometheus convention (one
+    * series per cumulative bucket, `le` carrying the bound). Bounded by
+    * the bucket count, so the collect is driver-safe at any series
+    * cardinality; `+Inf` is implicit (the engine's catch-all bucket). */
+  private def leBounds(t: Tsdb, metric: String): Seq[Double] = {
+    import org.apache.spark.sql.functions.col
+    val vals = t.seriesMeta
+      .where(col("labels").getItem(Tsdb.MetricLabel) === metric)
+      .select(col("labels").getItem("le").as("le"))
+      .where(col("le").isNotNull && col("le") =!= "+Inf")
+      .distinct().collect().map(_.getString(0)).toSeq
+    val bounds = vals.flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .sorted
+    require(bounds.nonEmpty,
+      s"histogram_quantile needs bucket bounds: pass buckets = Seq(…) " +
+      s"to PromQL.query, or attach an `le` label domain to '$metric' " +
+      s"(no finite `le` values found on its series)")
+    bounds
+  }
+
+  /** The label-map rewrite a [[LabelFn]] node compiles to — pure
+    * map-side column work ([[graft.functions.LabelFunctions]]), so
+    * relabeling fuses into the enclosing scan or aggregation at zero
+    * extra shuffles. */
+  private def relabelOf(name: String, args: Seq[String]): Column => Column =
+    name match {
+      case "label_replace" =>
+        val Seq(dst, repl, src, regex) = args
+        c => graft.functions.LabelFunctions.labelReplace(
+          c, dst, repl, src, regex)
+      case _ =>
+        val dst +: sep +: srcs = args: @unchecked
+        c => graft.functions.LabelFunctions.labelJoin(c, dst, sep, srcs)
+    }
 
   /** The label grouping a compiled vector side carries — the set-op /
     * match key. Follows through scalar arithmetic, threshold filters and
@@ -882,21 +910,18 @@ object PromQL {
       // rollup-served forms first: the same strings, the downsampled tier
       case Agg(op, _, _, by, sel: Selector, _)
           if rollupStep.isDefined && MomentAggs(op) =>
-        noOffset(sel, s"rollup-served $op by")
         t.aggregateByFromRollup(checkRollupStep(sel, rollupStep.get),
-          sel.metric, sel.matchers, start, end, by)
+          sel.metric, sel.matchers, start, end, by, sel.offsetSec)
       case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
           Agg("sum", _, _, byB, b: Selector, _), _, false, false)
           if rollupStep.isDefined && ArithOps(op) =>
         require(byA == byB,
           s"vector-match sides must aggregate by the same labels: " +
           s"$byA vs $byB")
-        noOffset(a, "rollup-served vector match")
-        noOffset(b, "rollup-served vector match")
         checkRollupStep(b, rollupStep.get)
         t.binaryOpByFromRollup(checkRollupStep(a, rollupStep.get),
           a.metric, b.metric, a.matchers, b.matchers, start, end,
-          byA)(arith(op))
+          byA, a.offsetSec, b.offsetSec)(arith(op))
 
       // scalar arithmetic / threshold filters recurse on their vector
       // side, so they sit ABOVE the rollup catch-all and compose with
@@ -973,6 +998,24 @@ object PromQL {
       case Agg(op, _, _, by, sel: Selector, _) if MomentAggs(op) =>
         t.aggregateBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"$op by"), sel.offsetSec)
+
+      // moment aggregations over a RELABELED selector — the recording-rule
+      // shape `sum by (dst)(label_replace(x[step], …))`. The rewrite runs
+      // map-side BEFORE the grouping (matchers still see the original
+      // labels, like Prometheus), so it fuses into the same single hash
+      // aggregation at zero extra shuffles.
+      case Agg(op, _, _, by, LabelFn(name, sel: Selector, args), _)
+          if MomentAggs(op) =>
+        t.aggregateBy(sel.metric, sel.matchers, start, end, by,
+          stepOf(sel, s"$op by ($name)"), sel.offsetSec,
+          relabel = relabelOf(name, args))
+
+      // bare label_replace/label_join over a selector: the raw range scan
+      // with the label map rewritten in flight
+      case LabelFn(name, sel: Selector, args) =>
+        t.queryRange(sel.metric, sel.matchers,
+            start - sel.offsetSec, end - sel.offsetSec)
+          .withColumn("labels", relabelOf(name, args)(col("labels")))
 
       case Agg(op, _, _, by, sel: Selector, _)
           if op == "stddev" || op == "stdvar" =>
@@ -1061,13 +1104,21 @@ object PromQL {
           stepOf(sel, "quantile_over_time"), q, sel.offsetSec)
 
       case RangeFn("predict_linear", _, sel, by, Some(atSec)) =>
-        noOffset(sel, "predict_linear")
         t.predictLinear(sel.metric, sel.matchers, start, end, by,
-          end + atSec)
+          end + atSec, sel.offsetSec)
+
+      // deriv() is the slope-only projection of the same exact-decimal
+      // regression moments — one hash aggregation, per-series when no
+      // trailing `by` (the metric's label-key universe, like bare rate)
+      case RangeFn("deriv", _, sel, by, _) =>
+        val keys = if (by.nonEmpty) by else labelKeys(t, sel.metric)
+        t.predictLinear(sel.metric, sel.matchers, start, end, keys,
+            end, sel.offsetSec)
+          .select(keys.map(col) ++ Seq(col("n"), col("slope_per_sec")): _*)
 
       case RangeFn("absent", _, sel, _, _) =>
-        noOffset(sel, "absent")
-        t.absentRange(sel.metric, sel.matchers, start, end)
+        t.absentRange(sel.metric, sel.matchers,
+          start - sel.offsetSec, end - sel.offsetSec)
 
       case RangeFn("absent_over_time", _, sel, _, _) =>
         t.absentOverTime(sel.metric, sel.matchers, start, end,
@@ -1075,12 +1126,12 @@ object PromQL {
           stepOf(sel, "absent_over_time"), sel.offsetSec)
 
       case RangeFn("histogram_quantile", Some(phi), sel, by, _) =>
-        noOffset(sel, "histogram_quantile")
-        require(buckets.nonEmpty,
-          "histogram_quantile needs bucket bounds: pass buckets = Seq(…) " +
-          "to PromQL.query (raw observations are bucketed at query time)")
+        // bounds come from the caller, or — the Prometheus dialect — from
+        // the metric's `le` label domain on the series DIMENSION (a
+        // driver-bounded distinct over label values, the labelKeys idiom)
+        val bounds = if (buckets.nonEmpty) buckets else leBounds(t, sel.metric)
         t.histogramQuantile(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "histogram_quantile"), phi, buckets)
+          stepOf(sel, "histogram_quantile"), phi, bounds, sel.offsetSec)
 
       // one-to-many matching: A op on (l) group_left B — the right side
       // aggregates at the on-label grain, the result keeps A's labels.

@@ -5,17 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-shared parquet tables (`TESTDATA.md`).
   *
-  * `events.ts` is written as parquet `TIMESTAMP(NANOS)`, which Spark's
-  * vectorized reader rejects by default; `spark.sql.legacy.parquet
-  * .nanosAsLong=true` reads it as an epoch-nanos Long. We set that conf
-  * defensively at read time (it is a runtime SQL conf) because the driver
-  * owns the SparkSession. Derived column `ts_s` = exact integer-division
-  * epoch seconds, matching DuckDB's `epoch_ns(ts) // 1000000000`.
+  * `events.ts` has been written by the driver as either parquet
+  * `TIMESTAMP(NANOS)` (older corpora — Spark's vectorized reader rejects
+  * it unless `spark.sql.legacy.parquet.nanosAsLong=true` reads it as an
+  * epoch-nanos Long) or `timestamp[us]` (current corpora — Spark reads
+  * TIMESTAMP_NTZ). [[events]] derives the same `ts_s` exact epoch-seconds
+  * column from either physical type, matching DuckDB's
+  * `epoch_ns(ts) // 1000000000` on the same file: the session timezone is
+  * pinned to UTC so a naive timestamp means the same instant in both
+  * engines. All confs are set defensively at read time (runtime SQL
+  * confs) because the driver owns the SparkSession.
   */
 object Tables {
 
   private def withNanos(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // naive (NTZ) timestamps are UTC instants, exactly as DuckDB's
+    // epoch_ns treats them
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // map_concat must overwrite duplicate keys, like the reference's label
     // folding (label.go:221-228).
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
@@ -25,10 +32,20 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     withNanos(spark).read.parquet(s"$dir/$name.parquet")
 
-  /** Events with `ts` = epoch-nanos Long and derived `ts_s` epoch seconds. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "events")
+  /** Events with `ts` NORMALIZED to an epoch-nanos Long (matching
+    * DuckDB's `epoch_ns(ts)` on the same file, whatever the physical
+    * type) and derived `ts_s` epoch seconds (floor). Downstream
+    * consumers — as-of ordering keys, csv round-trips, scale tools —
+    * always see the Long form. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    val tsNanos = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => expr("unix_micros(cast(ts as timestamp)) * 1000")
+    }
+    raw.withColumn("ts", tsNanos)
       .withColumn("ts_s", expr("ts div 1000000000"))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")

@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.Tsdb
+import graft.model.TsdbConf
+import graft.sources.Tables
+
+/** Ingest-throughput benchmark vs the reference's one hard number:
+  * mandodb publishes ~400k rows/s single-node ingest (BASELINE.md:8,
+  * reference README bench section). This main measures the engine's two
+  * write paths at the same scale point and prints ONE JSON line:
+  *
+  *  - `batch_rows_per_sec`: [[Tsdb.insertRows]] of an in-memory
+  *    `SPARK_GRAFT_INGEST_X`-times-replicated sf0.1 events corpus
+  *    (distinct series per replica, second-jittered timestamps) into a
+  *    fresh zstd store — normalize + seg-partitioned durable parquet +
+  *    series-dimension upsert, end to end.
+  *  - `stream_rows_per_sec`: [[graft.streaming.Ingest.ingestStream]]
+  *    micro-batches (MemoryStream → foreachBatch(insertRows)) over
+  *    `batches` replicas of the same corpus — the batch path plus
+  *    per-commit overhead, which is what a metrics pipeline sustains.
+  *
+  * Config is printed alongside (local[cpus], shuffle partitions, rows),
+  * so the number can sit beside the reference's with its conditions
+  * stated. Not part of the driver sweep — run ad hoc, record in
+  * bench_history_r{N}.json.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_INGEST_X", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the sample-shaped corpus, replicated with DISTINCT series per copy
+    // (user_id offset) and jittered seconds — ingest cost scales in both
+    // rows and series, like a real fleet growing
+    val base = Tables.events(spark, sfDir)
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        col("event_type").as("metric"),
+        map(lit("user_id"),
+          (col("user_id") + col("copy") * 150).cast("string")).as("labels"),
+        (col("ts_s") + col("copy")).as("ts"),
+        col("value"))
+      .localCheckpoint() // materialize: time the WRITE path, not the read
+    val n = base.count()
+
+    def freshTsdb() = new Tsdb(spark, TsdbConf(
+      dataPath = java.nio.file.Files.createTempDirectory("ingest_bench")
+        .toString,
+      compression = "zstd", segmentDuration = 86400L))
+
+    // batch path
+    val tb = freshTsdb()
+    val t0 = System.nanoTime()
+    tb.insertRows(base)
+    val batchSec = (System.nanoTime() - t0) / 1e9
+    val batchRate = n / batchSec
+
+    // streaming path: one micro-batch per replica of the sf0.1 corpus
+    // (collected rows re-fed through a MemoryStream — the driver-side
+    // feed is outside the timed foreachBatch writes)
+    val batchRows = Tables.events(spark, sfDir)
+      .select(col("event_type").as("metric"), col("user_id"),
+        col("ts_s").as("ts"), col("value"))
+      .as[(String, Long, Long, Double)].collect()
+    val nb = math.min(factor, 5)
+    val mem = MemoryStream[(String, Long, Long, Double)]
+    val src = mem.toDF().toDF("metric", "user_id", "ts", "value")
+      .withColumn("labels", map(lit("user_id"), col("user_id").cast("string")))
+      .drop("user_id")
+    val ts = freshTsdb()
+    val t1 = System.nanoTime()
+    val q = graft.streaming.Ingest.ingestStream(ts, src,
+      java.nio.file.Files.createTempDirectory("ingest_ckpt").toString,
+      triggerMs = 50L)
+    (0 until nb).foreach { c =>
+      mem.addData(batchRows.iterator.map { case (m, u, t, v) =>
+        (m, u + c * 150L, t + c, v) }.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamSec = (System.nanoTime() - t1) / 1e9
+    val streamRows = nb.toLong * batchRows.length
+    val streamRate = streamRows / streamSec
+
+    println(
+      s"""{"metric":"ingest","batch_rows":$n,"batch_sec":$batchSec,""" +
+      s""""batch_rows_per_sec":${batchRate.toLong},""" +
+      s""""stream_rows":$streamRows,"stream_sec":$streamSec,""" +
+      s""""stream_rows_per_sec":${streamRate.toLong},""" +
+      s""""micro_batches":$nb,"config":"local[$cpus], shuffle=$cpus, """ +
+      s"""zstd, seg=86400s, sf=$sfDir x$factor"}""")
+    spark.stop()
+  }
+}

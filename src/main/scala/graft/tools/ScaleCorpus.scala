@@ -82,10 +82,13 @@ object ScaleCorpus {
       .withColumn("l_orderkey", col("l_orderkey") * factor + col("copy"))
       .drop("copy"), 32)
 
-    write("events", copies(read("events"), factor)
+    write("events", copies(graft.sources.Tables.events(spark, src), factor)
       .select(
         (col("event_id") * factor + col("copy")).as("event_id"),
-        (col("ts") + col("copy")).as("ts"),
+        // +copy ns jitter on a second-truncated epoch-nanos BIGINT —
+        // ts_s is unchanged and the write is physical-type-agnostic
+        // (the source ts may be an epoch-nanos Long or a timestamp)
+        (col("ts_s") * 1000000000L + col("copy")).as("ts"),
         (col("user_id") + col("copy") * (1L << 20)).as("user_id"),
         col("event_type"), col("value"), col("props")), 32)
 

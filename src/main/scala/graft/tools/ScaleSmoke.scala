@@ -144,11 +144,14 @@ object ScaleSmoke {
       .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
       .select(
         (col("event_id") * factor + col("copy")).as("event_id"),
-        (col("ts") + col("copy")).as("ts"),
+        // +copy ns jitter on a second-truncated epoch: ts_s is unchanged,
+        // and the arithmetic is physical-type-agnostic (ts may be an
+        // epoch-nanos Long or a timestamp in the source parquet)
+        (col("ts_s") * 1000000000L + col("copy")).as("ts"),
         (col("user_id") + col("copy") * 150).as("user_id"),
         col("event_type"),
         col("value"),
-        expr("(ts + copy) div 1000000000").as("ts_s"))
+        col("ts_s"))
     suite("100x", big)
     spark.stop()
   }

@@ -22,7 +22,8 @@ class EntrySpec extends SparkSuite {
       "ann_topk_lsh", "ann_topk_ivf", "q_approx_distinct",
       "q_approx_percentile",
       "dedup_embedding_lsh", "dedup_embedding_ivf",
-      "ann_clustered_agg", "ann_clustered_lsh", "ann_clustered_ivf"))
+      "ann_clustered_agg", "ann_clustered_lsh", "ann_clustered_ivf",
+      "dedup_minhash_capped", "dedup_minhash_clusters"))
   }
 
   test("every query runs and returns rows at sf0.001") {

@@ -29,6 +29,55 @@ class OperatorSpec extends SparkSuite {
     assert(lsh == exactPairs)
   }
 
+  test("capped minhash pairs are a deterministic subset of the exact " +
+      "join; under-cap corpora are byte-identical") {
+    val capped = Dedup.minHashPairs(docs, "doc_id", "text", 3, 0.8,
+        maxBucket = 16)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is a true >=-threshold pair (verification is
+    // exact; the cap can only REMOVE candidates)
+    assert(capped.subsetOf(exactPairs), "cap emitted a non-exact pair")
+    // deterministic: same thinning twice
+    val again = Dedup.minHashPairs(docs, "doc_id", "text", 3, 0.8,
+        maxBucket = 16)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == again)
+    // a cap far above any cell occupancy changes nothing
+    val loose = Dedup.minHashPairs(docs, "doc_id", "text", 3, 0.8,
+        maxBucket = 1000000)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == exactPairs)
+  }
+
+  test("minhash star clusters refine the exact pair-graph components " +
+      "and bound per-cell edge emission linearly") {
+    val exactComp = Dedup.connectedComponentsStar(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.minHashClusters(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // refinement: docs the star form co-clusters are co-clustered exactly
+    // (every surviving star edge is a true >=-threshold pair)
+    assert(star.keySet.subsetOf(exactComp.keySet))
+    star.groupBy(_._2).values.foreach { members =>
+      val exactLabels = members.keys.map(exactComp).toSet
+      assert(exactLabels.size == 1,
+        s"star cluster spans exact components: $members")
+    }
+    // on the fixture's high-J near-dup groups the star form loses
+    // nothing: identical doc coverage and identical clusters
+    assert(star.keySet == exactComp.keySet,
+      s"star coverage ${star.keySet.size} vs exact ${exactComp.keySet.size}")
+    val starGroups =
+      star.groupBy(_._2).values.map(_.keys.toSet).toSet
+    val exactGroups =
+      exactComp.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(starGroups == exactGroups)
+  }
+
   test("connected components equals driver-side union-find") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
     val got = Dedup.connectedComponents(pairs)

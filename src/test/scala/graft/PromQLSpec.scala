@@ -490,16 +490,47 @@ class PromQLSpec extends SparkSuite {
         offsetA = 86400L, offsetB = 0L)((a, b) => round(a / b, 6)))
   }
 
-  test("offset on the remaining unthreaded shapes still fails fast") {
-    val bad = Seq(
-      "predict_linear(click[1h] offset 1h, 1h) by (user_id)",
-      "absent(no_such_metric offset 1h)",
-      "histogram_quantile(0.9, click[1h] offset 1h) by (cohort)")
-    bad.foreach { q =>
-      val e = intercept[IllegalArgumentException](
-        PromQL.query(t, q, T0, T1, Seq(5.0, 10.0)))
-      assert(e.getMessage.contains("offset"), s"no offset error for: $q")
-    }
+  test("offset threads through the formerly fail-fast shapes: " +
+      "predict_linear / absent / histogram_quantile") {
+    val o = 86400L
+    val S = T0 + o
+    // predict_linear offset 1d == the direct fit over the shifted window
+    // with the SAME horizon from the shifted origin (xp is offset-free)
+    assertSame(
+      PromQL.query(t,
+        "predict_linear(click[1h] offset 1d, 3600) by (user_id)", S, T1),
+      t.predictLinear("click", Seq.empty, S, T1, Seq("user_id"),
+        T1 + 3600L, o))
+    // absent offset: the shifted window decides presence
+    assert(PromQL.query(t, "absent(no_such_metric offset 1d)", S, T1)
+      .count() == 1L)
+    assert(PromQL.query(t, "absent(click offset 1d)", S, T1).count() == 0L)
+    // histogram_quantile offset: shifted scan, requested grid
+    assertSame(
+      PromQL.query(t,
+        "histogram_quantile(0.9, click[1h] offset 1d) by (cohort)",
+        S, T1, Seq(5.0, 10.0, 25.0)),
+      t.histogramQuantile("click", Seq.empty, S, T1, Seq("cohort"),
+        3600L, 0.9, Seq(5.0, 10.0, 25.0), o))
+  }
+
+  test("offset on a rollup-served shape: bucket-multiple exact, " +
+      "non-multiple loud") {
+    val path = tempDir("promql_rollup_offset")
+    val disk = new Tsdb(spark, graft.model.TsdbConf(
+      dataPath = path, compression = "zstd", segmentDuration = 86400L))
+    disk.insertRows(events)
+    disk.materializeRollup(3600L)
+    val q = "sum by (cohort) (click[1h] offset 1d)"
+    // day-over-day from the tier == the raw path exactly
+    assertSame(
+      PromQL.queryFromRollup(disk, q, T0 + 86400L, T1, 3600L),
+      PromQL.query(disk, q, T0 + 86400L, T1))
+    // a sub-bucket offset cannot be served exactly from an hourly tier
+    val e = intercept[IllegalArgumentException](
+      PromQL.queryFromRollup(disk,
+        "sum by (cohort) (click[1h] offset 30m)", T0 + 86400L, T1, 3600L))
+    assert(e.getMessage.contains("multiple"))
   }
 
   test("""count_values rejects output labels other than "value"""") {
@@ -606,5 +637,103 @@ class PromQLSpec extends SparkSuite {
         PromQL.query(t, q, T0, T1).collect())
       assert(e.getMessage.nonEmpty)
     }
+  }
+
+  test("deriv == predictLinear's slope projection; threads offset") {
+    assertSame(
+      PromQL.query(t, "deriv(click[7d]) by (user_id)", T0, T1),
+      t.predictLinear("click", Seq.empty, T0, T1, Seq("user_id"), T1)
+        .select(col("user_id"), col("n"), col("slope_per_sec")))
+    // bare deriv groups by the full label-key universe, like bare rate
+    assert(PromQL.query(t, "deriv(click[7d])", T0, T1).columns.toSeq ==
+      Seq("cohort", "user_id", "n", "slope_per_sec"))
+    // slope is invariant under a pure time shift of the same points:
+    // offset 1d over [T0+2d, T1] fits exactly the [T0+1d, T1-1d] window
+    assertSame(
+      PromQL.query(t, "deriv(click[5d] offset 1d) by (user_id)",
+        T0 + 2 * 86400L, T1),
+      t.predictLinear("click", Seq.empty, T0 + 86400L, T1 - 86400L,
+          Seq("user_id"), T1 - 86400L)
+        .select(col("user_id"), col("n"), col("slope_per_sec")))
+  }
+
+  test("label_replace / label_join are parser-reachable, bare and " +
+      "under an aggregation") {
+    // bare: the raw scan with the label map rewritten in flight
+    val bare = PromQL.query(t,
+      """label_replace(click, "band", "$1", "user_id", "(\\d)\\d*")""",
+      T0, T1)
+    val direct = t.queryRange("click", Seq.empty, T0, T1)
+      .withColumn("labels", graft.functions.LabelFunctions.labelReplace(
+        col("labels"), "band", "$1", "user_id", "(\\d)\\d*"))
+    assert(bare.columns.toSeq == direct.columns.toSeq)
+    assert(bare.select(col("labels").getItem("band")).distinct().count() ==
+      direct.select(col("labels").getItem("band")).distinct().count())
+    // under sum by: fuses into aggregateBy's single hash aggregation
+    assertSame(
+      PromQL.query(t,
+        """sum by (band) (label_replace(click[1d], "band", "$1", """ +
+          """"user_id", "(\\d)\\d*"))""", T0, T1),
+      t.aggregateBy("click", Seq.empty, T0, T1, Seq("band"), 86400L,
+        relabel = c => graft.functions.LabelFunctions.labelReplace(
+          c, "band", "$1", "user_id", "(\\d)\\d*")))
+    assertSame(
+      PromQL.query(t,
+        """sum by (key) (label_join(click[1d], "key", "-", "cohort", """ +
+          """"user_id"))""", T0, T1),
+      t.aggregateBy("click", Seq.empty, T0, T1, Seq("key"), 86400L,
+        relabel = c => graft.functions.LabelFunctions.labelJoin(
+          c, "key", "-", Seq("cohort", "user_id"))))
+    // parse-render round-trip holds with escaped string args
+    val s = """sum by (band) (label_replace(click[1d], "band", "$1", """ +
+      """"user_id", "(\\d)\\d*"))"""
+    assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
+  }
+
+  test("histogram_quantile bounds resolve from the le label domain") {
+    // a histogram-shaped metric: one series per cumulative bucket, the
+    // bound carried on the `le` label (the Prometheus convention)
+    val bounds = Seq(5.0, 10.0, 25.0)
+    val hist = events.where(col("metric") === "click")
+      .withColumn("labels", map_concat(col("labels"),
+        map(lit("le"), when(col("value") <= 5.0, "5")
+          .when(col("value") <= 10.0, "10")
+          .when(col("value") <= 25.0, "25").otherwise("+Inf"))))
+    val th = Tsdb.attach(spark, hist)
+    assertSame(
+      PromQL.query(th, "histogram_quantile(0.9, click[1h]) by (cohort)",
+        T0, T1),
+      th.histogramQuantile("click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L, 0.9, bounds))
+    // a metric with no le domain still demands explicit bounds
+    val e = intercept[IllegalArgumentException](
+      PromQL.query(t, "histogram_quantile(0.9, click[1h]) by (cohort)",
+        T0, T1))
+    assert(e.getMessage.contains("le"))
+  }
+
+  test("operator precedence follows Prometheus's ladder; parentheses " +
+      "override") {
+    // `a - b * 100` groups the multiply first (the round-5 flat ladder
+    // mis-grouped this as `(a - b) * 100`)
+    assert(PromQL.parse("a - b * 100") == PromQL.parse("a - (b * 100)"))
+    assert(PromQL.parse("a - b * 100") != PromQL.parse("(a - b) * 100"))
+    // `or` binds looser than `and`/`unless`
+    assert(PromQL.parse("a or b and c") == PromQL.parse("a or (b and c)"))
+    assert(PromQL.parse("a unless b or c") ==
+      PromQL.parse("(a unless b) or c"))
+    // comparison sits between the set ops and arithmetic
+    assert(PromQL.parse("a > b + 5") == PromQL.parse("a > (b + 5)"))
+    // render emits the parentheses the ladder needs: round-trip is exact
+    Seq("a - (b * 100)", "(a - b) * 100", "a or (b and c)",
+        "(a or b) and c").foreach { s =>
+      val ast = PromQL.parse(s)
+      assert(PromQL.parse(PromQL.render(ast)) == ast, s"round-trip: $s")
+    }
+    // a chained compilable shape still evaluates left-to-right per level
+    val base = "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])"
+    assertSame(
+      PromQL.query(t, s"$base * 100 - 5", T0, T1),
+      PromQL.query(t, s"($base * 100) - 5", T0, T1))
   }
 }
