@@ -72,6 +72,32 @@ object IngestBench {
     val batchSec = (System.nanoTime() - t0) / 1e9
     val batchRate = n / batchSec
 
+    // head-buffered path — the reference's memory-segment append
+    // (memory_segment.go), which is what its ~400k rows/s ingest number
+    // measures: rows land in the queryable in-memory head; durability is
+    // the separate flush. Timed as `factor` micro-batches of the sf0.1
+    // corpus, then the flush reported on its own.
+    val th = freshTsdb()
+    // ten micro-batches of n/10 rows each, materialized OUTSIDE the
+    // timed region — the timer measures the head append, not the
+    // slicing scan; batch size (not count) is what amortizes per-job
+    // overhead, so the rate reflects the corpus scale under test
+    val nSlices = 10
+    val slices = (0 until nSlices).map { c =>
+      val s = base.where(
+        pmod(xxhash64(col("labels")("user_id")), lit(nSlices)) === c)
+        .localCheckpoint()
+      s.count()
+      s
+    }
+    val t2 = System.nanoTime()
+    slices.foreach(th.insertHeadRows(_))
+    val headSec = (System.nanoTime() - t2) / 1e9
+    val headRate = n / headSec
+    val t3 = System.nanoTime()
+    th.flushHead()
+    val flushSec = (System.nanoTime() - t3) / 1e9
+
     // streaming path: one micro-batch per replica of the sf0.1 corpus
     // (collected rows re-fed through a MemoryStream — the driver-side
     // feed is outside the timed foreachBatch writes)
@@ -102,6 +128,8 @@ object IngestBench {
     println(
       s"""{"metric":"ingest","batch_rows":$n,"batch_sec":$batchSec,""" +
       s""""batch_rows_per_sec":${batchRate.toLong},""" +
+      s""""head_rows_per_sec":${headRate.toLong},"head_sec":$headSec,""" +
+      s""""flush_sec":$flushSec,""" +
       s""""stream_rows":$streamRows,"stream_sec":$streamSec,""" +
       s""""stream_rows_per_sec":${streamRate.toLong},""" +
       s""""micro_batches":$nb,"config":"local[$cpus], shuffle=$cpus, """ +

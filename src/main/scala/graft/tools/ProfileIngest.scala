@@ -23,11 +23,16 @@ object ProfileIngest {
       val t0 = System.nanoTime(); val r = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val rows = Tables.events(spark, "/root/testdata/sf0.1").select(
-      col("event_type").as("metric"),
-      map(lit("user_id"), col("user_id").cast("string")).as("labels"),
-      col("ts_s").as("ts"),
-      col("value"))
+    val factor = sys.env.getOrElse("SPARK_GRAFT_INGEST_X", "1").toInt
+    val rows = Tables.events(spark, "/root/testdata/sf0.1")
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        col("event_type").as("metric"),
+        map(lit("user_id"),
+          (col("user_id") + col("copy") * 150).cast("string")).as("labels"),
+        (col("ts_s") + col("copy")).as("ts"),
+        col("value"))
+      .localCheckpoint()
     time("warm read")(rows.count())
     val t = new Tsdb(spark, TsdbConf(
       dataPath = java.nio.file.Files.createTempDirectory("pi").toString))
