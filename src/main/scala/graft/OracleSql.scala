@@ -1362,6 +1362,85 @@ object OracleSql {
        |         AS stddev
        |FROM m ORDER BY cohort, bucket_start""".stripMargin
 
+  /** Shared grid-join CTE prefix for the over_time window oracles: the
+    * naive eval-grid join the Spark side's map-side explode replaces,
+    * with the full-lookback scan reach-back (window 2h, grid 1h).
+    */
+  private def overTimeCtes(extraCols: String = ""): String =
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         CAST(user_id AS BIGINT) AS user_id,
+       |         $tsS AS ts_s, value$extraCols
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - 7200 + 1} AND $T1),
+       |grid AS (SELECT unnest(range($T0, $T1 + 1, 3600)) AS eval_ts),
+       |j AS (
+       |  SELECT * FROM ev JOIN grid
+       |    ON ev.ts_s <= grid.eval_ts AND ev.ts_s > grid.eval_ts - 7200)""".stripMargin
+
+  /** stdvar/stddev_over_time mirror: the tsdbStddev integer-cents
+    * moment scheme applied per (series-group, eval point) of the
+    * over_time grid join — identical double op order, round(…,6).
+    */
+  private val tsdbPromqlStdvarOverTime =
+    overTimeCtes(",\n         CAST(round(value * 100) AS BIGINT) AS cents") +
+    s""",
+       |m AS (
+       |  SELECT cohort, user_id, eval_ts, count(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS sum_c,
+       |         CAST(SUM(cents * cents) AS BIGINT) AS sum2_c
+       |  FROM j GROUP BY 1, 2, 3)
+       |SELECT cohort, user_id, eval_ts, n,
+       |       round((CAST(sum2_c AS DOUBLE) / CAST(n AS DOUBLE) -
+       |              (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |              (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))) / 1e4, 6)
+       |         AS stdvar_v,
+       |       round(sqrt((CAST(sum2_c AS DOUBLE) / CAST(n AS DOUBLE) -
+       |              (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |              (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))) / 1e4), 6)
+       |         AS stddev_v
+       |FROM m ORDER BY cohort, user_id, eval_ts""".stripMargin
+
+  /** present_over_time mirror: one 1.0 row per (series-group, eval
+    * point) holding at least one windowed sample. */
+  private val tsdbPromqlPresentOverTime =
+    overTimeCtes() +
+    s"""
+       |SELECT DISTINCT cohort, user_id, eval_ts,
+       |       CAST(1.0 AS DOUBLE) AS present_v
+       |FROM j ORDER BY cohort, user_id, eval_ts""".stripMargin
+
+  /** avg_over_time threshold mirror: the over_time grid join filtered
+    * post-aggregation on the DECIMAL-exact mean, PromQL drop
+    * semantics. */
+  private val tsdbPromqlOverTimeThreshold =
+    overTimeCtes() +
+    s""",
+       |m AS (
+       |  SELECT cohort, user_id, eval_ts, count(*) AS n,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+       |           count(*) AS avg_v
+       |  FROM j GROUP BY 1, 2, 3)
+       |SELECT * FROM m WHERE avg_v > 50
+       |ORDER BY cohort, user_id, eval_ts""".stripMargin
+
+  /** round(clamp(sum, lo, hi), 10) mirror: DECIMAL-exact daily sums,
+    * then the same single IEEE ops — LEAST/GREATEST band, Prometheus
+    * ties-up rounding floor(v/to + 0.5)*to. */
+  private val tsdbPromqlMathChain =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2)
+       |SELECT cohort, bucket_start,
+       |       floor(LEAST(GREATEST(sum_v, 1000.0), 100000.0) / 10.0 + 0.5)
+       |         * 10.0 AS result
+       |FROM a ORDER BY cohort, bucket_start""".stripMargin
+
   /** absent() both directions: marker row for the dead selector, empty
     * for the live one.
     */
@@ -1910,6 +1989,10 @@ object OracleSql {
     "tsdb_bottomk" -> tsdbBottomk,
     "tsdb_count_values" -> tsdbCountValues,
     "tsdb_over_time" -> tsdbOverTime,
+    "tsdb_promql_stdvar_over_time" -> tsdbPromqlStdvarOverTime,
+    "tsdb_promql_present_over_time" -> tsdbPromqlPresentOverTime,
+    "tsdb_promql_overtime_threshold" -> tsdbPromqlOverTimeThreshold,
+    "tsdb_promql_math_chain" -> tsdbPromqlMathChain,
     "tsdb_stddev" -> tsdbStddev,
     "tsdb_absent" -> tsdbAbsent,
     "tsdb_resets" -> tsdbResets,

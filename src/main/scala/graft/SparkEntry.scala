@@ -590,6 +590,62 @@ object SparkEntry {
       .stddevBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
       .orderBy("cohort", "bucket_start")
 
+  /** `stdvar_over_time(click[2h:1h])` through the string front-end:
+    * population spread on the sliding eval grid — the integer-cents
+    * moment sums ride [[graft.Tsdb.overTimeBy]]'s single hash
+    * aggregation (`spread = true`), no second pass over the window.
+    */
+  private def qTsdbPromqlStdvarOverTime(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "stdvar_over_time(click[7200:3600]) by (cohort, user_id)", T0, T1)
+      .select(col("cohort"), col("user_id").cast("long").as("user_id"),
+        col("eval_ts"), col("n"), col("stdvar_v"), col("stddev_v"))
+      .orderBy("cohort", "user_id", "eval_ts")
+
+  /** `present_over_time(click[2h:1h])`: 1.0 at every eval point whose
+    * lookback window holds a sample — the positive twin of
+    * `absent_over_time`, a projection of the same bounded explode +
+    * one hash aggregation.
+    */
+  private def qTsdbPromqlPresentOverTime(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "present_over_time(click[7200:3600]) by (cohort, user_id)", T0, T1)
+      .select(col("cohort"), col("user_id").cast("long").as("user_id"),
+        col("eval_ts"), col("present_v"))
+      .orderBy("cohort", "user_id", "eval_ts")
+
+  /** `round(clamp(sum by (cohort)(click[1d]), 1000, 100000), 10)`: the
+    * pointwise math family composed over an aggregation — clamp to a
+    * band, then round to the nearest 10 (Prometheus ties-up rounding,
+    * `floor(v/to + 0.5)*to`) — all map-side over aggregateBy's single
+    * hash aggregation.
+    */
+  private def qTsdbPromqlMathChain(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "round(clamp(sum by (cohort) (click[1d]), 1000, 100000), 10)",
+      T0, T1)
+      .select(col("cohort"), col("bucket_start"), col("result"))
+      .orderBy("cohort", "bucket_start")
+
+  /** `avg_over_time(click[2h:1h]) > 50`: threshold filtering over the
+    * windowed moment family — the comparison rides the eval-grid
+    * aggregation as a post-aggregation filter, PromQL drop semantics.
+    */
+  private def qTsdbPromqlOverTimeThreshold(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "avg_over_time(click[7200:3600]) by (cohort, user_id) > 50",
+      T0, T1)
+      .select(col("cohort"), col("user_id").cast("long").as("user_id"),
+        col("eval_ts"), col("n"), col("avg_v"))
+      .orderBy("cohort", "user_id", "eval_ts")
+
   /** PromQL `absent()` both ways: a selector with no matching samples
     * yields the 1.0 marker row; a live selector yields nothing.
     */
@@ -1848,6 +1904,10 @@ object SparkEntry {
     "tsdb_count_values" -> (qTsdbCountValues _),
     "tsdb_over_time" -> (qTsdbOverTime _),
     "tsdb_stddev" -> (qTsdbStddev _),
+    "tsdb_promql_stdvar_over_time" -> (qTsdbPromqlStdvarOverTime _),
+    "tsdb_promql_present_over_time" -> (qTsdbPromqlPresentOverTime _),
+    "tsdb_promql_math_chain" -> (qTsdbPromqlMathChain _),
+    "tsdb_promql_overtime_threshold" -> (qTsdbPromqlOverTimeThreshold _),
     "tsdb_absent" -> (qTsdbAbsent _),
     "tsdb_resets" -> (qTsdbResets _),
     "tsdb_changes" -> (qTsdbChanges _),

@@ -1388,7 +1388,9 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * within `[start, end]`), the avg/min/max/sum/count/last of each
     * series' raw samples in the PromQL lookback window `(e - rangeSec,
     * e]`. Returns all six moments in one pass — callers project the one
-    * they asked for.
+    * they asked for. `spread = true` adds `stdvar_v`/`stddev_v`
+    * (population, like Prometheus's `stddev_over_time`) to the SAME
+    * hash aggregation via the [[stddevBy]] integer-cents scheme.
     *
     * Scale shape: each sample map-side `explode`s into the at most
     * `rangeSec/stepSec + 1` eval points whose windows contain it
@@ -1407,7 +1409,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       byLabels: Seq[String],
       stepSec: Long,
       rangeSec: Long,
-      offsetSec: Long = 0L): DataFrame = {
+      offsetSec: Long = 0L,
+      spread: Boolean = false): DataFrame = {
     require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
     require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     // eval grid: e = k*stepSec with start <= e <= end; sample ts
@@ -1431,26 +1434,47 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     // points within rangeSec of the range start still see their whole
     // PromQL window (e - rangeSec, e] — scanning only [start, end] would
     // silently under-fill the first windows
-    queryRange(metric, matchers, start0 - rangeSec + 1, end0)
+    val windowed = queryRange(metric, matchers, start0 - rangeSec + 1, end0)
       .withColumn("e0", greatest(firstEval, lit(gridStart)))
       .withColumn("e1", least(lastEval, lit(gridEnd)))
       .where(col("e0") <= col("e1"))
       .withColumn("eval_ts", explode(sequence(col("e0"), col("e1"),
         lit(stepSec))))
       .withColumn("eval_ts", col("eval_ts") + offsetSec)
-      .groupBy((col("sid") +: keys): _*)
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
-        (sum(col("value").cast("decimal(18,2)")).cast("double") /
-          count(lit(1))).as("avg_v"),
-        min("value").as("min_v"),
-        max("value").as("max_v"),
-        // last sample in the window; ties on ts break to the larger value.
-        // max over an orderable struct — the same lexicographic compare
-        // DuckDB's max(struct_pack(...)) performs, so oracles mirror 1:1
-        max(struct(col("ts"), col("value"))).getField("value").as("last_v"))
-      .drop("sid")
+    val baseAggs = Seq(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
+      (sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_v"),
+      min("value").as("min_v"),
+      max("value").as("max_v"),
+      // last sample in the window; ties on ts break to the larger value.
+      // max over an orderable struct — the same lexicographic compare
+      // DuckDB's max(struct_pack(...)) performs, so oracles mirror 1:1
+      max(struct(col("ts"), col("value"))).getField("value").as("last_v"))
+    if (!spread)
+      windowed.groupBy((col("sid") +: keys): _*)
+        .agg(baseAggs.head, baseAggs.tail: _*)
+        .drop("sid")
+    else {
+      // stddev/stdvar over the window, the stddevBy exactness scheme:
+      // lossless integer-cents moment sums, fixed double op order
+      // mirrored 1:1 in the oracle SQL, round(…,6) absorbing ULP
+      val spreadAggs = Seq(
+        sum(col("cents")).as("sum_c"),
+        sum(col("cents") * col("cents")).as("sum2_c"))
+      val aggs = baseAggs ++ spreadAggs
+      val n = col("n").cast("double")
+      val meanC = col("sum_c").cast("double") / n
+      val stdvar = (col("sum2_c").cast("double") / n - meanC * meanC) / 1e4
+      windowed
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy((col("sid") +: keys): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("stdvar_v", round(stdvar, 6))
+        .withColumn("stddev_v", round(sqrt(stdvar), 6))
+        .drop("sid", "sum_c", "sum2_c")
+    }
   }
 
   /** PromQL `absent_over_time(metric{matchers}[rangeSec])` on a step

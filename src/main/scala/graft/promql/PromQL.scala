@@ -46,8 +46,10 @@ import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor =>
   * mulDiv    := operand (('/'|'*') matchClause? operand)*
   * matchClause := 'on' '(' labels ')' ('group_left'|'group_right')?
   * operand   := number | '(' expr ')' | mathFn | aggTerm
-  * mathFn    := (abs|ceil|floor|sqrt|sgn) '(' expr ')'
-  *            | (clamp_min|clamp_max) '(' expr ',' number ')' 
+  * mathFn    := (abs|ceil|floor|sqrt|sgn|exp|ln|log2|log10) '(' expr ')'
+  *            | round '(' expr (',' number)? ')'
+  *            | (clamp_min|clamp_max) '(' expr ',' number ')'
+  *            | clamp '(' expr ',' number ',' number ')'
   * aggTerm   := aggOp grouping? '(' aggBody ')' grouping?
   *            | fn '(' args ')' ('by' '(' labels ')')?
   *            | selector
@@ -57,6 +59,7 @@ import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor =>
   * fn        := rate|increase|delta|resets|changes|irate|idelta|absent
   *            | absent_over_time|predict_linear|histogram_quantile|deriv
   *            | (avg|min|max|sum|count|last)_over_time|quantile_over_time
+  *            | (stddev|stdvar)_over_time|present_over_time
   * labelFn   := (label_replace|label_join) '(' expr (',' string)+ ')'
   * selector  := name ('{' matchers '}')? ('[' duration (':' duration)? ']')?
   *              ('offset' duration)?         // [range:step] = subquery
@@ -122,13 +125,16 @@ object PromQL {
   /** A scalar literal operand (`… * 100`, `… > 0.5`). */
   final case class NumLit(v: Double) extends Expr
   /** A pointwise math function over a vector (`abs(v)`, `ceil(v)`,
-    * `floor(v)`, `sqrt(v)`, `sgn(v)`, `clamp_min(v, s)`,
-    * `clamp_max(v, s)`) — applies to the inner vector's value column,
-    * PromQL's instant-vector math family. */
+    * `floor(v)`, `sqrt(v)`, `sgn(v)`, `exp(v)`, `ln(v)`, `log2(v)`,
+    * `log10(v)`, `round(v[, to])`, `clamp_min(v, s)`, `clamp_max(v, s)`,
+    * `clamp(v, lo, hi)`) — applies to the inner vector's value column,
+    * PromQL's instant-vector math family. `num`/`num2` carry the
+    * trailing scalar arguments in Prometheus's order. */
   final case class MathFn(
       name: String,
       arg: Expr,
-      num: Option[Double] = None) extends Expr
+      num: Option[Double] = None,
+      num2: Option[Double] = None) extends Expr
   /** A label-set transform over a vector — PromQL's
     * `label_replace(v, dst, replacement, src, regex)` /
     * `label_join(v, dst, sep, src…)` relabeling family. `args` holds
@@ -222,10 +228,13 @@ object PromQL {
   private val OverTime =
     Set("avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
       "count_over_time", "last_over_time")
+  private val SpreadOverTime = Set("stddev_over_time", "stdvar_over_time")
   private val RangeFns =
-    OverTime ++ Set("rate", "increase", "delta", "resets", "changes",
-      "absent", "irate", "idelta", "quantile_over_time", "predict_linear",
-      "histogram_quantile", "absent_over_time", "deriv")
+    OverTime ++ SpreadOverTime ++
+      Set("rate", "increase", "delta", "resets", "changes",
+        "absent", "irate", "idelta", "quantile_over_time", "predict_linear",
+        "histogram_quantile", "absent_over_time", "deriv",
+        "present_over_time")
   private val LabelFns = Set("label_replace", "label_join")
 
   private val MomentAggs = Set("sum", "avg", "min", "max", "count")
@@ -233,7 +242,8 @@ object PromQL {
   private val CmpOps = Set(">", "<", ">=", "<=")
   private val SetOps = Set("and", "or", "unless")
   private val MathFns =
-    Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max")
+    Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max",
+      "clamp", "exp", "ln", "log2", "log10", "round")
 
   private final class P(var toks: List[Tok], input: String) {
     def fail(msg: String): Nothing =
@@ -415,19 +425,27 @@ object PromQL {
       case Some(Ident(name)) if MathFns(name) =>
         next(); expectSym("(")
         val arg = parseExpr()
+        def scalarArg(): Double = next() match {
+          case Num(s) =>
+            try s.toDouble
+            catch { case _: NumberFormatException =>
+              fail(s"$name bound must be a plain number, got '$s'") }
+          case t => fail(s"$name needs a trailing scalar bound")
+        }
         var num: Option[Double] = None
-        if (name.startsWith("clamp")) {
-          expectSym(",")
-          num = Some(next() match {
-            case Num(s) =>
-              try s.toDouble
-              catch { case _: NumberFormatException =>
-                fail(s"$name bound must be a plain number, got '$s'") }
-            case t => fail(s"$name needs a trailing scalar bound")
-          })
+        var num2: Option[Double] = None
+        name match {
+          case "clamp_min" | "clamp_max" =>
+            expectSym(","); num = Some(scalarArg())
+          case "clamp" => // clamp(v, lo, hi)
+            expectSym(","); num = Some(scalarArg())
+            expectSym(","); num2 = Some(scalarArg())
+          case "round" => // round(v[, to]) — `to` defaults to 1
+            if (peek.contains(Sym(","))) { next(); num = Some(scalarArg()) }
+          case _ => ()
         }
         expectSym(")")
-        MathFn(name, arg, num)
+        MathFn(name, arg, num, num2)
 
       case Some(Ident(name)) if LabelFns(name) =>
         next(); expectSym("(")
@@ -590,8 +608,10 @@ object PromQL {
       }
       s"${sub(l, rhs = false)} $op$sep${sub(r, rhs = true)}"
     case NumLit(v) => renderNum(v)
-    case MathFn(name, arg, num) =>
-      s"$name(${render(arg)}${num.map(n => ", " + renderNum(n)).getOrElse("")})"
+    case MathFn(name, arg, num, num2) =>
+      s"$name(${render(arg)}" +
+        num.map(n => ", " + renderNum(n)).getOrElse("") +
+        num2.map(n => ", " + renderNum(n)).getOrElse("") + ")"
     case LabelFn(name, inner, args) =>
       val quoted = args.map(a =>
         "\"" + a.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
@@ -690,7 +710,8 @@ object PromQL {
     * per-shape guard to forget. */
   private def validateSubquerySteps(e: Expr): Unit = e match {
     case RangeFn(fn, _, sel, _, _) =>
-      if (sel.stepSec.nonEmpty && !OverTime(fn) && fn != "absent_over_time")
+      if (sel.stepSec.nonEmpty && !OverTime(fn) && !SpreadOverTime(fn) &&
+          fn != "absent_over_time" && fn != "present_over_time")
         throw new IllegalArgumentException(
           s"a [range:step] subquery step is only supported by the " +
           s"*_over_time family, not $fn")
@@ -702,7 +723,7 @@ object PromQL {
     case Agg(_, _, _, _, body, _) => validateSubquerySteps(body)
     case BinOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
-    case MathFn(_, arg, _) => validateSubquerySteps(arg)
+    case MathFn(_, arg, _, _) => validateSubquerySteps(arg)
     case LabelFn(_, inner, _) => validateSubquerySteps(inner)
     case _: NumLit => ()
   }
@@ -715,7 +736,7 @@ object PromQL {
     case s: Selector => Some(s.metric)
     case RangeFn(_, _, sel, _, _) => Some(sel.metric)
     case a: Agg => metricOf(a.body)
-    case MathFn(_, arg, _) => metricOf(arg)
+    case MathFn(_, arg, _, _) => metricOf(arg)
     case LabelFn(_, inner, _) => metricOf(inner)
     case _ => None
   }
@@ -750,7 +771,7 @@ object PromQL {
       }
     case b @ BinOp(_, l, r, _, _, _) =>
       b.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
-    case m @ MathFn(_, arg, _) => m.copy(arg = resolveWithout(t, arg))
+    case m @ MathFn(_, arg, _, _) => m.copy(arg = resolveWithout(t, arg))
     case lf @ LabelFn(_, inner, _) => lf.copy(inner = resolveWithout(t, inner))
     case other => other
   }
@@ -801,6 +822,17 @@ object PromQL {
     case RangeFn("increase", _, _, _, _) => "increase"
     case RangeFn("delta", _, _, _, _) => "delta"
     case RangeFn("deriv", _, _, _, _) => "slope_per_sec"
+    // the *_over_time family exposes its own moment on the eval grid
+    case RangeFn("sum_over_time", _, _, _, _) => "sum_v"
+    case RangeFn("avg_over_time", _, _, _, _) => "avg_v"
+    case RangeFn("min_over_time", _, _, _, _) => "min_v"
+    case RangeFn("max_over_time", _, _, _, _) => "max_v"
+    case RangeFn("count_over_time", _, _, _, _) => "n"
+    case RangeFn("last_over_time", _, _, _, _) => "last_v"
+    case RangeFn("stddev_over_time", _, _, _, _) => "stddev_v"
+    case RangeFn("stdvar_over_time", _, _, _, _) => "stdvar_v"
+    case RangeFn("present_over_time", _, _, _, _) => "present_v"
+    case RangeFn("quantile_over_time", _, _, _, _) => "q_v"
     case BinOp(op, _, _, _, _, _) if ArithOps(op) => "result"
     case BinOp(op, l, _, _, _, _) if CmpOps(op) || SetOps(op) =>
       valueColOf(l)
@@ -873,7 +905,7 @@ object PromQL {
         case _ if gr => groupingOf(r)
         case _ => groupingOf(l)
       }
-    case MathFn(_, arg, _) => groupingOf(arg)
+    case MathFn(_, arg, _, _) => groupingOf(arg)
     case _ => None
   }
 
@@ -970,20 +1002,35 @@ object PromQL {
         }
 
       // pointwise math functions ride the compiled vector's value column
-      case MathFn(name, arg, num) =>
+      case MathFn(name, arg, num, num2) =>
         val df = compile(t, arg, start, end, buckets, rollupStep)
         val v = col(valueColOf(arg))
-        val e = name match {
-          case "abs" => cAbs(v)
-          // Spark's ceil/floor return LONG on doubles; PromQL stays float
-          case "ceil" => cCeil(v).cast("double")
-          case "floor" => cFloor(v).cast("double")
-          case "sqrt" => org.apache.spark.sql.functions.sqrt(v)
-          case "sgn" => org.apache.spark.sql.functions.signum(v)
-          case "clamp_min" => greatest(v, lit(num.get))
-          case "clamp_max" => least(v, lit(num.get))
+        // Prometheus: clamp with min > max returns the empty vector
+        if (name == "clamp" && num.get > num2.get) df.where(lit(false))
+        else {
+          val e = name match {
+            case "abs" => cAbs(v)
+            // Spark's ceil/floor return LONG on doubles; PromQL stays
+            // float
+            case "ceil" => cCeil(v).cast("double")
+            case "floor" => cFloor(v).cast("double")
+            case "sqrt" => org.apache.spark.sql.functions.sqrt(v)
+            case "sgn" => org.apache.spark.sql.functions.signum(v)
+            case "exp" => org.apache.spark.sql.functions.exp(v)
+            case "ln" => org.apache.spark.sql.functions.log(v)
+            case "log2" => org.apache.spark.sql.functions.log2(v)
+            case "log10" => org.apache.spark.sql.functions.log10(v)
+            // Prometheus round(): nearest multiple of `to`, ties up —
+            // floor(v/to + 0.5)*to, the same IEEE ops the oracle runs
+            case "round" =>
+              val to = num.getOrElse(1.0)
+              cFloor(v / lit(to) + lit(0.5)).cast("double") * lit(to)
+            case "clamp_min" => greatest(v, lit(num.get))
+            case "clamp_max" => least(v, lit(num.get))
+            case "clamp" => least(greatest(v, lit(num.get)), lit(num2.get))
+          }
+          df.withColumn("result", e)
         }
-        df.withColumn("result", e)
 
       case other if rollupStep.isDefined =>
         throw new IllegalArgumentException(
@@ -1098,6 +1145,25 @@ object PromQL {
         t.overTimeBy(sel.metric, sel.matchers, start, end, by,
           sel.stepSec.getOrElse(stepOf(sel, fn)), stepOf(sel, fn),
           sel.offsetSec)
+
+      // stddev/stdvar over the window: the same single hash aggregation
+      // with the integer-cents spread moments switched on
+      case RangeFn(fn, _, sel, by, _) if SpreadOverTime(fn) =>
+        t.overTimeBy(sel.metric, sel.matchers, start, end, by,
+            sel.stepSec.getOrElse(stepOf(sel, fn)), stepOf(sel, fn),
+            sel.offsetSec, spread = true)
+          .select((by.map(col) ++ Seq(col("eval_ts"), col("n"),
+            col("stdvar_v"), col("stddev_v"))): _*)
+
+      // present_over_time: 1.0 for every (series-group, eval point)
+      // holding at least one sample — every overTimeBy output row
+      // qualifies by construction, so it's a projection of the grid
+      case RangeFn("present_over_time", _, sel, by, _) =>
+        t.overTimeBy(sel.metric, sel.matchers, start, end, by,
+            sel.stepSec.getOrElse(stepOf(sel, "present_over_time")),
+            stepOf(sel, "present_over_time"), sel.offsetSec)
+          .select((by.map(col) ++ Seq(col("eval_ts"),
+            lit(1.0).as("present_v"))): _*)
 
       case RangeFn("quantile_over_time", Some(q), sel, by, _) =>
         t.quantileBy(sel.metric, sel.matchers, start, end, by,

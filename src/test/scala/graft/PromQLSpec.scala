@@ -596,6 +596,70 @@ class PromQLSpec extends SparkSuite {
     assert(e.getMessage.nonEmpty)
   }
 
+  test("log/round/clamp math family compiles onto the value column") {
+    val base = t.aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"),
+      3600L)
+    assertSame(
+      PromQL.query(t, "ln(sum by (cohort) (click[1h]))", T0, T1),
+      base.withColumn("result", log(col("sum_v"))))
+    assertSame(
+      PromQL.query(t, "log10(sum by (cohort) (click[1h]))", T0, T1),
+      base.withColumn("result", log10(col("sum_v"))))
+    assertSame(
+      PromQL.query(t, "exp(sgn(sum by (cohort) (click[1h])))", T0, T1),
+      base.withColumn("result", exp(signum(col("sum_v")))))
+    // Prometheus round: nearest multiple of `to`, ties up; default to=1
+    assertSame(
+      PromQL.query(t, "round(sum by (cohort) (click[1h]), 100)", T0, T1),
+      base.withColumn("result",
+        floor(col("sum_v") / 100.0 + 0.5).cast("double") * 100.0))
+    assertSame(
+      PromQL.query(t, "round(sum by (cohort) (click[1h]))", T0, T1),
+      base.withColumn("result",
+        floor(col("sum_v") / 1.0 + 0.5).cast("double") * 1.0))
+    // clamp bands both sides; an inverted band is the empty vector
+    assertSame(
+      PromQL.query(t, "clamp(sum by (cohort) (click[1h]), 100, 200)",
+        T0, T1),
+      base.withColumn("result",
+        least(greatest(col("sum_v"), lit(100.0)), lit(200.0))))
+    assert(PromQL.query(t,
+      "clamp(sum by (cohort) (click[1h]), 200, 100)", T0, T1).count() == 0L)
+    // round-trip for the two- and three-arg forms
+    Seq("round(sum by (cohort) (click[1h]), 100)",
+        "clamp(sum by (cohort) (click[1h]), 100, 200)").foreach { s =>
+      val ast = PromQL.parse(s)
+      assert(PromQL.parse(PromQL.render(ast)) == ast, s"round-trip: $s")
+    }
+  }
+
+  test("stddev/stdvar/present_over_time ride the over_time grid") {
+    val spread = t.overTimeBy("click", Seq.empty, T0, T1, Seq("cohort"),
+      stepSec = 3600L, rangeSec = 7200L, spread = true)
+    assertSame(
+      PromQL.query(t, "stdvar_over_time(click[2h:1h]) by (cohort)", T0, T1),
+      spread.select(col("cohort"), col("eval_ts"), col("n"),
+        col("stdvar_v"), col("stddev_v")))
+    // stddev_v is the square root of stdvar_v on every row (round-6 ULP)
+    val bad = spread.where(
+      abs(col("stddev_v") * col("stddev_v") - col("stdvar_v")) > 1e-4)
+    assert(bad.count() == 0L)
+    // present_over_time: one 1.0 per over_time output row
+    val present = PromQL.query(t,
+      "present_over_time(click[2h:1h]) by (cohort)", T0, T1)
+    assert(present.count() ==
+      t.overTimeBy("click", Seq.empty, T0, T1, Seq("cohort"),
+        stepSec = 3600L, rangeSec = 7200L).count())
+    assert(present.select("present_v").distinct().collect()
+      .map(_.getDouble(0)).toSeq == Seq(1.0))
+    // threshold filtering composes over the windowed moments
+    assertSame(
+      PromQL.query(t, "avg_over_time(click[2h:1h]) by (cohort) > 50",
+        T0, T1),
+      t.overTimeBy("click", Seq.empty, T0, T1, Seq("cohort"),
+        stepSec = 3600L, rangeSec = 7200L).where(col("avg_v") > 50))
+  }
+
   test("[range:step] subquery pins the over_time eval grid") {
     assertSame(
       PromQL.query(t, "avg_over_time(click[2h:1h]) by (cohort)", T0, T1),
