@@ -1077,6 +1077,60 @@ object OracleSql {
        |SELECT * FROM r WHERE result > 55
        |ORDER BY 1, 2""".stripMargin
 
+  /** `… > bool 55` — tsdbPromqlScalar's ratio chain, but the threshold
+    * becomes a 0/1 indicator column instead of a row filter.
+    */
+  private val tsdbPromqlBool =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT a.cohort, a.bucket_start, n_a, n_b,
+       |         round(sum_a / sum_b, 6) * 100 AS result
+       |  FROM a JOIN b USING (cohort, bucket_start))
+       |SELECT cohort, bucket_start, n_a, n_b,
+       |       CAST(CASE WHEN result > 55 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+       |         AS result
+       |FROM r
+       |ORDER BY 1, 2""".stripMargin
+
+  /** `group by (cohort)` — 1.0 per populated (cohort, bucket) cell. */
+  private val tsdbPromqlGroup =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       CAST(1.0 AS DOUBLE) AS group_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** `sort_desc(sum by (cohort)(click[1h]))` — tsdbAggBy reordered by
+    * the value column descending; (cohort, bucket_start) completes the
+    * deterministic total order exactly as the engine's tie-break does.
+    */
+  private val tsdbPromqlSort =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v,
+       |       min(value) AS min_v, max(value) AS max_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2 ORDER BY sum_v DESC, 1, 2""".stripMargin
+
   /** The two set-op oracles share this pair of aggregates: purchase
     * cohort-hours (all moments, the engine's aggregateBy schema) and the
     * thresholded click cohort-hours.
@@ -1931,6 +1985,41 @@ object OracleSql {
        |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND ${T1 - 86400L}
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** `topk(3, sum by (cohort)(rate(click[1h])))` — tsdbAggIncrease's
+    * per-series positive-delta CTE chain, then a per-bucket rank on the
+    * double-cast increase (the exact column Spark ranks on), tie-broken
+    * on the grouping label.
+    */
+  private val tsdbPromqlTopkRate =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s - (ts_s % 3600) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |agg AS (
+       |  SELECT cohort, bucket_start,
+       |         CAST(SUM(delta) AS DOUBLE) AS increase,
+       |         round(CAST(SUM(delta) AS DOUBLE) / 3600, 6) AS rate_per_sec
+       |  FROM x WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY bucket_start
+       |                               ORDER BY increase DESC, cohort) AS rk
+       |  FROM agg)
+       |SELECT cohort, bucket_start, rk, increase, rate_per_sec
+       |FROM r WHERE rk <= 3
+       |ORDER BY bucket_start, rk""".stripMargin
+
   private val tsdbTopk =
     s"""WITH agg AS (
        |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
@@ -2009,6 +2098,11 @@ object OracleSql {
     "tsdb_promql_topk" -> tsdbTopk,
     "tsdb_promql_ratio" -> tsdbRatio,
     "tsdb_promql_rate" -> tsdbPromqlRate,
+    "tsdb_promql_topk_rate" -> tsdbPromqlTopkRate,
+    "tsdb_promql_ignoring" -> tsdbGroupLeft,
+    "tsdb_promql_bool" -> tsdbPromqlBool,
+    "tsdb_promql_group" -> tsdbPromqlGroup,
+    "tsdb_promql_sort" -> tsdbPromqlSort,
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
     "tsdb_promql_and" -> tsdbPromqlAnd,

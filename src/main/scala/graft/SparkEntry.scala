@@ -338,6 +338,53 @@ object SparkEntry {
         col("bucket_start"), col("n_a"), col("n_b"), col("result"))
       .orderBy("cohort", "user_id", "bucket_start")
 
+  /** The `ignoring (labels)` complement form of the one-to-many vector
+    * match: `… / ignoring (user_id) group_left …` resolves at compile
+    * time to on-labels = the coarse side's grouping minus the ignored
+    * labels — byte-identical to qTsdbGroupLeft's explicit `on (cohort)`
+    * (the two share one oracle).
+    */
+  private def qTsdbPromqlIgnoring(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort, user_id) (purchase[1d]) / ignoring (user_id) " +
+        "group_left sum by (cohort) (click[1d])",
+      T0, T1)
+      .select(col("cohort"), col("user_id").cast("long").as("user_id"),
+        col("bucket_start"), col("n_a"), col("n_b"), col("result"))
+      .orderBy("cohort", "user_id", "bucket_start")
+
+  /** The alert-rule ratio with the `bool` modifier: no rows dropped, the
+    * value column becomes Prometheus's 0/1 vector — the form recording
+    * rules use to turn a threshold into a plottable indicator.
+    */
+  private def qTsdbPromqlBool(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])" +
+        " * 100 > bool 55", T0, T1)
+      .select("cohort", "bucket_start", "n_a", "n_b", "result")
+      .orderBy("cohort", "bucket_start")
+
+  /** Prometheus's `group by (l)` presence aggregator: 1.0 for every
+    * populated (group, bucket) cell — the cheap "which series exist on
+    * this grid" probe.
+    */
+  private def qTsdbPromqlGroup(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "group by (cohort) (click[1h])", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
+  /** `sort_desc(sum by (cohort)(click[1h]))` — presentation ordering by
+    * the value column (largest first), values untouched; the orderBy IS
+    * the query, so the oracle mirrors the full deterministic tie-break.
+    */
+  private def qTsdbPromqlSort(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sort_desc(sum by (cohort) (click[1h]))", T0, T1)
+
   /** The most common PromQL shape a user types — BARE `rate(click[1h])`
     * — through the string front-end: per-series (full label set)
     * reset-robust counter rate on the step grid, no enclosing sum-by
@@ -557,6 +604,18 @@ object SparkEntry {
   private def qTsdbBottomk(s: SparkSession, dir: String): DataFrame =
     Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
       .bottomKBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, k = 3)
+      .orderBy("bucket_start", "rk")
+
+  /** The canonical dashboard ranking through the string front-end —
+    * `topk(3, sum by (cohort) (rate(click[1h])))`: per-bucket top label
+    * groups by reset-robust counter rate. The rank window rides the
+    * aggregated [[graft.Tsdb.aggregateIncreaseBy]] output (group-level
+    * cardinality, never sample-level).
+    */
+  private def qTsdbPromqlTopkRate(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "topk(3, sum by (cohort) (rate(click[1h])))", T0, T1)
       .orderBy("bucket_start", "rk")
 
   /** PromQL `count_values("band", ...)` per day bucket: sample counts per
@@ -1920,6 +1979,11 @@ object SparkEntry {
     "tsdb_promql_topk" -> (qTsdbPromqlTopk _),
     "tsdb_promql_ratio" -> (qTsdbPromqlRatio _),
     "tsdb_promql_rate" -> (qTsdbPromqlRate _),
+    "tsdb_promql_topk_rate" -> (qTsdbPromqlTopkRate _),
+    "tsdb_promql_ignoring" -> (qTsdbPromqlIgnoring _),
+    "tsdb_promql_bool" -> (qTsdbPromqlBool _),
+    "tsdb_promql_group" -> (qTsdbPromqlGroup _),
+    "tsdb_promql_sort" -> (qTsdbPromqlSort _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),

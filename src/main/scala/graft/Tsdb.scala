@@ -1300,6 +1300,36 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         col("n"), col("sum_v")): _*)
   }
 
+  /** PromQL `topk(k, sum by (labels) (rate(metric[step])))` — the
+    * canonical dashboard ranking ("top k by request rate"): the k label
+    * groups with the LARGEST per-bucket reset-robust increase. The rank
+    * window rides the already-aggregated [[aggregateIncreaseBy]] output,
+    * so its state is bounded by one bucket's label-group cardinality
+    * (never sample-level); ties break deterministically on the labels.
+    * `asc = true` is the `bottomk` mirror.
+    */
+  def topKIncreaseBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      k: Int,
+      offsetSec: Long = 0L,
+      asc: Boolean = false): DataFrame = {
+    val rank = if (asc) col("increase").asc else col("increase").desc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_start")
+      .orderBy(rank +: byLabels.map(col): _*)
+    aggregateIncreaseBy(metric, matchers, start, end, byLabels, stepSec,
+        offsetSec)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(byLabels.map(col) ++ Seq(col("bucket_start"), col("rk"),
+        col("increase"), col("rate_per_sec")): _*)
+  }
+
   /** PromQL `bottomk(k, sum by (labels) (metric[step]))` — [[topKBy]]
     * with the rank order inverted: the k label groups with the SMALLEST
     * per-bucket sums. Same bounded-state bucket-partitioned rank window.

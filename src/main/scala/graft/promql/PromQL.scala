@@ -41,20 +41,22 @@ import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor =>
   * {{{
   * expr      := andExpr ('or' andExpr)*
   * andExpr   := cmpExpr (('and'|'unless') cmpExpr)*
-  * cmpExpr   := addSub (('>'|'<'|'>='|'<=') addSub)*
+  * cmpExpr   := addSub (('>'|'<'|'>='|'<=') 'bool'? addSub)*
   * addSub    := mulDiv (('+'|'-') matchClause? mulDiv)*
   * mulDiv    := operand (('/'|'*') matchClause? operand)*
-  * matchClause := 'on' '(' labels ')' ('group_left'|'group_right')?
+  * matchClause := ('on'|'ignoring') '(' labels ')'
+  *                ('group_left'|'group_right')?
   * operand   := number | '(' expr ')' | mathFn | aggTerm
   * mathFn    := (abs|ceil|floor|sqrt|sgn|exp|ln|log2|log10) '(' expr ')'
   *            | round '(' expr (',' number)? ')'
   *            | (clamp_min|clamp_max) '(' expr ',' number ')'
   *            | clamp '(' expr ',' number ',' number ')'
+  *            | (sort|sort_desc) '(' expr ')'
   * aggTerm   := aggOp grouping? '(' aggBody ')' grouping?
   *            | fn '(' args ')' ('by' '(' labels ')')?
   *            | selector
   * grouping  := 'by' '(' labels ')' | 'without' '(' labels ')'
-  * aggOp     := sum|avg|min|max|count|stddev|stdvar
+  * aggOp     := sum|avg|min|max|count|stddev|stdvar|group
   *            | topk|bottomk|quantile|count_values
   * fn        := rate|increase|delta|resets|changes|irate|idelta|absent
   *            | absent_over_time|predict_linear|histogram_quantile|deriv
@@ -124,6 +126,23 @@ object PromQL {
       groupRight: Boolean = false) extends Expr
   /** A scalar literal operand (`… * 100`, `… > 0.5`). */
   final case class NumLit(v: Double) extends Expr
+  /** A vector match whose clause was written `ignoring (labels)` — the
+    * complement form of `on`. Transient: [[resolveWithout]] rewrites it
+    * to a [[BinOp]] whose on-labels are the coarse side's grouping minus
+    * the ignored labels (the label-set complement evaluated against the
+    * AST's own grouping clauses, no data needed), so the compiler only
+    * ever sees `on`. */
+  final case class IgnoringOp(
+      op: String,
+      lhs: Expr,
+      rhs: Expr,
+      ignoring: Seq[String],
+      groupLeft: Boolean = false,
+      groupRight: Boolean = false) extends Expr
+  /** A comparison with the `bool` modifier (`a > bool 0.5`): no rows are
+    * dropped — the value column becomes 1.0 where the predicate holds,
+    * 0.0 otherwise (Prometheus's 0/1 vector). */
+  final case class BoolCmp(op: String, lhs: Expr, rhs: Expr) extends Expr
   /** A pointwise math function over a vector (`abs(v)`, `ceil(v)`,
     * `floor(v)`, `sqrt(v)`, `sgn(v)`, `exp(v)`, `ln(v)`, `log2(v)`,
     * `log10(v)`, `round(v[, to])`, `clamp_min(v, s)`, `clamp_max(v, s)`,
@@ -224,7 +243,7 @@ object PromQL {
 
   private val AggOps =
     Set("sum", "avg", "min", "max", "count", "stddev", "stdvar",
-      "topk", "bottomk", "quantile", "count_values")
+      "topk", "bottomk", "quantile", "count_values", "group")
   private val OverTime =
     Set("avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
       "count_over_time", "last_over_time")
@@ -243,7 +262,7 @@ object PromQL {
   private val SetOps = Set("and", "or", "unless")
   private val MathFns =
     Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max",
-      "clamp", "exp", "ln", "log2", "log10", "round")
+      "clamp", "exp", "ln", "log2", "log10", "round", "sort", "sort_desc")
 
   private final class P(var toks: List[Tok], input: String) {
     def fail(msg: String): Nothing =
@@ -296,30 +315,48 @@ object PromQL {
       while (peek.exists {
           case Sym(">" | "<" | ">=" | "<=") => true; case _ => false }) {
         val op = next() match { case Sym(s) => s; case _ => fail("cmp") }
-        lhs = BinOp(op, lhs, parseAddSub())
+        // `bool` modifier: 0/1 result instead of PromQL drop semantics
+        if (peek.contains(Ident("bool"))) {
+          next()
+          lhs = BoolCmp(op, lhs, parseAddSub())
+        } else lhs = BinOp(op, lhs, parseAddSub())
       }
       lhs
     }
 
-    // optional matching clause: on (labels) [group_left|group_right]
-    private def parseMatchClause(): (Seq[String], Boolean, Boolean) =
-      if (peek.contains(Ident("on"))) {
-        next(); expectSym("(")
+    // optional matching clause: (on|ignoring) (labels)
+    // [group_left|group_right] — `isIgnoring` distinguishes the
+    // complement form, resolved to explicit on-labels in
+    // [[resolveWithout]]
+    private def parseMatchClause()
+        : (Seq[String], Boolean, Boolean, Boolean) =
+      if (peek.contains(Ident("on")) || peek.contains(Ident("ignoring"))) {
+        val isIgnoring = next() == Ident("ignoring")
+        expectSym("(")
         val ls = scala.collection.mutable.ListBuffer(ident())
         while (peek.contains(Sym(","))) { next(); ls += ident() }
         expectSym(")")
-        if (peek.contains(Ident("group_left"))) { next(); (ls.toSeq, true, false) }
-        else if (peek.contains(Ident("group_right"))) { next(); (ls.toSeq, false, true) }
-        else (ls.toSeq, false, false)
-      } else (Seq.empty, false, false)
+        if (peek.contains(Ident("group_left"))) {
+          next(); (ls.toSeq, true, false, isIgnoring)
+        } else if (peek.contains(Ident("group_right"))) {
+          next(); (ls.toSeq, false, true, isIgnoring)
+        } else (ls.toSeq, false, false, isIgnoring)
+      } else (Seq.empty, false, false, false)
+
+    private def matched(op: String, lhs: Expr, rhs: Expr,
+        clause: (Seq[String], Boolean, Boolean, Boolean)): Expr =
+      clause match {
+        case (ls, gl, gr, true) => IgnoringOp(op, lhs, rhs, ls, gl, gr)
+        case (on, gl, gr, false) => BinOp(op, lhs, rhs, on, gl, gr)
+      }
 
     private def parseAddSub(): Expr = {
       var lhs = parseMulDiv()
       while (peek.exists {
           case Sym("+" | "-") => true; case _ => false }) {
         val op = next() match { case Sym(s) => s; case _ => fail("arith") }
-        val (on, gl, gr) = parseMatchClause()
-        lhs = BinOp(op, lhs, parseMulDiv(), on, gl, gr)
+        val clause = parseMatchClause()
+        lhs = matched(op, lhs, parseMulDiv(), clause)
       }
       lhs
     }
@@ -329,8 +366,8 @@ object PromQL {
       while (peek.exists {
           case Sym("/" | "*") => true; case _ => false }) {
         val op = next() match { case Sym(s) => s; case _ => fail("arith") }
-        val (on, gl, gr) = parseMatchClause()
-        lhs = BinOp(op, lhs, parseOperand(), on, gl, gr)
+        val clause = parseMatchClause()
+        lhs = matched(op, lhs, parseOperand(), clause)
       }
       lhs
     }
@@ -607,6 +644,22 @@ object PromQL {
         if (px < p || (rhs && px == p)) s"(${render(x)})" else render(x)
       }
       s"${sub(l, rhs = false)} $op$sep${sub(r, rhs = true)}"
+    case b @ IgnoringOp(op, l, r, ig, gl, gr) =>
+      val clause = ig.mkString("ignoring (", ", ", ")") +
+        (if (gl) " group_left" else if (gr) " group_right" else "")
+      val p = precOf(b)
+      def sub(x: Expr, rhs: Boolean): String = {
+        val px = precOf(x)
+        if (px < p || (rhs && px == p)) s"(${render(x)})" else render(x)
+      }
+      s"${sub(l, rhs = false)} $op $clause ${sub(r, rhs = true)}"
+    case b @ BoolCmp(op, l, r) =>
+      val p = precOf(b)
+      def sub(x: Expr, rhs: Boolean): String = {
+        val px = precOf(x)
+        if (px < p || (rhs && px == p)) s"(${render(x)})" else render(x)
+      }
+      s"${sub(l, rhs = false)} $op bool ${sub(r, rhs = true)}"
     case NumLit(v) => renderNum(v)
     case MathFn(name, arg, num, num2) =>
       s"$name(${render(arg)}" +
@@ -624,8 +677,11 @@ object PromQL {
     case BinOp("or", _, _, _, _, _) => 1
     case BinOp("and" | "unless", _, _, _, _, _) => 2
     case BinOp(op, _, _, _, _, _) if CmpOps(op) => 3
+    case _: BoolCmp => 3
     case BinOp("+" | "-", _, _, _, _, _) => 4
+    case IgnoringOp("+" | "-", _, _, _, _, _) => 4
     case BinOp("/" | "*", _, _, _, _, _) => 5
+    case IgnoringOp("/" | "*", _, _, _, _, _) => 5
     case _ => 9
   }
 
@@ -723,6 +779,10 @@ object PromQL {
     case Agg(_, _, _, _, body, _) => validateSubquerySteps(body)
     case BinOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
+    case IgnoringOp(_, l, r, _, _, _) =>
+      validateSubquerySteps(l); validateSubquerySteps(r)
+    case BoolCmp(_, l, r) =>
+      validateSubquerySteps(l); validateSubquerySteps(r)
     case MathFn(_, arg, _, _) => validateSubquerySteps(arg)
     case LabelFn(_, inner, _) => validateSubquerySteps(inner)
     case _: NumLit => ()
@@ -771,6 +831,24 @@ object PromQL {
       }
     case b @ BinOp(_, l, r, _, _, _) =>
       b.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
+    // `ignoring (labels)` resolves to explicit on-labels: the COARSE
+    // side's grouping (rhs under group_left, lhs under group_right,
+    // either for a plain match — the compiler checks they agree) minus
+    // the ignored labels. Pure AST arithmetic — the grouping clauses
+    // carry the label sets, no data access.
+    case IgnoringOp(op, l, r, ig, gl, gr) =>
+      val rl = resolveWithout(t, l)
+      val rr = resolveWithout(t, r)
+      val coarse = if (gr) rl else rr
+      val base = coarse match {
+        case Agg(_, _, _, by, _, _) => by
+        case other => throw new IllegalArgumentException(
+          s"ignoring(...) needs an aggregated side to take the label " +
+          s"set from, got: $other")
+      }
+      BinOp(op, rl, rr, base.filterNot(ig.contains), gl, gr)
+    case bc @ BoolCmp(_, l, r) =>
+      bc.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
     case m @ MathFn(_, arg, _, _) => m.copy(arg = resolveWithout(t, arg))
     case lf @ LabelFn(_, inner, _) => lf.copy(inner = resolveWithout(t, inner))
     case other => other
@@ -833,9 +911,13 @@ object PromQL {
     case RangeFn("stdvar_over_time", _, _, _, _) => "stdvar_v"
     case RangeFn("present_over_time", _, _, _, _) => "present_v"
     case RangeFn("quantile_over_time", _, _, _, _) => "q_v"
+    case Agg("group", _, _, _, _, _) => "group_v"
     case BinOp(op, _, _, _, _, _) if ArithOps(op) => "result"
     case BinOp(op, l, _, _, _, _) if CmpOps(op) || SetOps(op) =>
       valueColOf(l)
+    case _: BoolCmp => "result"
+    // sort is presentation-only: the value column is the body's
+    case MathFn("sort" | "sort_desc", arg, _, _) => valueColOf(arg)
     case _: MathFn => "result"
     case other => throw new IllegalArgumentException(
       s"scalar operand needs a single-valued vector side, got: $other")
@@ -905,6 +987,12 @@ object PromQL {
         case _ if gr => groupingOf(r)
         case _ => groupingOf(l)
       }
+    case BoolCmp(_, l, r) => (l, r) match {
+      case (_, _: NumLit) => groupingOf(l)
+      case (_: NumLit, _) => groupingOf(r)
+      case _ => None
+    }
+    case Agg("group", _, _, by, _: Selector, _) => Some(by)
     case MathFn(_, arg, _, _) => groupingOf(arg)
     case _ => None
   }
@@ -971,6 +1059,21 @@ object PromQL {
         compile(t, rhs, start, end, buckets, rollupStep)
           .where(cmp(op)(lit(v), col(valueColOf(rhs))))
 
+      // `bool` comparisons keep every row and emit Prometheus's 0/1
+      // vector in `result` instead of filtering
+      case BoolCmp(op, lhs, NumLit(v)) =>
+        compile(t, lhs, start, end, buckets, rollupStep)
+          .withColumn("result",
+            org.apache.spark.sql.functions
+              .when(cmp(op)(col(valueColOf(lhs)), lit(v)), 1.0)
+              .otherwise(0.0))
+      case BoolCmp(op, NumLit(v), rhs) =>
+        compile(t, rhs, start, end, buckets, rollupStep)
+          .withColumn("result",
+            org.apache.spark.sql.functions
+              .when(cmp(op)(lit(v), col(valueColOf(rhs))), 1.0)
+              .otherwise(0.0))
+
       // vector set ops: both sides compile independently (so filtered /
       // scalar-wrapped sides compose); the match key is (labels, bucket)
       //  - and:    lhs rows whose key exists on the right (left-semi)
@@ -1000,6 +1103,16 @@ object PromQL {
             dfL.unionByName(
               dfR.join(dfL.select(keys.map(col): _*), keys, "left_anti"))
         }
+
+      // sort/sort_desc are presentation-only: order the compiled vector
+      // by its value column (ties broken by the remaining columns for a
+      // deterministic row order), values untouched
+      case MathFn(name @ ("sort" | "sort_desc"), arg, _, _) =>
+        val df = compile(t, arg, start, end, buckets, rollupStep)
+        val vName = valueColOf(arg)
+        val v = if (name == "sort") col(vName).asc else col(vName).desc
+        val rest = df.columns.filterNot(_ == vName).map(col(_).asc)
+        df.orderBy(v +: rest.toSeq: _*)
 
       // pointwise math functions ride the compiled vector's value column
       case MathFn(name, arg, num, num2) =>
@@ -1042,6 +1155,15 @@ object PromQL {
         t.queryRange(m, ms, start - off, end - off)
 
       // moment aggregations over a plain selector → ONE hash aggregation
+      // `group by (l)` — Prometheus's presence aggregator: 1 for every
+      // populated (group, bucket) cell; rides the one-shuffle
+      // aggregateBy and projects the constant
+      case Agg("group", _, _, by, sel: Selector, _) =>
+        t.aggregateBy(sel.metric, sel.matchers, start, end, by,
+          stepOf(sel, "group by"), sel.offsetSec)
+          .select(by.map(col) ++
+            Seq(col("bucket_start"), lit(1.0).as("group_v")): _*)
+
       case Agg(op, _, _, by, sel: Selector, _) if MomentAggs(op) =>
         t.aggregateBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"$op by"), sel.offsetSec)
@@ -1085,6 +1207,17 @@ object PromQL {
           Agg("sum", _, _, by, sel: Selector, _), _) =>
         t.bottomKBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "bottomk(sum by)"), k.toInt, sel.offsetSec)
+
+      // ranked counter form — `topk(k, sum by (l)(rate(x[1h])))`, the
+      // canonical "top k by request rate" dashboard query (bottomk is
+      // the ascending mirror); rate and increase rank identically
+      // (same order, 1/step scale), both columns come back
+      case Agg(rank @ ("topk" | "bottomk"), Some(k), _, _,
+          Agg("sum", _, _, by, RangeFn(fn, _, sel, _, _), _), _)
+          if fn == "rate" || fn == "increase" =>
+        t.topKIncreaseBy(sel.metric, sel.matchers, start, end, by,
+          stepOf(sel, s"$rank(sum by ($fn))"), k.toInt, sel.offsetSec,
+          asc = rank == "bottomk")
 
       // counter family composed with the label aggregation
       case Agg("sum", _, _, by,

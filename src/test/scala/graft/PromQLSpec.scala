@@ -800,4 +800,86 @@ class PromQLSpec extends SparkSuite {
       PromQL.query(t, s"$base * 100 - 5", T0, T1),
       PromQL.query(t, s"($base * 100) - 5", T0, T1))
   }
+
+  test("topk/bottomk over rate: ranked counter form == topKIncreaseBy") {
+    assertSame(
+      PromQL.query(t, "topk(3, sum by (cohort) (rate(click[1h])))", T0, T1),
+      t.topKIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L,
+        k = 3))
+    assertSame(
+      PromQL.query(t,
+        "bottomk(2, sum by (cohort) (increase(click[1h])))", T0, T1),
+      t.topKIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L,
+        k = 2, asc = true))
+    // top-1 and bottom-1 of the same grid never coincide when a bucket
+    // has >1 distinct group increase
+    val top = PromQL.query(t,
+      "topk(1, sum by (cohort) (rate(click[1h])))", T0, T1)
+    assert(top.where(col("rk") > 1).isEmpty)
+    // round-trip through the canonical rendering
+    val s = "topk(3, sum by (cohort) (rate(click[1h])))"
+    assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
+  }
+
+  test("ignoring (labels) resolves to the on-complement of the coarse " +
+      "side's grouping") {
+    // group_left: ignoring(user_id) over a (cohort) coarse side ==
+    // explicit on (cohort)
+    val lhs = "sum by (cohort, user_id) (purchase[1d])"
+    val rhs = "sum by (cohort) (click[1d])"
+    assertSame(
+      PromQL.query(t, s"$lhs / ignoring (user_id) group_left $rhs", T0, T1),
+      PromQL.query(t, s"$lhs / on (cohort) group_left $rhs", T0, T1))
+    // plain match: ignoring a label that is in neither grouping is the
+    // bare vector match
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) / ignoring (region) " +
+          "sum by (cohort) (click[1h])", T0, T1),
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])",
+        T0, T1))
+    // round-trip
+    val s = s"$lhs / ignoring (user_id) group_left $rhs"
+    assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
+    // no aggregated side to take the complement from → loud failure
+    val e = intercept[IllegalArgumentException](
+      PromQL.query(t, "a / ignoring (l) b", T0, T1))
+    assert(e.getMessage.contains("ignoring"))
+  }
+
+  test("bool comparisons keep rows and emit the 0/1 vector") {
+    val base = "sum by (cohort) (click[1h])"
+    val filtered = PromQL.query(t, s"$base > 100", T0, T1)
+    val booled = PromQL.query(t, s"$base > bool 100", T0, T1)
+    val all = PromQL.query(t, base, T0, T1)
+    // bool keeps every row of the unfiltered vector
+    assert(booled.count() == all.count())
+    // the 1-rows are exactly the filter-semantics survivors
+    assert(booled.where(col("result") === 1.0).count() == filtered.count())
+    assert(booled.select("result").distinct().collect()
+      .map(_.getDouble(0)).toSet.subsetOf(Set(0.0, 1.0)))
+    // round-trip
+    val s = s"$base > bool 100"
+    assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
+  }
+
+  test("group aggregator emits 1.0 per populated cell; sort orders by " +
+      "the value column") {
+    val g = PromQL.query(t, "group by (cohort) (click[1h])", T0, T1)
+    val cells = t.aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"),
+      3600L).select("cohort", "bucket_start")
+    assert(g.count() == cells.count())
+    assert(g.select("group_v").distinct().collect()
+      .map(_.getDouble(0)).toSeq == Seq(1.0))
+    // sort_desc: first row carries the global max of the value column
+    val sorted = PromQL.query(t,
+      "sort_desc(sum by (cohort) (click[1h]))", T0, T1)
+    val mx = sorted.agg(max("sum_v")).head().getDouble(0)
+    assert(sorted.select("sum_v").head().getDouble(0) == mx)
+    Seq("group by (cohort) (click[1h])",
+        "sort(sum by (cohort) (click[1h]))").foreach { s =>
+      assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
+    }
+  }
 }
