@@ -1131,6 +1131,22 @@ object OracleSql {
        |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
        |GROUP BY 1, 2 ORDER BY sum_v DESC, 1, 2""".stripMargin
 
+  /** `hour(sum by (cohort)(click[1h]))` — tsdbAggBy plus the UTC hour of
+    * each bucket as `result`, pure integer epoch arithmetic.
+    */
+  private val tsdbPromqlHour =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       count(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v,
+       |       min(value) AS min_v, max(value) AS max_v,
+       |       CAST(FLOOR((($tsS - ($tsS % 3600)) % 86400) / 3600) AS DOUBLE)
+       |         AS result
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The two set-op oracles share this pair of aggregates: purchase
     * cohort-hours (all moments, the engine's aggregateBy schema) and the
     * thresholded click cohort-hours.
@@ -2103,6 +2119,7 @@ object OracleSql {
     "tsdb_promql_bool" -> tsdbPromqlBool,
     "tsdb_promql_group" -> tsdbPromqlGroup,
     "tsdb_promql_sort" -> tsdbPromqlSort,
+    "tsdb_promql_hour" -> tsdbPromqlHour,
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
     "tsdb_promql_and" -> tsdbPromqlAnd,

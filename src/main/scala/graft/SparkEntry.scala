@@ -385,6 +385,17 @@ object SparkEntry {
       Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
       "sort_desc(sum by (cohort) (click[1h]))", T0, T1)
 
+  /** The business-hours-alerting shape: `hour()` over an aggregated
+    * grid — the result column is the UTC hour of each bucket, pure
+    * epoch arithmetic (no calendar, no timezone), composable with
+    * threshold filters (`… and hour(x) < 6`).
+    */
+  private def qTsdbPromqlHour(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "hour(sum by (cohort) (click[1h]))", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
   /** The most common PromQL shape a user types — BARE `rate(click[1h])`
     * — through the string front-end: per-series (full label set)
     * reset-robust counter rate on the step grid, no enclosing sum-by
@@ -1984,6 +1995,7 @@ object SparkEntry {
     "tsdb_promql_bool" -> (qTsdbPromqlBool _),
     "tsdb_promql_group" -> (qTsdbPromqlGroup _),
     "tsdb_promql_sort" -> (qTsdbPromqlSort _),
+    "tsdb_promql_hour" -> (qTsdbPromqlHour _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),

@@ -52,6 +52,8 @@ import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor =>
   *            | (clamp_min|clamp_max) '(' expr ',' number ')'
   *            | clamp '(' expr ',' number ',' number ')'
   *            | (sort|sort_desc) '(' expr ')'
+  *            | (hour|minute|day_of_week|day_of_month|month|year
+  *               |timestamp) '(' expr ')'   // of the step grid, UTC
   * aggTerm   := aggOp grouping? '(' aggBody ')' grouping?
   *            | fn '(' args ')' ('by' '(' labels ')')?
   *            | selector
@@ -260,9 +262,16 @@ object PromQL {
   private val ArithOps = Set("/", "*", "+", "-")
   private val CmpOps = Set(">", "<", ">=", "<=")
   private val SetOps = Set("and", "or", "unless")
+  /** Prometheus's time functions, evaluated on the STEP GRID: the result
+    * is the calendar field of each row's `bucket_start` (this engine's
+    * grid timestamp), UTC — the business-hours-alerting family. */
+  private val TimeFns =
+    Set("hour", "minute", "day_of_week", "day_of_month", "month", "year",
+      "timestamp")
   private val MathFns =
     Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max",
-      "clamp", "exp", "ln", "log2", "log10", "round", "sort", "sort_desc")
+      "clamp", "exp", "ln", "log2", "log10", "round", "sort", "sort_desc") ++
+      TimeFns
 
   private final class P(var toks: List[Tok], input: String) {
     def fail(msg: String): Nothing =
@@ -1103,6 +1112,33 @@ object PromQL {
             dfL.unionByName(
               dfR.join(dfL.select(keys.map(col): _*), keys, "left_anti"))
         }
+
+      // time functions read the grid timestamp, not the value column:
+      // hour/minute/day_of_week are pure epoch arithmetic (no calendar,
+      // no TZ — identical integer ops in any engine); the calendar
+      // fields go through Spark's UTC date functions
+      case MathFn(name, arg, _, _) if TimeFns(name) =>
+        val df = compile(t, arg, start, end, buckets, rollupStep)
+        require(df.columns.contains("bucket_start"),
+          s"$name() needs a grid-shaped body (a bucket_start column), " +
+          s"got columns ${df.columns.toSeq}")
+        val b = col("bucket_start")
+        val f = org.apache.spark.sql.functions
+        val e = name match {
+          case "timestamp" => b.cast("double")
+          case "hour" => f.floor(f.pmod(b, lit(86400L)) / 3600).cast("double")
+          case "minute" => f.floor(f.pmod(b, lit(3600L)) / 60).cast("double")
+          // epoch day 0 = Thursday; Prometheus numbers Sunday as 0
+          case "day_of_week" =>
+            f.pmod(f.floor(b / 86400) + 4, lit(7L)).cast("double")
+          case "day_of_month" =>
+            f.dayofmonth(f.to_date(f.from_unixtime(b))).cast("double")
+          case "month" =>
+            f.month(f.to_date(f.from_unixtime(b))).cast("double")
+          case "year" =>
+            f.year(f.to_date(f.from_unixtime(b))).cast("double")
+        }
+        df.withColumn("result", e)
 
       // sort/sort_desc are presentation-only: order the compiled vector
       // by its value column (ties broken by the remaining columns for a

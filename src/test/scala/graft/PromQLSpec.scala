@@ -864,6 +864,40 @@ class PromQLSpec extends SparkSuite {
     assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
   }
 
+  test("time functions: grid-field arithmetic matches the UTC calendar") {
+    val base = "sum by (cohort) (click[1h])"
+    val fields: Seq[(String, java.time.ZonedDateTime => Int)] = Seq(
+      "hour" -> (_.getHour),
+      "minute" -> (_.getMinute),
+      // java DayOfWeek: Monday=1..Sunday=7; Prometheus: Sunday=0
+      "day_of_week" -> (_.getDayOfWeek.getValue % 7),
+      "day_of_month" -> (_.getDayOfMonth),
+      "month" -> (_.getMonthValue),
+      "year" -> (_.getYear))
+    fields.foreach { case (fn, f) =>
+      val rows = PromQL.query(t, s"$fn($base)", T0, T1)
+        .select("bucket_start", "result").distinct().collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val z = java.time.Instant.ofEpochSecond(r.getLong(0))
+          .atZone(java.time.ZoneOffset.UTC)
+        assert(r.getDouble(1) == f(z).toDouble,
+          s"$fn at bucket ${r.getLong(0)}")
+      }
+    }
+    // timestamp() exposes the grid second itself
+    val ts = PromQL.query(t, s"timestamp($base)", T0, T1)
+      .select("bucket_start", "result").collect()
+    assert(ts.forall(r => r.getDouble(1) == r.getLong(0).toDouble))
+    // composes with threshold filters: quiet-hours cells only
+    val quiet = PromQL.query(t, s"hour($base) < 6", T0, T1)
+    assert(quiet.select("result").distinct().collect()
+      .map(_.getDouble(0)).forall(_ < 6))
+    // round-trip
+    val s = s"day_of_week($base)"
+    assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
+  }
+
   test("group aggregator emits 1.0 per populated cell; sort orders by " +
       "the value column") {
     val g = PromQL.query(t, "group by (cohort) (click[1h])", T0, T1)
