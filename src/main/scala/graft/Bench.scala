@@ -54,7 +54,13 @@ object Bench {
         def once(): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
+          catch { case e: Throwable =>
+            // a silent -1 is undiagnosable from the sweep JSON alone —
+            // name the failure loudly (stderr, like the regression flags)
+            System.err.println(s"[bench-error] $name: " +
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            -1.0
+          }
         }
         val first = once()
         val best = (1 until reps).foldLeft(first) { (b, _) =>

@@ -1147,6 +1147,39 @@ object OracleSql {
        |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** `quantile by (cohort)(0.9, rate(click[1h]))` — tsdbAggIncrease's
+    * per-series positive-delta chain aggregated to per-(series, bucket)
+    * increases, then the continuous p90 across series; the rate column
+    * divides the SAME percentile by the step (quantile is monotone).
+    */
+  private val tsdbPromqlQuantileRate =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT user_id, cohort, ts_s - (ts_s % 3600) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |s AS (
+       |  SELECT user_id, cohort, bucket_start,
+       |         CAST(SUM(delta) AS DOUBLE) AS inc
+       |  FROM x WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2, 3)
+       |SELECT cohort, bucket_start,
+       |       count(*) AS n_series,
+       |       round(quantile_cont(inc, 0.9), 6) AS q_increase,
+       |       round(quantile_cont(inc, 0.9) / 3600, 6) AS q_rate
+       |FROM s
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The two set-op oracles share this pair of aggregates: purchase
     * cohort-hours (all moments, the engine's aggregateBy schema) and the
     * thresholded click cohort-hours.
@@ -2120,6 +2153,7 @@ object OracleSql {
     "tsdb_promql_group" -> tsdbPromqlGroup,
     "tsdb_promql_sort" -> tsdbPromqlSort,
     "tsdb_promql_hour" -> tsdbPromqlHour,
+    "tsdb_promql_quantile_rate" -> tsdbPromqlQuantileRate,
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
     "tsdb_promql_and" -> tsdbPromqlAnd,

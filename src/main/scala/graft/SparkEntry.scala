@@ -385,6 +385,17 @@ object SparkEntry {
       Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
       "sort_desc(sum by (cohort) (click[1h]))", T0, T1)
 
+  /** The SLO shape — `quantile by (cohort) (0.9, rate(click[1h]))`:
+    * cross-series p90 of the per-series reset-robust rate, continuous
+    * interpolation over the double-cast increases (one percentile
+    * aggregation across series, map-side partials like any sum).
+    */
+  private def qTsdbPromqlQuantileRate(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "quantile by (cohort) (0.9, rate(click[1h]))", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
   /** The business-hours-alerting shape: `hour()` over an aggregated
     * grid — the result column is the UTC hour of each bucket, pure
     * epoch arithmetic (no calendar, no timezone), composable with
@@ -1996,6 +2007,7 @@ object SparkEntry {
     "tsdb_promql_group" -> (qTsdbPromqlGroup _),
     "tsdb_promql_sort" -> (qTsdbPromqlSort _),
     "tsdb_promql_hour" -> (qTsdbPromqlHour _),
+    "tsdb_promql_quantile_rate" -> (qTsdbPromqlQuantileRate _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),

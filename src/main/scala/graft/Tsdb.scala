@@ -704,6 +704,51 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         max(col("inc_dec")).cast("double").as("max_increase"))
   }
 
+  /** `quantile by (labels) (q, rate(metric[step]))` — the SLO family:
+    * the cross-series q-QUANTILE of the per-series reset-robust
+    * increase/rate ([[momentIncreaseBy]]'s percentile sibling). Same
+    * two-stage shape: per-series lag window + per-(series, bucket)
+    * increase, then ONE percentile aggregation across series —
+    * `percentile` is a partial-merge aggregate like any sum, so
+    * map-side combine applies and no per-bucket sort job runs. The
+    * quantile is continuous-interpolation on the double-cast increase,
+    * rounded to 6 decimals (the engines' shared `q_v` contract); the
+    * rate column divides the SAME percentile by the step — quantile is
+    * monotone, so quantile(rate) == quantile(increase)/step exactly.
+    */
+  def quantileIncreaseBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      q: Double,
+      offsetSec: Long = 0L): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile must be in [0,1]: $q")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("ts"), col("value"))
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      ((col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+        .as("bucket_start")
+    queryRange(metric, matchers, start - offsetSec, end - offsetSec)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("v") >= col("prev"), col("v") - col("prev"))
+          .otherwise(col("v")))
+      .where(col("delta").isNotNull)
+      .groupBy((col("sid") +: keys): _*)
+      .agg(sum(col("delta")).cast("double").as("inc"))
+      .groupBy((byLabels.map(col) :+ col("bucket_start")): _*)
+      .agg(
+        count(lit(1)).as("n_series"),
+        round(percentile(col("inc"), lit(q)), 6).as("q_increase"),
+        round(percentile(col("inc"), lit(q)) / stepSec, 6).as("q_rate"))
+  }
+
   /** Materialize a per-(sid, step-bucket) rollup store — the continuous
     * downsampling tier (Thanos/M3-style) that serves coarse-range queries
     * without touching raw samples. Partial aggregates (count, exact

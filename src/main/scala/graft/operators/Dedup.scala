@@ -344,8 +344,11 @@ object Dedup {
     // convergence via the monotone invariant: per-node labels only ever
     // decrease, so sum(comp) strictly decreases until the fixpoint — one
     // cheap aggregation per round instead of a change-detection join
+    // null-safe: an EMPTY graph (no pairs survived upstream capping /
+    // thresholds) sums to NULL — coalesce to 0 so the loop converges
+    // immediately instead of throwing, matching the star form's stat()
     def compSum(df: DataFrame): Long =
-      df.agg(sum("comp")).head().getLong(0)
+      df.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
     var prevSum = compSum(labels)
     var converged = false
     var rounds = 0

@@ -1244,6 +1244,14 @@ object PromQL {
         t.bottomKBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "bottomk(sum by)"), k.toInt, sel.offsetSec)
 
+      // cross-series quantile of per-series rates — `quantile by (l)
+      // (0.9, rate(x[step]))`, the SLO family; quantile is monotone so
+      // the rate column is the increase quantile over the step
+      case Agg("quantile", _, Some(q), by,
+          RangeFn(fn, _, sel, _, _), _) if fn == "rate" || fn == "increase" =>
+        t.quantileIncreaseBy(sel.metric, sel.matchers, start, end, by,
+          stepOf(sel, s"quantile($fn)"), q, sel.offsetSec)
+
       // ranked counter form — `topk(k, sum by (l)(rate(x[1h])))`, the
       // canonical "top k by request rate" dashboard query (bottomk is
       // the ascending mirror); rate and increase rank identically

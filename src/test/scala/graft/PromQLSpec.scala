@@ -864,6 +864,34 @@ class PromQLSpec extends SparkSuite {
     assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
   }
 
+  test("quantile over rate: cross-series percentile of per-series " +
+      "increase") {
+    // string == direct call
+    assertSame(
+      PromQL.query(t, "quantile by (cohort) (0.9, rate(click[1h]))",
+        T0, T1),
+      t.quantileIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"),
+        3600L, q = 0.9))
+    // continuous quantile at the endpoints is exactly the max/min
+    // moment of the same per-series increases
+    val moments = t.momentIncreaseBy("click", Seq.empty, T0, T1,
+      Seq("cohort"), 3600L)
+      .select(col("cohort"), col("bucket_start"),
+        round(col("max_increase"), 6).as("mx"),
+        round(col("min_increase"), 6).as("mn"))
+    val q1 = PromQL.query(t,
+      "quantile by (cohort) (1.0, increase(click[1h]))", T0, T1)
+    val q0 = PromQL.query(t,
+      "quantile by (cohort) (0.0, increase(click[1h]))", T0, T1)
+    assert(q1.join(moments, Seq("cohort", "bucket_start"))
+      .where(col("q_increase") =!= col("mx")).isEmpty)
+    assert(q0.join(moments, Seq("cohort", "bucket_start"))
+      .where(col("q_increase") =!= col("mn")).isEmpty)
+    // round-trip
+    val s = "quantile by (cohort) (0.9, rate(click[1h]))"
+    assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
+  }
+
   test("time functions: grid-field arithmetic matches the UTC calendar") {
     val base = "sum by (cohort) (click[1h])"
     val fields: Seq[(String, java.time.ZonedDateTime => Int)] = Seq(
