@@ -66,9 +66,16 @@ object Bench {
         val best = (1 until reps).foldLeft(first) { (b, _) =>
           if (b < 0) b else math.min(b, once())
         }
+        // progress line per query (stderr, like the flags): a long sweep
+        // is otherwise a black box until the final JSON prints
+        System.err.println(f"[bench-done] $name $best%.2f")
         name -> best
       }
-    val results = time(selected, reps = 2)
+    // SPARK_GRAFT_REPS=1 for scale-record sweeps (x100 growth factors
+    // don't need the min-of-2 noise discard; doubling a 300s query does)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(2)
+    val results = time(selected, reps)
     // the deliberately-quadratic comparators run once — min-of-2 would
     // double the most expensive section for a number nobody gates on
     val compResults =
