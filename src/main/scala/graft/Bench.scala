@@ -28,7 +28,12 @@ object Bench {
     // which reports separately and never counts toward the total.
     val comparators = Set("ann_clustered_agg", "dedup_embedding",
       "dedup_ngram_jaccard", "pipeline_clean_corpus",
-      "dedup_components_minlabel")
+      "dedup_components_minlabel",
+      // uncapped SimHash pairs: oracle-exact, but identical simhashes
+      // collide in every band, so pair output is quadratic in the worst
+      // collision group (1204 s at x100) — dedup_simhash_capped /
+      // dedup_simhash_clusters are the timed scale twins
+      "dedup_simhash")
     val withComparators =
       sys.env.get("SPARK_GRAFT_COMPARATORS").exists(_ == "1")
     // optional subset for isolating per-query timings (comma-separated names)

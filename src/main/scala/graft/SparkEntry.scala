@@ -1467,6 +1467,29 @@ object SparkEntry {
         maxHamming = 3)
       .orderBy("id1", "id2")
 
+  /** [[qDedupSimhash]] with the occupancy cap — identical simhashes
+    * (exact dups, replicated corpora) collide in EVERY band, so the
+    * uncapped pairwise join is quadratic in the worst collision group
+    * (1204 s at the 100× scale point); the census cap bounds candidates
+    * at maxBucket² per cell. Equality with the uncapped twin at the
+    * gate SFs is sbt-asserted (no over-cap cells there).
+    */
+  private def qDedupSimhashCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3, maxBucket = 16)
+      .orderBy("id1", "id2")
+
+  /** The representative-emitting 100 TB SimHash form: band cells emit
+    * star edges to their minimum doc id, the exact Hamming test rides
+    * the edge map-side (no dimension join), star contraction closes the
+    * clusters — never materializes a clique. Refinement-of-pairs is
+    * sbt-gated (OperatorSpec).
+    */
+  private def qDedupSimhashClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashClusters(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("doc_id")
+
   /** Transitive near-dup clusters: min-reachable-id component per doc.
     * Alternating large-star/small-star contraction — O(log diameter)
     * rounds, the 100-TB form (3× faster than min-label propagation at the
@@ -2070,6 +2093,8 @@ object SparkEntry {
     "dedup_minhash_capped" -> (qDedupMinhashCapped _),
     "dedup_minhash_clusters" -> (qDedupMinhashClusters _),
     "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_simhash_capped" -> (qDedupSimhashCapped _),
+    "dedup_simhash_clusters" -> (qDedupSimhashClusters _),
     "dedup_components" -> (qDedupComponents _),
     "dedup_components_capped" -> (qDedupComponentsCapped _),
     "dedup_components_minlabel" -> (qDedupComponentsMinLabel _),

@@ -280,17 +280,22 @@ object Dedup {
 
   private def pow2(j: Int): Column = lit(1L << j)
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
-    * Blocking: split the 60-bit hash into `maxHamming + 1` bands — by
-    * pigeonhole, any pair within the distance agrees on at least one whole
-    * band, so the blocking is lossless. Candidates are verified with
-    * `bit_count(xor)`.
+  /** The (doc_id, sh, band, bucket) SimHash band-assignment table shared
+    * by the pair and cluster forms. With `maxBucket > 0`, over-cap
+    * (band, bucket) cells thin deterministically to ≈ `maxBucket`
+    * survivors — the same occupancy-census idiom as [[bandedBuckets]]:
+    * identical simhashes (exact duplicates and replicated corpora)
+    * collide in EVERY band, so the uncapped pairwise join is quadratic
+    * in the worst collision group; the cap bounds candidates at
+    * maxBucket² per cell. Approximate on over-cap cells only; under-cap
+    * cells are byte-identical.
     */
-  def simHashPairs(
+  private def simHashBands(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = SimHashBits / nBands
     val hashed = simHashes(docs, idCol, textCol)
@@ -302,6 +307,40 @@ object Dedup {
       posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    if (maxBucket <= 0) banded
+    else {
+      val heavy = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("occ"))
+        .where(col("occ") > maxBucket)
+        .select(col("band"), col("bucket"),
+          ceil(col("occ").cast("double") / maxBucket).cast("long")
+            .as("thin_rate"))
+      banded.join(broadcast(heavy), Seq("band", "bucket"), "left")
+        .where(col("thin_rate").isNull ||
+          pmod(xxhash64(col("doc_id")), col("thin_rate")) === 0)
+        .drop("thin_rate")
+    }
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Blocking: split the 60-bit hash into `maxHamming + 1` bands — by
+    * pigeonhole, any pair within the distance agrees on at least one whole
+    * band, so the blocking is lossless. Candidates are verified with
+    * `bit_count(xor)`.
+    *
+    * Pair materialization is quadratic in the worst collision group no
+    * matter how good the blocking (identical simhashes collide in every
+    * band); `maxBucket > 0` bounds it via deterministic occupancy
+    * thinning, and [[simHashClusters]] is the representative-emitting
+    * form that never materializes cliques at all.
+    */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    val banded = simHashBands(docs, idCol, textCol, maxHamming, maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -313,6 +352,35 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .where(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+  }
+
+  /** Representative-emitting SimHash near-dup CLUSTERS — the 100 TB form
+    * of [[simHashPairs]], mirroring [[minHashClusters]]: each
+    * (band, bucket) cell emits STAR edges to the cell's minimum doc id
+    * (`occupancy − 1` edges instead of `occupancy²` pairs), the exact
+    * Hamming test `bit_count(xor) <= maxHamming` verifies the LINEAR
+    * edge set map-side (both 60-bit hashes ride the edge — no dimension
+    * join at all), and [[connectedComponentsStar]] closes the
+    * transitive clusters in O(log diameter) rounds. Same
+    * refinement-of-pairs contract as the MinHash form, sbt-gated.
+    * Output: (doc_id, component = min reachable doc id).
+    */
+  def simHashClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val banded = simHashBands(docs, idCol, textCol, maxHamming, maxBucket = 0)
+    val edges = banded
+      .withColumn("hubStruct",
+        min(struct(col("doc_id"), col("sh")))
+          .over(Window.partitionBy("band", "bucket")))
+      .where(col("doc_id") =!= col("hubStruct.doc_id"))
+      .where(bit_count(col("sh").bitwiseXOR(col("hubStruct.sh")))
+        <= maxHamming)
+      .select(col("hubStruct.doc_id").as("id1"), col("doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    connectedComponentsStar(edges)
   }
 
   /** Connected components over a near-dup pair graph: label every node with

@@ -23,7 +23,8 @@ class EntrySpec extends SparkSuite {
       "q_approx_percentile",
       "dedup_embedding_lsh", "dedup_embedding_ivf",
       "ann_clustered_agg", "ann_clustered_lsh", "ann_clustered_ivf",
-      "dedup_minhash_capped", "dedup_minhash_clusters"))
+      "dedup_minhash_capped", "dedup_minhash_clusters",
+      "dedup_simhash_capped", "dedup_simhash_clusters"))
   }
 
   test("every query runs and returns rows at sf0.001") {

@@ -677,6 +677,44 @@ class OperatorSpec extends SparkSuite {
     }
     assert(top.keySet == full.keySet) // every bucket represented
   }
+
+  test("capped simhash pairs: subset of exact, deterministic, loose cap " +
+      "is the identity") {
+    val exact = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3,
+        maxBucket = 16)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact), "cap emitted a non-exact pair")
+    val again = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3,
+        maxBucket = 16)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == again)
+    val loose = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3,
+        maxBucket = 1000000)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == exact)
+  }
+
+  test("simhash star clusters refine the exact simhash pair components") {
+    val exactComp = Dedup.connectedComponentsStar(
+        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.simHashClusters(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // refinement: every star edge passed the exact Hamming test, so a
+    // star cluster never spans two exact components
+    assert(star.keySet.subsetOf(exactComp.keySet))
+    star.groupBy(_._2).values.foreach { members =>
+      val exactLabels = members.keys.map(exactComp).toSet
+      assert(exactLabels.size == 1,
+        s"simhash star cluster spans exact components: $members")
+    }
+  }
 }
 
 /** Shared fixture call so the spec and the registered query stay in sync. */
