@@ -29,11 +29,13 @@ object Bench {
     val comparators = Set("ann_clustered_agg", "dedup_embedding",
       "dedup_ngram_jaccard", "pipeline_clean_corpus",
       "dedup_components_minlabel",
-      // uncapped SimHash pairs: oracle-exact, but identical simhashes
-      // collide in every band, so pair output is quadratic in the worst
-      // collision group (1204 s at x100) — dedup_simhash_capped /
-      // dedup_simhash_clusters are the timed scale twins
-      "dedup_simhash")
+      // uncapped pair-enumerating banding forms: oracle-exact, but ANY
+      // pair materialization is quadratic in the worst near-dup clique /
+      // collision group no matter how good the blocking (x100 record:
+      // dedup_simhash 1204 s, dedup_minhash_lsh 848 s) — the timed scale
+      // twins are the *_capped occupancy-thinned and *_clusters
+      // star-edge forms
+      "dedup_simhash", "dedup_minhash_lsh")
     val withComparators =
       sys.env.get("SPARK_GRAFT_COMPARATORS").exists(_ == "1")
     // optional subset for isolating per-query timings (comma-separated names)

@@ -1538,8 +1538,9 @@ object SparkEntry {
     */
   private def qDedupEmbeddingIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    val k = autoClusters(emb.count())
     val path = Similarity.ensureIvfIndex(
-      emb, "vec_id", "embedding", 16, ivfPath(dir, "emb", 16))
+      emb, "vec_id", "embedding", k, ivfPath(dir, "emb", k))
     Dedup.embeddingPairsIvf(s, path, threshold = 0.45)
       .orderBy("id1", "id2")
   }
@@ -1574,6 +1575,17 @@ object SparkEntry {
     * corpus or a colliding basename forces a rebuild rather than serving
     * a stale index).
     */
+  /** IVF cluster count sized to the corpus: cells of ~2048 vectors keep
+    * per-cell work flat as data grows (k grows with N instead of cells
+    * growing with N — a fixed k=16 at the 100× point put 62k vectors in
+    * every cell and made the cell-blocked dedup pairs quadratic: 581 s).
+    * The floor keeps the oracle/recall-gate SFs (≤ 100k vectors) on the
+    * fixed-k geometry those gates were tuned against; the cap bounds the
+    * centroid broadcast.
+    */
+  private def autoClusters(n: Long, floor: Int = 16): Int =
+    math.min(4096L, math.max(floor.toLong, n / 2048L)).toInt
+
   private def ivfPath(dir: String, tag: String, nClusters: Int): String = {
     val d = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     s"spark-warehouse/graft_index/ivf_${tag}_${d}_c${nClusters}_" +
@@ -1588,8 +1600,9 @@ object SparkEntry {
     */
   private def qAnnTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    val k = autoClusters(emb.count())
     val path = Similarity.ensureIvfIndex(
-      emb, "vec_id", "embedding", 16, ivfPath(dir, "emb", 16))
+      emb, "vec_id", "embedding", k, ivfPath(dir, "emb", k))
     Similarity.ivfProbeTopK(
         s, path, emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
         5, nProbe = 4)
@@ -1674,12 +1687,13 @@ object SparkEntry {
       selected.forall(names => prefixes.exists(p => names.exists(_.startsWith(p))))
     if (wanted("tsdb_rollup", "tsdb_ratio_rollup", "tsdb_range_chunks"))
       tieredTsdb(s, dir) // rollup + gorilla-chunk tiers, built once per dir
-    if (wanted("ann_topk")) {
+    if (wanted("ann_topk", "dedup_embedding")) {
       val emb = Tables.embeddings(s, dir)
+      val k = autoClusters(emb.count())
       Similarity.ensureIvfIndex(
-        emb, "vec_id", "embedding", 16, ivfPath(dir, "emb", 16))
+        emb, "vec_id", "embedding", k, ivfPath(dir, "emb", k))
       Similarity.ivfProbeTopK(
-        s, ivfPath(dir, "emb", 16),
+        s, ivfPath(dir, "emb", k),
         emb.where(col("vec_id") === 0), "vec_id", "embedding", 5, 4).count()
     }
     if (wanted("ann_clustered")) {
