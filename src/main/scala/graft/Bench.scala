@@ -29,6 +29,10 @@ object Bench {
     val comparators = Set("ann_clustered_agg", "dedup_embedding",
       "dedup_ngram_jaccard", "pipeline_clean_corpus",
       "dedup_components_minlabel",
+      // brute-force ANN: the correctness yardstick for the LSH/IVF scale
+      // paths, quadratic by design (queries × corpus); at x100 it DNF'd —
+      // ann_clustered_agg was already here, this is its shared-fixture twin
+      "ann_topk",
       // uncapped pair-enumerating banding forms: oracle-exact, but ANY
       // pair materialization is quadratic in the worst near-dup clique /
       // collision group no matter how good the blocking (x100 record:
@@ -49,6 +53,22 @@ object Bench {
     // fixture): built outside the timed region — and only the ones the
     // selected queries actually consume
     SparkEntry.prewarm(spark, sfDir, only)
+    // host-calibration probe: a fixed, data-independent pure-compute
+    // workload (2^28 xxhash64 + sum over 32 partitions). Its time scales
+    // with the host's per-core throughput but not with any corpus, so
+    // cur_probe / baseline_probe is the cross-host speed ratio — the
+    // regression gate divides it out before flagging. Rounds 4-6 each
+    // produced 20-39 driver "regressions" that were all host-speed skew
+    // (baseline recorded on the builder host); min-of-2 discards run
+    // noise, this discards host noise.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 28, 1, 32)
+        .selectExpr("sum(pmod(xxhash64(id), 1000000)) s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeSec = math.min(probeOnce(), probeOnce())
+    System.err.println(f"[bench-probe] $probeSec%.3f s")
     // min of two back-to-back runs per query: the round-5 driver sweep
     // flagged 39 "regressions" that were all container I/O variance (a
     // uniform ~1.7× on an otherwise idle host). The min discards the
@@ -108,11 +128,18 @@ object Bench {
       else JsonMethods.parse(f) \ tag match {
         case JObject(fields) =>
           val base = fields.collect { case (k, JDouble(v)) => k -> v }.toMap
+          // host-speed normalization: if the baseline recorded its own
+          // calibration probe, scale every baseline time by this host's
+          // probe ratio before comparing — a uniformly-slower host then
+          // flags nothing, while a genuinely changed plan still does
+          val hostRatio = base.get("__probe__")
+            .filter(_ > 0).map(probeSec / _).getOrElse(1.0)
           results.toMap.collect {
             case (name, cur)
-                if base.get(name).exists(b =>
-                  cur > 0.3 && b > 0 && cur / b > 1.3) =>
-              name -> BigDecimal(cur / base(name))
+                if name != "__probe__" &&
+                  base.get(name).exists(b =>
+                    cur > 0.3 && b > 0 && cur / (b * hostRatio) > 1.3) =>
+              name -> BigDecimal(cur / (base(name) * hostRatio))
                 .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
           }
         case _ => Map.empty
@@ -123,7 +150,7 @@ object Bench {
     }
     val regs = regressions.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"comparators":$comps,"regressions":$regs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"comparators":$comps,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

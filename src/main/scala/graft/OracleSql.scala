@@ -1147,6 +1147,42 @@ object OracleSql {
        |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Shared shape of the scalar-arithmetic / pointwise-math promql
+    * oracles: the sum-by-cohort hour grid with a parameterized `result`
+    * expression over the DOUBLE-cast decimal sum (`SUMV` placeholder) —
+    * mirrors what the compiled `withColumn("result", …)` rides on. The
+    * double-only ops (`%` ^ atan2, trig) round to 6 decimals on BOTH
+    * sides so libm ulp drift can't break the exact hash.
+    */
+  private def promqlAggResult(resultSql: String,
+      lo: Long = T0, hi: Long = T1): String = {
+    val sumv = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+    val res =
+      if (resultSql.isEmpty) ""
+      else ",\n       " + resultSql.replace("SUMV", sumv) + " AS result"
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       count(*) AS n,
+       |       $sumv AS sum_v,
+       |       $sumv / count(*) AS avg_v,
+       |       min(value) AS min_v, max(value) AS max_v$res
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $lo AND $hi
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  private val tsdbPromqlMod = promqlAggResult("round(fmod(SUMV, 7), 6)")
+  private val tsdbPromqlPow = promqlAggResult("round(pow(SUMV, 2), 6)")
+  private val tsdbPromqlAtan2 =
+    promqlAggResult("round(atan2(SUMV, 100), 6)")
+  // deg(atan(v)): each stage rounds, exactly as the compiler emits
+  private val tsdbPromqlTrig =
+    promqlAggResult("round(degrees(round(atan(SUMV), 6)), 6)")
+  // `@ 1704682800` pins the single epoch-aligned [1h] bucket containing
+  // that instant: [1704682800, 1704686399]
+  private val tsdbPromqlAt =
+    promqlAggResult("", lo = 1704682800L, hi = 1704686399L)
+
   /** `quantile by (cohort)(0.9, rate(click[1h]))` — tsdbAggIncrease's
     * per-series positive-delta chain aggregated to per-(series, bucket)
     * increases, then the continuous p90 across series; the rate column
@@ -2156,6 +2192,11 @@ object OracleSql {
     "tsdb_promql_quantile_rate" -> tsdbPromqlQuantileRate,
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
+    "tsdb_promql_mod" -> tsdbPromqlMod,
+    "tsdb_promql_pow" -> tsdbPromqlPow,
+    "tsdb_promql_atan2" -> tsdbPromqlAtan2,
+    "tsdb_promql_trig" -> tsdbPromqlTrig,
+    "tsdb_promql_at" -> tsdbPromqlAt,
     "tsdb_promql_and" -> tsdbPromqlAnd,
     "tsdb_promql_unless" -> tsdbPromqlUnless,
     "tsdb_promql_maxavg" -> tsdbPromqlMaxAvg,

@@ -447,6 +447,57 @@ object SparkEntry {
       .select("cohort", "bucket_start", "n_a", "n_b", "result")
       .orderBy("cohort", "bucket_start")
 
+  /** `%` modulo arithmetic through the string front-end:
+    * `sum by (cohort)(click[1h]) % 7` — Go math.Mod semantics (the
+    * dividend's sign), double math rounded to 6 decimals like `/`.
+    */
+  private def qTsdbPromqlMod(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (click[1h]) % 7", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
+  /** `^` exponentiation (right-associative, binds tightest):
+    * `sum by (cohort)(click[1h]) ^ 2`.
+    */
+  private def qTsdbPromqlPow(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (click[1h]) ^ 2", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
+  /** The `atan2` infix operator (PromQL's only named binary operator)
+    * with a scalar side: `sum by (cohort)(click[1h]) atan2 100`.
+    */
+  private def qTsdbPromqlAtan2(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (click[1h]) atan2 100", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
+  /** The trig family composed: `deg(atan(sum by (cohort)(click[1h])))`
+    * — pointwise transcendentals over the aggregated grid, each stage
+    * rounded to 6 decimals so JVM/libm ulp drift can't break the exact
+    * cross-engine hash.
+    */
+  private def qTsdbPromqlTrig(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "deg(atan(sum by (cohort) (click[1h])))", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
+  /** The `@` evaluation-time modifier:
+    * `sum by (cohort)(click[1h] @ 1704682800)` pins evaluation to one
+    * instant, so the [T0, T1] range query collapses to the single
+    * epoch-aligned bucket containing it — `@ start()` / `@ end()`
+    * resolve against the query window the same way.
+    */
+  private def qTsdbPromqlAt(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (click[1h] @ 1704682800)", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
   /** Vector set op `and` with a thresholded right side: cohort-hours
     * with purchases WHERE the same cohort-hour's clicks exceeded the
     * threshold — a left-semi join on (labels, bucket).
@@ -1538,7 +1589,7 @@ object SparkEntry {
     */
   private def qDedupEmbeddingIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val k = autoClusters(emb.count())
+    val k = cachedClusters("emb", dir, 16)(emb.count())
     val path = Similarity.ensureIvfIndex(
       emb, "vec_id", "embedding", k, ivfPath(dir, "emb", k))
     Dedup.embeddingPairsIvf(s, path, threshold = 0.45)
@@ -1579,12 +1630,28 @@ object SparkEntry {
     * per-cell work flat as data grows (k grows with N instead of cells
     * growing with N — a fixed k=16 at the 100× point put 62k vectors in
     * every cell and made the cell-blocked dedup pairs quadratic: 581 s).
-    * The floor keeps the oracle/recall-gate SFs (≤ 100k vectors) on the
-    * fixed-k geometry those gates were tuned against; the cap bounds the
-    * centroid broadcast.
+    * The floor keeps the oracle/recall-gate SFs on the fixed-k geometry
+    * those gates were tuned against — it binds up to `floor × 2048`
+    * vectors (32k at the default floor=16; the gate corpora are ≤ 2k
+    * shared / ≤ 50k clustered vectors, both under their floors' bind
+    * points); the cap bounds the centroid broadcast.
     */
   private def autoClusters(n: Long, floor: Int = 16): Int =
     math.min(4096L, math.max(floor.toLong, n / 2048L)).toInt
+
+  /** Resolved [[autoClusters]] per (corpus, dir), cached so the timed
+    * query bodies never re-run the sizing `count()` — prewarm (or the
+    * first call) pays it once and every subsequent invocation on the same
+    * dir reads the cache (round-6 ADVICE: an extra Spark job per timed
+    * repetition). Corpus fixtures are immutable per dir within a run, so
+    * dir-keyed presence == freshness.
+    */
+  private val clusterSizeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def cachedClusters(tag: String, dir: String, floor: Int)(
+      count: => Long): Int =
+    clusterSizeCache.getOrElseUpdate(s"$tag:$dir:f$floor",
+      autoClusters(count, floor))
 
   private def ivfPath(dir: String, tag: String, nClusters: Int): String = {
     val d = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -1600,7 +1667,7 @@ object SparkEntry {
     */
   private def qAnnTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val k = autoClusters(emb.count())
+    val k = cachedClusters("emb", dir, 16)(emb.count())
     val path = Similarity.ensureIvfIndex(
       emb, "vec_id", "embedding", k, ivfPath(dir, "emb", k))
     Similarity.ivfProbeTopK(
@@ -1657,8 +1724,14 @@ object SparkEntry {
     */
   private def qAnnClusteredIvf(s: SparkSession, dir: String): DataFrame = {
     val c = ClusteredEmbeddings.ensure(s, dir)
+    // floor=32 pins the recall-gate SFs (≤ 50k vectors ⇒ 32 = the planted
+    // cluster count) to the geometry the gates were tuned on; beyond the
+    // 32×2048 bind point k grows with the corpus so cell size — and with
+    // it probe cost per query — stays flat (fixed k=32 at x100 put 156k
+    // vectors per cell: 31.9× growth on 10× data, DNF at 100×)
+    val k = cachedClusters("clustered", dir, 32)(c.count())
     val path = Similarity.ensureIvfIndex(
-      c, "vec_id", "embedding", 32, ivfPath(dir, "clustered", 32),
+      c, "vec_id", "embedding", k, ivfPath(dir, "clustered", k),
       trainFraction = 0.2)
     // nProbe=2: planted-cluster neighbors live in the query's own cell, so
     // two probed cells already carry recall ≈ 1 (gated in OperatorSpec)
@@ -1689,7 +1762,7 @@ object SparkEntry {
       tieredTsdb(s, dir) // rollup + gorilla-chunk tiers, built once per dir
     if (wanted("ann_topk", "dedup_embedding")) {
       val emb = Tables.embeddings(s, dir)
-      val k = autoClusters(emb.count())
+      val k = cachedClusters("emb", dir, 16)(emb.count())
       Similarity.ensureIvfIndex(
         emb, "vec_id", "embedding", k, ivfPath(dir, "emb", k))
       Similarity.ivfProbeTopK(
@@ -1698,8 +1771,9 @@ object SparkEntry {
     }
     if (wanted("ann_clustered")) {
       val c = ClusteredEmbeddings.ensure(s, dir)
+      val ck = cachedClusters("clustered", dir, 32)(c.count())
       Similarity.ensureIvfIndex(
-        c, "vec_id", "embedding", 32, ivfPath(dir, "clustered", 32),
+        c, "vec_id", "embedding", ck, ivfPath(dir, "clustered", ck),
         trainFraction = 0.2)
       // compile the heavyweight plan shapes once with a single-query
       // probe: codegen + encoder compilation for the bounded aggregator,
@@ -1711,7 +1785,7 @@ object SparkEntry {
       Similarity.multiprobeTopK(
         c, one, "vec_id", "embedding", 5, -1, 4, 2, targetOcc = 8L).count()
       Similarity.ivfProbeTopK(
-        s, ivfPath(dir, "clustered", 32), one, "vec_id", "embedding", 5, 2)
+        s, ivfPath(dir, "clustered", ck), one, "vec_id", "embedding", 5, 2)
         .count()
     }
   }
@@ -2047,6 +2121,11 @@ object SparkEntry {
     "tsdb_promql_quantile_rate" -> (qTsdbPromqlQuantileRate _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
+    "tsdb_promql_mod" -> (qTsdbPromqlMod _),
+    "tsdb_promql_pow" -> (qTsdbPromqlPow _),
+    "tsdb_promql_atan2" -> (qTsdbPromqlAtan2 _),
+    "tsdb_promql_trig" -> (qTsdbPromqlTrig _),
+    "tsdb_promql_at" -> (qTsdbPromqlAt _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),
     "tsdb_promql_unless" -> (qTsdbPromqlUnless _),
     "tsdb_promql_maxavg" -> (qTsdbPromqlMaxAvg _),

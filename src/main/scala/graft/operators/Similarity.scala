@@ -194,18 +194,29 @@ object Similarity {
       vecCol: String,
       k: Int,
       nProbe: Int = 4): DataFrame = {
+    // centroid norms computed once while building the broadcast relation,
+    // not per (query × centroid) row
     val cents = spark.read.parquet(s"$path/centroids")
+      .withColumn("cenrm", normSeq(col("centroid")))
     val q = queries.select(col(idCol).as("qid"),
         toDoubleArray(col(vecCol)).as("qvec"))
       .withColumn("qnrm", normSeq(col("qvec")))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("cdist",
-        dotSeq(col("qvec"), col("centroid")) /
-          (col("qnrm") * normSeq(col("centroid"))))
-      .withColumn("pr", row_number().over(wProbe))
-      .where(col("pr") <= nProbe)
+    // rank cells per query through the bounded top-k aggregator, NOT a
+    // window: a row_number window shuffles all queries × nClusters rows —
+    // and with autoClusters-sized indexes nClusters grows with the corpus,
+    // so at the 100× point that was 244M rows each dragging a 64-dim qvec
+    // (~73 GB exchange). The aggregator projects qvec away first, carries
+    // at most nProbe cells per query through map-side partial agg
+    // (identical cdist DESC, cell ASC ordering), then a query-sized join
+    // reattaches qvec.
+    val rankedCells = TopK.topKPerGroup(
+      q.crossJoin(broadcast(cents))
+        .withColumn("cdist",
+          dotSeq(col("qvec"), col("centroid")) / (col("qnrm") * col("cenrm")))
+        .select(col("qid"), col("cdist"), col("cell").cast("long").as("cl")),
+      "qid", "cdist", "cl", nProbe)
+      .select(col("qid"), col("cl").cast("int").as("cell"))
+    val probes = q.join(rankedCells, "qid")
       .select("qid", "qvec", "qnrm", "cell")
       // materialize the tiny probe set once: it feeds three consumers
       // (probed-cell collect, the broadcast build, and the dynamic-pruning

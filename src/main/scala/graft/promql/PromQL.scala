@@ -90,7 +90,18 @@ object PromQL {
       matchers: Seq[LabelMatcher],
       rangeSec: Option[Long],
       offsetSec: Long,
-      stepSec: Option[Long] = None) extends Expr
+      stepSec: Option[Long] = None,
+      atSpec: Option[AtSpec] = None) extends Expr
+
+  /** The `@` evaluation-time modifier on a selector: pins the selector's
+    * evaluation instant to a fixed unix time (`x @ 1600000000`), or to the
+    * query's own boundaries (`x @ start()` / `x @ end()`). Resolved
+    * against the query window in [[query]] BEFORE compilation — the
+    * compiler itself never sees one. */
+  sealed trait AtSpec
+  case object AtStart extends AtSpec
+  case object AtEnd extends AtSpec
+  final case class AtTime(sec: Long) extends AtSpec
   /** A range-vector function over a selector: rate, increase, resets,
     * the *_over_time family (with optional numeric/first-string args). */
   final case class RangeFn(
@@ -259,19 +270,26 @@ object PromQL {
   private val LabelFns = Set("label_replace", "label_join")
 
   private val MomentAggs = Set("sum", "avg", "min", "max", "count")
-  private val ArithOps = Set("/", "*", "+", "-")
+  private val ArithOps = Set("/", "*", "+", "-", "%", "^", "atan2")
   private val CmpOps = Set(">", "<", ">=", "<=")
   private val SetOps = Set("and", "or", "unless")
   /** Prometheus's time functions, evaluated on the STEP GRID: the result
     * is the calendar field of each row's `bucket_start` (this engine's
     * grid timestamp), UTC — the business-hours-alerting family. */
   private val TimeFns =
-    Set("hour", "minute", "day_of_week", "day_of_month", "month", "year",
-      "timestamp")
+    Set("hour", "minute", "day_of_week", "day_of_month", "days_in_month",
+      "month", "year", "timestamp")
+  /** Prometheus's pointwise trig family (values are radians; `deg`/`rad`
+    * convert). Double-only transcendentals: the compiled column rounds to
+    * 6 decimals so JVM libm vs the oracle's C libm ulp drift can't break
+    * exact cross-engine hashing. */
+  private val TrigFns =
+    Set("sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh",
+      "tanh", "asinh", "acosh", "atanh", "deg", "rad")
   private val MathFns =
     Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max",
       "clamp", "exp", "ln", "log2", "log10", "round", "sort", "sort_desc") ++
-      TimeFns
+      TimeFns ++ TrigFns
 
   private final class P(var toks: List[Tok], input: String) {
     def fail(msg: String): Nothing =
@@ -371,14 +389,29 @@ object PromQL {
     }
 
     private def parseMulDiv(): Expr = {
-      var lhs = parseOperand()
+      var lhs = parsePow()
       while (peek.exists {
-          case Sym("/" | "*") => true; case _ => false }) {
-        val op = next() match { case Sym(s) => s; case _ => fail("arith") }
+          case Sym("/" | "*" | "%") => true
+          case Ident("atan2") => true // infix operator in PromQL, not a fn
+          case _ => false }) {
+        val op = next() match {
+          case Sym(s) => s; case Ident(s) => s; case _ => fail("arith") }
         val clause = parseMatchClause()
-        lhs = matched(op, lhs, parseOperand(), clause)
+        lhs = matched(op, lhs, parsePow(), clause)
       }
       lhs
+    }
+
+    /** `^` binds tightest of the binary ops and is RIGHT-associative
+      * (Prometheus: `a ^ b ^ c` = `a ^ (b ^ c)`), hence the recursive
+      * rhs instead of a loop. */
+    private def parsePow(): Expr = {
+      val base = parseOperand()
+      if (peek.contains(Sym("^"))) {
+        next()
+        val clause = parseMatchClause()
+        matched("^", base, parsePow(), clause)
+      } else base
     }
 
     /** A term, a parenthesized grouping, or a scalar literal operand
@@ -420,6 +453,11 @@ object PromQL {
     }
 
     private def parseTerm(): Expr = peek match {
+      // pi() is a zero-arg scalar — folded to its literal at parse time,
+      // so it composes everywhere a number does (`v * pi()`)
+      case Some(Ident("pi")) =>
+        next(); expectSym("("); expectSym(")")
+        NumLit(math.Pi)
       case Some(Ident(name)) if AggOps(name) =>
         next()
         val byBefore = parseByClause()
@@ -584,15 +622,32 @@ object PromQL {
         }
         expectSym("]")
       }
+      // `offset` and `@` may appear in either order (Prometheus allows
+      // both `x offset 5m @ end()` and `x @ end() offset 5m`), each at
+      // most once
       var offsetSec = 0L
-      if (peek.contains(Ident("offset"))) {
-        next()
-        offsetSec = next() match {
-          case Num(s) => durationSec(s)
-          case t => fail("offset must be a duration")
-        }
+      var atSpec: Option[AtSpec] = None
+      var more = true
+      while (more) peek match {
+        case Some(Ident("offset")) if offsetSec == 0L =>
+          next()
+          offsetSec = next() match {
+            case Num(s) => durationSec(s)
+            case t => fail("offset must be a duration")
+          }
+        case Some(Sym("@")) if atSpec.isEmpty =>
+          next()
+          atSpec = Some(next() match {
+            case Ident("start") => expectSym("("); expectSym(")"); AtStart
+            case Ident("end") => expectSym("("); expectSym(")"); AtEnd
+            // a unix timestamp in seconds (Prometheus accepts floats;
+            // this grid is second-resolution)
+            case Num(s) => AtTime(s.toDouble.toLong)
+            case t => fail("@ needs a unix timestamp, start() or end()")
+          })
+        case _ => more = false
       }
-      Selector(metric, matchers.toSeq, rangeSec, offsetSec, stepSec)
+      Selector(metric, matchers.toSeq, rangeSec, offsetSec, stepSec, atSpec)
     }
   }
 
@@ -600,7 +655,7 @@ object PromQL {
     * [[parse]] (`parse(render(e)) == e` is property-tested). Durations
     * render in seconds; matcher values escape `\` and `"`. */
   def render(e: Expr): String = e match {
-    case Selector(metric, ms, range, off, step) =>
+    case Selector(metric, ms, range, off, step, at) =>
       val m =
         if (ms.isEmpty) ""
         else ms.map { lm =>
@@ -616,7 +671,12 @@ object PromQL {
       val st = step.map(s => s":${s}s").getOrElse("")
       val r = range.map(s => s"[${s}s$st]").getOrElse("")
       val o = if (off != 0L) s" offset ${off}s" else ""
-      s"$metric$m$r$o"
+      val a = at.map {
+        case AtStart => " @ start()"
+        case AtEnd => " @ end()"
+        case AtTime(t) => s" @ $t"
+      }.getOrElse("")
+      s"$metric$m$r$o$a"
     case RangeFn(name, numArg, sel, by, atSec) =>
       val lead = numArg.map(q => s"$q, ").getOrElse("")
       val at = atSec.map(s => s", ${s}s").getOrElse("")
@@ -645,12 +705,15 @@ object PromQL {
           (if (gl) " group_left" else if (gr) " group_right" else "")
       val sep = if (clause.isEmpty) " " else s" $clause "
       // parenthesize a child whose operator binds looser than this one
-      // (or as loose, on the right — the parser is left-associative),
-      // so parse(render(e)) == e holds across the precedence ladder
+      // (or as loose, on the associativity-breaking side: right for the
+      // left-associative ops, LEFT for right-associative `^`), so
+      // parse(render(e)) == e holds across the precedence ladder
       val p = precOf(b)
       def sub(x: Expr, rhs: Boolean): String = {
         val px = precOf(x)
-        if (px < p || (rhs && px == p)) s"(${render(x)})" else render(x)
+        val breaksAssoc = if (op == "^") !rhs else rhs
+        if (px < p || (breaksAssoc && px == p)) s"(${render(x)})"
+        else render(x)
       }
       s"${sub(l, rhs = false)} $op$sep${sub(r, rhs = true)}"
     case b @ IgnoringOp(op, l, r, ig, gl, gr) =>
@@ -689,8 +752,10 @@ object PromQL {
     case _: BoolCmp => 3
     case BinOp("+" | "-", _, _, _, _, _) => 4
     case IgnoringOp("+" | "-", _, _, _, _, _) => 4
-    case BinOp("/" | "*", _, _, _, _, _) => 5
-    case IgnoringOp("/" | "*", _, _, _, _, _) => 5
+    case BinOp("/" | "*" | "%" | "atan2", _, _, _, _, _) => 5
+    case IgnoringOp("/" | "*" | "%" | "atan2", _, _, _, _, _) => 5
+    case BinOp("^", _, _, _, _, _) => 6
+    case IgnoringOp("^", _, _, _, _, _) => 6
     case _ => 9
   }
 
@@ -728,8 +793,79 @@ object PromQL {
       buckets: Seq[Double] = Seq.empty): DataFrame = {
     val ast = parse(input)
     validateSubquerySteps(ast)
-    compile(t, resolveWithout(t, ast), start, end, buckets,
+    val (ast2, s2, e2) = resolveAt(ast, start, end)
+    compile(t, resolveWithout(t, ast2), s2, e2, buckets,
       rollupStep = None)
+  }
+
+  /** Resolve `@` evaluation-time modifiers against the query window.
+    * `x @ t` pins the selector's evaluation instant, so the whole query
+    * collapses to the single grid bucket at the resolved time — the
+    * compiled operators then run with start = end = t, and `offset`
+    * composes on top exactly as it does on the moving grid (data read at
+    * t − offset). Mixed shapes — some selectors pinned, some not, or two
+    * different pinned times — have no single evaluation window and fail
+    * loudly rather than evaluating half a query on the wrong grid. */
+  private def resolveAt(e: Expr, start: Long, end: Long): (Expr, Long, Long) = {
+    def specs(x: Expr): Seq[Option[AtSpec]] = x match {
+      case s: Selector => Seq(s.atSpec)
+      case RangeFn(_, _, sel, _, _) => specs(sel)
+      case Agg(_, _, _, _, body, _) => specs(body)
+      case BinOp(_, l, r, _, _, _) => specs(l) ++ specs(r)
+      case IgnoringOp(_, l, r, _, _, _) => specs(l) ++ specs(r)
+      case BoolCmp(_, l, r) => specs(l) ++ specs(r)
+      case MathFn(_, arg, _, _) => specs(arg)
+      case LabelFn(_, inner, _) => specs(inner)
+      case NumLit(_) => Seq.empty
+    }
+    def strip(x: Expr): Expr = x match {
+      case s: Selector => s.copy(atSpec = None)
+      case rf @ RangeFn(_, _, sel, _, _) => rf.copy(sel = sel.copy(atSpec = None))
+      case a @ Agg(_, _, _, _, body, _) => a.copy(body = strip(body))
+      case b @ BinOp(_, l, r, _, _, _) => b.copy(lhs = strip(l), rhs = strip(r))
+      case i @ IgnoringOp(_, l, r, _, _, _) =>
+        i.copy(lhs = strip(l), rhs = strip(r))
+      case bc @ BoolCmp(_, l, r) => bc.copy(lhs = strip(l), rhs = strip(r))
+      case m @ MathFn(_, arg, _, _) => m.copy(arg = strip(arg))
+      case lf @ LabelFn(_, inner, _) => lf.copy(inner = strip(inner))
+      case other => other
+    }
+    def ranges(x: Expr): Seq[Option[Long]] = x match {
+      case s: Selector => Seq(s.rangeSec)
+      case RangeFn(_, _, sel, _, _) => ranges(sel)
+      case Agg(_, _, _, _, body, _) => ranges(body)
+      case BinOp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
+      case IgnoringOp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
+      case BoolCmp(_, l, r) => ranges(l) ++ ranges(r)
+      case MathFn(_, arg, _, _) => ranges(arg)
+      case LabelFn(_, inner, _) => ranges(inner)
+      case NumLit(_) => Seq.empty
+    }
+    val ss = specs(e)
+    if (ss.forall(_.isEmpty)) (e, start, end)
+    else {
+      require(ss.forall(_.nonEmpty),
+        "@ modifier: every selector in the query must carry one (mixed " +
+        "pinned/moving evaluation times have no single grid)")
+      val times = ss.flatten.map {
+        case AtStart => start
+        case AtEnd => end
+        case AtTime(t) => t
+      }.distinct
+      require(times.size == 1,
+        s"@ modifier: all selectors must pin the same instant, got $times")
+      // the query collapses to the epoch-aligned grid bucket containing
+      // the pinned instant (this engine's buckets are wall-aligned:
+      // bucket_start = ts − ts % step), so the selector range IS the
+      // step and must be present and shared
+      val steps = ranges(e).flatten.distinct
+      require(steps.size == 1,
+        "@ modifier needs ranged selectors sharing one step (the [d] " +
+        s"window defines the pinned bucket), got ranges $steps")
+      val step = steps.head
+      val b0 = times.head - math.floorMod(times.head, step)
+      (strip(e), b0, b0 + step - 1)
+    }
   }
 
   /** Serve a bare selector string FROM the Gorilla chunk cold tier
@@ -744,7 +880,7 @@ object PromQL {
       start: Long,
       end: Long): DataFrame =
     parse(input) match {
-      case Selector(m, ms, _, off, None) =>
+      case Selector(m, ms, _, off, None, None) =>
         t.queryRangeFromChunks(m, ms, start - off, end - off)
       case other => throw new IllegalArgumentException(
         s"only bare selectors are served from the chunk tier, got: $other")
@@ -765,7 +901,8 @@ object PromQL {
       rollupStepSec: Long): DataFrame = {
     val ast = parse(input)
     validateSubquerySteps(ast)
-    compile(t, resolveWithout(t, ast), start, end, Seq.empty,
+    val (ast2, s2, e2) = resolveAt(ast, start, end)
+    compile(t, resolveWithout(t, ast2), s2, e2, Seq.empty,
       rollupStep = Some(rollupStepSec))
   }
 
@@ -851,6 +988,11 @@ object PromQL {
       val coarse = if (gr) rl else rr
       val base = coarse match {
         case Agg(_, _, _, by, _, _) => by
+        // plain match (no group_left/right): either side's grouping works
+        // — fall back to the lhs when the rhs is not an aggregation, e.g.
+        // `sum by (c)(x) / ignoring (l) <raw rhs>`
+        case _ if !gl && !gr && rl.isInstanceOf[Agg] =>
+          rl.asInstanceOf[Agg].by
         case other => throw new IllegalArgumentException(
           s"ignoring(...) needs an aggregated side to take the label " +
           s"set from, got: $other")
@@ -1018,6 +1160,15 @@ object PromQL {
       case "*" => (a, b) => a * b
       case "+" => (a, b) => a + b
       case "-" => (a, b) => a - b
+      // PromQL `%` is Go math.Mod: remainder carrying the dividend's
+      // sign — exactly Java's / Spark's `%` on doubles (DuckDB: fmod).
+      // The double-only ops round like `/` for cross-engine hashing.
+      case "%" => (a, b) => round(a.cast("double") % b.cast("double"), 6)
+      case "^" => (a, b) =>
+        round(org.apache.spark.sql.functions.pow(a, b), 6)
+      case "atan2" => (a, b) =>
+        round(org.apache.spark.sql.functions.atan2(
+          a.cast("double"), b.cast("double")), 6)
     }
 
   private def checkRollupStep(sel: Selector, rollupStep: Long): Long = {
@@ -1082,6 +1233,13 @@ object PromQL {
             org.apache.spark.sql.functions
               .when(cmp(op)(lit(v), col(valueColOf(rhs))), 1.0)
               .otherwise(0.0))
+      // vector-vector bool parses fine, so without this case it would
+      // fall through to the generic unsupported-shape error that never
+      // mentions bool — name the restriction explicitly
+      case BoolCmp(op, _, _) =>
+        throw new IllegalArgumentException(
+          s"bool comparisons support a scalar side only " +
+          s"(e.g. `x > bool 0.5`); vector $op bool vector is not supported")
 
       // vector set ops: both sides compile independently (so filtered /
       // scalar-wrapped sides compose); the match key is (labels, bucket)
@@ -1137,6 +1295,9 @@ object PromQL {
             f.month(f.to_date(f.from_unixtime(b))).cast("double")
           case "year" =>
             f.year(f.to_date(f.from_unixtime(b))).cast("double")
+          case "days_in_month" =>
+            f.dayofmonth(f.last_day(f.to_date(f.from_unixtime(b))))
+              .cast("double")
         }
         df.withColumn("result", e)
 
@@ -1177,6 +1338,21 @@ object PromQL {
             case "clamp_min" => greatest(v, lit(num.get))
             case "clamp_max" => least(v, lit(num.get))
             case "clamp" => least(greatest(v, lit(num.get)), lit(num2.get))
+            // trig family: rounded to 6 decimals (see [[TrigFns]]) so the
+            // exact-hash oracle tolerates libm ulp differences
+            case tf if TrigFns(tf) =>
+              val f = org.apache.spark.sql.functions
+              val d = v.cast("double")
+              val raw = tf match {
+                case "sin" => f.sin(d); case "cos" => f.cos(d)
+                case "tan" => f.tan(d); case "asin" => f.asin(d)
+                case "acos" => f.acos(d); case "atan" => f.atan(d)
+                case "sinh" => f.sinh(d); case "cosh" => f.cosh(d)
+                case "tanh" => f.tanh(d); case "asinh" => f.asinh(d)
+                case "acosh" => f.acosh(d); case "atanh" => f.atanh(d)
+                case "deg" => f.degrees(d); case "rad" => f.radians(d)
+              }
+              round(raw, 6)
           }
           df.withColumn("result", e)
         }
@@ -1187,7 +1363,7 @@ object PromQL {
           s"them can be served from the rollup tier, got: $other")
       // bare selector: the raw range scan (instant selectors span the
       // whole query range, like a Prometheus matrix at full resolution)
-      case Selector(m, ms, _, off, _) =>
+      case Selector(m, ms, _, off, _, _) =>
         t.queryRange(m, ms, start - off, end - off)
 
       // moment aggregations over a plain selector → ONE hash aggregation

@@ -944,4 +944,108 @@ class PromQLSpec extends SparkSuite {
       assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
     }
   }
+
+  test("arithmetic completeness: % ^ atan2 precedence, associativity, " +
+      "values") {
+    // ^ binds tighter than * and is RIGHT-associative
+    assert(PromQL.parse("a * b ^ c") == PromQL.parse("a * (b ^ c)"))
+    assert(PromQL.parse("a ^ b ^ c") == PromQL.parse("a ^ (b ^ c)"))
+    assert(PromQL.parse("a ^ b ^ c") != PromQL.parse("(a ^ b) ^ c"))
+    // % and atan2 share the * / level, left-associative
+    assert(PromQL.parse("a % b * c") == PromQL.parse("(a % b) * c"))
+    assert(PromQL.parse("a atan2 b * c") ==
+      PromQL.parse("(a atan2 b) * c"))
+    // render round-trips across the extended ladder
+    Seq("a ^ (b ^ c)", "(a ^ b) ^ c", "a % b", "x atan2 100",
+        "(a ^ b) * c", "a ^ (b * c)").foreach { q =>
+      assert(PromQL.parse(PromQL.render(PromQL.parse(q))) ==
+        PromQL.parse(q), s"round-trip: $q")
+    }
+    // compiled values ride the aggregated sum_v exactly
+    val base = "sum by (cohort) (click[1h])"
+    val powDf = PromQL.query(t, s"$base ^ 2", T0, T1)
+    assert(powDf.where(abs(col("result") -
+      round(col("sum_v") * col("sum_v"), 6)) > 1e-9).isEmpty)
+    val modDf = PromQL.query(t, s"$base % 7", T0, T1)
+    assert(modDf.where(abs(col("result") -
+      round(col("sum_v").cast("double") % 7.0, 6)) > 1e-9).isEmpty)
+    assert(modDf.count() > 0)
+  }
+
+  test("trig family, deg/rad, pi()") {
+    assert(PromQL.parse("pi()") == PromQL.NumLit(math.Pi))
+    assert(PromQL.parse("a * pi()") ==
+      PromQL.BinOp("*", PromQL.parse("a"), PromQL.NumLit(math.Pi)))
+    val base = "sum by (cohort) (click[1h])"
+    val sinDf = PromQL.query(t, s"sin($base)", T0, T1)
+    assert(sinDf.where(abs(col("result") -
+      round(sin(col("sum_v").cast("double")), 6)) > 1e-9).isEmpty)
+    // deg(atan(v)) lands in (0, 90) for positive sums
+    val degDf = PromQL.query(t, s"deg(atan($base))", T0, T1)
+    assert(degDf.where(col("result") <= 0 || col("result") >= 90).isEmpty)
+    assert(degDf.count() > 0)
+    // round-trip the new function names
+    Seq("sin(sum by (cohort) (click[1h]))", "deg(atan(x))",
+        "tanh(rad(x))").foreach { q =>
+      assert(PromQL.parse(PromQL.render(PromQL.parse(q))) ==
+        PromQL.parse(q), s"round-trip: $q")
+    }
+  }
+
+  test("@ modifier pins evaluation to the bucket containing the " +
+      "instant; start()/end() resolve against the window; mixed fails") {
+    val at = 1704682800L
+    assertSame(
+      PromQL.query(t, s"sum by (cohort) (click[1h] @ $at)", T0, T1),
+      PromQL.query(t, "sum by (cohort) (click[1h])", at, at + 3599L))
+    // @ start() == pinning at the window's left edge
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (click[1h] @ start())", T0, T1),
+      PromQL.query(t, "sum by (cohort) (click[1h])", T0, T0 + 3599L))
+    // @ end(): T1 is the last second of its bucket on this grid
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (click[1h] @ end())", T0, T1),
+      PromQL.query(t, "sum by (cohort) (click[1h])", T1 - 3599L, T1))
+    // offset composes on top of the pinned bucket
+    assertSame(
+      PromQL.query(t,
+        s"sum by (cohort) (click[1h] offset 1d @ ${at + 86400L})", T0, T1),
+      PromQL.query(t, "sum by (cohort) (click[1h])", at, at + 3599L)
+        .withColumn("bucket_start", col("bucket_start") + 86400L)
+        .orderBy("cohort", "bucket_start"))
+    // mixed pinned/moving selectors have no single grid
+    val e1 = intercept[IllegalArgumentException](PromQL.query(t,
+      s"sum by (cohort) (purchase[1h] @ $at) / " +
+        "sum by (cohort) (click[1h])", T0, T1))
+    assert(e1.getMessage.contains("@ modifier"))
+    // two different pinned instants fail too
+    val e2 = intercept[IllegalArgumentException](PromQL.query(t,
+      s"sum by (cohort) (purchase[1h] @ $at) / " +
+        s"sum by (cohort) (click[1h] @ ${at + 3600L})", T0, T1))
+    assert(e2.getMessage.contains("same instant"))
+    // render round-trips both orders and both boundary forms
+    Seq("x[3600s] @ start()", "x[3600s] @ end()",
+        s"x[3600s] offset 60s @ $at").foreach { q =>
+      assert(PromQL.parse(PromQL.render(PromQL.parse(q))) ==
+        PromQL.parse(q), s"round-trip: $q")
+    }
+    // @ before offset parses to the same AST as offset before @
+    assert(PromQL.parse(s"x[1h] @ $at offset 60s") ==
+      PromQL.parse(s"x[1h] offset 60s @ $at"))
+  }
+
+  test("bool vector-vector names the scalar-only restriction; plain " +
+      "ignoring no longer demands an aggregated rhs at resolve time") {
+    val e = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) > bool " +
+        "sum by (cohort) (click[1h])", T0, T1))
+    assert(e.getMessage.contains("scalar side only"))
+    // plain-match ignoring with a non-aggregated rhs resolves its
+    // on-labels from the LHS grouping now — the failure (if any) comes
+    // from the compiler's shape support, not the resolve pass
+    val e2 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) / ignoring (user_id) click",
+      T0, T1))
+    assert(!e2.getMessage.contains("needs an aggregated side"))
+  }
 }
