@@ -483,15 +483,21 @@ object OracleSql {
   }
 
   /** Embedding CTE: double-cast vectors + sequential-fold norms. */
-  private val embNorm =
-    """WITH v AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      |  FROM embeddings),
-      |n AS (
-      |  SELECT vec_id, e,
-      |         sqrt(list_reduce(list_transform(e, x -> x * x),
-      |                          (a, b) -> a + b)) AS nrm
-      |  FROM v)""".stripMargin
+  /** Normalized-embedding CTE over a parameterized source — `embeddings`
+    * for the shared table, or a read_parquet() path for fixture corpora
+    * (the clustered bench fixture is written by Verify itself before the
+    * compare runs; `__CLUSTERED_EMB__` is substituted with the absolute
+    * fixture path at oracle-dump time, Verify.scala). */
+  private def embNormFrom(source: String) =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM $source),
+       |n AS (
+       |  SELECT vec_id, e,
+       |         sqrt(list_reduce(list_transform(e, x -> x * x),
+       |                          (a, b) -> a + b)) AS nrm
+       |  FROM v)""".stripMargin
+  private val embNorm = embNormFrom("embeddings")
 
   private val dedupEmbedding =
     s"""$embNorm,
@@ -520,6 +526,40 @@ object OracleSql {
        |  FROM p)
        |WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
+
+  /** Brute-force ANN over the CLUSTERED bench fixture — identical query
+    * shape to [[annTopk]], sourced from the fixture parquet that Verify
+    * materializes (ClusteredEmbeddings.ensure) before the oracle compare
+    * runs; the placeholder resolves to its absolute path at dump time. */
+  private val annClusteredAgg =
+    s"""${embNormFrom("read_parquet('__CLUSTERED_EMB__/*.parquet')")},
+       |p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         round(list_reduce(
+       |           list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),
+       |           (x, y) -> x + y) / (q.nrm * c.nrm), 6) AS sim
+       |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |SELECT qid, rank, nid, sim FROM (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY sim DESC, nid) AS rank
+       |  FROM p)
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** approx_percentile in its exact regime: at the compare SF the group
+    * cardinality (≈ 20k rows) is far below the sketch accuracy (1e5), so
+    * the GK summary's rank error is < 1 and the answer is the exact
+    * discrete percentile — quantile_disc here. At larger SFs the same
+    * query is genuinely approximate (rank error grows with n), which is
+    * the scale posture the operator exists for. */
+  private val qApproxPercentile =
+    """SELECT l_returnflag,
+      |       count(*) AS n,
+      |       quantile_disc(l_quantity, 0.5) AS p50_qty,
+      |       quantile_disc(l_quantity, 0.95) AS p95_qty
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def langCount(markers: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
@@ -2237,6 +2277,15 @@ object OracleSql {
     "dedup_ngram_jaccard" -> jaccardPairs,
     "dedup_ngram_capped" -> jaccardCapped,
     "dedup_minhash_lsh" -> jaccardPairs,
+    // the occupancy-capped scale twins are BYTE-IDENTICAL to their
+    // uncapped forms while no (band, bucket) cell exceeds the cap —
+    // true at the compare SF (sbt-asserted in OperatorSpec), so they
+    // share the uncapped oracles; at scale the cap engages and only the
+    // sbt refinement gates apply
+    "dedup_minhash_capped" -> jaccardPairs,
+    "dedup_simhash_capped" -> dedupSimhash,
+    "ann_clustered_agg" -> annClusteredAgg,
+    "q_approx_percentile" -> qApproxPercentile,
     "dedup_components" -> dedupComponents,
     "dedup_components_minlabel" -> dedupComponents,
     "dedup_components_capped" -> dedupComponentsCapped,

@@ -128,8 +128,20 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * reference's outdated-list machinery, memory_segment.go:104-111, exists
     * only because its Gorilla blocks are append-only).
     */
+  /** Spread a badly-partitioned ingest batch across the cluster before
+    * the per-row work: a single-partition feed (one kafka partition, one
+    * un-split file — exactly how the sf0.1 events parquet reads) would
+    * otherwise serialize normalize + checkpoint + write onto one core.
+    * Only engages when the input has less than half the default
+    * parallelism — well-partitioned callers pay nothing.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
+
   def insertRows(df: DataFrame): Unit = {
-    val norm0 = normalize(df)
+    val norm0 = normalize(spread(df))
     if (conf.onlyMemoryMode) {
       val u = memHead.map(_.unionByName(norm0)).getOrElse(norm0)
       memBatches += 1
@@ -216,7 +228,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     *         `enableOutdated=true`)
     */
   def insertHeadRows(df: DataFrame): Long = {
-    val norm0 = normalize(df)
+    val norm0 = normalize(spread(df))
     // localCheckpoint materializes the batch once: the count below and the
     // head union both read the materialized partitions, and the incoming
     // lineage (often a fresh source read) is truncated

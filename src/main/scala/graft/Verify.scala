@@ -43,8 +43,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Placeholder substitution for oracles over Verify-materialized
+    // fixtures: the clustered ANN corpus lives at a size-keyed path the
+    // static SQL can't know, so resolve it here (absolute — the driver's
+    // DuckDB compare may run from any cwd). The fixture itself was
+    // written above when the ann_clustered_* queries ran.
+    val clusteredPath = new java.io.File(
+      graft.sources.ClusteredEmbeddings.fixturePath(sfDir,
+        graft.sources.Tables.embeddings(spark, sfDir).count() *
+          graft.sources.ClusteredEmbeddings.Factor)).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v0) =>
+        val v = v0.replace("__CLUSTERED_EMB__", clusteredPath)
+        s"${q(k)}: ${q(v)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

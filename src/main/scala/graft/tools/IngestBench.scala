@@ -57,6 +57,12 @@ object IngestBench {
           (col("user_id") + col("copy") * 150).cast("string")).as("labels"),
         (col("ts_s") + col("copy")).as("ts"),
         col("value"))
+      // spread the batch across the cores like any parallel source would:
+      // the sf0.1 events file reads as ONE partition, and every
+      // narrow-transform stage downstream (normalize, checkpoint, head
+      // union) inherits that — rounds ≤6 unknowingly measured the whole
+      // ingest path on a single core (~290k rows/s single-threaded)
+      .repartition(cpus.toInt)
       .localCheckpoint() // materialize: time the WRITE path, not the read
     val n = base.count()
 

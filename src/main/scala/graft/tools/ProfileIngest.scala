@@ -32,6 +32,9 @@ object ProfileIngest {
           (col("user_id") + col("copy") * 150).cast("string")).as("labels"),
         (col("ts_s") + col("copy")).as("ts"),
         col("value"))
+      // the sf0.1 events file reads as ONE partition and narrow stages
+      // inherit it — spread like any parallel source (see IngestBench)
+      .repartition(32)
       .localCheckpoint()
     time("warm read")(rows.count())
     val t = new Tsdb(spark, TsdbConf(
@@ -48,6 +51,30 @@ object ProfileIngest {
         .write.mode("append").parquet(t.conf.dataPath + "/m2"))
     time("full insertRows")(t.insertRows(rows))
     time("segmentStats")(t.segmentStats.count())
+    // hypothesis: repartition(seg) caps write parallelism at the distinct
+    // segment count (~7-11 for a week of data) — salt it
+    time("samples write salted x8")(
+      norm.repartition(col("seg"), pmod(col("sid"), lit(8)))
+        .sortWithinPartitions("sid", "ts")
+        .write.mode("append")
+        .option("compression", "zstd").partitionBy("seg")
+        .parquet(t.conf.dataPath + "/s3"))
+    time("samples write salted x32")(
+      norm.repartition(col("seg"), pmod(col("sid"), lit(32)))
+        .sortWithinPartitions("sid", "ts")
+        .write.mode("append")
+        .option("compression", "zstd").partitionBy("seg")
+        .parquet(t.conf.dataPath + "/s4"))
+    // hypothesis: coalesce(4) throttles the meta reduce to 4 tasks
+    time("meta write no-coalesce")(
+      norm.groupBy("sid").agg(first("metric"), first("labels"),
+        min("ts"), max("ts"))
+        .write.mode("append").parquet(t.conf.dataPath + "/m3"))
+    time("samples write unsorted salted x8")(
+      norm.repartition(col("seg"), pmod(col("sid"), lit(8)))
+        .write.mode("append")
+        .option("compression", "zstd").partitionBy("seg")
+        .parquet(t.conf.dataPath + "/s5"))
     spark.stop()
   }
 }

@@ -20,11 +20,9 @@ class EntrySpec extends SparkSuite {
     // LSH/IVF recall vs the exact in-engine brute-force twin)
     assert(q.diff(o) == Set(
       "ann_topk_lsh", "ann_topk_ivf", "q_approx_distinct",
-      "q_approx_percentile",
       "dedup_embedding_lsh", "dedup_embedding_ivf",
-      "ann_clustered_agg", "ann_clustered_lsh", "ann_clustered_ivf",
-      "dedup_minhash_capped", "dedup_minhash_clusters",
-      "dedup_simhash_capped", "dedup_simhash_clusters"))
+      "ann_clustered_lsh", "ann_clustered_ivf",
+      "dedup_minhash_clusters", "dedup_simhash_clusters"))
   }
 
   test("every query runs and returns rows at sf0.001") {
