@@ -29,10 +29,12 @@ object Bench {
     val comparators = Set("ann_clustered_agg", "dedup_embedding",
       "dedup_ngram_jaccard", "pipeline_clean_corpus",
       "dedup_components_minlabel",
-      // brute-force ANN: the correctness yardstick for the LSH/IVF scale
-      // paths, quadratic by design (queries × corpus); at x100 it DNF'd —
-      // ann_clustered_agg was already here, this is its shared-fixture twin
-      "ann_topk",
+      // brute-force ANN: the correctness yardsticks for the LSH/IVF scale
+      // paths, quadratic by design (queries × corpus, both scaling with
+      // the data ⇒ 10,000× work at the 100× point: ann_topk DNF'd,
+      // ann_topk_agg ran 215× its sf0.1 time) — ann_clustered_agg was
+      // already here, these are its shared-fixture twins
+      "ann_topk", "ann_topk_agg",
       // uncapped pair-enumerating banding forms: oracle-exact, but ANY
       // pair materialization is quadratic in the worst near-dup clique /
       // collision group no matter how good the blocking (x100 record:

@@ -1197,9 +1197,11 @@ object OracleSql {
   private def promqlAggResult(resultSql: String,
       lo: Long = T0, hi: Long = T1): String = {
     val sumv = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+    val bucket = s"($tsS - ($tsS % 3600))"
     val res =
       if (resultSql.isEmpty) ""
-      else ",\n       " + resultSql.replace("SUMV", sumv) + " AS result"
+      else ",\n       " + resultSql.replace("SUMV", sumv)
+        .replace("BUCKET", bucket) + " AS result"
     s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
        |       $tsS - ($tsS % 3600) AS bucket_start,
        |       count(*) AS n,
@@ -1222,6 +1224,43 @@ object OracleSql {
   // that instant: [1704682800, 1704686399]
   private val tsdbPromqlAt =
     promqlAggResult("", lo = 1704682800L, hi = 1704686399L)
+
+  // `… - time()`: the per-step scalar is the grid timestamp itself
+  private val tsdbPromqlTime =
+    promqlAggResult("SUMV - CAST(BUCKET AS DOUBLE)")
+
+  /** holt_winters mirror: the over_time grid join, samples numbered in
+    * (ts, value) order per (series, eval point), then Prometheus's
+    * recurrence replayed by a recursive CTE with the IDENTICAL double
+    * op order as the engine's fold (Tsdb.holtWintersBy scaladoc);
+    * sf = tf = 0.5 spelled as the exact literal on both sides. */
+  private val tsdbPromqlHolt =
+    overTimeCtes().replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    s""",
+       |w AS (
+       |  SELECT cohort, user_id, eval_ts, value,
+       |         row_number() OVER (PARTITION BY cohort, user_id, eval_ts
+       |                            ORDER BY ts_s, value) - 1 AS idx,
+       |         count(*) OVER (PARTITION BY cohort, user_id, eval_ts) AS n
+       |  FROM j),
+       |r AS (
+       |  SELECT w0.cohort, w0.user_id, w0.eval_ts, w0.n, 0 AS i,
+       |         CAST(w0.value AS DOUBLE) AS s,
+       |         CAST(w1.value AS DOUBLE) - CAST(w0.value AS DOUBLE) AS b
+       |  FROM w w0 JOIN w w1
+       |    ON w1.cohort = w0.cohort AND w1.user_id = w0.user_id
+       |   AND w1.eval_ts = w0.eval_ts AND w0.idx = 0 AND w1.idx = 1
+       |  UNION ALL
+       |  SELECT r.cohort, r.user_id, r.eval_ts, r.n, r.i + 1,
+       |         0.5 * CAST(w.value AS DOUBLE) + 0.5 * (r.s + r.b) AS s,
+       |         0.5 * (0.5 * CAST(w.value AS DOUBLE) + 0.5 * (r.s + r.b)
+       |                - r.s) + 0.5 * r.b AS b
+       |  FROM r JOIN w
+       |    ON w.cohort = r.cohort AND w.user_id = r.user_id
+       |   AND w.eval_ts = r.eval_ts AND w.idx = r.i + 1)
+       |SELECT cohort, user_id, eval_ts, n, round(s, 6) AS hw_v
+       |FROM r WHERE i = n - 1
+       |ORDER BY cohort, user_id, eval_ts""".stripMargin
 
   /** `quantile by (cohort)(0.9, rate(click[1h]))` — tsdbAggIncrease's
     * per-series positive-delta chain aggregated to per-(series, bucket)
@@ -2237,6 +2276,8 @@ object OracleSql {
     "tsdb_promql_atan2" -> tsdbPromqlAtan2,
     "tsdb_promql_trig" -> tsdbPromqlTrig,
     "tsdb_promql_at" -> tsdbPromqlAt,
+    "tsdb_promql_holt" -> tsdbPromqlHolt,
+    "tsdb_promql_time" -> tsdbPromqlTime,
     "tsdb_promql_and" -> tsdbPromqlAnd,
     "tsdb_promql_unless" -> tsdbPromqlUnless,
     "tsdb_promql_maxavg" -> tsdbPromqlMaxAvg,

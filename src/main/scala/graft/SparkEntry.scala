@@ -498,6 +498,31 @@ object SparkEntry {
       "sum by (cohort) (click[1h] @ 1704682800)", T0, T1)
       .orderBy("cohort", "bucket_start")
 
+  /** `holt_winters(click[7200:3600], 0.5, 0.5)` — double exponential
+    * smoothing per series over the sliding over_time grid, Prometheus's
+    * recurrence folded in timestamp order inside one hash aggregation
+    * ([[graft.Tsdb.holtWintersBy]]); the oracle replays the identical
+    * double op order through a recursive CTE.
+    */
+  private def qTsdbPromqlHoltWinters(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "holt_winters(click[7200:3600], 0.5, 0.5)", T0, T1)
+      .select(col("cohort"), col("user_id").cast("long").as("user_id"),
+        col("eval_ts"), col("n"), col("hw_v"))
+      .orderBy("cohort", "user_id", "eval_ts")
+
+  /** `time()` as a per-step scalar: `sum by (cohort)(click[1h]) -
+    * time()` — the evaluation timestamp of a grid row IS its
+    * bucket_start, the `time() - start_time` idiom family.
+    */
+  private def qTsdbPromqlTime(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (click[1h]) - time()", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
   /** Vector set op `and` with a thresholded right side: cohort-hours
     * with purchases WHERE the same cohort-hour's clicks exceeded the
     * threshold — a left-semi join on (labels, bucket).
@@ -2130,6 +2155,8 @@ object SparkEntry {
     "tsdb_promql_atan2" -> (qTsdbPromqlAtan2 _),
     "tsdb_promql_trig" -> (qTsdbPromqlTrig _),
     "tsdb_promql_at" -> (qTsdbPromqlAt _),
+    "tsdb_promql_holt" -> (qTsdbPromqlHoltWinters _),
+    "tsdb_promql_time" -> (qTsdbPromqlTime _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),
     "tsdb_promql_unless" -> (qTsdbPromqlUnless _),
     "tsdb_promql_maxavg" -> (qTsdbPromqlMaxAvg _),

@@ -1564,6 +1564,83 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     }
   }
 
+  /** PromQL `holt_winters(v[range], sf, tf)` (double exponential
+    * smoothing) on the sliding eval grid: per (series-group, eval point)
+    * the windowed samples fold IN TIMESTAMP ORDER through Prometheus's
+    * recurrence (functions.go funcHoltWinters):
+    * {{{
+    *   s = x0; b = x1 - x0
+    *   for i in 1..n-1:
+    *     s' = sf·xᵢ + (1−sf)·(s + b)
+    *     b  = tf·(s' − s) + (1−tf)·b;  s = s'
+    *   result = s        (windows with < 2 samples emit nothing)
+    * }}}
+    * Implemented as ONE hash aggregation (the [[overTimeBy]] grid
+    * explode) collecting the bounded window into a sorted array, then a
+    * codegen'd `aggregate` fold — no window function, no shuffle beyond
+    * the grouping, per-group state bounded by the lookback window. The
+    * identical double op order is mirrored in the oracle's recursive
+    * CTE; round(…,6) absorbs ULP.
+    */
+  def holtWintersBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long,
+      sf: Double,
+      tf: Double,
+      offsetSec: Long = 0L): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
+      s"holt_winters smoothing factors must be in (0, 1): sf=$sf tf=$tf")
+    // eval-grid prelude identical to overTimeBy (and absentOverTime)
+    val start0 = start - offsetSec
+    val end0 = end - offsetSec
+    val firstEval =
+      floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val lastEval =
+      floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val gridStart = Math.floorDiv(start0 + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end0, stepSec) * stepSec
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      col("eval_ts")
+    val windowed = queryRange(metric, matchers, start0 - rangeSec + 1, end0)
+      .withColumn("e0", greatest(firstEval, lit(gridStart)))
+      .withColumn("e1", least(lastEval, lit(gridEnd)))
+      .where(col("e0") <= col("e1"))
+      .withColumn("eval_ts", explode(sequence(col("e0"), col("e1"),
+        lit(stepSec))))
+      .withColumn("eval_ts", col("eval_ts") + offsetSec)
+    // ts-sorted window values (ties break on value, mirrored in the
+    // oracle's ORDER BY ts, value)
+    val pts = sort_array(collect_list(struct(col("ts"),
+      col("value").cast("double").as("v"))))
+    val xs = col("xs")
+    val s0 = element_at(xs, 1)
+    val fold = aggregate(
+      expr("slice(xs, 2, size(xs) - 1)"),
+      struct(s0.as("s"), (element_at(xs, 2) - s0).as("b")),
+      (acc, x) => {
+        val sNew = lit(sf) * x + lit(1 - sf) *
+          (acc.getField("s") + acc.getField("b"))
+        struct(sNew.as("s"),
+          (lit(tf) * (sNew - acc.getField("s")) +
+            lit(1 - tf) * acc.getField("b")).as("b"))
+      },
+      acc => acc.getField("s"))
+    windowed
+      .groupBy((col("sid") +: keys): _*)
+      .agg(pts.as("pts"), count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .withColumn("xs", transform(col("pts"), p => p.getField("v")))
+      .withColumn("hw_v", round(fold, 6))
+      .drop("sid", "pts", "xs")
+  }
+
   /** PromQL `absent_over_time(metric{matchers}[rangeSec])` on a step
     * grid: one `(eval_ts, 1.0)` row for every eval timestamp whose
     * PromQL lookback window `(e - rangeSec, e]` contains NO matching

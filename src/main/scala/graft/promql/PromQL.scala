@@ -139,6 +139,13 @@ object PromQL {
       groupRight: Boolean = false) extends Expr
   /** A scalar literal operand (`… * 100`, `… > 0.5`). */
   final case class NumLit(v: Double) extends Expr
+  /** Prometheus `time()`: the evaluation timestamp as a scalar. On this
+    * engine's step grid the evaluation time of a row IS its
+    * `bucket_start`, so `time()` composes with a vector exactly like a
+    * literal whose value is per-step (`x - time()`, `time() > x`). A
+    * standalone `time()` with no vector side has no grid to ride and
+    * fails loudly through the unsupported-shape path. */
+  case object TimeLit extends Expr
   /** A vector match whose clause was written `ignoring (labels)` — the
     * complement form of `on`. Transient: [[resolveWithout]] rewrites it
     * to a [[BinOp]] whose on-labels are the coarse side's grouping minus
@@ -288,7 +295,8 @@ object PromQL {
       "tanh", "asinh", "acosh", "atanh", "deg", "rad")
   private val MathFns =
     Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max",
-      "clamp", "exp", "ln", "log2", "log10", "round", "sort", "sort_desc") ++
+      "clamp", "exp", "ln", "log2", "log10", "round", "sort", "sort_desc",
+      "holt_winters") ++
       TimeFns ++ TrigFns
 
   private final class P(var toks: List[Tok], input: String) {
@@ -458,6 +466,9 @@ object PromQL {
       case Some(Ident("pi")) =>
         next(); expectSym("("); expectSym(")")
         NumLit(math.Pi)
+      case Some(Ident("time")) =>
+        next(); expectSym("("); expectSym(")")
+        TimeLit
       case Some(Ident(name)) if AggOps(name) =>
         next()
         val byBefore = parseByClause()
@@ -522,6 +533,9 @@ object PromQL {
           case "clamp_min" | "clamp_max" =>
             expectSym(","); num = Some(scalarArg())
           case "clamp" => // clamp(v, lo, hi)
+            expectSym(","); num = Some(scalarArg())
+            expectSym(","); num2 = Some(scalarArg())
+          case "holt_winters" => // holt_winters(v[d], sf, tf)
             expectSym(","); num = Some(scalarArg())
             expectSym(","); num2 = Some(scalarArg())
           case "round" => // round(v[, to]) — `to` defaults to 1
@@ -733,6 +747,7 @@ object PromQL {
       }
       s"${sub(l, rhs = false)} $op bool ${sub(r, rhs = true)}"
     case NumLit(v) => renderNum(v)
+    case TimeLit => "time()"
     case MathFn(name, arg, num, num2) =>
       s"$name(${render(arg)}" +
         num.map(n => ", " + renderNum(n)).getOrElse("") +
@@ -816,7 +831,7 @@ object PromQL {
       case BoolCmp(_, l, r) => specs(l) ++ specs(r)
       case MathFn(_, arg, _, _) => specs(arg)
       case LabelFn(_, inner, _) => specs(inner)
-      case NumLit(_) => Seq.empty
+      case _ => Seq.empty // NumLit / TimeLit
     }
     def strip(x: Expr): Expr = x match {
       case s: Selector => s.copy(atSpec = None)
@@ -839,7 +854,7 @@ object PromQL {
       case BoolCmp(_, l, r) => ranges(l) ++ ranges(r)
       case MathFn(_, arg, _, _) => ranges(arg)
       case LabelFn(_, inner, _) => ranges(inner)
-      case NumLit(_) => Seq.empty
+      case _ => Seq.empty // NumLit / TimeLit
     }
     val ss = specs(e)
     if (ss.forall(_.isEmpty)) (e, start, end)
@@ -929,9 +944,12 @@ object PromQL {
       validateSubquerySteps(l); validateSubquerySteps(r)
     case BoolCmp(_, l, r) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
+    // holt_winters consumes a [range:step] subquery step itself (the
+    // eval grid), like the *_over_time family
+    case MathFn("holt_winters", _: Selector, _, _) => ()
     case MathFn(_, arg, _, _) => validateSubquerySteps(arg)
     case LabelFn(_, inner, _) => validateSubquerySteps(inner)
-    case _: NumLit => ()
+    case _ => () // NumLit / TimeLit: no selector inside
   }
 
   private def stepOf(sel: Selector, shape: String): Long =
@@ -1069,6 +1087,7 @@ object PromQL {
     case _: BoolCmp => "result"
     // sort is presentation-only: the value column is the body's
     case MathFn("sort" | "sort_desc", arg, _, _) => valueColOf(arg)
+    case MathFn("holt_winters", _, _, _) => "hw_v"
     case _: MathFn => "result"
     case other => throw new IllegalArgumentException(
       s"scalar operand needs a single-valued vector side, got: $other")
@@ -1219,6 +1238,30 @@ object PromQL {
         compile(t, rhs, start, end, buckets, rollupStep)
           .where(cmp(op)(lit(v), col(valueColOf(rhs))))
 
+      // time() composes with a vector like a per-step scalar whose value
+      // is the grid timestamp (`x - time()`, `time() % 86400 …` ride the
+      // same arith/cmp paths with bucket_start as the operand)
+      case BinOp(op, lhs, TimeLit, _, false, false)
+          if ArithOps(op) || CmpOps(op) =>
+        val df = compile(t, lhs, start, end, buckets, rollupStep)
+        require(df.columns.contains("bucket_start"),
+          s"time() needs a grid-shaped vector side (a bucket_start " +
+          s"column), got columns ${df.columns.toSeq}")
+        val ts = col("bucket_start").cast("double")
+        if (ArithOps(op))
+          df.withColumn("result", arith(op)(col(valueColOf(lhs)), ts))
+        else df.where(cmp(op)(col(valueColOf(lhs)), ts))
+      case BinOp(op, TimeLit, rhs, _, false, false)
+          if ArithOps(op) || CmpOps(op) =>
+        val df = compile(t, rhs, start, end, buckets, rollupStep)
+        require(df.columns.contains("bucket_start"),
+          s"time() needs a grid-shaped vector side (a bucket_start " +
+          s"column), got columns ${df.columns.toSeq}")
+        val ts = col("bucket_start").cast("double")
+        if (ArithOps(op))
+          df.withColumn("result", arith(op)(ts, col(valueColOf(rhs))))
+        else df.where(cmp(op)(ts, col(valueColOf(rhs))))
+
       // `bool` comparisons keep every row and emit Prometheus's 0/1
       // vector in `result` instead of filtering
       case BoolCmp(op, lhs, NumLit(v)) =>
@@ -1275,6 +1318,15 @@ object PromQL {
       // hour/minute/day_of_week are pure epoch arithmetic (no calendar,
       // no TZ — identical integer ops in any engine); the calendar
       // fields go through Spark's UTC date functions
+      // holt_winters rides the over_time eval grid, not the pointwise
+      // path — per-series grouping from the label-key universe, like
+      // the bare rate/over_time forms
+      case MathFn("holt_winters", sel: Selector, Some(sfArg), Some(tfArg)) =>
+        t.holtWintersBy(sel.metric, sel.matchers, start, end,
+          labelKeys(t, sel.metric),
+          sel.stepSec.getOrElse(stepOf(sel, "holt_winters")),
+          stepOf(sel, "holt_winters"), sfArg, tfArg, sel.offsetSec)
+
       case MathFn(name, arg, _, _) if TimeFns(name) =>
         val df = compile(t, arg, start, end, buckets, rollupStep)
         require(df.columns.contains("bucket_start"),

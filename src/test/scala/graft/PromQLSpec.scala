@@ -1048,4 +1048,70 @@ class PromQLSpec extends SparkSuite {
       T0, T1))
     assert(!e2.getMessage.contains("needs an aggregated side"))
   }
+
+  test("holt_winters == a driver-side replay of Prometheus's recurrence") {
+    val df = PromQL.query(t,
+      "holt_winters(click[7200:3600], 0.5, 0.5)", T0, T1)
+    assert(df.columns.toSeq ==
+      Seq("cohort", "user_id", "eval_ts", "n", "hw_v"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2)) -> r.getDouble(4)).toMap
+    assert(got.nonEmpty)
+    // replay: windowed samples per (series, eval point), ts-then-value
+    // order, s/b fold with sf = tf = 0.5
+    val samples = t.queryRange("click", Seq.empty, T0 - 7200 + 1, T1)
+      .select(col("labels").getItem("cohort").as("cohort"),
+        col("labels").getItem("user_id").as("user_id"),
+        col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val gridStart = ((T0 + 3599) / 3600) * 3600
+    val expected = scala.collection.mutable.Map.empty[(String, String, Long), Double]
+    val byKey = samples.groupBy { case (c, u, _, _) => (c, u) }
+    for (((c, u), rows) <- byKey; e <- gridStart to T1 by 3600) {
+      val xs = rows.filter { case (_, _, ts, _) => ts <= e && ts > e - 7200 }
+        .sortBy { case (_, _, ts, v) => (ts, v) }.map(_._4)
+      if (xs.length >= 2) {
+        var sAcc = xs(0); var b = xs(1) - xs(0)
+        for (i <- 1 until xs.length) {
+          val sNew = 0.5 * xs(i) + 0.5 * (sAcc + b)
+          b = 0.5 * (sNew - sAcc) + 0.5 * b
+          sAcc = sNew
+        }
+        expected((c, u, e)) = math.rint(sAcc * 1e6) / 1e6
+      }
+    }
+    assert(got.keySet == expected.keySet,
+      s"grid mismatch: ${got.keySet.diff(expected.keySet).take(3)} / " +
+        s"${expected.keySet.diff(got.keySet).take(3)}")
+    val bad = got.collect {
+      case (k, v) if math.abs(v - expected(k)) > 1e-6 => (k, v, expected(k))
+    }
+    assert(bad.isEmpty, s"values differ: ${bad.take(3)}")
+    // fewer than 2 samples in the window emits nothing
+    assert(df.where(col("n") < 2).isEmpty)
+    // render round-trip
+    val q = "holt_winters(click[7200s:3600s], 0.5, 0.5)"
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+    // out-of-range smoothing factors fail loudly
+    val e1 = intercept[IllegalArgumentException](PromQL.query(t,
+      "holt_winters(click[7200:3600], 1.5, 0.5)", T0, T1))
+    assert(e1.getMessage.contains("smoothing"))
+  }
+
+  test("time() composes as the per-step grid timestamp") {
+    val base = "sum by (cohort) (click[1h])"
+    val df = PromQL.query(t, s"$base - time()", T0, T1)
+    assert(df.where(abs(col("result") -
+      (col("sum_v") - col("bucket_start").cast("double"))) > 1e-9).isEmpty)
+    assert(df.count() > 0)
+    // comparison side: every bucket value is far below its epoch ts
+    assert(PromQL.query(t, s"$base > time()", T0, T1).isEmpty)
+    assert(PromQL.query(t, s"time() > $base", T0, T1).count() == df.count())
+    // round-trip and standalone failure
+    val q = s"$base - time()"
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+    intercept[IllegalArgumentException](PromQL.query(t, "time()", T0, T1))
+  }
 }
