@@ -141,7 +141,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   }
 
   def insertRows(df: DataFrame): Unit = {
-    val norm0 = normalize(spread(df))
+    // spread only on the durable path: it materializes (persist + write),
+    // so parallelizing the per-row work pays. The memory-mode head is a
+    // LAZY union serving reads — an exchange here would sit in every
+    // downstream query plan (attach() feeds this path; round-7 measured
+    // a uniform 1.3-2.2x slowdown across the tsdb family before this
+    // guard), and the source's natural partitioning is what queries want.
+    val norm0 = normalize(if (conf.onlyMemoryMode) df else spread(df))
     if (conf.onlyMemoryMode) {
       val u = memHead.map(_.unionByName(norm0)).getOrElse(norm0)
       memBatches += 1

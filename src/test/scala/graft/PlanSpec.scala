@@ -421,4 +421,21 @@ class PlanSpec extends SparkSuite {
     assert(shape(compiled) == shape(direct),
       s"${shape(compiled)} vs ${shape(direct)}")
   }
+
+  test("attach-served tsdb queries carry NO ingest-spread exchange") {
+    // Tsdb.spread (the single-partition ingest defense) must engage only
+    // on the materializing durable path: attach() feeds the lazy
+    // memory-mode head that every query plan extends, and a round-robin
+    // repartition there sat in EVERY tsdb query of the round-7 sweep
+    // (uniform 1.3-2.2x slowdown) until guarded
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type").as("metric"),
+        map(lit("user_id"), col("user_id").cast("string")).as("labels"),
+        col("ts_s").as("ts"), col("value"))
+    val t = Tsdb.attach(spark, ev)
+    val plan = t.aggregateBy("click", Seq.empty, 1704412800L, 1705017599L,
+      Seq("user_id"), 3600L).queryExecution.executedPlan.toString
+    assert(!plan.contains("roundrobin"),
+      s"spread() leaked into the attach-served read path:\n$plan")
+  }
 }
