@@ -1229,6 +1229,20 @@ object OracleSql {
   private val tsdbPromqlTime =
     promqlAggResult("SUMV - CAST(BUCKET AS DOUBLE)")
 
+  /** scalar() share-of-total mirror: the cohort grid joined against the
+    * global per-bucket sum, divided with the `/`-family rounding. */
+  private val tsdbPromqlShare =
+    s"""WITH g AS (
+       |  SELECT $tsS - ($tsS % 3600) AS bucket_start,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1)
+       |SELECT c.cohort, c.bucket_start, c.n, c.sum_v, c.avg_v, c.min_v,
+       |       c.max_v, round(c.sum_v / g.total, 6) AS result
+       |FROM (${promqlAggResult("")}) c JOIN g USING (bucket_start)
+       |ORDER BY c.cohort, c.bucket_start""".stripMargin
+
   /** holt_winters mirror: the over_time grid join, samples numbered in
     * (ts, value) order per (series, eval point), then Prometheus's
     * recurrence replayed by a recursive CTE with the IDENTICAL double
@@ -2278,6 +2292,7 @@ object OracleSql {
     "tsdb_promql_at" -> tsdbPromqlAt,
     "tsdb_promql_holt" -> tsdbPromqlHolt,
     "tsdb_promql_time" -> tsdbPromqlTime,
+    "tsdb_promql_share" -> tsdbPromqlShare,
     "tsdb_promql_and" -> tsdbPromqlAnd,
     "tsdb_promql_unless" -> tsdbPromqlUnless,
     "tsdb_promql_maxavg" -> tsdbPromqlMaxAvg,

@@ -523,6 +523,17 @@ object SparkEntry {
       "sum by (cohort) (click[1h]) - time()", T0, T1)
       .orderBy("cohort", "bucket_start")
 
+  /** `scalar()` — the share-of-total idiom: `sum by (cohort)(click[1h])
+    * / scalar(sum(click[1h]))`. The global (by-empty) aggregation is one
+    * row per grid bucket, broadcast-joined on bucket_start; a
+    * multi-series scalar() argument is rejected at compile time.
+    */
+  private def qTsdbPromqlShare(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (click[1h]) / scalar(sum(click[1h]))", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
   /** Vector set op `and` with a thresholded right side: cohort-hours
     * with purchases WHERE the same cohort-hour's clicks exceeded the
     * threshold — a left-semi join on (labels, bucket).
@@ -2157,6 +2168,7 @@ object SparkEntry {
     "tsdb_promql_at" -> (qTsdbPromqlAt _),
     "tsdb_promql_holt" -> (qTsdbPromqlHoltWinters _),
     "tsdb_promql_time" -> (qTsdbPromqlTime _),
+    "tsdb_promql_share" -> (qTsdbPromqlShare _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),
     "tsdb_promql_unless" -> (qTsdbPromqlUnless _),
     "tsdb_promql_maxavg" -> (qTsdbPromqlMaxAvg _),

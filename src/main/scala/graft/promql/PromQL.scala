@@ -296,7 +296,7 @@ object PromQL {
   private val MathFns =
     Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max",
       "clamp", "exp", "ln", "log2", "log10", "round", "sort", "sort_desc",
-      "holt_winters") ++
+      "holt_winters", "scalar") ++
       TimeFns ++ TrigFns
 
   private final class P(var toks: List[Tok], input: String) {
@@ -1237,6 +1237,62 @@ object PromQL {
       case BinOp(op, NumLit(v), rhs, _, false, false) if CmpOps(op) =>
         compile(t, rhs, start, end, buckets, rollupStep)
           .where(cmp(op)(lit(v), col(valueColOf(rhs))))
+
+      // scalar(v) as a binary-op side: v must be a GLOBAL (by-empty)
+      // aggregation — one row per grid bucket, so the "scalar" is a
+      // per-step value joined on bucket_start (broadcast: one row per
+      // bucket, bounded by the query window). The share-of-total idiom
+      // `sum by (l)(x) / scalar(sum(x))`. Prometheus returns NaN for a
+      // multi-series argument; this engine rejects the shape at compile
+      // time instead (the grouping clause proves cardinality), so a
+      // wrong answer is unrepresentable.
+      case BinOp(op, lhs, MathFn("scalar", inner, _, _), _, false, false)
+          if ArithOps(op) || CmpOps(op) =>
+        require(groupingOf(inner).contains(Seq.empty),
+          s"scalar() needs a global (no `by`) aggregation argument, " +
+          s"got: $inner")
+        val dfL = compile(t, lhs, start, end, buckets, rollupStep)
+        val dfR = compile(t, inner, start, end, buckets, rollupStep)
+          .select(col("bucket_start"),
+            col(valueColOf(inner)).as("__scalar"))
+        val joined = dfL.join(
+          org.apache.spark.sql.functions.broadcast(dfR), "bucket_start")
+        val out =
+          if (ArithOps(op))
+            joined.withColumn("result",
+              arith(op)(col(valueColOf(lhs)), col("__scalar")))
+          else joined.where(cmp(op)(col(valueColOf(lhs)), col("__scalar")))
+        out.drop("__scalar")
+          .select(dfL.columns.map(col) ++
+            (if (ArithOps(op)) Seq(col("result")) else Nil): _*)
+
+      // mirrored scalar-on-the-left form (`scalar(sum(x)) - y`)
+      case BinOp(op, MathFn("scalar", inner, _, _), rhs, _, false, false)
+          if ArithOps(op) || CmpOps(op) =>
+        require(groupingOf(inner).contains(Seq.empty),
+          s"scalar() needs a global (no `by`) aggregation argument, " +
+          s"got: $inner")
+        val dfR = compile(t, rhs, start, end, buckets, rollupStep)
+        val dfS = compile(t, inner, start, end, buckets, rollupStep)
+          .select(col("bucket_start"),
+            col(valueColOf(inner)).as("__scalar"))
+        val joined = dfR.join(
+          org.apache.spark.sql.functions.broadcast(dfS), "bucket_start")
+        val out =
+          if (ArithOps(op))
+            joined.withColumn("result",
+              arith(op)(col("__scalar"), col(valueColOf(rhs))))
+          else joined.where(cmp(op)(col("__scalar"), col(valueColOf(rhs))))
+        out.drop("__scalar")
+          .select(dfR.columns.map(col) ++
+            (if (ArithOps(op)) Seq(col("result")) else Nil): _*)
+
+      // a standalone scalar() has no vector to join onto — name the
+      // restriction instead of hitting the generic pointwise MathFn path
+      case MathFn("scalar", _, _, _) =>
+        throw new IllegalArgumentException(
+          "scalar() is supported as a binary-operation side only " +
+          "(e.g. `sum by (l)(x) / scalar(sum(x))`)")
 
       // time() composes with a vector like a per-step scalar whose value
       // is the grid timestamp (`x - time()`, `time() % 86400 …` ride the

@@ -1114,4 +1114,37 @@ class PromQLSpec extends SparkSuite {
     assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
     intercept[IllegalArgumentException](PromQL.query(t, "time()", T0, T1))
   }
+
+  test("scalar(): share-of-total joins the global per-bucket aggregate") {
+    val df = PromQL.query(t,
+      "sum by (cohort) (click[1h]) / scalar(sum(click[1h]))", T0, T1)
+    // per bucket, the shares sum to 1 (each bucket's cohort sums / total)
+    val sums = df.groupBy("bucket_start")
+      .agg(sum("result").as("s")).where(abs(col("s") - 1.0) > 1e-4)
+    assert(sums.isEmpty)
+    // spot equality vs the hand-built ratio
+    val direct = PromQL.query(t, "sum by (cohort) (click[1h])", T0, T1)
+      .select(col("cohort"), col("bucket_start"), col("sum_v"))
+    val tot = PromQL.query(t, "sum(click[1h])", T0, T1)
+      .select(col("bucket_start"), col("sum_v").as("tv"))
+    val exp = direct.join(tot, "bucket_start")
+      .withColumn("expect", round(col("sum_v") / col("tv"), 6))
+      .select("cohort", "bucket_start", "expect")
+    val bad = df.join(exp, Seq("cohort", "bucket_start"))
+      .where(abs(col("result") - col("expect")) > 1e-9)
+    assert(bad.isEmpty)
+    // mirrored form compiles too
+    assert(PromQL.query(t,
+      "scalar(sum(click[1h])) - sum by (cohort) (click[1h])", T0, T1)
+      .count() == df.count())
+    // a grouped scalar() argument is rejected at compile time
+    val e1 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort) (click[1h]) / scalar(sum by (cohort) (click[1h]))",
+      T0, T1))
+    assert(e1.getMessage.contains("global"))
+    // standalone scalar() names the restriction
+    val e2 = intercept[IllegalArgumentException](
+      PromQL.query(t, "scalar(sum(click[1h]))", T0, T1))
+    assert(e2.getMessage.contains("binary-operation side"))
+  }
 }
