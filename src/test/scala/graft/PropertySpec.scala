@@ -201,8 +201,15 @@ class PropertySpec extends SparkSuite {
         if (rnd.nextBoolean()) 0L else 3600L,
         // subquery step renders/parses on any ranged selector (compile
         // restricts it to over_time; round-trip doesn't care)
-        if (withRange && rnd.nextInt(3) == 0) Some(900L) else None)
-    def randExpr(): Expr = rnd.nextInt(15) match {
+        if (withRange && rnd.nextInt(3) == 0) Some(900L) else None,
+        // round-7 @ modifier: every form round-trips on any selector
+        rnd.nextInt(4) match {
+          case 0 => Some(AtStart)
+          case 1 => Some(AtEnd)
+          case 2 => Some(AtTime(1704412800L + rnd.nextInt(100000)))
+          case _ => None
+        })
+    def randExpr(): Expr = rnd.nextInt(16) match {
       case 0 => randSelector(rnd.nextBoolean())
       case 1 =>
         val op = Seq("sum", "avg", "min", "max", "count", "stddev",
@@ -272,6 +279,19 @@ class PropertySpec extends SparkSuite {
         val num = if (name.startsWith("clamp")) Some(100.0) else None
         if (rnd.nextBoolean()) MathFn(name, inner, num)
         else MathFn("abs", MathFn(name, inner, num))
+      case 15 => // round-7 operators: % ^ atan2, trig fns, time()
+        val vec = Agg("sum", None, None, Seq("cohort"), randSelector(true))
+        rnd.nextInt(4) match {
+          case 0 =>
+            val op = Seq("%", "^", "atan2")(rnd.nextInt(3))
+            if (rnd.nextBoolean()) BinOp(op, vec, NumLit(7.0))
+            else BinOp(op, BinOp(op, vec, NumLit(2.0)), NumLit(3.0))
+          case 1 => MathFn(Seq("sin", "cos", "tanh", "deg", "rad",
+            "asinh")(rnd.nextInt(6)), vec)
+          case 2 => BinOp(Seq("-", "+", ">")(rnd.nextInt(3)), vec, TimeLit)
+          case _ => MathFn("holt_winters", randSelector(true),
+            Some(0.5), Some(0.3))
+        }
     }
     for (i <- 0 until 500) {
       val ast = randExpr()
