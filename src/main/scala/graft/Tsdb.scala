@@ -1494,6 +1494,49 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * explode factor, never a shuffle per window — the same trade
     * Structured Streaming's sliding `window()` makes.
     */
+  /** Shared eval-grid explode of the `*_over_time` family.
+    * Eval grid: e = k·stepSec with start ≤ e ≤ end; a sample at ts
+    * contributes to e iff ts ≤ e < ts + rangeSec (PromQL's
+    * `(e − range, e]` lookback). All integer arithmetic; a sample whose
+    * window set falls outside the grid is dropped BEFORE the explode
+    * (sequence() rejects inverted bounds). An offset evaluates on the
+    * shifted window [start−o, end−o] and reports eval points shifted
+    * back (+o), the aggregateBy convention. The scan reaches back a full
+    * lookback window before `start` so the first eval points still see
+    * their whole window. Returns (exploded frame, grouping keys);
+    * consumed by [[overTimeBy]] and [[holtWintersBy]]
+    * ([[absentOverTime]] mirrors the grid with a spark.range
+    * complement). */
+  private def overTimeWindowed(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long,
+      offsetSec: Long): (DataFrame, Seq[org.apache.spark.sql.Column]) = {
+    val start0 = start - offsetSec
+    val end0 = end - offsetSec
+    val firstEval =
+      floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val lastEval =
+      floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val gridStart = // first grid point >= start0
+      Math.floorDiv(start0 + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end0, stepSec) * stepSec
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      col("eval_ts")
+    val windowed = queryRange(metric, matchers, start0 - rangeSec + 1, end0)
+      .withColumn("e0", greatest(firstEval, lit(gridStart)))
+      .withColumn("e1", least(lastEval, lit(gridEnd)))
+      .where(col("e0") <= col("e1"))
+      .withColumn("eval_ts", explode(sequence(col("e0"), col("e1"),
+        lit(stepSec))))
+      .withColumn("eval_ts", col("eval_ts") + offsetSec)
+    (windowed, keys)
+  }
+
   def overTimeBy(
       metric: String,
       matchers: Seq[LabelMatcher],
@@ -1506,34 +1549,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       spread: Boolean = false): DataFrame = {
     require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
     require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
-    // eval grid: e = k*stepSec with start <= e <= end; sample ts
-    // contributes to e iff ts <= e < ts + rangeSec. All integer
-    // arithmetic; a sample whose window set falls outside the grid is
-    // dropped BEFORE explode (sequence() rejects inverted bounds).
-    // An offset evaluates on the shifted window [start-o, end-o] and
-    // reports eval points shifted back (+o), the aggregateBy convention.
-    val start0 = start - offsetSec
-    val end0 = end - offsetSec
-    val firstEval =
-      floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
-    val lastEval =
-      floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
-    val gridStart = // first grid point >= start0
-      Math.floorDiv(start0 + stepSec - 1, stepSec) * stepSec
-    val gridEnd = Math.floorDiv(end0, stepSec) * stepSec
-    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      col("eval_ts")
-    // the scan reaches back a full lookback window before `start`: eval
-    // points within rangeSec of the range start still see their whole
-    // PromQL window (e - rangeSec, e] — scanning only [start, end] would
-    // silently under-fill the first windows
-    val windowed = queryRange(metric, matchers, start0 - rangeSec + 1, end0)
-      .withColumn("e0", greatest(firstEval, lit(gridStart)))
-      .withColumn("e1", least(lastEval, lit(gridEnd)))
-      .where(col("e0") <= col("e1"))
-      .withColumn("eval_ts", explode(sequence(col("e0"), col("e1"),
-        lit(stepSec))))
-      .withColumn("eval_ts", col("eval_ts") + offsetSec)
+    val (windowed, keys) = overTimeWindowed(metric, matchers, start, end,
+      byLabels, stepSec, rangeSec, offsetSec)
     val baseAggs = Seq(
       count(lit(1)).as("n"),
       sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
@@ -1603,24 +1620,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
       s"holt_winters smoothing factors must be in (0, 1): sf=$sf tf=$tf")
-    // eval-grid prelude identical to overTimeBy (and absentOverTime)
-    val start0 = start - offsetSec
-    val end0 = end - offsetSec
-    val firstEval =
-      floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
-    val lastEval =
-      floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
-    val gridStart = Math.floorDiv(start0 + stepSec - 1, stepSec) * stepSec
-    val gridEnd = Math.floorDiv(end0, stepSec) * stepSec
-    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
-      col("eval_ts")
-    val windowed = queryRange(metric, matchers, start0 - rangeSec + 1, end0)
-      .withColumn("e0", greatest(firstEval, lit(gridStart)))
-      .withColumn("e1", least(lastEval, lit(gridEnd)))
-      .where(col("e0") <= col("e1"))
-      .withColumn("eval_ts", explode(sequence(col("e0"), col("e1"),
-        lit(stepSec))))
-      .withColumn("eval_ts", col("eval_ts") + offsetSec)
+    val (windowed, keys) = overTimeWindowed(metric, matchers, start, end,
+      byLabels, stepSec, rangeSec, offsetSec)
     // ts-sorted window values (ties break on value, mirrored in the
     // oracle's ORDER BY ts, value)
     val pts = sort_array(collect_list(struct(col("ts"),

@@ -213,6 +213,14 @@ object Similarity {
       q.crossJoin(broadcast(cents))
         .withColumn("cdist",
           dotSeq(col("qvec"), col("centroid")) / (col("qnrm") * col("cenrm")))
+        // a null embedding yields a null cdist: the typed aggregator's
+        // (Double, Long) encoder is non-nullable, so drop such rows —
+        // a query with no rankable cells probes nothing and returns no
+        // neighbors (the window formulation ranked nulls arbitrarily).
+        // NaN cdist (zero-norm vectors) ranks LAST here where the window
+        // ranked it first — both are meaningless orderings of a
+        // degenerate input; the recall gates run on finite data.
+        .where(col("cdist").isNotNull)
         .select(col("qid"), col("cdist"), col("cell").cast("long").as("cl")),
       "qid", "cdist", "cl", nProbe)
       .select(col("qid"), col("cl").cast("int").as("cell"))

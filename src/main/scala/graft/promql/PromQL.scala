@@ -1190,6 +1190,52 @@ object PromQL {
           a.cast("double"), b.cast("double")), 6)
     }
 
+  /** A pure per-step scalar expression — literals, `time()`, and their
+    * `+ - * / % ^ atan2` compositions — compiled to a Column over the
+    * grid timestamp `ts`. Vector shapes return None, which is how the
+    * binary-op compile cases distinguish a scalar side from a vector
+    * side. */
+  private def scalarSide(e: Expr, ts: org.apache.spark.sql.Column)
+      : Option[org.apache.spark.sql.Column] = e match {
+    case NumLit(v) => Some(lit(v))
+    case TimeLit => Some(ts.cast("double"))
+    case BinOp(op, l, r, on, false, false) if ArithOps(op) && on.isEmpty =>
+      for (a <- scalarSide(l, ts); b <- scalarSide(r, ts))
+        yield arith(op)(a, b)
+    case _ => None
+  }
+
+  private def containsTime(e: Expr): Boolean = e match {
+    case TimeLit => true
+    case BinOp(_, l, r, _, _, _) => containsTime(l) || containsTime(r)
+    case _ => false
+  }
+
+  /** Shared body of the two `scalar()` binary-op cases: broadcast-join
+    * the one-row-per-bucket scalar frame and apply `op` with the scalar
+    * on the requested side. An arithmetic op REPLACES any pre-existing
+    * `result` column (never duplicates it — `(x * 2) / scalar(…)` has
+    * one); a comparison filters and keeps the vector side's columns. */
+  private def applyScalarJoin(
+      dfVec: DataFrame,
+      dfScalar: DataFrame,
+      op: String,
+      vecCol: String,
+      scalarLeft: Boolean): DataFrame = {
+    val joined = dfVec.join(
+      org.apache.spark.sql.functions.broadcast(dfScalar), "bucket_start")
+    val (a, b) =
+      if (scalarLeft) (col("__scalar"), col(vecCol))
+      else (col(vecCol), col("__scalar"))
+    if (ArithOps(op))
+      joined.withColumn("result", arith(op)(a, b))
+        .select(dfVec.columns.filterNot(_ == "result").map(col).toSeq
+          :+ col("result"): _*)
+    else
+      joined.where(cmp(op)(a, b))
+        .select(dfVec.columns.map(col).toSeq: _*)
+  }
+
   private def checkRollupStep(sel: Selector, rollupStep: Long): Long = {
     val s = stepOf(sel, "rollup-served aggregation")
     require(s == rollupStep,
@@ -1251,20 +1297,12 @@ object PromQL {
         require(groupingOf(inner).contains(Seq.empty),
           s"scalar() needs a global (no `by`) aggregation argument, " +
           s"got: $inner")
-        val dfL = compile(t, lhs, start, end, buckets, rollupStep)
-        val dfR = compile(t, inner, start, end, buckets, rollupStep)
-          .select(col("bucket_start"),
-            col(valueColOf(inner)).as("__scalar"))
-        val joined = dfL.join(
-          org.apache.spark.sql.functions.broadcast(dfR), "bucket_start")
-        val out =
-          if (ArithOps(op))
-            joined.withColumn("result",
-              arith(op)(col(valueColOf(lhs)), col("__scalar")))
-          else joined.where(cmp(op)(col(valueColOf(lhs)), col("__scalar")))
-        out.drop("__scalar")
-          .select(dfL.columns.map(col) ++
-            (if (ArithOps(op)) Seq(col("result")) else Nil): _*)
+        applyScalarJoin(
+          compile(t, lhs, start, end, buckets, rollupStep),
+          compile(t, inner, start, end, buckets, rollupStep)
+            .select(col("bucket_start"),
+              col(valueColOf(inner)).as("__scalar")),
+          op, valueColOf(lhs), scalarLeft = false)
 
       // mirrored scalar-on-the-left form (`scalar(sum(x)) - y`)
       case BinOp(op, MathFn("scalar", inner, _, _), rhs, _, false, false)
@@ -1272,20 +1310,12 @@ object PromQL {
         require(groupingOf(inner).contains(Seq.empty),
           s"scalar() needs a global (no `by`) aggregation argument, " +
           s"got: $inner")
-        val dfR = compile(t, rhs, start, end, buckets, rollupStep)
-        val dfS = compile(t, inner, start, end, buckets, rollupStep)
-          .select(col("bucket_start"),
-            col(valueColOf(inner)).as("__scalar"))
-        val joined = dfR.join(
-          org.apache.spark.sql.functions.broadcast(dfS), "bucket_start")
-        val out =
-          if (ArithOps(op))
-            joined.withColumn("result",
-              arith(op)(col("__scalar"), col(valueColOf(rhs))))
-          else joined.where(cmp(op)(col("__scalar"), col(valueColOf(rhs))))
-        out.drop("__scalar")
-          .select(dfR.columns.map(col) ++
-            (if (ArithOps(op)) Seq(col("result")) else Nil): _*)
+        applyScalarJoin(
+          compile(t, rhs, start, end, buckets, rollupStep),
+          compile(t, inner, start, end, buckets, rollupStep)
+            .select(col("bucket_start"),
+              col(valueColOf(inner)).as("__scalar")),
+          op, valueColOf(rhs), scalarLeft = true)
 
       // a standalone scalar() has no vector to join onto — name the
       // restriction instead of hitting the generic pointwise MathFn path
@@ -1294,29 +1324,42 @@ object PromQL {
           "scalar() is supported as a binary-operation side only " +
           "(e.g. `sum by (l)(x) / scalar(sum(x))`)")
 
-      // time() composes with a vector like a per-step scalar whose value
-      // is the grid timestamp (`x - time()`, `time() % 86400 …` ride the
-      // same arith/cmp paths with bucket_start as the operand)
-      case BinOp(op, lhs, TimeLit, _, false, false)
-          if ArithOps(op) || CmpOps(op) =>
+      // composite per-step scalar sides: any literal/time() arithmetic
+      // composition (`x - time()`, `x > time() % 86400`, `x * (2 + 3)`)
+      // evaluates as a Column over the vector side's grid — the plain
+      // one-literal forms are caught by the NumLit cases above, this
+      // handles the nested shapes. The guard requires the OTHER side to
+      // NOT be scalar, so pure-scalar queries still fail loudly below.
+      case BinOp(op, lhs, rhs, _, false, false)
+          if (ArithOps(op) || CmpOps(op)) &&
+            scalarSide(rhs, lit(0L)).isDefined &&
+            scalarSide(lhs, lit(0L)).isEmpty =>
         val df = compile(t, lhs, start, end, buckets, rollupStep)
-        require(df.columns.contains("bucket_start"),
-          s"time() needs a grid-shaped vector side (a bucket_start " +
-          s"column), got columns ${df.columns.toSeq}")
-        val ts = col("bucket_start").cast("double")
+        val sc =
+          if (containsTime(rhs)) {
+            require(df.columns.contains("bucket_start"),
+              s"time() needs a grid-shaped vector side (a bucket_start " +
+              s"column), got columns ${df.columns.toSeq}")
+            scalarSide(rhs, col("bucket_start")).get
+          } else scalarSide(rhs, lit(0L)).get
         if (ArithOps(op))
-          df.withColumn("result", arith(op)(col(valueColOf(lhs)), ts))
-        else df.where(cmp(op)(col(valueColOf(lhs)), ts))
-      case BinOp(op, TimeLit, rhs, _, false, false)
-          if ArithOps(op) || CmpOps(op) =>
+          df.withColumn("result", arith(op)(col(valueColOf(lhs)), sc))
+        else df.where(cmp(op)(col(valueColOf(lhs)), sc))
+      case BinOp(op, lhs, rhs, _, false, false)
+          if (ArithOps(op) || CmpOps(op)) &&
+            scalarSide(lhs, lit(0L)).isDefined &&
+            scalarSide(rhs, lit(0L)).isEmpty =>
         val df = compile(t, rhs, start, end, buckets, rollupStep)
-        require(df.columns.contains("bucket_start"),
-          s"time() needs a grid-shaped vector side (a bucket_start " +
-          s"column), got columns ${df.columns.toSeq}")
-        val ts = col("bucket_start").cast("double")
+        val sc =
+          if (containsTime(lhs)) {
+            require(df.columns.contains("bucket_start"),
+              s"time() needs a grid-shaped vector side (a bucket_start " +
+              s"column), got columns ${df.columns.toSeq}")
+            scalarSide(lhs, col("bucket_start")).get
+          } else scalarSide(lhs, lit(0L)).get
         if (ArithOps(op))
-          df.withColumn("result", arith(op)(ts, col(valueColOf(rhs))))
-        else df.where(cmp(op)(ts, col(valueColOf(rhs))))
+          df.withColumn("result", arith(op)(sc, col(valueColOf(rhs))))
+        else df.where(cmp(op)(sc, col(valueColOf(rhs))))
 
       // `bool` comparisons keep every row and emit Prometheus's 0/1
       // vector in `result` instead of filtering
@@ -1382,6 +1425,13 @@ object PromQL {
           labelKeys(t, sel.metric),
           sel.stepSec.getOrElse(stepOf(sel, "holt_winters")),
           stepOf(sel, "holt_winters"), sfArg, tfArg, sel.offsetSec)
+
+      // a non-bare-selector holt_winters argument parses fine — name the
+      // restriction instead of dying in the pointwise MathFn catch-all
+      case MathFn("holt_winters", other, _, _) =>
+        throw new IllegalArgumentException(
+          s"holt_winters needs a bare ranged selector argument " +
+          s"(holt_winters(x[1h], sf, tf)), got: $other")
 
       case MathFn(name, arg, _, _) if TimeFns(name) =>
         val df = compile(t, arg, start, end, buckets, rollupStep)

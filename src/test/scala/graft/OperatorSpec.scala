@@ -715,6 +715,22 @@ class OperatorSpec extends SparkSuite {
         s"simhash star cluster spans exact components: $members")
     }
   }
+
+  test("occupancy caps are inactive at the compare SFs: capped queries " +
+      "row-equal their uncapped oracled twins on the verify corpus") {
+    // the driver's DuckDB compare runs the capped twins against the
+    // UNCAPPED oracles (OracleSql: 'byte-identical while no cell exceeds
+    // the cap') - this is the sbt assertion that pins that invariant on
+    // the actual corpora the compare uses, at BOTH gate SFs
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      def rows(name: String) =
+        SparkEntry.queries(name)(spark, dir).collect().toSeq
+      assert(rows("dedup_minhash_capped") == rows("dedup_minhash_lsh"),
+        s"minhash cap engaged at $dir - the shared oracle no longer holds")
+      assert(rows("dedup_simhash_capped") == rows("dedup_simhash"),
+        s"simhash cap engaged at $dir - the shared oracle no longer holds")
+    }
+  }
 }
 
 /** Shared fixture call so the spec and the registered query stay in sync. */
@@ -722,4 +738,5 @@ private object TextAnalysisFixture {
   def corpusStats(docs: org.apache.spark.sql.DataFrame) =
     graft.operators.TextAnalysis.corpusStats(
       docs, "doc_id", "text", "source", bucketWords = 50, maxBucket = 7)
+
 }

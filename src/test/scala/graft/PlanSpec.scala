@@ -435,7 +435,16 @@ class PlanSpec extends SparkSuite {
     val t = Tsdb.attach(spark, ev)
     val plan = t.aggregateBy("click", Seq.empty, 1704412800L, 1705017599L,
       Seq("user_id"), 3600L).queryExecution.executedPlan.toString
-    assert(!plan.contains("roundrobin"),
+    // Spark renders the spread exchange as 'RoundRobinPartitioning';
+    // match case-insensitively so a renderer tweak can't silently
+    // vacuate the gate
+    assert(!plan.toLowerCase.contains("roundrobin"),
       s"spread() leaked into the attach-served read path:\n$plan")
+    // the gate itself must be able to see the node: the durable-path
+    // write DOES spread a single-partition batch (positive control)
+    val spreadPlan = ev.repartition(32).queryExecution.executedPlan.toString
+    assert(spreadPlan.toLowerCase.contains("roundrobin"),
+      "positive control: repartition() no longer renders as RoundRobin — " +
+      "update the gate's needle")
   }
 }

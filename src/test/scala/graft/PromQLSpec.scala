@@ -1113,6 +1113,30 @@ class PromQLSpec extends SparkSuite {
     val q = s"$base - time()"
     assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
     intercept[IllegalArgumentException](PromQL.query(t, "time()", T0, T1))
+    // COMPOSITE scalar sides: the business-hours idiom and nested
+    // constants ride the same paths
+    val dfMod = PromQL.query(t, s"$base - time() % 86400", T0, T1)
+    assert(dfMod.where(abs(col("result") - (col("sum_v") -
+      round(col("bucket_start").cast("double") % 86400.0, 6))) > 1e-9)
+      .isEmpty)
+    assert(PromQL.query(t, s"$base > time() % 86400", T0, T1).count() +
+      PromQL.query(t, s"$base <= time() % 86400", T0, T1).count() ==
+      PromQL.query(t, base, T0, T1).count())
+    val dfConst = PromQL.query(t, s"$base * (2 + 3)", T0, T1)
+    assert(dfConst.where(abs(col("result") - col("sum_v") * 5.0) > 1e-9)
+      .isEmpty)
+    // a pure-scalar query still fails loudly
+    intercept[IllegalArgumentException](
+      PromQL.query(t, "time() % 86400", T0, T1))
+    // scalar-op-result composing over a previous result column never
+    // duplicates it (the (x * 2) / scalar(...) shape)
+    val dfShare2 = PromQL.query(t,
+      s"($base * 2) / scalar(sum(click[1h]))", T0, T1)
+    assert(dfShare2.columns.count(_ == "result") == 1)
+    // holt_winters over a non-selector argument names the restriction
+    val eh = intercept[IllegalArgumentException](PromQL.query(t,
+      "holt_winters(sum by (cohort) (click[1h]), 0.5, 0.5)", T0, T1))
+    assert(eh.getMessage.contains("bare ranged selector"))
   }
 
   test("scalar(): share-of-total joins the global per-bucket aggregate") {
