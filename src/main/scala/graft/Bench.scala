@@ -152,7 +152,33 @@ object Bench {
     }
     val regs = regressions.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"comparators":$comps,"regressions":$regs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"comparators":$comps,"regressions":$regs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The round driver captures only the LAST ~2000 chars of the run's
+    // output and looks for a parseable JSON line in it — the full line
+    // above is ~4.5k chars at 147 queries, so every prior round recorded
+    // `parsed: null`. Keep the full line first (the documented contract,
+    // and any whole-output parser still finds it), dump the complete map
+    // to a sidecar file, and end with a COMPACT line that fits the tail
+    // window: totals, probe, error/regression names, and the slowest
+    // queries only.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full_last.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench-warn] sidecar write failed: ${e.getMessage}")
+    }
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val slowest = results.filter(_._2 > 0).toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" +
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    // worst 10 only — an all-flags round (host skew) must still fit
+    val regsCompact = regressions.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"n_queries":${results.size},"errors":$errors,"slowest":$slowest,"n_regressions":${regressions.size},"regressions":$regsCompact,"queries_file":"bench_full_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

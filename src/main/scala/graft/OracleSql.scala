@@ -1229,6 +1229,22 @@ object OracleSql {
   private val tsdbPromqlTime =
     promqlAggResult("SUMV - CAST(BUCKET AS DOUBLE)")
 
+  // `sum(purchase[3600]) or vector(0)`: every hour of the window, zero
+  // where no samples landed (the gap-filling idiom) — one row per grid
+  // bucket, 168 at T0..T1
+  private val tsdbPromqlOrVector =
+    s"""WITH agg AS (
+       |  SELECT $tsS - ($tsS % 3600) AS bucket_start,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1)
+       |SELECT g.bucket_start, COALESCE(a.sum_v, 0.0) AS sum_v
+       |FROM generate_series($T0 - ($T0 % 3600), $T1 - ($T1 % 3600), 3600)
+       |  g(bucket_start)
+       |LEFT JOIN agg a USING (bucket_start)
+       |ORDER BY 1""".stripMargin
+
   /** scalar() share-of-total mirror: the cohort grid joined against the
     * global per-bucket sum, divided with the `/`-family rounding. */
   private val tsdbPromqlShare =
@@ -2292,6 +2308,7 @@ object OracleSql {
     "tsdb_promql_at" -> tsdbPromqlAt,
     "tsdb_promql_holt" -> tsdbPromqlHolt,
     "tsdb_promql_time" -> tsdbPromqlTime,
+    "tsdb_promql_or_vector" -> tsdbPromqlOrVector,
     "tsdb_promql_share" -> tsdbPromqlShare,
     "tsdb_promql_and" -> tsdbPromqlAnd,
     "tsdb_promql_unless" -> tsdbPromqlUnless,

@@ -523,6 +523,18 @@ object SparkEntry {
       "sum by (cohort) (click[1h]) - time()", T0, T1)
       .orderBy("cohort", "bucket_start")
 
+  /** `vector()` — Prometheus's gap-filling idiom through the string
+    * front-end: `sum(purchase[3600]) or vector(0)` emits one row for
+    * EVERY hour of the query window (168 at T0..T1), zero where no
+    * samples landed. The missing buckets come from a `sequence`-generated
+    * grid anti-joined against the occupied ones — bounded by the window,
+    * never a scan.
+    */
+  private def qTsdbPromqlOrVector(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(tsdbOn(s, dir),
+      "sum(purchase[3600]) or vector(0)", T0, T1)
+      .orderBy("bucket_start")
+
   /** `scalar()` — the share-of-total idiom: `sum by (cohort)(click[1h])
     * / scalar(sum(click[1h]))`. The global (by-empty) aggregation is one
     * row per grid bucket, broadcast-joined on bucket_start; a
@@ -2168,6 +2180,7 @@ object SparkEntry {
     "tsdb_promql_at" -> (qTsdbPromqlAt _),
     "tsdb_promql_holt" -> (qTsdbPromqlHoltWinters _),
     "tsdb_promql_time" -> (qTsdbPromqlTime _),
+    "tsdb_promql_or_vector" -> (qTsdbPromqlOrVector _),
     "tsdb_promql_share" -> (qTsdbPromqlShare _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),
     "tsdb_promql_unless" -> (qTsdbPromqlUnless _),

@@ -54,6 +54,7 @@ import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor =>
   *            | (sort|sort_desc) '(' expr ')'
   *            | (hour|minute|day_of_week|day_of_month|month|year
   *               |timestamp) '(' expr ')'   // of the step grid, UTC
+  *            | vector '(' scalar ')'       // rhs of 'or' only (gap fill)
   * aggTerm   := aggOp grouping? '(' aggBody ')' grouping?
   *            | fn '(' args ')' ('by' '(' labels ')')?
   *            | selector
@@ -296,7 +297,7 @@ object PromQL {
   private val MathFns =
     Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max",
       "clamp", "exp", "ln", "log2", "log10", "round", "sort", "sort_desc",
-      "holt_winters", "scalar") ++
+      "holt_winters", "scalar", "vector") ++
       TimeFns ++ TrigFns
 
   private final class P(var toks: List[Tok], input: String) {
@@ -1167,6 +1168,21 @@ object PromQL {
     case _ => None
   }
 
+  /** The (stepSec, offsetSec) bucket grid an aggregation evaluates on —
+    * every Agg compile case derives it from its selector as
+    * `(stepOf(sel), sel.offsetSec)`, so the `or vector(…)` gap filler
+    * reads the same pair to generate the missing buckets. First selector
+    * wins (the `or` guard already proved a single global aggregation). */
+  private def gridSpecOf(e: Expr): Option[(Long, Long)] = e match {
+    case s: Selector => s.rangeSec.map(st => (st, s.offsetSec))
+    case Agg(_, _, _, _, body, _) => gridSpecOf(body)
+    case RangeFn(_, _, sel, _, _) => gridSpecOf(sel)
+    case LabelFn(_, inner, _) => gridSpecOf(inner)
+    case MathFn(_, arg, _, _) => gridSpecOf(arg)
+    case BinOp(_, l, r, _, _, _) => gridSpecOf(l).orElse(gridSpecOf(r))
+    case _ => None
+  }
+
   /** The vector-match column op. Sums arrive as exact-DECIMAL-derived
     * doubles; `+ - *` on them are single IEEE ops reproducible across
     * engines, while `/` rounds to 6 decimals (the engine's documented
@@ -1382,6 +1398,52 @@ object PromQL {
         throw new IllegalArgumentException(
           s"bool comparisons support a scalar side only " +
           s"(e.g. `x > bool 0.5`); vector $op bool vector is not supported")
+
+      // `expr or vector(s)` — Prometheus's gap-filling idiom
+      // (`sum(x[step]) or vector(0)`). The rhs vector carries NO labels,
+      // so it can only match a GLOBAL (by-empty) aggregation on the
+      // left; labeled lhs shapes are rejected loudly instead of
+      // silently emitting a phantom constant series next to them. The
+      // missing buckets are generated with `sequence` over the lhs
+      // bucket span — (end-start)/step rows, bounded by the query
+      // window, never a scan — and anti-joined against the lhs's
+      // occupied buckets (broadcast: same bound). Output contract:
+      // (bucket_start, <lhs value column>), the scalar evaluated on the
+      // grid (so `or vector(time())` works) filling the holes.
+      case BinOp("or", l, MathFn("vector", s, _, _), _, false, false) =>
+        require(groupingOf(l).contains(Seq.empty),
+          s"`or vector(…)` needs a global (no `by`) aggregation on the " +
+          s"left — the vector side carries no labels to match, got: $l")
+        val (step, off) = gridSpecOf(l).getOrElse(
+          throw new IllegalArgumentException(
+            s"`or vector(…)` could not derive the lhs bucket grid " +
+            s"(needs a ranged selector `x[d]` inside): $l"))
+        val sc = scalarSide(s, col("bucket_start").cast("double"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"vector() takes a scalar argument (a literal / time() " +
+            s"composition), got: $s"))
+        val vCol = valueColOf(l)
+        val dfL = compile(t, l, start, end, buckets, rollupStep)
+          .select(col("bucket_start"), col(vCol).cast("double").as(vCol))
+        val b0 = (start - off) - Math.floorMod(start - off, step) + off
+        val b1 = (end - off) - Math.floorMod(end - off, step) + off
+        val grid = t.spark.range(1).select(
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.sequence(
+              lit(b0), lit(b1), lit(step))).as("bucket_start"))
+        dfL.unionByName(
+          grid.join(
+              org.apache.spark.sql.functions.broadcast(
+                dfL.select("bucket_start")),
+              Seq("bucket_start"), "left_anti")
+            .select(col("bucket_start"), sc.cast("double").as(vCol)))
+
+      // a vector() anywhere else has no grid to ride — name the
+      // restriction instead of hitting the pointwise MathFn catch-all
+      case MathFn("vector", _, _, _) =>
+        throw new IllegalArgumentException(
+          "vector() is supported as the right side of `or` only — the " +
+          "gap-filling idiom `sum(x[step]) or vector(0)`")
 
       // vector set ops: both sides compile independently (so filtered /
       // scalar-wrapped sides compose); the match key is (labels, bucket)

@@ -1139,6 +1139,46 @@ class PromQLSpec extends SparkSuite {
     assert(eh.getMessage.contains("bare ranged selector"))
   }
 
+  test("vector() gap-fills the `or` rhs on the lhs bucket grid") {
+    val q = "sum(purchase[3600]) or vector(0)"
+    val df = PromQL.query(t, q, T0, T1)
+    // one row for EVERY hour of the window: (T1-T0+1)/3600 = 168
+    assert(df.count() == 168)
+    assert(df.columns.toSeq == Seq("bucket_start", "sum_v"))
+    // occupied buckets carry the direct aggregation's values verbatim
+    val direct = t.aggregateBy("purchase", Seq.empty, T0, T1,
+      Seq.empty, 3600L).select(col("bucket_start"), col("sum_v"))
+    assertSame(
+      df.join(direct.select("bucket_start"), Seq("bucket_start"),
+        "left_semi"),
+      direct)
+    // the filled buckets are exactly the grid minus the occupied ones,
+    // all zero
+    val fills = df.join(direct.select("bucket_start"), Seq("bucket_start"),
+      "left_anti")
+    assert(fills.count() == 168 - direct.count())
+    assert(fills.where(col("sum_v") =!= 0.0).isEmpty)
+    // the fill scalar evaluates ON the grid: vector(time()) fills holes
+    // with the bucket timestamp itself
+    val dfT = PromQL.query(t,
+      "sum(purchase[3600]) or vector(time())", T0, T1)
+    assert(dfT.join(direct.select("bucket_start"), Seq("bucket_start"),
+        "left_anti")
+      .where(col("sum_v") =!= col("bucket_start").cast("double")).isEmpty)
+    // round trip through the renderer
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+    // loud failures: labeled lhs, standalone vector(), non-scalar arg
+    val e1 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort) (click[1h]) or vector(0)", T0, T1))
+    assert(e1.getMessage.contains("global"))
+    val e2 = intercept[IllegalArgumentException](
+      PromQL.query(t, "vector(1)", T0, T1))
+    assert(e2.getMessage.contains("right side of `or`"))
+    val e3 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum(click[1h]) or vector(sum(click[1h]))", T0, T1))
+    assert(e3.getMessage.contains("scalar argument"))
+  }
+
   test("scalar(): share-of-total joins the global per-bucket aggregate") {
     val df = PromQL.query(t,
       "sum by (cohort) (click[1h]) / scalar(sum(click[1h]))", T0, T1)
