@@ -1229,6 +1229,45 @@ object OracleSql {
   private val tsdbPromqlTime =
     promqlAggResult("SUMV - CAST(BUCKET AS DOUBLE)")
 
+  // Alerting rule `sum by (cohort)(click[3600]) > 5` for 2h: active
+  // steps are the thresholded hourly sums; gaps-and-islands (island key
+  // = bucket - rn*step) finds consecutive runs per cohort; a step 2h or
+  // more into its run is firing, earlier steps pending — Prometheus
+  // `for` semantics on the batch grid
+  private val tsdbAlertRule =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 5),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY cohort ORDER BY bucket_start) AS rn
+       |  FROM a),
+       |st AS (
+       |  SELECT *, min(bucket_start) OVER (
+       |    PARTITION BY cohort, bucket_start - rn * 3600) AS s0
+       |  FROM r)
+       |SELECT 'cohort_click_high' AS alertname, cohort, bucket_start,
+       |       value,
+       |       CASE WHEN bucket_start - s0 >= 7200 THEN 'firing'
+       |            ELSE 'pending' END AS state
+       |FROM st ORDER BY cohort, bucket_start""".stripMargin
+
+  // Recording rule: the same hourly cohort sum, re-read back out of the
+  // engine under its recorded metric name + static job label
+  private val tsdbRecordingRule =
+    s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |       'rules' AS job,
+       |       $tsS - ($tsS % 3600) AS bucket_start,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |FROM events
+       |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin
+
   // `sum(purchase[3600]) or vector(0)`: every hour of the window, zero
   // where no samples landed (the gap-filling idiom) — one row per grid
   // bucket, 168 at T0..T1
@@ -2309,6 +2348,8 @@ object OracleSql {
     "tsdb_promql_holt" -> tsdbPromqlHolt,
     "tsdb_promql_time" -> tsdbPromqlTime,
     "tsdb_promql_or_vector" -> tsdbPromqlOrVector,
+    "tsdb_alert_rule" -> tsdbAlertRule,
+    "tsdb_recording_rule" -> tsdbRecordingRule,
     "tsdb_promql_share" -> tsdbPromqlShare,
     "tsdb_promql_and" -> tsdbPromqlAnd,
     "tsdb_promql_unless" -> tsdbPromqlUnless,

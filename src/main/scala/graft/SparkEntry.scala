@@ -535,6 +535,44 @@ object SparkEntry {
       "sum(purchase[3600]) or vector(0)", T0, T1)
       .orderBy("bucket_start")
 
+  /** Alerting rule with `for` semantics ([[graft.promql.Rules.alerts]]):
+    * `sum by (cohort)(click[3600]) > 5` held for 2h — active steps found
+    * by the compiled threshold query, consecutive runs by a
+    * gaps-and-islands window partitioned per cohort, `pending` until a
+    * run is 2h old, then `firing`.
+    */
+  private def qTsdbAlertRule(s: SparkSession, dir: String): DataFrame =
+    graft.promql.Rules.alerts(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      graft.promql.Rules.AlertRule("cohort_click_high",
+        "sum by (cohort) (click[3600]) > 5", forSec = 7200L),
+      T0, T1)
+      .select("alertname", "cohort", "bucket_start", "value", "state")
+      .orderBy("cohort", "bucket_start")
+
+  /** Recording rule ([[graft.promql.Rules.record]]): materialize
+    * `sum by (cohort)(click[3600])` as the new metric
+    * `cohort:click:sum1h` (static label job=rules), re-attach the
+    * emitted samples as a fresh TSDB, and read the metric back through
+    * [[graft.Tsdb.queryRange]] — the full materialization loop, not just
+    * the reshape.
+    */
+  private def qTsdbRecordingRule(s: SparkSession, dir: String): DataFrame = {
+    val t = Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+    val rec = graft.promql.Rules.record(t,
+      graft.promql.Rules.RecordingRule("cohort:click:sum1h",
+        "sum by (cohort) (click[3600])", Map("job" -> "rules")),
+      T0, T1)
+    Tsdb.attach(s, rec)
+      .queryRange("cohort:click:sum1h", Seq.empty, T0, T1)
+      .select(
+        col("labels").getItem("cohort").as("cohort"),
+        col("labels").getItem("job").as("job"),
+        col("ts").as("bucket_start"),
+        col("value").as("sum_v"))
+      .orderBy("cohort", "bucket_start")
+  }
+
   /** `scalar()` — the share-of-total idiom: `sum by (cohort)(click[1h])
     * / scalar(sum(click[1h]))`. The global (by-empty) aggregation is one
     * row per grid bucket, broadcast-joined on bucket_start; a
@@ -2181,6 +2219,8 @@ object SparkEntry {
     "tsdb_promql_holt" -> (qTsdbPromqlHoltWinters _),
     "tsdb_promql_time" -> (qTsdbPromqlTime _),
     "tsdb_promql_or_vector" -> (qTsdbPromqlOrVector _),
+    "tsdb_alert_rule" -> (qTsdbAlertRule _),
+    "tsdb_recording_rule" -> (qTsdbRecordingRule _),
     "tsdb_promql_share" -> (qTsdbPromqlShare _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),
     "tsdb_promql_unless" -> (qTsdbPromqlUnless _),

@@ -1040,7 +1040,7 @@ object PromQL {
     * arithmetic / threshold filtering — the column a hand-built query
     * would operate on. Fails fast for shapes with no single value
     * column. */
-  private def valueColOf(e: Expr): String = e match {
+  private[promql] def valueColOf(e: Expr): String = e match {
     // agg-of-rangefn shapes first (the canonical alert rule is
     // `sum by (c)(rate(x[1h])) > 0.5`): the compiled output carries the
     // counter family's column names, not the moment aggregation's —
@@ -1141,7 +1141,7 @@ object PromQL {
   /** The label grouping a compiled vector side carries — the set-op /
     * match key. Follows through scalar arithmetic, threshold filters and
     * vector matches (a group_right match keeps the right side's grain). */
-  private def groupingOf(e: Expr): Option[Seq[String]] = e match {
+  private[promql] def groupingOf(e: Expr): Option[Seq[String]] = e match {
     case Agg(op, _, _, by, _: Selector, _) if MomentAggs(op) => Some(by)
     // agg-of-rangefn sides carry their `by` labels too, so set ops and
     // threshold filters compose over e.g. `sum by (c)(rate(x[1h]))`
@@ -1173,7 +1173,7 @@ object PromQL {
     * `(stepOf(sel), sel.offsetSec)`, so the `or vector(…)` gap filler
     * reads the same pair to generate the missing buckets. First selector
     * wins (the `or` guard already proved a single global aggregation). */
-  private def gridSpecOf(e: Expr): Option[(Long, Long)] = e match {
+  private[promql] def gridSpecOf(e: Expr): Option[(Long, Long)] = e match {
     case s: Selector => s.rangeSec.map(st => (st, s.offsetSec))
     case Agg(_, _, _, _, body, _) => gridSpecOf(body)
     case RangeFn(_, _, sel, _, _) => gridSpecOf(sel)

@@ -1211,4 +1211,75 @@ class PromQLSpec extends SparkSuite {
       PromQL.query(t, "scalar(sum(click[1h]))", T0, T1))
     assert(e2.getMessage.contains("binary-operation side"))
   }
+
+  test("alerting rules: `for` escalates pending→firing, a gap resets") {
+    import graft.promql.Rules
+    // hand-built series: active at hours 0-3, a hole at 4, active 5-6.
+    // With for=2h: run one fires from its 3rd step (h2, h3); the
+    // post-gap run restarts the clock (h5, h6 pending again).
+    val base = T0
+    val samples = spark.createDataFrame(
+      Seq(0L, 1L, 2L, 3L, 5L, 6L).map(h => (base + h * 3600, 10.0)))
+      .toDF("ts", "value")
+      .select(lit("m").as("metric"),
+        map(lit("site"), lit("a")).as("labels"),
+        col("ts"), col("value"))
+    val tt = Tsdb.attach(spark, samples)
+    val out = Rules.alerts(tt,
+      Rules.AlertRule("r", "sum by (site) (m[3600]) > 1", forSec = 7200L),
+      base, base + 7 * 3600 - 1)
+      .orderBy("bucket_start")
+      .select("site", "bucket_start", "state").collect()
+      .map(r => (r.getLong(1) - base) / 3600 -> r.getString(2)).toSeq
+    assert(out == Seq(0L -> "pending", 1L -> "pending", 2L -> "firing",
+      3L -> "firing", 5L -> "pending", 6L -> "pending"))
+    // for=0 fires immediately at every active step
+    val all = Rules.alerts(tt,
+      Rules.AlertRule("r", "sum by (site) (m[3600]) > 1", forSec = 0L),
+      base, base + 7 * 3600 - 1)
+    assert(all.where(col("state") =!= "firing").isEmpty)
+    assert(all.count() == 6)
+    // static labels ride along as columns; value is the expr's value
+    val lab = Rules.alerts(tt,
+      Rules.AlertRule("r", "sum by (site) (m[3600]) > 1", 0L,
+        Map("severity" -> "page")),
+      base, base + 7 * 3600 - 1)
+    assert(lab.columns.toSeq ==
+      Seq("alertname", "severity", "site", "bucket_start", "value",
+        "state"))
+    assert(lab.where(col("severity") =!= "page" ||
+      col("value") =!= 10.0).isEmpty)
+    // a non-aggregated expression is rejected loudly
+    val e = intercept[IllegalArgumentException](Rules.alerts(tt,
+      Rules.AlertRule("r", "m[3600]", 0L), base, base + 3600))
+    assert(e.getMessage.contains("aggregated vector"))
+  }
+
+  test("recording rules: materialize, re-attach, read back equal") {
+    import graft.promql.Rules
+    val rec = Rules.record(t,
+      Rules.RecordingRule("cohort:click:sum1h",
+        "sum by (cohort) (click[1h])", Map("job" -> "rules")),
+      T0, T1)
+    assert(rec.columns.toSeq == Seq("metric", "labels", "ts", "value"))
+    // the emitted samples round-trip: a fresh TSDB over them serves the
+    // recorded metric with values equal to the direct aggregation
+    val back = Tsdb.attach(spark, rec)
+      .queryRange("cohort:click:sum1h", Seq.empty, T0, T1)
+      .select(col("labels").getItem("cohort").as("cohort"),
+        col("ts").as("bucket_start"), col("value"))
+    val direct = PromQL.query(t, "sum by (cohort) (click[1h])", T0, T1)
+      .select(col("cohort"), col("bucket_start"),
+        col("sum_v").as("value"))
+    assertSame(back.orderBy("cohort", "bucket_start"),
+      direct.orderBy("cohort", "bucket_start"))
+    // and the recorded metric is itself PromQL-addressable
+    val again = PromQL.query(Tsdb.attach(spark, rec),
+      "max by (job) (cohort:click:sum1h[1d])", T0, T1)
+    assert(again.count() > 0)
+    // invalid metric names are rejected before any compute
+    val e = intercept[IllegalArgumentException](Rules.record(t,
+      Rules.RecordingRule("not a metric!", "sum(click[1h])"), T0, T1))
+    assert(e.getMessage.contains("invalid metric name"))
+  }
 }
