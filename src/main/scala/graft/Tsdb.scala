@@ -2178,6 +2178,16 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     col("seg").between(s, e)
   }
 
+  /** Instance alias of [[Tsdb.matcherPredicate]] — the predicate is pure
+    * (a Column function of plan-time constants), hoisted to the companion
+    * so streaming consumers can build it without a Tsdb instance. */
+  def matcherPredicate(labels: Column, matchers: Seq[LabelMatcher]): Column =
+    Tsdb.matcherPredicate(labels, matchers)
+}
+
+object Tsdb {
+  val MetricLabel: String = graft.functions.LabelFunctions.MetricLabel
+
   /** Conjunctive matcher predicate over a label map column — the Spark form
     * of the reference's per-matcher UNION + cross-matcher INTERSECT over sid
     * sets (index.go:111-143). Regex patterns are anchored `^(?:v)$` like the
@@ -2235,10 +2245,6 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         length(v) >= pre.length + suf.length
     case p => v.rlike("^(?:" + p + ")$")
   }
-}
-
-object Tsdb {
-  val MetricLabel: String = graft.functions.LabelFunctions.MetricLabel
 
   /** Attach an existing long-format DataFrame as an in-memory TSDB — used to
     * run the TSDB query surface over external tables (e.g. the shared

@@ -519,4 +519,100 @@ class StreamingSpec extends SparkSuite {
         s"stream-only ${(got -- expect).take(3)}; " +
         s"batch-only ${(expect -- got).take(3)}")
   }
+
+  test("streaming alerts: for-escalation and gap reset on a live stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.AlertStream
+    val base = 1704412800L
+    val mem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+    val q = AlertStream.alerts(src,
+        Rules.AlertRule("r", "sum by (site) (m[3600]) > 1", forSec = 7200L),
+        watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("alerts_live")
+      .outputMode("append").start()
+    def at(h: Long) = new java.sql.Timestamp((base + h * 3600) * 1000)
+    // active hours 0-3, hole at 4, active 5-6 (same grid as the batch
+    // spec); the sentinel key advances the watermark without alerting
+    mem.addData(Seq(0L, 1L, 2L, 3L, 5L, 6L).map(h =>
+      ("m", Map("site" -> "a"), at(h), 10.0)): _*)
+    q.processAllAvailable()
+    mem.addData(("m", Map("site" -> "zz"), at(24 * 30), 0.0))
+    q.processAllAvailable()
+    mem.addData(("m", Map("site" -> "zz"), at(24 * 31), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("alerts_live")
+      .select(col("labels").getItem("site").as("site"),
+        col("bucket_start"), col("state"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1) - base) / 3600,
+        r.getString(2))).toSet
+    assert(got == Set(("a", 0L, "pending"), ("a", 1L, "pending"),
+      ("a", 2L, "firing"), ("a", 3L, "firing"),
+      ("a", 5L, "pending"), ("a", 6L, "pending")), got.toString)
+    // unsupported expression shapes are rejected at build time, loudly
+    val e = intercept[IllegalArgumentException](AlertStream.alerts(src,
+      Rules.AlertRule("r", "rate(m[3600]) > 1", 0L), "10 minutes"))
+    assert(e.getMessage.contains("canonical threshold shape"))
+  }
+
+  test("streaming alerts equal the batch rule on a replayed fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.AlertStream
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val samples = events.select(
+      col("event_type").as("metric"),
+      map(lit("cohort"),
+        pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    val rule = Rules.AlertRule("cohort_click_high",
+      "sum by (cohort) (click[3600]) > 5", forSec = 7200L)
+    // batch side over the full fixture window
+    val batch = Rules.alerts(Tsdb.attach(spark, samples), rule, T0, T1)
+      .select(col("cohort"), col("bucket_start"), col("value"),
+        col("state"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    // streaming side: replay the same rows, then close with sentinels
+    val data = samples
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getMap[String, String](1).toMap,
+        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+      .toIndexedSeq
+    val mem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+    val q = AlertStream.alerts(src, rule, watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("alerts_eq")
+      .outputMode("append").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "zz"),
+      new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "zz"),
+      new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("alerts_eq")
+      .select(col("labels").getItem("cohort").as("cohort"),
+        col("bucket_start"), col("value"), col("state"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"sizes ${streamed.size} vs ${batch.size}; " +
+        s"stream-only ${(streamed -- batch).take(3)}; " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
 }
