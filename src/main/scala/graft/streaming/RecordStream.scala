@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Tsdb
+import graft.promql.{PromQL, Rules}
+
+/** Continuous recording rules — the live twin of
+  * [[graft.promql.Rules.record]]: a watermarked tumbling aggregation of
+  * the rule's shape closes each step bucket once late data can no longer
+  * arrive, reshapes the closed bucket into the engine's sample schema
+  * under the rule's output metric, and appends it into the target TSDB
+  * through `foreachBatch` (at-least-once per micro-batch, same contract
+  * as [[Ingest.ingestStream]]).
+  *
+  * Unlike [[AlertStream]] this CAN ride a plain streaming aggregation —
+  * there is no downstream stateful operator — so the bucket accumulation
+  * is Spark's own windowed agg (map-side partial aggregation, RocksDB/
+  * HDFS state store, watermark-driven eviction), and the reshape is a
+  * stateless projection. Sums accumulate in decimal(18,2) exactly like
+  * [[graft.Tsdb.aggregateBy]], so a recorded value is bit-equal to the
+  * batch rule's.
+  */
+object RecordStream {
+
+  private final case class Shape(
+      metric: String,
+      matchers: Seq[graft.model.LabelMatcher],
+      by: Seq[String],
+      op: String,
+      step: Long)
+
+  private def shapeOf(rule: Rules.RecordingRule): Shape =
+    PromQL.parse(rule.expr) match {
+      case PromQL.Agg(op, _, _, by, sel: PromQL.Selector, without)
+          if Set("sum", "avg", "min", "max", "count")(op) &&
+            without.isEmpty && sel.rangeSec.isDefined =>
+        Shape(sel.metric, sel.matchers, by, op, sel.rangeSec.get)
+      case other => throw new IllegalArgumentException(
+        "streaming recording rules support the canonical moment shape " +
+        "`<moment> by (labels) (metric[step])`, got: " + other)
+    }
+
+  /** The streaming compiled form (exposed so tests can drive it with a
+    * memory sink): closed-bucket samples `(metric, labels, ts, value)`
+    * of the rule's output metric, Append-mode-ready. */
+  def compiled(
+      samples: DataFrame,
+      rule: Rules.RecordingRule,
+      watermark: String): DataFrame = {
+    require(rule.name.matches("[a-zA-Z_:][a-zA-Z0-9_:]*"),
+      s"invalid metric name for a recording rule: ${rule.name}")
+    val s = shapeOf(rule)
+    val agg = samples
+      .where(col("metric") === s.metric &&
+        Tsdb.matcherPredicate(col("labels"), s.matchers))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"${s.step} seconds") +:
+        s.by.map(l => col("labels").getItem(l).as(l)): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
+        min(col("value").cast("double")).as("min_v"),
+        max(col("value").cast("double")).as("max_v"))
+    val valueCol = s.op match {
+      case "sum" => col("sum_v")
+      case "avg" => col("sum_v") / col("n")
+      case "count" => col("n").cast("double")
+      case "min" => col("min_v")
+      case "max" => col("max_v")
+    }
+    val labelPairs =
+      s.by.flatMap(l => Seq(lit(l), col(l).cast("string"))) ++
+        rule.staticLabels.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val labelsCol =
+      if (labelPairs.isEmpty) map().cast("map<string,string>")
+      else map(labelPairs: _*)
+    agg.select(
+      lit(rule.name).as("metric"),
+      labelsCol.as("labels"),
+      col("window.start").cast("long").as("ts"),
+      valueCol.cast("double").as("value"))
+  }
+
+  /** Run the rule continuously, appending each closed bucket's samples
+    * into `target`. Returns the started query (registered on the target
+    * for drain-on-close like every ingest stream). */
+  def record(
+      samples: DataFrame,
+      rule: Rules.RecordingRule,
+      target: Tsdb,
+      checkpoint: String,
+      watermark: String,
+      triggerMs: Long = 1000L): StreamingQuery = {
+    val q = compiled(samples, rule, watermark).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        target.insertRows(batch)
+      }
+      .start()
+    target.registerQuery(q)
+    q
+  }
+}

@@ -615,4 +615,65 @@ class StreamingSpec extends SparkSuite {
         s"stream-only ${(streamed -- batch).take(3)}; " +
         s"batch-only ${(batch -- streamed).take(3)}")
   }
+
+  test("streaming recording rule materializes into a TSDB, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.RecordStream
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val samples = events.select(
+      col("event_type").as("metric"),
+      map(lit("cohort"),
+        pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    val rule = Rules.RecordingRule("cohort:click:sum1h",
+      "sum by (cohort) (click[3600])", Map("job" -> "rules"))
+    // batch side, restricted to the replayed window
+    val batch = Rules.record(Tsdb.attach(spark, samples), rule, T0, T1)
+      .collect()
+      .map(r => (r.getMap[String, String](1).toMap, r.getLong(2),
+        r.getDouble(3))).toSet
+    // streaming side: replay, close with sentinels, read back from the
+    // TARGET TSDB (the full materialization loop, not just the reshape)
+    val data = samples
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+      .toIndexedSeq
+    val mem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+      .select(col("metric"), col("labels"),
+        col("ts"), col("value"))
+    val target = new Tsdb(spark, TsdbConf(dataPath = tempDir("recstream")))
+    val q = RecordStream.record(src, rule, target,
+      tempDir("recstream_ckpt"), watermark = "10 minutes")
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "0"),
+      new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = target
+      .queryRange("cohort:click:sum1h", Seq.empty, T0, T1)
+      .collect()
+      .map(r => (r.getMap[String, String](
+        // normalize adds __name__ on ingest; the raw rule output has it
+        // only implicitly (the metric column), so drop it for compare
+        r.fieldIndex("labels")).toMap - Tsdb.MetricLabel,
+        r.getLong(r.fieldIndex("ts")),
+        r.getDouble(r.fieldIndex("value")))).toSet
+    assert(got.nonEmpty && got == batch,
+      s"sizes ${got.size} vs ${batch.size}; " +
+        s"stream-only ${(got -- batch).take(3)}; " +
+        s"batch-only ${(batch -- got).take(3)}")
+    // an unsupported rule shape is rejected before any stream starts
+    val e = intercept[IllegalArgumentException](RecordStream.compiled(src,
+      Rules.RecordingRule("r:x", "rate(click[3600])"), "10 minutes"))
+    assert(e.getMessage.contains("canonical moment shape"))
+  }
 }

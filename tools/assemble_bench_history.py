@@ -60,11 +60,14 @@ def main():
         base = {}
     for r in runs:
         tag = r["sf"].rstrip("/").split("/")[-1]
-        base[tag] = {k: round(v, 6) for k, v in r["queries"].items()}
+        # merge WITHIN the tag too: a subset sweep (SPARK_GRAFT_QUERIES)
+        # refreshes only the queries it ran, keeping the rest gated
+        entries = base.setdefault(tag, {})
+        entries.update({k: round(v, 6) for k, v in r["queries"].items()})
         # host-calibration probe rides along so the regression gate can
         # divide out cross-host speed skew (Bench.scala hostRatio)
         if "probe_sec" in r:
-            base[tag]["__probe__"] = round(r["probe_sec"], 6)
+            entries["__probe__"] = round(r["probe_sec"], 6)
     with open("bench_baseline.json", "w") as f:
         json.dump(base, f, indent=1)
     for r in runs:
