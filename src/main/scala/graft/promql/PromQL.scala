@@ -3,7 +3,7 @@ package graft.promql
 import graft.Tsdb
 import graft.model.LabelMatcher
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, col, floor => cFloor, greatest, least, lit, round}
+import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, coalesce, col, floor => cFloor, greatest, least, lit, round}
 
 /** A PromQL-shaped query language compiled onto the engine's operators —
   * the piece the reference explicitly lacks (mandodb README.md:36-40: no
@@ -1404,12 +1404,15 @@ object PromQL {
       // so it can only match a GLOBAL (by-empty) aggregation on the
       // left; labeled lhs shapes are rejected loudly instead of
       // silently emitting a phantom constant series next to them. The
-      // missing buckets are generated with `sequence` over the lhs
-      // bucket span — (end-start)/step rows, bounded by the query
-      // window, never a scan — and anti-joined against the lhs's
-      // occupied buckets (broadcast: same bound). Output contract:
-      // (bucket_start, <lhs value column>), the scalar evaluated on the
-      // grid (so `or vector(time())` works) filling the holes.
+      // grid is generated with `sequence` over the lhs bucket span —
+      // (end-start)/step rows, bounded by the query window, never a
+      // scan — and LEFT-OUTER joins the broadcast aggregation, taking
+      // the scalar where no bucket matched. One use of the lhs subtree:
+      // the union+anti-join formulation scanned the fact table TWICE
+      // (column pruning makes the two agg subtrees differ, defeating
+      // exchange reuse — PlanSpec gates the single-scan shape). Output
+      // contract: (bucket_start, <lhs value column>), the scalar
+      // evaluated on the grid (so `or vector(time())` works).
       case BinOp("or", l, MathFn("vector", s, _, _), _, false, false) =>
         require(groupingOf(l).contains(Seq.empty),
           s"`or vector(…)` needs a global (no `by`) aggregation on the " +
@@ -1431,12 +1434,10 @@ object PromQL {
           org.apache.spark.sql.functions.explode(
             org.apache.spark.sql.functions.sequence(
               lit(b0), lit(b1), lit(step))).as("bucket_start"))
-        dfL.unionByName(
-          grid.join(
-              org.apache.spark.sql.functions.broadcast(
-                dfL.select("bucket_start")),
-              Seq("bucket_start"), "left_anti")
-            .select(col("bucket_start"), sc.cast("double").as(vCol)))
+        grid.join(org.apache.spark.sql.functions.broadcast(dfL),
+            Seq("bucket_start"), "left_outer")
+          .select(col("bucket_start"),
+            coalesce(col(vCol), sc.cast("double")).as(vCol))
 
       // a vector() anywhere else has no grid to ride — name the
       // restriction instead of hitting the pointwise MathFn catch-all

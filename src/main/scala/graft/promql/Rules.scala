@@ -54,6 +54,26 @@ object Rules {
       s"$what needs an aggregated vector expression " +
       s"(so its label schema is static), got: $ast"))
 
+  /** The label map an emitted sample carries: grouping labels (values via
+    * `colFor`) plus the rule's static labels. On a key collision the
+    * STATIC label wins — Prometheus rule-label semantics — so shadowed
+    * grouping keys are dropped rather than duplicated (`CreateMap`
+    * rejects duplicate keys under the default EXCEPTION dedup policy).
+    * Shared with [[graft.streaming.RecordStream]] so batch and streaming
+    * recorders cannot diverge. */
+  private[graft] def labelMap(
+      by: Seq[String],
+      colFor: String => org.apache.spark.sql.Column,
+      static: Map[String, String]): org.apache.spark.sql.Column = {
+    val pairs =
+      by.filterNot(static.contains)
+        .flatMap(k => Seq(lit(k), colFor(k).cast("string"))) ++
+        static.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    if (pairs.isEmpty) map().cast("map<string,string>")
+    else map(pairs: _*)
+  }
+
   /** Evaluate a recording rule over `[start, end]` and return the result
     * as engine samples: `(metric, labels: Map, ts, value)` — the exact
     * shape [[graft.Tsdb.attach]] and `insertRows` take, so
@@ -70,16 +90,9 @@ object Rules {
     val by = grouping(ast, "a recording rule")
     val vCol = PromQL.valueColOf(ast)
     val df = PromQL.query(t, rule.expr, start, end)
-    val labelPairs =
-      by.flatMap(k => Seq(lit(k), col(k).cast("string"))) ++
-        rule.staticLabels.toSeq.sortBy(_._1)
-          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-    val labelsCol =
-      if (labelPairs.isEmpty) map().cast("map<string,string>")
-      else map(labelPairs: _*)
     df.select(
       lit(rule.name).as("metric"),
-      labelsCol.as("labels"),
+      labelMap(by, col, rule.staticLabels).as("labels"),
       col("bucket_start").cast("long").as("ts"),
       col(vCol).cast("double").as("value"))
   }
@@ -113,13 +126,16 @@ object Rules {
       .withColumn("__island",
         col("bucket_start") - col("__rn") * lit(step))
     val wi = Window.partitionBy((by :+ "__island").map(col): _*)
+    // a static label shadowing a grouping label wins (Prometheus rule
+    // semantics): the grouping column is dropped from the output rather
+    // than emitted twice under one name
     val staticCols = rule.staticLabels.toSeq.sortBy(_._1)
       .map { case (k, v) => lit(v).as(k) }
     islanded
       .withColumn("__active_since", min("bucket_start").over(wi))
       .select(
         (lit(rule.name).as("alertname") +: staticCols) ++
-          by.map(col) ++ Seq(
+          by.filterNot(rule.staticLabels.contains).map(col) ++ Seq(
             col("bucket_start"),
             col(vCol).cast("double").as("value"),
             when(col("bucket_start") - col("__active_since") >=

@@ -36,11 +36,15 @@ object RecordStream {
     PromQL.parse(rule.expr) match {
       case PromQL.Agg(op, _, _, by, sel: PromQL.Selector, without)
           if Set("sum", "avg", "min", "max", "count")(op) &&
-            without.isEmpty && sel.rangeSec.isDefined =>
+            without.isEmpty && sel.rangeSec.isDefined &&
+            // reject modifiers the streaming grid does not evaluate —
+            // offset/@ would silently shift batch-vs-stream otherwise
+            sel.offsetSec == 0 && sel.stepSec.isEmpty && sel.atSpec.isEmpty =>
         Shape(sel.metric, sel.matchers, by, op, sel.rangeSec.get)
       case other => throw new IllegalArgumentException(
         "streaming recording rules support the canonical moment shape " +
-        "`<moment> by (labels) (metric[step])`, got: " + other)
+        "`<moment> by (labels) (metric[step])` " +
+        "(no offset/@/[range:step] modifiers), got: " + other)
     }
 
   /** The streaming compiled form (exposed so tests can drive it with a
@@ -71,16 +75,9 @@ object RecordStream {
       case "min" => col("min_v")
       case "max" => col("max_v")
     }
-    val labelPairs =
-      s.by.flatMap(l => Seq(lit(l), col(l).cast("string"))) ++
-        rule.staticLabels.toSeq.sortBy(_._1)
-          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-    val labelsCol =
-      if (labelPairs.isEmpty) map().cast("map<string,string>")
-      else map(labelPairs: _*)
     agg.select(
       lit(rule.name).as("metric"),
-      labelsCol.as("labels"),
+      Rules.labelMap(s.by, col, rule.staticLabels).as("labels"),
       col("window.start").cast("long").as("ts"),
       valueCol.cast("double").as("value"))
   }

@@ -422,6 +422,45 @@ class PlanSpec extends SparkSuite {
       s"${shape(compiled)} vs ${shape(direct)}")
   }
 
+  test("or-vector gap fill broadcasts the bucket grid, never scans for it") {
+    val plan =
+      planOf(SparkEntry.queries("tsdb_promql_or_vector")(spark, sf0001))
+    // the grid left-outer joins the BROADCAST aggregation (both sides
+    // bounded by the query window) — a sort-merge or nested loop here
+    // would shuffle the aggregation for a 168-row fill
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"),
+      plan.take(3000))
+    // the grid side is a local Range→sequence projection, not a table scan
+    // (exactly one FileScan in the whole plan: the lhs aggregation's)
+    assert("FileScan|Scan parquet".r.findAllIn(plan).length <= 1,
+      plan.take(3000))
+  }
+
+  test("alert rule: threshold filters BEFORE the islands windows") {
+    val plan = planOf(SparkEntry.queries("tsdb_alert_rule")(spark, sf0001))
+    // two windows (row_number for the island key, min for the run start),
+    // both partitioned per labelset — never a global single-partition sort
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows >= 2, s"$windows Window nodes\n${plan.take(3000)}")
+    // the island-key window partitions on the labelset (cohort), so the
+    // per-series passes parallelize — a missing partition spec would
+    // render as an empty partitionBy and collapse to one partition
+    assert("Window \\[[^\\]]*\\], \\[cohort".r.findFirstIn(plan).isDefined ||
+      plan.contains("windowspecdefinition(cohort"),
+      s"islands window not partitioned per labelset\n${plan.take(3000)}")
+    // the > threshold runs in the aggregation stage, upstream of the
+    // windows (so the islands pass sees only ACTIVE rows — the reason
+    // the x100 alert growth is 9.4x, not window-the-world): the Filter
+    // on the moment column renders DEEPER than the Window operators
+    val winIdx = plan.indexOf("Window")
+    val thrIdx = "Filter [^\\n]*sum_v".r.findFirstMatchIn(plan)
+      .map(_.start).getOrElse(-1)
+    assert(winIdx >= 0 && thrIdx > winIdx,
+      s"threshold filter not below the windows\n${plan.take(3000)}")
+  }
+
   test("attach-served tsdb queries carry NO ingest-spread exchange") {
     // Tsdb.spread (the single-partition ingest defense) must engage only
     // on the materializing durable path: attach() feeds the lazy

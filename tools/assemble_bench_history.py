@@ -45,7 +45,10 @@ def main():
     try:
         with open(hist_path) as f:
             existing = json.load(f)
-        existing.setdefault("assembled_runs", []).extend(runs)
+        # idempotent append: re-running with an already-recorded log must
+        # not duplicate its run entry
+        recorded = existing.setdefault("assembled_runs", [])
+        recorded.extend(r for r in runs if r not in recorded)
         hist = existing
     except FileNotFoundError:
         pass
@@ -63,11 +66,26 @@ def main():
         # merge WITHIN the tag too: a subset sweep (SPARK_GRAFT_QUERIES)
         # refreshes only the queries it ran, keeping the rest gated
         entries = base.setdefault(tag, {})
-        entries.update({k: round(v, 6) for k, v in r["queries"].items()})
+        old_probe = entries.get("__probe__")
+        new_probe = r.get("probe_sec")
+        old_keys = set(entries) - {"__probe__"}
+        full = not old_keys or len(set(r["queries"]) & old_keys) >= \
+            0.9 * len(old_keys)
+        # A tag's times must all be in ONE host's units or the gate's
+        # single hostRatio mis-scales the unrefreshed ones. A full
+        # refresh replaces everything including __probe__; a SUBSET run
+        # is converted into the baseline host's units via the probe
+        # ratio (t_base ≈ t_run * probe_base/probe_run) and the old
+        # probe is kept.
+        scale = 1.0
+        if not full and old_probe and new_probe:
+            scale = old_probe / new_probe
+        entries.update(
+            {k: round(v * scale, 6) for k, v in r["queries"].items()})
         # host-calibration probe rides along so the regression gate can
         # divide out cross-host speed skew (Bench.scala hostRatio)
-        if "probe_sec" in r:
-            entries["__probe__"] = round(r["probe_sec"], 6)
+        if new_probe and (full or not old_probe):
+            entries["__probe__"] = round(new_probe, 6)
     with open("bench_baseline.json", "w") as f:
         json.dump(base, f, indent=1)
     for r in runs:
