@@ -1019,6 +1019,31 @@ object OracleSql {
        |FROM a JOIN b USING (cohort, bucket_start)
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // group_left(cohort) carry: per-user purchase/click ratio with the
+  // click side's cohort label carried onto the result
+  private val tsdbGroupLeftCarry =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id AS BIGINT) AS user_id,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id AS BIGINT) AS user_id,
+       |         CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 86400) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2, 3)
+       |SELECT a.user_id, b.cohort, a.bucket_start, n_a, n_b,
+       |       round(sum_a / sum_b, 6) AS result
+       |FROM a JOIN b USING (user_id, bucket_start)
+       |ORDER BY 1, 3""".stripMargin
+
   /** group_right mirror: the coarse click aggregate joined onto each
     * (cohort, user) purchase group — result at the right side's grain.
     */
@@ -2322,6 +2347,7 @@ object OracleSql {
     "tsdb_irate" -> tsdbIrate,
     "tsdb_absent_over_time" -> tsdbAbsentOverTime,
     "tsdb_group_left" -> tsdbGroupLeft,
+    "tsdb_group_left_carry" -> tsdbGroupLeftCarry,
     "tsdb_label_join" -> tsdbLabelJoin,
     "tsdb_selector_scan" -> tsdbSelectorScan,
     "tsdb_ratio" -> tsdbRatio,

@@ -338,6 +338,22 @@ object SparkEntry {
         col("bucket_start"), col("n_a"), col("n_b"), col("result"))
       .orderBy("cohort", "user_id", "bucket_start")
 
+  /** `group_left(carry)` — the carried-label form of the one-to-many
+    * match: the right side aggregates at the on+carry grain, its extra
+    * `cohort` label rides onto the result, and a one-row-per-match
+    * guard raises at execution if a match group is ambiguous (here
+    * cohort is user_id mod 10, so each user_id has exactly one).
+    */
+  private def qTsdbGroupLeftCarry(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (user_id) (purchase[1d]) / on (user_id) " +
+        "group_left(cohort) sum by (user_id, cohort) (click[1d])",
+      T0, T1)
+      .select(col("user_id").cast("long").as("user_id"), col("cohort"),
+        col("bucket_start"), col("n_a"), col("n_b"), col("result"))
+      .orderBy("user_id", "bucket_start")
+
   /** The `ignoring (labels)` complement form of the one-to-many vector
     * match: `… / ignoring (user_id) group_left …` resolves at compile
     * time to on-labels = the coarse side's grouping minus the ignored
@@ -2196,6 +2212,7 @@ object SparkEntry {
     "tsdb_irate" -> (qTsdbIrate _),
     "tsdb_absent_over_time" -> (qTsdbAbsentOverTime _),
     "tsdb_group_left" -> (qTsdbGroupLeft _),
+    "tsdb_group_left_carry" -> (qTsdbGroupLeftCarry _),
     "tsdb_selector_scan" -> (qTsdbSelectorScan _),
     "tsdb_ratio" -> (qTsdbRatio _),
     "tsdb_ratio_rollup" -> (qTsdbRatioRollup _),

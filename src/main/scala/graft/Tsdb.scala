@@ -1102,23 +1102,50 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       offsetA: Long = 0L,
       offsetB: Long = 0L,
       momentA: String = "sum_v",
-      momentB: String = "sum_v")(
+      momentB: String = "sum_v",
+      onLabels: Seq[String] = Seq.empty)(
       op: (Column, Column) => Column): DataFrame = {
-    require(byB.forall(byA.contains),
-      s"group_left needs the right side's labels ($byB) to be a subset " +
+    // default (no explicit on-labels): the right side's full grouping is
+    // the match key — the pre-carry behavior. With `onLabels`, the right
+    // side's EXTRA grouping labels (byB minus on) are CARRIED onto the
+    // result — PromQL's `group_left(extra)` — and a per-(on, bucket)
+    // uniqueness guard raises at execution if the "one" side is not one
+    // (Prometheus's many-to-many matching error, surfaced instead of a
+    // silent row multiplication).
+    val on = if (onLabels.isEmpty) byB else onLabels
+    val carry = byB.filterNot(on.contains)
+    require(on.forall(byA.contains),
+      s"group_left needs the match labels ($on) to be a subset " +
       s"of the left side's ($byA)")
+    require(on.forall(byB.contains),
+      s"group_left match labels ($on) must be part of the right side's " +
+      s"grouping ($byB)")
     val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec,
         offsetA)
       .select(byA.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_a"), col(momentA).as("sum_a")): _*)
-    val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec,
+    val b0 = aggregateBy(metricB, matchersB, start, end, byB, stepSec,
         offsetB)
       .select(byB.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col(momentB).as("sum_b")): _*)
-    a.join(b, byB :+ "bucket_start")
+    val b =
+      if (carry.isEmpty) b0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((on :+ "bucket_start").map(col): _*)
+        b0.withColumn("sum_b",
+          when(count(lit(1)).over(w) > 1,
+            raise_error(concat(
+              lit("group_left: more than one right-side row for match " +
+                "group ("),
+              concat_ws(",", on.map(col): _*), lit(")"))))
+            .otherwise(col("sum_b")))
+      }
+    a.join(b, on :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
-      .select(byA.map(col) ++ Seq(col("bucket_start"), col("n_a"),
-        col("n_b"), col("sum_a"), col("sum_b"), col("result")): _*)
+      .select(byA.map(col) ++ carry.map(col) ++
+        Seq(col("bucket_start"), col("n_a"),
+          col("n_b"), col("sum_a"), col("sum_b"), col("result")): _*)
   }
 
   /** PromQL many-to-one vector matching — `A / on (matchLabels)
@@ -1142,23 +1169,46 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       offsetA: Long = 0L,
       offsetB: Long = 0L,
       momentA: String = "sum_v",
-      momentB: String = "sum_v")(
+      momentB: String = "sum_v",
+      onLabels: Seq[String] = Seq.empty)(
       op: (Column, Column) => Column): DataFrame = {
-    require(byA.forall(byB.contains),
-      s"group_right needs the left side's labels ($byA) to be a subset " +
+    // mirror of [[binaryOpByGroupLeft]]'s carry: with `onLabels`, the
+    // LEFT side's extra grouping labels ride onto the result
+    // (`group_right(extra)`), with the same one-row-per-match guard
+    val on = if (onLabels.isEmpty) byA else onLabels
+    val carry = byA.filterNot(on.contains)
+    require(on.forall(byB.contains),
+      s"group_right needs the match labels ($on) to be a subset " +
       s"of the right side's ($byB)")
-    val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec,
+    require(on.forall(byA.contains),
+      s"group_right match labels ($on) must be part of the left side's " +
+      s"grouping ($byA)")
+    val a0 = aggregateBy(metricA, matchersA, start, end, byA, stepSec,
         offsetA)
       .select(byA.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_a"), col(momentA).as("sum_a")): _*)
+    val a =
+      if (carry.isEmpty) a0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((on :+ "bucket_start").map(col): _*)
+        a0.withColumn("sum_a",
+          when(count(lit(1)).over(w) > 1,
+            raise_error(concat(
+              lit("group_right: more than one left-side row for match " +
+                "group ("),
+              concat_ws(",", on.map(col): _*), lit(")"))))
+            .otherwise(col("sum_a")))
+      }
     val b = aggregateBy(metricB, matchersB, start, end, byB, stepSec,
         offsetB)
       .select(byB.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col(momentB).as("sum_b")): _*)
-    b.join(a, byA :+ "bucket_start")
+    b.join(a, on :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
-      .select(byB.map(col) ++ Seq(col("bucket_start"), col("n_a"),
-        col("n_b"), col("sum_a"), col("sum_b"), col("result")): _*)
+      .select(byB.map(col) ++ carry.map(col) ++
+        Seq(col("bucket_start"), col("n_a"),
+          col("n_b"), col("sum_a"), col("sum_b"), col("result")): _*)
   }
 
   /** PromQL vector set operations — `A and B` / `A or B` / `A unless B`

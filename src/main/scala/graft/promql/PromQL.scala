@@ -122,6 +122,10 @@ object PromQL {
       by: Seq[String],
       body: Expr,
       without: Seq[String] = Seq.empty) extends Expr
+  /** `count_values("lbl", body)` with a non-default output label: purely
+    * presentational — the compiled frame is the inner count aggregation
+    * with its `value` column surfaced under `lbl`. */
+  final case class ValueLabel(label: String, inner: Agg) extends Expr
   /** Binary operation between two vectors, or a vector and a scalar
     * literal. `op` is arithmetic (`/ * + -`), a comparison filter
     * (`> < >= <=`, PromQL drop semantics), or a vector set op
@@ -361,30 +365,66 @@ object PromQL {
     }
 
     // optional matching clause: (on|ignoring) (labels)
-    // [group_left|group_right] — `isIgnoring` distinguishes the
-    // complement form, resolved to explicit on-labels in
-    // [[resolveWithout]]
+    // [group_left|group_right [(carry_labels)]] — `isIgnoring`
+    // distinguishes the complement form, resolved to explicit on-labels
+    // in [[resolveWithout]]. The carry list is VALIDATED here and then
+    // dropped: the engine's "many" result already surfaces every
+    // grouping label of the "one" side, so `group_left(extra)` is
+    // exactly the shape whose one-side aggregates by on + extra — the
+    // annotation is a parse-time contract, not extra AST state (render
+    // emits the plain form, which parses and compiles identically).
     private def parseMatchClause()
-        : (Seq[String], Boolean, Boolean, Boolean) =
+        : (Seq[String], Boolean, Boolean, Boolean, Seq[String]) =
       if (peek.contains(Ident("on")) || peek.contains(Ident("ignoring"))) {
         val isIgnoring = next() == Ident("ignoring")
         expectSym("(")
         val ls = scala.collection.mutable.ListBuffer(ident())
         while (peek.contains(Sym(","))) { next(); ls += ident() }
         expectSym(")")
+        def carryList(): Seq[String] =
+          if (peek.contains(Sym("("))) {
+            next()
+            val cs = scala.collection.mutable.ListBuffer(ident())
+            while (peek.contains(Sym(","))) { next(); cs += ident() }
+            expectSym(")")
+            cs.toSeq
+          } else Seq.empty
         if (peek.contains(Ident("group_left"))) {
-          next(); (ls.toSeq, true, false, isIgnoring)
+          next(); (ls.toSeq, true, false, isIgnoring, carryList())
         } else if (peek.contains(Ident("group_right"))) {
-          next(); (ls.toSeq, false, true, isIgnoring)
-        } else (ls.toSeq, false, false, isIgnoring)
-      } else (Seq.empty, false, false, false)
+          next(); (ls.toSeq, false, true, isIgnoring, carryList())
+        } else (ls.toSeq, false, false, isIgnoring, Seq.empty)
+      } else (Seq.empty, false, false, false, Seq.empty)
 
     private def matched(op: String, lhs: Expr, rhs: Expr,
-        clause: (Seq[String], Boolean, Boolean, Boolean)): Expr =
-      clause match {
-        case (ls, gl, gr, true) => IgnoringOp(op, lhs, rhs, ls, gl, gr)
-        case (on, gl, gr, false) => BinOp(op, lhs, rhs, on, gl, gr)
+        clause: (Seq[String], Boolean, Boolean, Boolean, Seq[String]))
+        : Expr = {
+      val (ls, gl, gr, isIgnoring, carry) = clause
+      if (carry.nonEmpty) {
+        // the carried labels must be exactly the "one" side's grouping
+        // beyond the match labels (rhs under group_left, lhs under
+        // group_right) — anything else would promise labels the engine
+        // does not produce, or silently under-describe the output
+        if (isIgnoring)
+          fail("group_left/group_right carry labels need an explicit " +
+            "on (...) clause, not ignoring (...)")
+        val one = if (gl) rhs else lhs
+        val oneBy = one match {
+          case Agg(_, _, _, by, _, _) => by
+          case other => fail(s"group_${if (gl) "left" else "right"}" +
+            s"(${carry.mkString(", ")}) needs an aggregated " +
+            s"${if (gl) "right" else "left"} side, got: $other")
+        }
+        if ((ls ++ carry).toSet != oneBy.toSet)
+          fail(s"group_${if (gl) "left" else "right"}" +
+            s"(${carry.mkString(", ")}): the ${if (gl) "right" else
+              "left"} side must aggregate by exactly the on-labels plus " +
+            s"the carried labels (${(ls ++ carry).mkString(", ")}), " +
+            s"got by (${oneBy.mkString(", ")})")
       }
+      if (isIgnoring) IgnoringOp(op, lhs, rhs, ls, gl, gr)
+      else BinOp(op, lhs, rhs, ls, gl, gr)
+    }
 
     private def parseAddSub(): Expr = {
       var lhs = parseMulDiv()
@@ -494,11 +534,13 @@ object PromQL {
           case "count_values" =>
             next() match {
               // the engine's countValuesBy groups by the value column
-              // itself; any other output-label name would be silently
-              // ignored, so reject it loudly instead
-              case Str("value") => valueLabel = Some("value")
+              // itself; a non-default label becomes a ValueLabel rename
+              // wrapper around the aggregation at the end of this case
+              case Str(s) if s.matches("[a-zA-Z_][a-zA-Z0-9_]*") =>
+                valueLabel = Some(s)
               case Str(s) => fail(
-                s"""count_values output label must be "value", got "$s"""")
+                s"""count_values output label "$s" is not a valid """ +
+                "label name")
               case t => fail("count_values needs a leading string label")
             }
             expectSym(",")
@@ -516,7 +558,16 @@ object PromQL {
         val wo = if (woBefore.nonEmpty) woBefore else woAfter
         if (by.nonEmpty && wo.nonEmpty)
           fail("an aggregation takes either 'by' or 'without', not both")
-        Agg(name, k, q, by, body, wo)
+        val agg = Agg(name, k, q, by, body, wo)
+        valueLabel match {
+          case Some(lbl) if lbl != "value" =>
+            if (by.contains(lbl) || wo.contains(lbl) ||
+                lbl == "bucket_start" || lbl == "n")
+              fail(s"count_values output label '$lbl' collides with an " +
+                "output column")
+            ValueLabel(lbl, agg)
+          case _ => agg
+        }
 
       case Some(Ident(name)) if MathFns(name) =>
         next(); expectSym("(")
@@ -697,12 +748,16 @@ object PromQL {
       val at = atSec.map(s => s", ${s}s").getOrElse("")
       val byC = if (by.isEmpty) "" else by.mkString(" by (", ", ", ")")
       s"$name($lead${render(sel)}$at)$byC"
+    case ValueLabel(lbl, inner) =>
+      // the inner rendering always leads with the conventional "value"
+      // label — swap in the custom one
+      "count_values(\"" + lbl + "\", " +
+        render(inner).stripPrefix("count_values(\"value\", ")
     case Agg(op, k, q, by, body, wo) =>
       val lead = (op, k, q) match {
         case ("count_values", _, _) =>
-          // the AST doesn't record the value-label string (the engine's
-          // countValuesBy groups by the value column itself), so the
-          // canonical rendering uses the conventional "value"
+          // a renamed output label is a ValueLabel wrapper (handled
+          // above); a bare count_values carries the conventional "value"
           "\"value\", "
         case (_, Some(kk), _) => s"$kk, "
         case (_, _, Some(qq)) => s"$qq, "
@@ -832,6 +887,7 @@ object PromQL {
       case BoolCmp(_, l, r) => specs(l) ++ specs(r)
       case MathFn(_, arg, _, _) => specs(arg)
       case LabelFn(_, inner, _) => specs(inner)
+      case ValueLabel(_, inner) => specs(inner)
       case _ => Seq.empty // NumLit / TimeLit
     }
     def strip(x: Expr): Expr = x match {
@@ -844,6 +900,8 @@ object PromQL {
       case bc @ BoolCmp(_, l, r) => bc.copy(lhs = strip(l), rhs = strip(r))
       case m @ MathFn(_, arg, _, _) => m.copy(arg = strip(arg))
       case lf @ LabelFn(_, inner, _) => lf.copy(inner = strip(inner))
+      case vl @ ValueLabel(_, inner) =>
+        vl.copy(inner = strip(inner).asInstanceOf[Agg])
       case other => other
     }
     def ranges(x: Expr): Seq[Option[Long]] = x match {
@@ -855,6 +913,7 @@ object PromQL {
       case BoolCmp(_, l, r) => ranges(l) ++ ranges(r)
       case MathFn(_, arg, _, _) => ranges(arg)
       case LabelFn(_, inner, _) => ranges(inner)
+      case ValueLabel(_, inner) => ranges(inner)
       case _ => Seq.empty // NumLit / TimeLit
     }
     val ss = specs(e)
@@ -950,6 +1009,7 @@ object PromQL {
     case MathFn("holt_winters", _: Selector, _, _) => ()
     case MathFn(_, arg, _, _) => validateSubquerySteps(arg)
     case LabelFn(_, inner, _) => validateSubquerySteps(inner)
+    case ValueLabel(_, inner) => validateSubquerySteps(inner)
     case _ => () // NumLit / TimeLit: no selector inside
   }
 
@@ -963,6 +1023,7 @@ object PromQL {
     case a: Agg => metricOf(a.body)
     case MathFn(_, arg, _, _) => metricOf(arg)
     case LabelFn(_, inner, _) => metricOf(inner)
+    case ValueLabel(_, inner) => metricOf(inner)
     case _ => None
   }
 
@@ -1178,6 +1239,7 @@ object PromQL {
     case Agg(_, _, _, _, body, _) => gridSpecOf(body)
     case RangeFn(_, _, sel, _, _) => gridSpecOf(sel)
     case LabelFn(_, inner, _) => gridSpecOf(inner)
+    case ValueLabel(_, inner) => gridSpecOf(inner)
     case MathFn(_, arg, _, _) => gridSpecOf(arg)
     case BinOp(_, l, r, _, _, _) => gridSpecOf(l).orElse(gridSpecOf(r))
     case _ => None
@@ -1632,6 +1694,12 @@ object PromQL {
         t.countValuesBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "count_values"), sel.offsetSec)
 
+      // custom output label: the same aggregation with the value column
+      // surfaced under the requested name (a zero-cost projection)
+      case ValueLabel(lbl, inner) =>
+        compile(t, inner, start, end, buckets, rollupStep)
+          .withColumnRenamed("value", lbl)
+
       // rank compositions: topk/bottomk over an inner sum-by
       case Agg("topk", Some(k), _, _, Agg("sum", _, _, by, sel: Selector, _), _) =>
         t.topKBy(sel.metric, sel.matchers, start, end, by,
@@ -1779,32 +1847,36 @@ object PromQL {
       case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
           Agg(opB, _, _, byB, b: Selector, _), on, true, false)
           if ArithOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
-        require(byB == on,
-          s"group_left: the on-labels ($on) must equal the right side's " +
-          s"grouping ($byB)")
+        // byB beyond the on-labels = carried labels (group_left(extra)):
+        // the right side aggregates at on+extra grain and the extras
+        // ride onto the result, guarded one-row-per-match at execution
+        require(on.forall(byB.contains),
+          s"group_left: the on-labels ($on) must be part of the right " +
+          s"side's grouping ($byB)")
         val step = stepOf(a, "group_left vector match")
         require(step == stepOf(b, "group_left vector match"),
           "vector-match sides must share the step grid")
         t.binaryOpByGroupLeft(a.metric, b.metric,
           a.matchers, b.matchers, start, end, byA, byB, step,
           a.offsetSec, b.offsetSec,
-          momentCol(opA), momentCol(opB))(arith(op))
+          momentCol(opA), momentCol(opB), onLabels = on)(arith(op))
 
       // many-to-one: A op on (l) group_right B — the mirror, keeping B's
       // finer label set
       case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
           Agg(opB, _, _, byB, b: Selector, _), on, false, true)
           if ArithOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
-        require(byA == on,
-          s"group_right: the on-labels ($on) must equal the left side's " +
-          s"grouping ($byA)")
+        // mirror: byA beyond the on-labels = group_right(extra) carry
+        require(on.forall(byA.contains),
+          s"group_right: the on-labels ($on) must be part of the left " +
+          s"side's grouping ($byA)")
         val step = stepOf(b, "group_right vector match")
         require(step == stepOf(a, "group_right vector match"),
           "vector-match sides must share the step grid")
         t.binaryOpByGroupRight(a.metric, b.metric,
           a.matchers, b.matchers, start, end, byA, byB, step,
           a.offsetSec, b.offsetSec,
-          momentCol(opA), momentCol(opB))(arith(op))
+          momentCol(opA), momentCol(opB), onLabels = on)(arith(op))
 
       // arithmetic vector match between two matching aggregations —
       // any moment pair (sum/avg/min/max/count), each side filtered by

@@ -251,12 +251,53 @@ class PromQLSpec extends SparkSuite {
       t.binaryOpByGroupLeft("purchase", "click", Seq.empty, Seq.empty, T0, T1,
         Seq("cohort", "user_id"), Seq("cohort"), 86400L)(
         (a, b) => round(a / b, 6)))
-    // on-labels must equal the right side's grouping
+    // on-labels must be part of the right side's grouping
     val e = intercept[IllegalArgumentException](
       PromQL.query(t,
         "sum by (cohort, user_id) (purchase[1d]) / on (user_id) " +
         "group_left sum by (cohort) (click[1d])", T0, T1))
     assert(e.getMessage.contains("on-labels"))
+  }
+
+  test("group_left(carry) rides the one side's extra labels onto the result") {
+    // cohort = user_id % 10, so each user_id match group has exactly one
+    // carried cohort value — the guard passes and cohort lands as a column
+    val q = "sum by (user_id) (purchase[1d]) / on (user_id) " +
+      "group_left(cohort) sum by (user_id, cohort) (click[1d])"
+    val df = PromQL.query(t, q, T0, T1)
+    assert(df.columns.toSeq == Seq("user_id", "cohort", "bucket_start",
+      "n_a", "n_b", "sum_a", "sum_b", "result"))
+    assert(df.count() > 0)
+    // carried values are correct: cohort == user_id mod 10
+    assert(df.where(col("cohort") !==
+      pmod(col("user_id").cast("long"), lit(10)).cast("string")).isEmpty)
+    // rows match the carry-free join on the same key
+    val plain = PromQL.query(t,
+      "sum by (user_id) (purchase[1d]) / on (user_id) " +
+      "group_left sum by (user_id) (click[1d])", T0, T1)
+    assertSame(df.drop("cohort"), plain)
+    // the render round trip drops the (validated) annotation but parses
+    // and compiles identically
+    assertSame(PromQL.query(t, PromQL.render(PromQL.parse(q)), T0, T1), df)
+    // a carry list that does not match the one side's grouping is
+    // rejected at parse time
+    val e1 = intercept[IllegalArgumentException](PromQL.parse(
+      "sum by (user_id) (purchase[1d]) / on (user_id) " +
+      "group_left(band) sum by (user_id, cohort) (click[1d])"))
+    assert(e1.getMessage.contains("carried labels"))
+    // an AMBIGUOUS match group (many carried user_ids per cohort)
+    // raises at execution instead of silently multiplying rows
+    val dup = PromQL.query(t,
+      "sum by (cohort) (purchase[1d]) / on (cohort) " +
+      "group_left(user_id) sum by (cohort, user_id) (click[1d])", T0, T1)
+    val e2 = intercept[Exception](dup.collect())
+    assert(e2.getMessage.contains("more than one right-side row"),
+      e2.getMessage.take(300))
+    // group_right mirror carries the left side's extras
+    val dfR = PromQL.query(t,
+      "sum by (user_id, cohort) (purchase[1d]) / on (user_id) " +
+      "group_right(cohort) sum by (user_id) (click[1d])", T0, T1)
+    assert(dfR.columns.contains("cohort") && dfR.count() > 0)
   }
 
   test("chunk-tier selector serve equals the raw range scan") {
@@ -533,10 +574,23 @@ class PromQLSpec extends SparkSuite {
     assert(e.getMessage.contains("multiple"))
   }
 
-  test("""count_values rejects output labels other than "value"""") {
-    val e = intercept[IllegalArgumentException](
-      PromQL.parse("""count_values("band", click[1h]) by (cohort)"""))
-    assert(e.getMessage.contains("\"value\""))
+  test("count_values custom output label renames the value column") {
+    val q = """count_values("band", click[1d]) by (cohort)"""
+    val df = PromQL.query(t, q, T0, T1)
+    assert(df.columns.contains("band") && !df.columns.contains("value"))
+    // same rows as the conventional form, modulo the rename
+    assertSame(df.withColumnRenamed("band", "value"),
+      PromQL.query(t, """count_values("value", click[1d]) by (cohort)""",
+        T0, T1))
+    // round trip with the custom label
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+    // an invalid or colliding label still fails loudly
+    val e1 = intercept[IllegalArgumentException](
+      PromQL.parse("""count_values("not a label!", click[1h])"""))
+    assert(e1.getMessage.contains("not a valid label name"))
+    val e2 = intercept[IllegalArgumentException](
+      PromQL.parse("""count_values("cohort", click[1h]) by (cohort)"""))
+    assert(e2.getMessage.contains("collides"))
   }
 
   test("avg/min/max/count over increase: cross-series counter moments") {
