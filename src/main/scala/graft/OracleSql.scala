@@ -1968,6 +1968,27 @@ object OracleSql {
        |       ELSE 0.25 END * 4294967296) AS BIGINT)
        |ORDER BY doc_id""".stripMargin
 
+  // temperature mixture (alpha=0.5 over lang, target 450): rate_s =
+  // round(least(1, 450*pow(n,0.5)/denom/n), 6) — the 6-decimal rounding
+  // is the repo's cross-engine transcendental convention
+  private val mixTemperature =
+    s"""WITH c AS (
+       |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+       |  FROM documents GROUP BY 1),
+       |d AS (SELECT SUM(pow(n, 0.5)) AS denom FROM c),
+       |r AS (
+       |  SELECT lang,
+       |         ROUND(LEAST(1.0, 450 * pow(n, 0.5) / denom / n), 6)
+       |           AS rate
+       |  FROM c, d),
+       |u AS (
+       |  SELECT doc_id, lang, source, ${mdU32("tm")} AS u32
+       |  FROM documents)
+       |SELECT u.doc_id, u.lang, u.source
+       |FROM u JOIN r USING (lang)
+       |WHERE u32 < CAST(FLOOR(rate * 4294967296) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+
   private val mixSplit =
     s"""WITH u AS (
        |  SELECT doc_id, source, ${mdU32("sp")} AS u32
@@ -2443,6 +2464,7 @@ object OracleSql {
     "text_repetition" -> textRepetition,
     "text_quality_filter" -> textQualityFilter,
     "mix_sample" -> mixSample,
+    "mix_temperature" -> mixTemperature,
     "mix_split" -> mixSplit,
     "pack_sequences" -> packSequences,
     "dedup_passages" -> dedupPassages,

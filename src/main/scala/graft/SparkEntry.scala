@@ -1972,6 +1972,18 @@ object SparkEntry {
       .select("doc_id", "source", "lang")
       .orderBy("doc_id")
 
+  /** Temperature-based mixture sampling (α=0.5 over the skewed `lang`
+    * dimension, target 450 rows): small languages get up-weighted —
+    * at the gate SFs one language's rate caps at 1.0 while `en` samples
+    * at ~0.6, covering both branches of the min(1, ·) clamp.
+    */
+  private def qMixTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(
+        Tables.documents(s, dir), "doc_id", "lang",
+        alpha = 0.5, targetRows = 450L)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   /** Sequence packing at a 512-token budget: distributed two-level prefix
     * sum (bucketWidth=64 so the sf corpora exercise multiple buckets; the
     * ordered window runs only over the |docs|/64-row bucket table).
@@ -2325,6 +2337,7 @@ object SparkEntry {
     "text_repetition" -> (qTextRepetition _),
     "text_quality_filter" -> (qTextQualityFilter _),
     "mix_sample" -> (qMixSample _),
+    "mix_temperature" -> (qMixTemperature _),
     "mix_split" -> (qMixSplit _),
     "pack_sequences" -> (qPackSequences _),
     "dedup_passages" -> (qDedupPassages _),

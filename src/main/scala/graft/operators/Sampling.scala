@@ -43,6 +43,44 @@ object Sampling {
     df.where(u32(col(idCol), salt) < (rate * Space).cast("long"))
   }
 
+  /** Temperature-based mixture sampling — the multi-source LLM data-mix
+    * recipe (T5/LLaMA style): target proportions ∝ `n_s^alpha`, so
+    * `alpha = 1` keeps natural proportions and `alpha → 0` flattens
+    * toward uniform across sources, up-weighting small sources. Each
+    * source's keep-rate is
+    * `rate_s = min(1, targetRows · n_s^alpha / Σ_t n_t^alpha / n_s)`,
+    * rounded to 6 decimals (the repo's cross-engine transcendental
+    * convention — JVM vs C libm `pow` ulp drift cannot move a
+    * threshold), then applied through [[stratifiedSample]]'s
+    * deterministic u32 filter. Realized counts are binomial around the
+    * target, like any Bernoulli sampler.
+    *
+    * The per-source counts come from ONE aggregation collected to the
+    * driver — bounded by the source-name cardinality (a handful of
+    * strings at any corpus size), never the corpus.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double,
+      targetRows: Long,
+      salt: String = "tm"): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0: $alpha")
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val denom = counts.values.toSeq.sorted
+      .map(n => math.pow(n.toDouble, alpha)).sum
+    val rates = counts.map { case (s, n) =>
+      val raw = math.min(1.0,
+        targetRows * math.pow(n.toDouble, alpha) / denom / n)
+      s -> BigDecimal(java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP)).toDouble
+    }
+    stratifiedSample(df, idCol, sourceCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** Assign each row to a named split by cumulative weight over the same
     * u32 space (e.g. `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`).
     * The last split absorbs any rounding remainder.

@@ -569,6 +569,43 @@ class OperatorSpec extends SparkSuite {
       s"$keptOthers of $others at rate 0.5")
   }
 
+  test("temperature mix flattens skewed sources toward the target") {
+    import graft.operators.Sampling
+    val out = Sampling.temperatureMix(docs, "doc_id", "lang",
+      alpha = 0.5, targetRows = 300L)
+    // deterministic across invocations
+    assert(out.select("doc_id").collect().toSeq ==
+      Sampling.temperatureMix(docs, "doc_id", "lang", 0.5, 300L)
+        .select("doc_id").collect().toSeq)
+    // flattening: the kept share of the dominant language is LOWER than
+    // the kept share of the smallest (alpha < 1 up-weights small sources)
+    val orig = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = orig.maxBy(_._2)._1
+    val small = orig.minBy(_._2)._1
+    assert(kept(big).toDouble / orig(big) <
+      kept(small).toDouble / orig(small),
+      s"$kept vs $orig")
+    // alpha = 1 keeps natural proportions: every source's rate equals
+    // target/total, so kept shares are (stochastically) equal — check
+    // the rates via expectation bounds
+    val nat = Sampling.temperatureMix(docs, "doc_id", "lang", 1.0, 300L)
+    val natKept = nat.count().toDouble
+    assert(math.abs(natKept - 300.0) < 60, s"natural-mix kept $natKept")
+    // alpha = 0: equal per-source targets regardless of size
+    val flat = Sampling.temperatureMix(docs, "doc_id", "lang", 0.0, 300L)
+    val flatKept = flat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each source targets 60 rows (300/5 languages); the smallest
+    // source may cap at its full size
+    flatKept.foreach { case (l, k) =>
+      assert(k <= orig(l) && math.abs(
+        k - math.min(orig(l), 60L)) <= 25, s"$l kept $k of ${orig(l)}")
+    }
+  }
+
   test("split assignment partitions every row into one named split") {
     val out = operators.Sampling.splitAssign(docs, "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
