@@ -609,6 +609,35 @@ object OracleSql {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // domain cap: top-8 docs per source by quality (same quality CTE as
+  // text_quality), rank = row_number over (quality DESC, doc_id) — the
+  // bounded aggregator's documented window equivalence
+  private val pipelineDomainCap: String = {
+    val en = graft.functions.TextFunctions.LangMarkers.head._2
+      .map(m => s"'$m'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         length(text) AS n_chars,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
+       |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                         t -> t IN ($en))) AS stops
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |         round(least(n_words / 100.0, 1.0) * 0.5 +
+       |               (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.3 +
+       |               least(CAST(stops AS DOUBLE) / n_words * 5.0, 1.0) * 0.2, 6) AS quality
+       |  FROM t),
+       |r AS (
+       |  SELECT source, doc_id, quality,
+       |         row_number() OVER (
+       |           PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+       |  FROM q)
+       |SELECT source, rank, doc_id, quality FROM r
+       |WHERE rank <= 8 ORDER BY source, rank""".stripMargin
+  }
+
   private val textTokens =
     s"""SELECT doc_id,
        |       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
@@ -2478,5 +2507,6 @@ object OracleSql {
     "tsdb_downsample" -> tsdbDownsample,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "pipeline_clean_capped" -> pipelineCleanCorpusCapped,
-    "pipeline_keep_best" -> pipelineKeepBest)
+    "pipeline_keep_best" -> pipelineKeepBest,
+    "pipeline_domain_cap" -> pipelineDomainCap)
 }

@@ -2167,6 +2167,23 @@ object SparkEntry {
     * over the (small) clustered subset — no per-cluster sort, no window
     * over the corpus; singletons never enter the join and always survive.
     */
+  /** Domain balancing — "at most k documents per domain, best quality
+    * first": the standard cap a web-corpus pipeline applies so one
+    * domain cannot dominate the mix. Composes [[graft.operators
+    * .TextAnalysis.qualityScore]] with the bounded per-group top-k
+    * aggregator (O(domains × k) shuffle — no per-domain window sort of
+    * the full corpus), deterministic tiebreak by doc_id.
+    */
+  private def qPipelineDomainCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select("doc_id", "quality")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    graft.operators.TopK.topKPerGroup(q, "source", "quality", "doc_id",
+        k = 8)
+      .orderBy("source", "rank")
+  }
+
   private def qPipelineKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val comp = Dedup.connectedComponents(
@@ -2351,7 +2368,8 @@ object SparkEntry {
     "tsdb_downsample" -> (qTsdbDownsample _),
     "pipeline_clean_corpus" -> (qPipelineCleanCorpus _),
     "pipeline_clean_capped" -> (qPipelineCleanCapped _),
-    "pipeline_keep_best" -> (qPipelineKeepBest _))
+    "pipeline_keep_best" -> (qPipelineKeepBest _),
+    "pipeline_domain_cap" -> (qPipelineDomainCap _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted: `ann_topk_lsh` (approximate by design).
