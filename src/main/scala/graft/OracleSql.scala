@@ -587,48 +587,51 @@ object OracleSql {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
-  private val textQuality: String = {
+  /** Shared SQL mirror of [[graft.operators.TextAnalysis.qualityScore]]:
+    * the raw-counts CTE body (`dims` = extra document columns carried
+    * through) and the composite score expression. ONE source of truth —
+    * textQuality, textQualityFilter, and pipelineDomainCap all build on
+    * these, so a scoring tweak cannot silently drift the oracles apart.
+    */
+  private def qualityCountsCte(dims: String*): String = {
     val en = graft.functions.TextFunctions.LangMarkers.head._2
       .map(m => s"'$m'").mkString(", ")
-    s"""WITH t AS (
-       |  SELECT doc_id, text,
-       |         length(text) AS n_chars,
-       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-       |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
-       |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-       |                         t -> t IN ($en))) AS stops,
-       |         length(regexp_replace(text, '\\s+', '', 'g')) AS nospace
-       |  FROM documents)
-       |SELECT doc_id, n_chars, n_words,
-       |       round(CAST(nospace AS DOUBLE) / n_words, 6) AS mean_word_len,
-       |       round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-       |       round(CAST(stops AS DOUBLE) / n_words, 6) AS stopword_ratio,
-       |       round(least(n_words / 100.0, 1.0) * 0.5 +
-       |             (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.3 +
-       |             least(CAST(stops AS DOUBLE) / n_words * 5.0, 1.0) * 0.2, 6) AS quality
-       |FROM t ORDER BY doc_id""".stripMargin
-  }
-
-  // domain cap: top-8 docs per source by quality (same quality CTE as
-  // text_quality), rank = row_number over (quality DESC, doc_id) — the
-  // bounded aggregator's documented window equivalence
-  private val pipelineDomainCap: String = {
-    val en = graft.functions.TextFunctions.LangMarkers.head._2
-      .map(m => s"'$m'").mkString(", ")
-    s"""WITH t AS (
-       |  SELECT doc_id, source,
+    val d = dims.map(c => s"$c,\n         ").mkString
+    s"""SELECT doc_id, $d
        |         length(text) AS n_chars,
        |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
        |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
        |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
        |                         t -> t IN ($en))) AS stops
-       |  FROM documents),
+       |  FROM documents""".stripMargin
+  }
+
+  private val qualityExprSql =
+    """round(least(n_words / 100.0, 1.0) * 0.5 +
+      |               (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.3 +
+      |               least(CAST(stops AS DOUBLE) / n_words * 5.0, 1.0) * 0.2, 6)""".stripMargin
+
+  private val textQuality: String =
+    s"""WITH t AS (
+       |  ${qualityCountsCte("length(regexp_replace(text, '\\s+', '', 'g')) AS nospace")})
+       |SELECT doc_id, n_chars, n_words,
+       |       round(CAST(nospace AS DOUBLE) / n_words, 6) AS mean_word_len,
+       |       round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       |       round(CAST(stops AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       |       $qualityExprSql AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // domain cap: top-8 docs per source by quality (same quality CTE as
+  // text_quality), rank = row_number over (quality DESC, doc_id) — the
+  // bounded aggregator's documented window equivalence
+  private val pipelineDomainCap: String = {
+    s"""WITH t AS (
+       |  ${qualityCountsCte("source")}),
        |q AS (
        |  SELECT doc_id, source,
-       |         round(least(n_words / 100.0, 1.0) * 0.5 +
-       |               (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.3 +
-       |               least(CAST(stops AS DOUBLE) / n_words * 5.0, 1.0) * 0.2, 6) AS quality
-       |  FROM t),
+       |         $qualityExprSql AS quality
+       |  FROM t
+       |  WHERE $qualityExprSql IS NOT NULL),
        |r AS (
        |  SELECT source, doc_id, quality,
        |         row_number() OVER (
@@ -1953,21 +1956,11 @@ object OracleSql {
     * per-language percent_rank with the bottom 20% dropped.
     */
   private val textQualityFilter: String = {
-    val en = graft.functions.TextFunctions.LangMarkers.head._2
-      .map(m => s"'$m'").mkString(", ")
     s"""WITH t AS (
-       |  SELECT doc_id, lang,
-       |         length(text) AS n_chars,
-       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-       |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
-       |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-       |                         t -> t IN ($en))) AS stops
-       |  FROM documents),
+       |  ${qualityCountsCte("lang")}),
        |q AS (
        |  SELECT doc_id, lang,
-       |         round(least(n_words / 100.0, 1.0) * 0.5 +
-       |               (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.3 +
-       |               least(CAST(stops AS DOUBLE) / n_words * 5.0, 1.0) * 0.2, 6) AS quality
+       |         $qualityExprSql AS quality
        |  FROM t),
        |r AS (
        |  SELECT doc_id, lang, quality,

@@ -2176,8 +2176,13 @@ object SparkEntry {
     */
   private def qPipelineDomainCap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // empty/whitespace-only docs score NULL (0/0 division) — drop them
+    // on BOTH sides (the oracle mirrors the filter): the primitive-typed
+    // top-k aggregator rejects null scores, and engines disagree on
+    // NULL ordering anyway
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .select("doc_id", "quality")
+      .where(col("quality").isNotNull)
       .join(docs.select("doc_id", "source"), "doc_id")
     graft.operators.TopK.topKPerGroup(q, "source", "quality", "doc_id",
         k = 8)

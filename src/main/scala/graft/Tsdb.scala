@@ -1120,6 +1120,10 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     require(on.forall(byB.contains),
       s"group_left match labels ($on) must be part of the right side's " +
       s"grouping ($byB)")
+    require(carry.forall(c => !byA.contains(c)),
+      s"group_left carried labels (${carry.filter(byA.contains)}) " +
+      "already appear in the left side's grouping — drop them from one " +
+      "side (the join would produce ambiguous columns)")
     val a = aggregateBy(metricA, matchersA, start, end, byA, stepSec,
         offsetA)
       .select(byA.map(col) ++ Seq(col("bucket_start"),
@@ -1183,6 +1187,10 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     require(on.forall(byA.contains),
       s"group_right match labels ($on) must be part of the left side's " +
       s"grouping ($byA)")
+    require(carry.forall(c => !byB.contains(c)),
+      s"group_right carried labels (${carry.filter(byB.contains)}) " +
+      "already appear in the right side's grouping — drop them from one " +
+      "side (the join would produce ambiguous columns)")
     val a0 = aggregateBy(metricA, matchersA, start, end, byA, stepSec,
         offsetA)
       .select(byA.map(col) ++ Seq(col("bucket_start"),

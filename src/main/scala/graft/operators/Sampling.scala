@@ -68,7 +68,12 @@ object Sampling {
       salt: String = "tm"): DataFrame = {
     require(alpha >= 0, s"alpha must be >= 0: $alpha")
     require(targetRows > 0, s"targetRows must be positive: $targetRows")
-    val counts = df.groupBy(sourceCol).count().collect()
+    val countRows = df.groupBy(sourceCol).count().collect()
+    require(countRows.forall(!_.isNullAt(0)),
+      s"temperatureMix requires non-null $sourceCol values — a NULL " +
+      "group would inflate the denominator while stratifiedSample's " +
+      "equality predicate can never keep its rows")
+    val counts = countRows
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val denom = counts.values.toSeq.sorted
       .map(n => math.pow(n.toDouble, alpha)).sum

@@ -384,10 +384,15 @@ object PromQL {
         def carryList(): Seq[String] =
           if (peek.contains(Sym("("))) {
             next()
-            val cs = scala.collection.mutable.ListBuffer(ident())
-            while (peek.contains(Sym(","))) { next(); cs += ident() }
-            expectSym(")")
-            cs.toSeq
+            // `group_left ()` — Prometheus's explicit empty list — is
+            // the plain form
+            if (peek.contains(Sym(")"))) { next(); Seq.empty }
+            else {
+              val cs = scala.collection.mutable.ListBuffer(ident())
+              while (peek.contains(Sym(","))) { next(); cs += ident() }
+              expectSym(")")
+              cs.toSeq
+            }
           } else Seq.empty
         if (peek.contains(Ident("group_left"))) {
           next(); (ls.toSeq, true, false, isIgnoring, carryList())
@@ -1077,11 +1082,30 @@ object PromQL {
           s"ignoring(...) needs an aggregated side to take the label " +
           s"set from, got: $other")
       }
-      BinOp(op, rl, rr, base.filterNot(ig.contains), gl, gr)
+      val on = base.filterNot(ig.contains)
+      // the ignoring form never carries labels: with group_left/right the
+      // resolved on-labels must cover the one side's full grouping, or
+      // the ignored label would silently ride onto the output through
+      // the carry relaxation (the explicit-carry parser path already
+      // rejects ignoring; this guards the un-annotated one)
+      if (gl || gr) coarse match {
+        case Agg(_, _, _, by, _, _) if by.toSet != on.toSet =>
+          throw new IllegalArgumentException(
+            s"ignoring(${ig.mkString(", ")}) group_${if (gl) "left"
+              else "right"} would carry labels " +
+            s"(${by.filterNot(on.contains).mkString(", ")}) — carried " +
+            "labels need an explicit on (...) clause")
+        case _ => ()
+      }
+      BinOp(op, rl, rr, on, gl, gr)
     case bc @ BoolCmp(_, l, r) =>
       bc.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
     case m @ MathFn(_, arg, _, _) => m.copy(arg = resolveWithout(t, arg))
     case lf @ LabelFn(_, inner, _) => lf.copy(inner = resolveWithout(t, inner))
+    case vl @ ValueLabel(_, inner) =>
+      // count_values' rename wrapper must not hide a without(...) clause
+      // from resolution (the inner Agg's wo would otherwise be ignored)
+      vl.copy(inner = resolveWithout(t, inner).asInstanceOf[Agg])
     case other => other
   }
 
@@ -1695,10 +1719,16 @@ object PromQL {
           stepOf(sel, "count_values"), sel.offsetSec)
 
       // custom output label: the same aggregation with the value column
-      // surfaced under the requested name (a zero-cost projection)
+      // surfaced under the requested name (a zero-cost projection). The
+      // collision check re-runs here against the COMPILED columns — a
+      // without(...) clause resolves to by-labels after parsing, so the
+      // parse-time check alone could miss a resolved-grouping collision
       case ValueLabel(lbl, inner) =>
-        compile(t, inner, start, end, buckets, rollupStep)
-          .withColumnRenamed("value", lbl)
+        val df = compile(t, inner, start, end, buckets, rollupStep)
+        require(!df.columns.contains(lbl),
+          s"count_values output label '$lbl' collides with an output " +
+          s"column (${df.columns.mkString(", ")})")
+        df.withColumnRenamed("value", lbl)
 
       // rank compositions: topk/bottomk over an inner sum-by
       case Agg("topk", Some(k), _, _, Agg("sum", _, _, by, sel: Selector, _), _) =>

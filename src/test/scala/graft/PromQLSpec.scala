@@ -298,6 +298,23 @@ class PromQLSpec extends SparkSuite {
       "sum by (user_id, cohort) (purchase[1d]) / on (user_id) " +
       "group_right(cohort) sum by (user_id) (click[1d])", T0, T1)
     assert(dfR.columns.contains("cohort") && dfR.count() > 0)
+    // `group_left ()` — Prometheus's explicit empty list = plain form
+    assertSame(PromQL.query(t,
+      "sum by (user_id) (purchase[1d]) / on (user_id) " +
+      "group_left () sum by (user_id) (click[1d])", T0, T1), plain)
+    // a carried label already on the many side would make the join
+    // ambiguous — rejected loudly
+    val e3 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (user_id, cohort) (purchase[1d]) / on (user_id) " +
+      "group_left(cohort) sum by (user_id, cohort) (click[1d])", T0, T1))
+    assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
+    // the ignoring form never carries: a one side grouped beyond the
+    // resolved on-labels is rejected instead of silently riding the
+    // ignored label onto the output
+    val e4 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (user_id) (purchase[1d]) / ignoring (cohort) " +
+      "group_left sum by (user_id, cohort) (click[1d])", T0, T1))
+    assert(e4.getMessage.contains("explicit on"), e4.getMessage)
   }
 
   test("chunk-tier selector serve equals the raw range scan") {
@@ -591,6 +608,21 @@ class PromQLSpec extends SparkSuite {
     val e2 = intercept[IllegalArgumentException](
       PromQL.parse("""count_values("cohort", click[1h]) by (cohort)"""))
     assert(e2.getMessage.contains("collides"))
+    // a custom label composes with without(...): the clause resolves
+    // through the rename wrapper (grouping = label universe minus
+    // cohort = user_id) instead of being silently dropped
+    val wo = PromQL.query(t,
+      """count_values("band", click[1d]) without (cohort)""", T0, T1)
+    assert(wo.columns.toSeq ==
+      Seq("user_id", "bucket_start", "band", "n"), wo.columns.toSeq)
+    assertSame(wo,
+      PromQL.query(t,
+        """count_values("band", click[1d]) by (user_id)""", T0, T1))
+    // a collision that only appears AFTER without-resolution is caught
+    // at compile time
+    val e3 = intercept[IllegalArgumentException](PromQL.query(t,
+      """count_values("user_id", click[1d]) without (cohort)""", T0, T1))
+    assert(e3.getMessage.contains("collides"), e3.getMessage)
   }
 
   test("avg/min/max/count over increase: cross-series counter moments") {
