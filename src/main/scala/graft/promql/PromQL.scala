@@ -279,7 +279,8 @@ object PromQL {
         "absent", "irate", "idelta", "quantile_over_time", "predict_linear",
         "histogram_quantile", "absent_over_time", "deriv",
         "present_over_time")
-  private val LabelFns = Set("label_replace", "label_join")
+  private val LabelFns = Set("label_replace", "label_join",
+    "sort_by_label", "sort_by_label_desc")
 
   private val MomentAggs = Set("sum", "avg", "min", "max", "count")
   private val ArithOps = Set("/", "*", "+", "-", "%", "^", "atan2")
@@ -614,14 +615,19 @@ object PromQL {
           })
         }
         expectSym(")")
-        if (name == "label_replace")
-          require(args.size == 4,
-            s"label_replace(v, dst, replacement, src, regex) takes 4 " +
-            s"string arguments, got ${args.size}")
-        else
-          require(args.size >= 3,
-            s"label_join(v, dst, sep, src…) takes at least 3 string " +
-            s"arguments, got ${args.size}")
+        name match {
+          case "label_replace" =>
+            require(args.size == 4,
+              s"label_replace(v, dst, replacement, src, regex) takes 4 " +
+              s"string arguments, got ${args.size}")
+          case "label_join" =>
+            require(args.size >= 3,
+              s"label_join(v, dst, sep, src…) takes at least 3 string " +
+              s"arguments, got ${args.size}")
+          case _ => // sort_by_label[_desc](v, lbl…)
+            require(args.nonEmpty,
+              s"$name(v, label…) takes at least 1 label argument")
+        }
         LabelFn(name, inner, args.toSeq)
 
       case Some(Ident(name)) if RangeFns(name) =>
@@ -1218,9 +1224,12 @@ object PromQL {
         val Seq(dst, repl, src, regex) = args
         c => graft.functions.LabelFunctions.labelReplace(
           c, dst, repl, src, regex)
-      case _ =>
+      case "label_join" =>
         val dst +: sep +: srcs = args: @unchecked
         c => graft.functions.LabelFunctions.labelJoin(c, dst, sep, srcs)
+      case other => throw new IllegalArgumentException(
+        s"$other does not rewrite labels — it cannot feed an " +
+        "aggregation's relabel step (sort it AROUND the aggregation)")
     }
 
   /** The label grouping a compiled vector side carries — the set-op /
@@ -1697,6 +1706,19 @@ object PromQL {
         t.aggregateBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"$op by ($name)"), sel.offsetSec,
           relabel = relabelOf(name, args))
+
+      // presentation ordering by label values — Prometheus's
+      // sort_by_label/_desc (experimental there, stable here): the
+      // compiled inner with an orderBy over its label columns
+      case LabelFn(n @ ("sort_by_label" | "sort_by_label_desc"),
+          inner, lbls) =>
+        val df = compile(t, inner, start, end, buckets, rollupStep)
+        val missing = lbls.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"$n: label(s) ${missing.mkString(", ")} not in the result " +
+          s"columns (${df.columns.mkString(", ")})")
+        df.orderBy(lbls.map(l =>
+          if (n.endsWith("_desc")) col(l).desc else col(l).asc): _*)
 
       // bare label_replace/label_join over a selector: the raw range scan
       // with the label map rewritten in flight

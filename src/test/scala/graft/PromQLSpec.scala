@@ -1265,6 +1265,34 @@ class PromQLSpec extends SparkSuite {
     assert(e3.getMessage.contains("scalar argument"))
   }
 
+  test("sort_by_label orders the result by label values") {
+    val q = """sort_by_label(sum by (cohort) (click[1h]), "cohort")"""
+    val df = PromQL.query(t, q, T0, T1)
+    val cohorts = df.select("cohort").collect().map(_.getString(0)).toSeq
+    assert(cohorts == cohorts.sorted && df.count() > 0)
+    val dfD = PromQL.query(t,
+      """sort_by_label_desc(sum by (cohort) (click[1h]), "cohort")""",
+      T0, T1)
+    val cohortsD = dfD.select("cohort").collect().map(_.getString(0)).toSeq
+    assert(cohortsD == cohortsD.sorted.reverse)
+    // same rows as the unsorted form
+    assertSame(df.orderBy("cohort", "bucket_start"),
+      PromQL.query(t, "sum by (cohort) (click[1h])", T0, T1)
+        .orderBy("cohort", "bucket_start"))
+    // round trip
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+    // unknown label and inside-aggregation placement fail loudly
+    val e1 = intercept[IllegalArgumentException](PromQL.query(t,
+      """sort_by_label(sum by (cohort) (click[1h]), "nope")""", T0, T1))
+    assert(e1.getMessage.contains("not in the result"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](PromQL.query(t,
+      """sum by (cohort) (sort_by_label(click[1h], "cohort"))""", T0, T1))
+    assert(e2.getMessage.contains("does not rewrite labels"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      PromQL.parse("sort_by_label(sum(click[1h]))"))
+    assert(e3.getMessage.contains("at least 1 label"), e3.getMessage)
+  }
+
   test("scalar(): share-of-total joins the global per-bucket aggregate") {
     val df = PromQL.query(t,
       "sum by (cohort) (click[1h]) / scalar(sum(click[1h]))", T0, T1)
