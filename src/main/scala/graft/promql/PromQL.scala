@@ -1955,8 +1955,10 @@ object PromQL {
           "topk/bottomk(k, sum by), sum by (rate|increase|resets|changes), " +
           "bare rate/increase/delta, irate/idelta, " +
           "*_over_time, quantile_over_time, predict_linear, absent, " +
-          "vector matches between moment aggregations (incl. group_left/" +
-          "group_right), and/or/unless, scalar arithmetic and " +
-          "threshold filters")
+          "holt_winters, vector matches between moment aggregations " +
+          "(incl. group_left/group_right with carried labels), " +
+          "and/or/unless, `or vector(s)` gap fill, label_replace/" +
+          "label_join, sort/sort_desc/sort_by_label[_desc], " +
+          "scalar()/time() sides, scalar arithmetic and threshold filters")
     }
 }
