@@ -108,7 +108,25 @@ object Rules {
       t: Tsdb,
       rule: AlertRule,
       start: Long,
-      end: Long): DataFrame = {
+      end: Long): DataFrame =
+    alertsImpl(rule, PromQL.query(t, rule.expr, start, end))
+
+  /** [[alerts]] served from the DOWNSAMPLED rollup tier instead of raw
+    * samples — the alerting analog of [[PromQL.queryFromRollup]]: the
+    * rule's expression must be rollup-servable (a moment aggregation
+    * whose selector step equals the rollup step, optionally thresholded)
+    * and evaluates against the tier's partial aggregates, so a
+    * long-lookback alert sweep never rescans raw history. */
+  def alertsFromRollup(
+      t: Tsdb,
+      rule: AlertRule,
+      start: Long,
+      end: Long,
+      rollupStepSec: Long): DataFrame =
+    alertsImpl(rule,
+      PromQL.queryFromRollup(t, rule.expr, start, end, rollupStepSec))
+
+  private def alertsImpl(rule: AlertRule, df: DataFrame): DataFrame = {
     require(rule.forSec >= 0, s"for duration must be >= 0: ${rule.forSec}")
     val ast = PromQL.parse(rule.expr)
     val (step, _) = PromQL.gridSpecOf(ast).getOrElse(
@@ -117,7 +135,6 @@ object Rules {
         s"(its step IS the evaluation interval): ${rule.expr}"))
     val by = grouping(ast, "an alerting rule")
     val vCol = PromQL.valueColOf(ast)
-    val df = PromQL.query(t, rule.expr, start, end)
     // gaps-and-islands: within a labelset, consecutive steps share
     // (bucket_start - rn*step); the run's first step is the island min
     val w = Window.partitionBy(by.map(col): _*).orderBy("bucket_start")

@@ -241,6 +241,16 @@ class PromQLSpec extends SparkSuite {
       PromQL.queryFromRollup(disk, "sum by (cohort) (click[30m])",
         T0, T1, 3600L))
     assert(e.getMessage.contains("rollup step"))
+    // alerting rules evaluate off the tier too: rollup-served alerts
+    // equal raw-served exactly (same compiled expr, same islands pass)
+    import graft.promql.Rules
+    val rule = Rules.AlertRule("click_high",
+      "sum by (cohort) (click[1h]) > 5", forSec = 7200L)
+    assertSame(
+      Rules.alertsFromRollup(disk, rule, T0, T1, 3600L)
+        .orderBy("cohort", "bucket_start"),
+      Rules.alerts(disk, rule, T0, T1)
+        .orderBy("cohort", "bucket_start"))
   }
 
   test("group_left one-to-many vector match == binaryOpByGroupLeft") {
