@@ -1179,6 +1179,8 @@ object PromQL {
     case _: BoolCmp => "result"
     // sort is presentation-only: the value column is the body's
     case MathFn("sort" | "sort_desc", arg, _, _) => valueColOf(arg)
+    case LabelFn("sort_by_label" | "sort_by_label_desc", arg, _) =>
+      valueColOf(arg)
     case MathFn("holt_winters", _, _, _) => "hw_v"
     case _: MathFn => "result"
     case other => throw new IllegalArgumentException(
@@ -1258,6 +1260,8 @@ object PromQL {
       case _ => None
     }
     case Agg("group", _, _, by, _: Selector, _) => Some(by)
+    case LabelFn("sort_by_label" | "sort_by_label_desc", arg, _) =>
+      groupingOf(arg)
     case MathFn(_, arg, _, _) => groupingOf(arg)
     case _ => None
   }
@@ -1617,6 +1621,30 @@ object PromQL {
         }
         df.withColumn("result", e)
 
+      // presentation ordering by label values — Prometheus's
+      // sort_by_label/_desc (experimental there, stable here): the
+      // compiled inner ordered by its label columns, remaining columns
+      // as ascending tiebreaks (deterministic row order, like sort).
+      // The labels must be the inner's GROUPING labels — value/grid
+      // columns are not labels, and a bare selector (map-typed labels)
+      // has none. Sits above the rollup catch-all so a rollup-served
+      // inner can be sorted too.
+      case LabelFn(n @ ("sort_by_label" | "sort_by_label_desc"),
+          inner, lbls) =>
+        val by = groupingOf(inner).getOrElse(
+          throw new IllegalArgumentException(
+            s"$n needs an aggregated vector with label columns, got: " +
+            s"$inner"))
+        val missing = lbls.filterNot(by.contains)
+        require(missing.isEmpty,
+          s"$n: label(s) ${missing.mkString(", ")} not in the result's " +
+          s"grouping labels (${by.mkString(", ")})")
+        val df = compile(t, inner, start, end, buckets, rollupStep)
+        val keys = lbls.map(l =>
+          if (n.endsWith("_desc")) col(l).desc else col(l).asc)
+        val rest = df.columns.filterNot(lbls.contains).map(col(_).asc)
+        df.orderBy(keys ++ rest.toSeq: _*)
+
       // sort/sort_desc are presentation-only: order the compiled vector
       // by its value column (ties broken by the remaining columns for a
       // deterministic row order), values untouched
@@ -1706,19 +1734,6 @@ object PromQL {
         t.aggregateBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"$op by ($name)"), sel.offsetSec,
           relabel = relabelOf(name, args))
-
-      // presentation ordering by label values — Prometheus's
-      // sort_by_label/_desc (experimental there, stable here): the
-      // compiled inner with an orderBy over its label columns
-      case LabelFn(n @ ("sort_by_label" | "sort_by_label_desc"),
-          inner, lbls) =>
-        val df = compile(t, inner, start, end, buckets, rollupStep)
-        val missing = lbls.filterNot(df.columns.contains)
-        require(missing.isEmpty,
-          s"$n: label(s) ${missing.mkString(", ")} not in the result " +
-          s"columns (${df.columns.mkString(", ")})")
-        df.orderBy(lbls.map(l =>
-          if (n.endsWith("_desc")) col(l).desc else col(l).asc): _*)
 
       // bare label_replace/label_join over a selector: the raw range scan
       // with the label map rewritten in flight

@@ -241,6 +241,15 @@ class PromQLSpec extends SparkSuite {
       PromQL.queryFromRollup(disk, "sum by (cohort) (click[30m])",
         T0, T1, 3600L))
     assert(e.getMessage.contains("rollup step"))
+    // a sorted rollup-served expression compiles (the sort case sits
+    // above the tier catch-all and threads rollupStep through)
+    assertSame(
+      PromQL.queryFromRollup(disk,
+        """sort_by_label(sum by (cohort) (click[1h]), "cohort")""",
+        T0, T1, 3600L),
+      PromQL.query(disk,
+        """sort_by_label(sum by (cohort) (click[1h]), "cohort")""",
+        T0, T1))
     // alerting rules evaluate off the tier too: rollup-served alerts
     // equal raw-served exactly (same compiled expr, same islands pass)
     import graft.promql.Rules
@@ -1291,10 +1300,21 @@ class PromQLSpec extends SparkSuite {
         .orderBy("cohort", "bucket_start"))
     // round trip
     assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
-    // unknown label and inside-aggregation placement fail loudly
+    // composes: the sorted vector still carries its value column and
+    // grouping (threshold filters work over it)
+    assert(PromQL.query(t, q + " > 5", T0, T1).count() ==
+      PromQL.query(t, "sum by (cohort) (click[1h]) > 5", T0, T1).count())
+    // unknown labels, NON-label columns, bare selectors, and
+    // inside-aggregation placement all fail loudly
     val e1 = intercept[IllegalArgumentException](PromQL.query(t,
       """sort_by_label(sum by (cohort) (click[1h]), "nope")""", T0, T1))
-    assert(e1.getMessage.contains("not in the result"), e1.getMessage)
+    assert(e1.getMessage.contains("grouping labels"), e1.getMessage)
+    val e1b = intercept[IllegalArgumentException](PromQL.query(t,
+      """sort_by_label(sum by (cohort) (click[1h]), "sum_v")""", T0, T1))
+    assert(e1b.getMessage.contains("grouping labels"), e1b.getMessage)
+    val e1c = intercept[IllegalArgumentException](PromQL.query(t,
+      """sort_by_label(click[1h], "cohort")""", T0, T1))
+    assert(e1c.getMessage.contains("aggregated vector"), e1c.getMessage)
     val e2 = intercept[IllegalArgumentException](PromQL.query(t,
       """sum by (cohort) (sort_by_label(click[1h], "cohort"))""", T0, T1))
     assert(e2.getMessage.contains("does not rewrite labels"), e2.getMessage)
