@@ -29,6 +29,11 @@ object Bench {
     val comparators = Set("ann_clustered_agg", "dedup_embedding",
       "dedup_ngram_jaccard", "pipeline_clean_corpus",
       "dedup_components_minlabel",
+      // star contraction over the UNCAPPED pair graph: the input (not the
+      // contraction) is quadratic in hot shingles — disk-spilled the x100
+      // sweep in r7; the registered default now feeds from the df-capped
+      // generator
+      "dedup_components_uncapped",
       // brute-force ANN: the correctness yardsticks for the LSH/IVF scale
       // paths, quadratic by design (queries × corpus, both scaling with
       // the data ⇒ 10,000× work at the 100× point: ann_topk DNF'd,

@@ -2469,7 +2469,8 @@ object OracleSql {
     "dedup_simhash_capped" -> dedupSimhash,
     "ann_clustered_agg" -> annClusteredAgg,
     "q_approx_percentile" -> qApproxPercentile,
-    "dedup_components" -> dedupComponents,
+    "dedup_components" -> dedupComponentsCapped,
+    "dedup_components_uncapped" -> dedupComponents,
     "dedup_components_minlabel" -> dedupComponents,
     "dedup_components_capped" -> dedupComponentsCapped,
     "dedup_simhash" -> dedupSimhash,

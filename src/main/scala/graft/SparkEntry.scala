@@ -1646,15 +1646,34 @@ object SparkEntry {
   /** Transitive near-dup clusters: min-reachable-id component per doc.
     * Alternating large-star/small-star contraction — O(log diameter)
     * rounds, the 100-TB form (3× faster than min-label propagation at the
-    * 10× scale point). Min-label stays registered as the cross-check
-    * (`dedup_components_minlabel`, same oracle).
+    * 10× scale point) — fed from the df-capped pair generator, because the
+    * default a user reaches for must survive 100×: the uncapped shingle-df
+    * blowup disk-spilled the x100 sweep while this input ran in 68 s
+    * (bench_history_r7 `x100_full_sweep_r7_final`). The uncapped-input
+    * star form stays registered as `dedup_components_uncapped` (comparator
+    * set); min-label over the same capped input is the algorithm
+    * cross-check (`dedup_components_capped`, identical output).
     */
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsStar(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.8, hashTokens = true, maxDocFreq = Some(5L)))
+      .orderBy("doc_id")
+
+  /** Star contraction over the UNCAPPED pair graph — oracle-exact vs the
+    * full recursive-CTE closure, but the pair input is quadratic in hot
+    * shingles (x100 DNF), so it lives in the comparator set beside its
+    * Jaccard sibling, not the timed sweep.
+    */
+  private def qDedupComponentsUncapped(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponentsStar(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           k = 3, threshold = 0.8, hashTokens = true))
       .orderBy("doc_id")
 
+  /** Min-label propagation over the same capped input as the default —
+    * the algorithm cross-check (identical output by construction).
+    */
   private def qDedupComponentsCapped(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -2336,6 +2355,7 @@ object SparkEntry {
     "dedup_simhash_capped" -> (qDedupSimhashCapped _),
     "dedup_simhash_clusters" -> (qDedupSimhashClusters _),
     "dedup_components" -> (qDedupComponents _),
+    "dedup_components_uncapped" -> (qDedupComponentsUncapped _),
     "dedup_components_capped" -> (qDedupComponentsCapped _),
     "dedup_components_minlabel" -> (qDedupComponentsMinLabel _),
     "dedup_embedding" -> (qDedupEmbedding _),
