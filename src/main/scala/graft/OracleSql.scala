@@ -1204,6 +1204,50 @@ object OracleSql {
        |FROM r
        |ORDER BY 1, 2""".stripMargin
 
+  /** The purchase/click sides the vector-compare mirrors share with
+    * tsdbRatio — two hourly label aggregations joined on
+    * (cohort, bucket), decimal sums surfaced as doubles.
+    */
+  private val vvMatchCtes =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** `a > bool b` vector match: every matched (cohort, bucket) row,
+    * result CASE'd to Prometheus's 0/1. The compare is on
+    * decimal-derived doubles — exact cross-engine.
+    */
+  private val tsdbPromqlBoolVv =
+    s"""$vvMatchCtes
+       |SELECT a.cohort, a.bucket_start, n_a, n_b,
+       |       CAST(CASE WHEN sum_a > sum_b THEN 1.0 ELSE 0.0 END
+       |            AS DOUBLE) AS result
+       |FROM a JOIN b USING (cohort, bucket_start)
+       |ORDER BY 1, 2""".stripMargin
+
+  /** `a > b` filter form: only matched rows where the predicate holds,
+    * the left value passing through as `result`.
+    */
+  private val tsdbPromqlCmpVv =
+    s"""$vvMatchCtes
+       |SELECT a.cohort, a.bucket_start, n_a, n_b, sum_a AS result
+       |FROM a JOIN b USING (cohort, bucket_start)
+       |WHERE sum_a > sum_b
+       |ORDER BY 1, 2""".stripMargin
+
   /** `group by (cohort)` — 1.0 per populated (cohort, bucket) cell. */
   private val tsdbPromqlGroup =
     s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
@@ -2403,6 +2447,8 @@ object OracleSql {
     "tsdb_promql_topk_rate" -> tsdbPromqlTopkRate,
     "tsdb_promql_ignoring" -> tsdbGroupLeft,
     "tsdb_promql_bool" -> tsdbPromqlBool,
+    "tsdb_promql_bool_vv" -> tsdbPromqlBoolVv,
+    "tsdb_promql_cmp_vv" -> tsdbPromqlCmpVv,
     "tsdb_promql_group" -> tsdbPromqlGroup,
     "tsdb_promql_sort" -> tsdbPromqlSort,
     "tsdb_promql_hour" -> tsdbPromqlHour,

@@ -382,6 +382,31 @@ object SparkEntry {
       .select("cohort", "bucket_start", "n_a", "n_b", "result")
       .orderBy("cohort", "bucket_start")
 
+  /** Vector-vector `bool` comparison — the alert-rule form
+    * (`a > bool b`): every matched (cohort, bucket) row with
+    * Prometheus's 0/1 in `result`, compiled onto the same
+    * (labels, bucket) inner vector match as the ratio family.
+    */
+  private def qTsdbPromqlBoolVv(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (purchase[1h]) > bool sum by (cohort) (click[1h])",
+      T0, T1)
+      .select("cohort", "bucket_start", "n_a", "n_b", "result")
+      .orderBy("cohort", "bucket_start")
+
+  /** Vector-vector comparison with PromQL FILTER semantics
+    * (`a > b`, no bool): matched rows where the predicate holds, the
+    * left side's value passing through as `result`.
+    */
+  private def qTsdbPromqlCmpVv(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (purchase[1h]) > sum by (cohort) (click[1h])",
+      T0, T1)
+      .select("cohort", "bucket_start", "n_a", "n_b", "result")
+      .orderBy("cohort", "bucket_start")
+
   /** Prometheus's `group by (l)` presence aggregator: 1.0 for every
     * populated (group, bucket) cell — the cheap "which series exist on
     * this grid" probe.
@@ -2275,6 +2300,8 @@ object SparkEntry {
     "tsdb_promql_topk_rate" -> (qTsdbPromqlTopkRate _),
     "tsdb_promql_ignoring" -> (qTsdbPromqlIgnoring _),
     "tsdb_promql_bool" -> (qTsdbPromqlBool _),
+    "tsdb_promql_bool_vv" -> (qTsdbPromqlBoolVv _),
+    "tsdb_promql_cmp_vv" -> (qTsdbPromqlCmpVv _),
     "tsdb_promql_group" -> (qTsdbPromqlGroup _),
     "tsdb_promql_sort" -> (qTsdbPromqlSort _),
     "tsdb_promql_hour" -> (qTsdbPromqlHour _),

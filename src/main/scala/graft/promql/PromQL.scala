@@ -1174,7 +1174,16 @@ object PromQL {
     case RangeFn("quantile_over_time", _, _, _, _) => "q_v"
     case Agg("group", _, _, _, _, _) => "group_v"
     case BinOp(op, _, _, _, _, _) if ArithOps(op) => "result"
-    case BinOp(op, l, _, _, _, _) if CmpOps(op) || SetOps(op) =>
+    case BinOp(op, l, r, _, _, _) if CmpOps(op) =>
+      (l, r) match {
+        // vector-vector compare goes through binaryOpBy → `result`
+        // (the lhs value passed through); scalar-side compares filter
+        // the vector side in place, keeping its own value column
+        case (_: Agg, _: Agg) => "result"
+        case (_: NumLit, _) => valueColOf(r)
+        case _ => valueColOf(l)
+      }
+    case BinOp(op, l, _, _, _, _) if SetOps(op) =>
       valueColOf(l)
     case _: BoolCmp => "result"
     // sort is presentation-only: the value column is the body's
@@ -1257,7 +1266,8 @@ object PromQL {
     case BoolCmp(_, l, r) => (l, r) match {
       case (_, _: NumLit) => groupingOf(l)
       case (_: NumLit, _) => groupingOf(r)
-      case _ => None
+      // vector-vector bool keeps the matched grouping (byA == byB)
+      case _ => groupingOf(l)
     }
     case Agg("group", _, _, by, _: Selector, _) => Some(by)
     case LabelFn("sort_by_label" | "sort_by_label_desc", arg, _) =>
@@ -1490,13 +1500,37 @@ object PromQL {
             org.apache.spark.sql.functions
               .when(cmp(op)(lit(v), col(valueColOf(rhs))), 1.0)
               .otherwise(0.0))
-      // vector-vector bool parses fine, so without this case it would
+      // vector-vector `bool` comparison (`a > bool b`) — the alert-rule
+      // form: every matched (labels, bucket) row survives and `result`
+      // is Prometheus's 0/1. Same inner (labels, bucket) vector match
+      // as the arithmetic case; only the output convention differs
+      // from the filter form (which sits with the vector-match family
+      // below).
+      case BoolCmp(op, Agg(opA, _, _, byA, a: Selector, _),
+          Agg(opB, _, _, byB, b: Selector, _))
+          if MomentAggs(opA) && MomentAggs(opB) =>
+        require(byA == byB,
+          s"vector-compare sides must aggregate by the same labels: " +
+          s"$byA vs $byB")
+        val step = stepOf(a, "bool vector compare")
+        require(step == stepOf(b, "bool vector compare"),
+          "vector-compare sides must share the step grid")
+        t.binaryOpBy(a.metric, b.metric, a.matchers, b.matchers, start,
+            end, byA, step, momentCol(opA), momentCol(opB),
+            a.offsetSec, b.offsetSec)((x, y) =>
+          org.apache.spark.sql.functions
+            .when(cmp(op)(x, y), 1.0).otherwise(0.0))
+
+      // other bool shapes parse fine, so without this case they would
       // fall through to the generic unsupported-shape error that never
-      // mentions bool — name the restriction explicitly
+      // mentions bool — name the restriction explicitly. (Scalar sides
+      // and moment-aggregation vector matches are handled above.)
       case BoolCmp(op, _, _) =>
         throw new IllegalArgumentException(
-          s"bool comparisons support a scalar side only " +
-          s"(e.g. `x > bool 0.5`); vector $op bool vector is not supported")
+          s"bool comparisons support a scalar side (`x > bool 0.5`) or " +
+          s"two matching moment aggregations (`sum by (l)(a[1h]) $op " +
+          s"bool sum by (l)(b[1h])`); other vector shapes are not " +
+          s"supported")
 
       // `expr or vector(s)` — Prometheus's gap-filling idiom
       // (`sum(x[step]) or vector(0)`). The rhs vector carries NO labels,
@@ -1963,6 +1997,27 @@ object PromQL {
           end, byA, step, momentCol(opA), momentCol(opB),
           a.offsetSec, b.offsetSec)(arith(op))
 
+      // vector-vector comparison — PromQL filter semantics: the same
+      // inner (labels, bucket) match as the arithmetic case, keeping
+      // rows where the predicate holds with the LEFT side's value
+      // passing through as `result` (`errors > requests` drops the
+      // healthy buckets, surviving values are the error counts)
+      case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
+          Agg(opB, _, _, byB, b: Selector, _), on, false, false)
+          if CmpOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
+        require(byA == byB,
+          s"vector-compare sides must aggregate by the same labels: " +
+          s"$byA vs $byB")
+        require(on.isEmpty || on == byA,
+          s"on-labels ($on) must equal the grouping ($byA)")
+        val step = stepOf(a, "vector compare")
+        require(step == stepOf(b, "vector compare"),
+          "vector-compare sides must share the step grid")
+        t.binaryOpBy(a.metric, b.metric, a.matchers, b.matchers, start,
+            end, byA, step, momentCol(opA), momentCol(opB),
+            a.offsetSec, b.offsetSec)((x, _) => x)
+          .where(cmp(op)(col("sum_a"), col("sum_b")))
+
       case other =>
         throw new IllegalArgumentException(
           s"unsupported query shape: $other — supported: selector, " +
@@ -1970,8 +2025,9 @@ object PromQL {
           "topk/bottomk(k, sum by), sum by (rate|increase|resets|changes), " +
           "bare rate/increase/delta, irate/idelta, " +
           "*_over_time, quantile_over_time, predict_linear, absent, " +
-          "holt_winters, vector matches between moment aggregations " +
-          "(incl. group_left/group_right with carried labels), " +
+          "holt_winters, vector matches and compares between moment " +
+          "aggregations (arith, filter `>`, `> bool`, " +
+          "incl. group_left/group_right with carried labels), " +
           "and/or/unless, `or vector(s)` gap fill, label_replace/" +
           "label_join, sort/sort_desc/sort_by_label[_desc], " +
           "scalar()/time() sides, scalar arithmetic and threshold filters")

@@ -1139,12 +1139,35 @@ class PromQLSpec extends SparkSuite {
       PromQL.parse(s"x[1h] offset 60s @ $at"))
   }
 
-  test("bool vector-vector names the scalar-only restriction; plain " +
-      "ignoring no longer demands an aggregated rhs at resolve time") {
+  test("vector-vector compares: bool keeps every matched row as 0/1, " +
+      "the filter form keeps predicate-true rows with the lhs value") {
+    val matched = PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) / sum by (cohort) (click[1h])",
+      T0, T1)
+    val booled = PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) > bool sum by (cohort) (click[1h])",
+      T0, T1)
+    // bool preserves the full inner match (same (cohort, bucket) keys
+    // as the ratio) and only emits 0/1
+    assert(booled.count() == matched.count())
+    assert(booled.select("result").distinct().collect()
+      .map(_.getDouble(0)).toSet.subsetOf(Set(0.0, 1.0)))
+    val filtered = PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) > sum by (cohort) (click[1h])",
+      T0, T1)
+    // filter form == the bool form's 1-rows, value = the lhs sum
+    assert(filtered.count() ==
+      booled.where(col("result") === 1.0).count())
+    assert(filtered.where(col("result") =!= col("sum_a")).count() == 0L)
+    assert(filtered.where(col("sum_a") <= col("sum_b")).count() == 0L)
+  }
+
+  test("bool between non-aggregated vectors names the restriction; " +
+      "plain ignoring no longer demands an aggregated rhs at resolve " +
+      "time") {
     val e = intercept[IllegalArgumentException](PromQL.query(t,
-      "sum by (cohort) (purchase[1h]) > bool " +
-        "sum by (cohort) (click[1h])", T0, T1))
-    assert(e.getMessage.contains("scalar side only"))
+      "purchase > bool click", T0, T1))
+    assert(e.getMessage.contains("moment aggregations"))
     // plain-match ignoring with a non-aggregated rhs resolves its
     // on-labels from the LHS grouping now — the failure (if any) comes
     // from the compiler's shape support, not the resolve pass
