@@ -872,12 +872,13 @@ object PromQL {
       input: String,
       start: Long,
       end: Long,
-      buckets: Seq[Double] = Seq.empty): DataFrame = {
+      buckets: Seq[Double] = Seq.empty,
+      stepSec: Option[Long] = None): DataFrame = {
     val ast = parse(input)
     validateSubquerySteps(ast)
     val (ast2, s2, e2) = resolveAt(ast, start, end)
     compile(t, resolveWithout(t, ast2), s2, e2, buckets,
-      rollupStep = None)
+      rollupStep = None, apiStep = stepSec)
   }
 
   /** Resolve `@` evaluation-time modifiers against the query window.
@@ -1330,6 +1331,22 @@ object PromQL {
     case _ => None
   }
 
+  /** The sequence-generated eval grid: one `bucket_start` row per step
+    * in the window's bucket span, offset-aligned — (end−start)/step
+    * rows, bounded by the query window, never a scan. Shared by the
+    * `or vector(s)` gap filler and the standalone scalar shapes
+    * (`time()`, `scalar(agg)`). */
+  private def evalGrid(
+      t: Tsdb, start: Long, end: Long, step: Long,
+      off: Long = 0L): DataFrame = {
+    val b0 = (start - off) - Math.floorMod(start - off, step) + off
+    val b1 = (end - off) - Math.floorMod(end - off, step) + off
+    t.spark.range(1).select(
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(
+          lit(b0), lit(b1), lit(step))).as("bucket_start"))
+  }
+
   private def containsTime(e: Expr): Boolean = e match {
     case TimeLit => true
     case BinOp(_, l, r, _, _, _) => containsTime(l) || containsTime(r)
@@ -1375,7 +1392,8 @@ object PromQL {
       start: Long,
       end: Long,
       buckets: Seq[Double],
-      rollupStep: Option[Long]): DataFrame =
+      rollupStep: Option[Long],
+      apiStep: Option[Long] = None): DataFrame =
     e match {
       // rollup-served forms first: the same strings, the downsampled tier
       case Agg(op, _, _, by, sel: Selector, _)
@@ -1442,12 +1460,28 @@ object PromQL {
               col(valueColOf(inner)).as("__scalar")),
           op, valueColOf(rhs), scalarLeft = true)
 
-      // a standalone scalar() has no vector to join onto — name the
-      // restriction instead of hitting the generic pointwise MathFn path
-      case MathFn("scalar", _, _, _) =>
-        throw new IllegalArgumentException(
-          "scalar() is supported as a binary-operation side only " +
-          "(e.g. `sum by (l)(x) / scalar(sum(x))`)")
+      // standalone scalar(agg) — a per-step scalar series on the
+      // argument's own eval grid (the sequence generator, never a
+      // scan): (bucket_start, result), with Prometheus's NaN on grid
+      // buckets the aggregation left empty. The argument must be a
+      // global (by-empty) aggregation — cardinality 1 per bucket is
+      // proven at compile time, so a wrong answer is unrepresentable.
+      case MathFn("scalar", inner, _, _) =>
+        require(groupingOf(inner).contains(Seq.empty),
+          s"scalar() needs a global (no `by`) aggregation argument, " +
+          s"got: $inner")
+        val (step, off) = gridSpecOf(inner).getOrElse(
+          throw new IllegalArgumentException(
+            s"standalone scalar() could not derive the eval grid " +
+            s"(needs a ranged selector `x[d]` inside): $inner"))
+        val vCol = valueColOf(inner)
+        val dfI = compile(t, inner, start, end, buckets, rollupStep)
+          .select(col("bucket_start"), col(vCol).cast("double").as("__v"))
+        evalGrid(t, start, end, step, off)
+          .join(org.apache.spark.sql.functions.broadcast(dfI),
+            Seq("bucket_start"), "left_outer")
+          .select(col("bucket_start"),
+            coalesce(col("__v"), lit(Double.NaN)).as("result"))
 
       // composite per-step scalar sides: any literal/time() arithmetic
       // composition (`x - time()`, `x > time() % 86400`, `x * (2 + 3)`)
@@ -1561,13 +1595,8 @@ object PromQL {
         val vCol = valueColOf(l)
         val dfL = compile(t, l, start, end, buckets, rollupStep)
           .select(col("bucket_start"), col(vCol).cast("double").as(vCol))
-        val b0 = (start - off) - Math.floorMod(start - off, step) + off
-        val b1 = (end - off) - Math.floorMod(end - off, step) + off
-        val grid = t.spark.range(1).select(
-          org.apache.spark.sql.functions.explode(
-            org.apache.spark.sql.functions.sequence(
-              lit(b0), lit(b1), lit(step))).as("bucket_start"))
-        grid.join(org.apache.spark.sql.functions.broadcast(dfL),
+        evalGrid(t, start, end, step, off)
+          .join(org.apache.spark.sql.functions.broadcast(dfL),
             Seq("bucket_start"), "left_outer")
           .select(col("bucket_start"),
             coalesce(col(vCol), sc.cast("double")).as(vCol))
