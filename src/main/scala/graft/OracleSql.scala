@@ -1174,6 +1174,25 @@ object OracleSql {
        |SELECT * FROM r WHERE result > 55
        |ORDER BY 1, 2""".stripMargin
 
+  /** Standalone `scalar(sum(click[1h]))` — a generate_series grid over
+    * the window's hour buckets left-joined to the global per-bucket sum,
+    * NaN-filled where the aggregation left a bucket empty (Prometheus's
+    * scalar semantics, the engine's `evalGrid` mirror).
+    */
+  private val tsdbPromqlScalarAlone =
+    s"""WITH g AS (
+       |  SELECT CAST(gs.generate_series AS BIGINT) AS bucket_start
+       |  FROM generate_series($T0, ${T1 - T1 % 3600L}, 3600) AS gs),
+       |a AS (
+       |  SELECT $tsS - ($tsS % 3600) AS bucket_start,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1)
+       |SELECT g.bucket_start, COALESCE(a.v, 'NaN'::DOUBLE) AS result
+       |FROM g LEFT JOIN a USING (bucket_start)
+       |ORDER BY 1""".stripMargin
+
   /** `… > bool 55` — tsdbPromqlScalar's ratio chain, but the threshold
     * becomes a 0/1 indicator column instead of a row filter.
     */
@@ -2455,6 +2474,7 @@ object OracleSql {
     "tsdb_promql_quantile_rate" -> tsdbPromqlQuantileRate,
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
+    "tsdb_promql_scalar_alone" -> tsdbPromqlScalarAlone,
     "tsdb_promql_mod" -> tsdbPromqlMod,
     "tsdb_promql_pow" -> tsdbPromqlPow,
     "tsdb_promql_atan2" -> tsdbPromqlAtan2,

@@ -488,6 +488,19 @@ object SparkEntry {
       .select("cohort", "bucket_start", "n_a", "n_b", "result")
       .orderBy("cohort", "bucket_start")
 
+  /** STANDALONE `scalar(sum(click[1h]))` — a per-step scalar series on
+    * the aggregation's own eval grid: one row per hour bucket across the
+    * whole query window (the `sequence` generator, never a scan), result
+    * = the global per-bucket sum, Prometheus's NaN where the bucket has
+    * no samples. The grid join is a broadcast of the one-row-per-bucket
+    * aggregate — bounded by (window/step), scale-independent.
+    */
+  private def qTsdbPromqlScalarAlone(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "scalar(sum(click[1h]))", T0, T1)
+      .orderBy("bucket_start")
+
   /** `%` modulo arithmetic through the string front-end:
     * `sum by (cohort)(click[1h]) % 7` — Go math.Mod semantics (the
     * dividend's sign), double math rounded to 6 decimals like `/`.
@@ -1705,9 +1718,11 @@ object SparkEntry {
           k = 3, threshold = 0.8, hashTokens = true, maxDocFreq = Some(5L)))
       .orderBy("doc_id")
 
-  /** Same clusters via min-label propagation — O(diameter) rounds; kept
-    * registered as the cross-check of the star-contraction default
-    * (identical output by construction, shared oracle).
+  /** Same clusters via min-label propagation over the UNCAPPED pair
+    * graph — O(diameter) rounds; the algorithm cross-check of
+    * dedup_components_uncapped (identical output by construction, shared
+    * uncapped oracle). The capped-input cross-check of the registered
+    * default is dedup_components_capped above.
     */
   private def qDedupComponentsMinLabel(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
@@ -2308,6 +2323,7 @@ object SparkEntry {
     "tsdb_promql_quantile_rate" -> (qTsdbPromqlQuantileRate _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
+    "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),
     "tsdb_promql_mod" -> (qTsdbPromqlMod _),
     "tsdb_promql_pow" -> (qTsdbPromqlPow _),
     "tsdb_promql_atan2" -> (qTsdbPromqlAtan2 _),

@@ -872,13 +872,12 @@ object PromQL {
       input: String,
       start: Long,
       end: Long,
-      buckets: Seq[Double] = Seq.empty,
-      stepSec: Option[Long] = None): DataFrame = {
+      buckets: Seq[Double] = Seq.empty): DataFrame = {
     val ast = parse(input)
     validateSubquerySteps(ast)
     val (ast2, s2, e2) = resolveAt(ast, start, end)
     compile(t, resolveWithout(t, ast2), s2, e2, buckets,
-      rollupStep = None, apiStep = stepSec)
+      rollupStep = None)
   }
 
   /** Resolve `@` evaluation-time modifiers against the query window.
@@ -1392,8 +1391,7 @@ object PromQL {
       start: Long,
       end: Long,
       buckets: Seq[Double],
-      rollupStep: Option[Long],
-      apiStep: Option[Long] = None): DataFrame =
+      rollupStep: Option[Long]): DataFrame =
     e match {
       // rollup-served forms first: the same strings, the downsampled tier
       case Agg(op, _, _, by, sel: Selector, _)
@@ -2054,9 +2052,10 @@ object PromQL {
           "topk/bottomk(k, sum by), sum by (rate|increase|resets|changes), " +
           "bare rate/increase/delta, irate/idelta, " +
           "*_over_time, quantile_over_time, predict_linear, absent, " +
-          "holt_winters, vector matches and compares between moment " +
-          "aggregations (arith, filter `>`, `> bool`, " +
-          "incl. group_left/group_right with carried labels), " +
+          "holt_winters, vector matches between moment aggregations " +
+          "(arith incl. group_left/group_right with carried labels; " +
+          "compares — filter `>` and `> bool` — between plain-selector " +
+          "moment aggregations with matching by-lists), " +
           "and/or/unless, `or vector(s)` gap fill, label_replace/" +
           "label_join, sort/sort_desc/sort_by_label[_desc], " +
           "scalar()/time() sides, scalar arithmetic and threshold filters")

@@ -1373,10 +1373,20 @@ class PromQLSpec extends SparkSuite {
       "sum by (cohort) (click[1h]) / scalar(sum by (cohort) (click[1h]))",
       T0, T1))
     assert(e1.getMessage.contains("global"))
-    // standalone scalar() names the restriction
-    val e2 = intercept[IllegalArgumentException](
-      PromQL.query(t, "scalar(sum(click[1h]))", T0, T1))
-    assert(e2.getMessage.contains("binary-operation side"))
+    // standalone scalar(agg): one row per grid bucket across the whole
+    // window, result = the global aggregate, NaN on empty buckets
+    val alone = PromQL.query(t, "scalar(sum(click[1h]))", T0, T1)
+      .orderBy("bucket_start")
+    val nBuckets = (T1 - T0) / 3600 + 1
+    assert(alone.count() == nBuckets, s"grid rows: ${alone.count()}")
+    assert(alone.columns.toSeq == Seq("bucket_start", "result"))
+    // where the aggregation has data, the scalar equals it exactly
+    val badAlone = alone.join(tot, "bucket_start")
+      .where(col("result") =!= col("tv"))
+    assert(badAlone.isEmpty)
+    // buckets with no samples surface Prometheus's NaN, not a dropped row
+    assert(alone.where(isnan(col("result"))).count() ==
+      nBuckets - tot.count())
   }
 
   test("alerting rules: `for` escalates pending→firing, a gap resets") {
