@@ -1193,6 +1193,15 @@ object OracleSql {
        |FROM g LEFT JOIN a USING (bucket_start)
        |ORDER BY 1""".stripMargin
 
+  /** Standalone `time()` with an API step — the pure generate_series
+    * grid, result = the bucket timestamp itself as a double.
+    */
+  private val tsdbPromqlTimeAlone =
+    s"""SELECT CAST(gs.generate_series AS BIGINT) AS bucket_start,
+       |       CAST(gs.generate_series AS DOUBLE) AS result
+       |FROM generate_series($T0, ${T1 - T1 % 3600L}, 3600) AS gs
+       |ORDER BY 1""".stripMargin
+
   /** `… > bool 55` — tsdbPromqlScalar's ratio chain, but the threshold
     * becomes a 0/1 indicator column instead of a row filter.
     */
@@ -2475,6 +2484,7 @@ object OracleSql {
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
     "tsdb_promql_scalar_alone" -> tsdbPromqlScalarAlone,
+    "tsdb_promql_time_alone" -> tsdbPromqlTimeAlone,
     "tsdb_promql_mod" -> tsdbPromqlMod,
     "tsdb_promql_pow" -> tsdbPromqlPow,
     "tsdb_promql_atan2" -> tsdbPromqlAtan2,

@@ -501,6 +501,19 @@ object SparkEntry {
       "scalar(sum(click[1h]))", T0, T1)
       .orderBy("bucket_start")
 
+  /** STANDALONE `time()` as an instant vector — Prometheus's
+    * query_range over a pure scalar expression. No selector exists to
+    * derive a grid from, so the API `stepSec` pins it (the engine's
+    * documented contract for per-step scalar queries): one
+    * `(bucket_start, result = bucket_start)` row per hour across the
+    * window, generated by `sequence` — (window/step) rows, never a scan.
+    */
+  private def qTsdbPromqlTimeAlone(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "time()", T0, T1, stepSec = Some(3600L))
+      .orderBy("bucket_start")
+
   /** `%` modulo arithmetic through the string front-end:
     * `sum by (cohort)(click[1h]) % 7` — Go math.Mod semantics (the
     * dividend's sign), double math rounded to 6 decimals like `/`.
@@ -2324,6 +2337,7 @@ object SparkEntry {
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),
+    "tsdb_promql_time_alone" -> (qTsdbPromqlTimeAlone _),
     "tsdb_promql_mod" -> (qTsdbPromqlMod _),
     "tsdb_promql_pow" -> (qTsdbPromqlPow _),
     "tsdb_promql_atan2" -> (qTsdbPromqlAtan2 _),

@@ -860,7 +860,10 @@ object PromQL {
 
   /** Compile and run `input` against `t` over `[start, end]` (epoch
     * seconds), like a Prometheus `query_range` call. The step grid comes
-    * from the selector's `[d]` range. `histogram_quantile` takes its
+    * from the selector's `[d]` range; for PURE per-step scalar queries
+    * (standalone `time()`, literals, their arithmetic) — which have no
+    * selector — pass `stepSec` to pin the grid, and get one
+    * `(bucket_start, result)` row per step. `histogram_quantile` takes its
     * cumulative bucket bounds from `buckets` when supplied, else from
     * the metric's `le` label domain on the series dimension (the
     * Prometheus convention); the engine buckets raw observations at
@@ -872,12 +875,32 @@ object PromQL {
       input: String,
       start: Long,
       end: Long,
-      buckets: Seq[Double] = Seq.empty): DataFrame = {
+      buckets: Seq[Double] = Seq.empty,
+      stepSec: Option[Long] = None): DataFrame = {
     val ast = parse(input)
-    validateSubquerySteps(ast)
-    val (ast2, s2, e2) = resolveAt(ast, start, end)
-    compile(t, resolveWithout(t, ast2), s2, e2, buckets,
-      rollupStep = None)
+    stepSec match {
+      // `stepSec` pins the eval grid for PURE per-step scalar queries —
+      // standalone `time()`, number literals, and their arithmetic —
+      // which have no selector `[d]` range to derive a grid from
+      // (Prometheus's query_range over a scalar expression). Vector
+      // queries derive their grid from the selector; passing stepSec
+      // with one is rejected loudly rather than silently ignored.
+      case Some(st) =>
+        require(st > 0, s"stepSec must be positive, got $st")
+        val sc = scalarSide(ast, col("bucket_start").cast("double"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"stepSec pins the eval grid for pure per-step scalar " +
+            s"queries (time(), number literals, their arithmetic); " +
+            s"vector queries derive the grid from the selector's [d] " +
+            s"range — remove stepSec. Got: $input"))
+        evalGrid(t, start, end, st)
+          .withColumn("result", sc.cast("double"))
+      case None =>
+        validateSubquerySteps(ast)
+        val (ast2, s2, e2) = resolveAt(ast, start, end)
+        compile(t, resolveWithout(t, ast2), s2, e2, buckets,
+          rollupStep = None)
+    }
   }
 
   /** Resolve `@` evaluation-time modifiers against the query window.

@@ -1267,6 +1267,35 @@ class PromQLSpec extends SparkSuite {
     assert(eh.getMessage.contains("bare ranged selector"))
   }
 
+  test("standalone time()/scalar expressions run on an API-step grid") {
+    // time() as an instant vector: one row per step, result = the
+    // bucket timestamp — Prometheus query_range over a scalar
+    val df = PromQL.query(t, "time()", T0, T1, stepSec = Some(3600L))
+      .orderBy("bucket_start")
+    val nBuckets = (T1 - T0) / 3600 + 1
+    assert(df.count() == nBuckets)
+    assert(df.columns.toSeq == Seq("bucket_start", "result"))
+    assert(df.where(col("result") =!=
+      col("bucket_start").cast("double")).isEmpty)
+    // scalar arithmetic composes on the grid: second-of-day
+    val dfMod = PromQL.query(t, "time() % 86400", T0, T1,
+      stepSec = Some(7200L))
+    assert(dfMod.count() == (T1 - T0) / 7200 + 1)
+    assert(dfMod.where(abs(col("result") -
+      round(col("bucket_start").cast("double") % 86400.0, 6)) > 1e-9)
+      .isEmpty)
+    // a pure literal is a constant series on the grid
+    val dfLit = PromQL.query(t, "2 + 3", T0, T1, stepSec = Some(3600L))
+    assert(dfLit.count() == nBuckets &&
+      dfLit.where(col("result") =!= 5.0).isEmpty)
+    // stepSec with a VECTOR query is rejected loudly, never ignored
+    val ev = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort) (click[1h])", T0, T1, stepSec = Some(60L)))
+    assert(ev.getMessage.contains("remove stepSec"), ev.getMessage)
+    intercept[IllegalArgumentException](
+      PromQL.query(t, "time()", T0, T1, stepSec = Some(0L)))
+  }
+
   test("vector() gap-fills the `or` rhs on the lhs bucket grid") {
     val q = "sum(purchase[3600]) or vector(0)"
     val df = PromQL.query(t, q, T0, T1)
