@@ -1193,6 +1193,68 @@ object OracleSql {
        |FROM g LEFT JOIN a USING (bucket_start)
        |ORDER BY 1""".stripMargin
 
+  /** `max by (cohort, user_id)(click) > on (cohort) group_left
+    * avg by (cohort)(click)` — one-to-many projected compare: per-user
+    * hourly max joined to the cohort-grain hourly average, keeping rows
+    * that beat it (left value passes through as result).
+    */
+  private val tsdbPromqlCmpOn =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         CAST(user_id AS VARCHAR) AS user_id,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         CAST(max(value) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2, 3),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |           / count(*) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2)
+       |SELECT a.cohort, a.user_id, a.bucket_start, sum_a, sum_b,
+       |       sum_a AS result
+       |FROM a JOIN b USING (cohort, bucket_start)
+       |WHERE sum_a > sum_b
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** `sum by (cohort)(rate(click[1h])) > sum by (cohort)
+    * (rate(purchase[1h]))` — counter-family compare: two lag-pipeline
+    * per-cohort rates joined on (cohort, bucket) and filtered.
+    */
+  private val tsdbPromqlCmpRate =
+    s"""WITH e AS (
+       |  SELECT event_type, user_id,
+       |         CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type IN ('click', 'purchase')
+       |    AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY event_type, user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT event_type, cohort, ts_s - (ts_s % 86400) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |r AS (
+       |  SELECT event_type, cohort, bucket_start,
+       |         round(CAST(SUM(delta) AS DOUBLE) / 86400, 6) AS rate
+       |  FROM x WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2, 3)
+       |SELECT a.cohort, a.bucket_start,
+       |       a.rate AS sum_a, b.rate AS sum_b, a.rate AS result
+       |FROM r a JOIN r b USING (cohort, bucket_start)
+       |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+       |  AND a.rate > b.rate
+       |ORDER BY 1, 2""".stripMargin
+
   /** Standalone `time()` with an API step — the pure generate_series
     * grid, result = the bucket timestamp itself as a double.
     */
@@ -2477,6 +2539,8 @@ object OracleSql {
     "tsdb_promql_bool" -> tsdbPromqlBool,
     "tsdb_promql_bool_vv" -> tsdbPromqlBoolVv,
     "tsdb_promql_cmp_vv" -> tsdbPromqlCmpVv,
+    "tsdb_promql_cmp_on" -> tsdbPromqlCmpOn,
+    "tsdb_promql_cmp_rate" -> tsdbPromqlCmpRate,
     "tsdb_promql_group" -> tsdbPromqlGroup,
     "tsdb_promql_sort" -> tsdbPromqlSort,
     "tsdb_promql_hour" -> tsdbPromqlHour,

@@ -501,6 +501,37 @@ object SparkEntry {
       "scalar(sum(click[1h]))", T0, T1)
       .orderBy("bucket_start")
 
+  /** Vector compare with on() PROJECTION at distinct side grains —
+    * `max by (cohort, user_id)(click[1h]) > on (cohort) group_left
+    * avg by (cohort)(click[1h])`: each per-user hourly max kept only
+    * where it beats its cohort's hourly average. One-to-many matching
+    * through the generic vector-match path: two one-shuffle
+    * aggregations equi-joined on (cohort, bucket) — group-sized keys,
+    * the right side aggregates exactly at the match grain so
+    * uniqueness holds by construction (no runtime guard needed).
+    */
+  private def qTsdbPromqlCmpOn(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "max by (cohort, user_id) (click[1h]) > on (cohort) group_left " +
+        "avg by (cohort) (click[1h])", T0, T1)
+      .orderBy("cohort", "user_id", "bucket_start")
+
+  /** The canonical rate-alert compare — `sum by (cohort)
+    * (rate(click[1d])) > sum by (cohort) (rate(purchase[1d]))`:
+    * counter-family sides (each a per-series lag + one label-grain
+    * aggregation) matched on (cohort, bucket) and filtered. The shape a
+    * Prometheus user's `rate(errors) > rate(requests)` habit expects.
+    * Day-wide buckets so the sparse purchase series still produces
+    * matched deltas at sf0.001 (the EntrySpec rows>0 gate).
+    */
+  private def qTsdbPromqlCmpRate(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (rate(click[86400])) > " +
+        "sum by (cohort) (rate(purchase[86400]))", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
   /** STANDALONE `time()` as an instant vector — Prometheus's
     * query_range over a pure scalar expression. No selector exists to
     * derive a grid from, so the API `stepSec` pins it (the engine's
@@ -2330,6 +2361,8 @@ object SparkEntry {
     "tsdb_promql_bool" -> (qTsdbPromqlBool _),
     "tsdb_promql_bool_vv" -> (qTsdbPromqlBoolVv _),
     "tsdb_promql_cmp_vv" -> (qTsdbPromqlCmpVv _),
+    "tsdb_promql_cmp_on" -> (qTsdbPromqlCmpOn _),
+    "tsdb_promql_cmp_rate" -> (qTsdbPromqlCmpRate _),
     "tsdb_promql_group" -> (qTsdbPromqlGroup _),
     "tsdb_promql_sort" -> (qTsdbPromqlSort _),
     "tsdb_promql_hour" -> (qTsdbPromqlHour _),

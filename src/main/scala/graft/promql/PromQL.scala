@@ -359,8 +359,17 @@ object PromQL {
         // `bool` modifier: 0/1 result instead of PromQL drop semantics
         if (peek.contains(Ident("bool"))) {
           next()
+          val (ls, gl, gr, isIg, _) = parseMatchClause()
+          if (ls.nonEmpty || gl || gr || isIg)
+            fail("bool comparisons support plain 1:1 matching only — " +
+              "drop the on/ignoring/group modifier or use the filter form")
           lhs = BoolCmp(op, lhs, parseAddSub())
-        } else lhs = BinOp(op, lhs, parseAddSub())
+        } else {
+          // filter compares take the same matching clause as arithmetic:
+          // `a > on (l) group_left b`
+          val clause = parseMatchClause()
+          lhs = matched(op, lhs, parseAddSub(), clause)
+        }
       }
       lhs
     }
@@ -1150,6 +1159,119 @@ object PromQL {
       case "<=" => (a, b) => a <= b
     }
 
+  /** Generic vector match between two independently-compiled aggregated
+    * sides — the widening beyond the moment-aggregation fast paths: any
+    * side pair with a derivable grouping ([[groupingOf]]) and value
+    * column ([[valueColOf]]) joins here, so the canonical alert compare
+    * `sum by (c)(rate(a[1h])) > sum by (c)(rate(b[1h]))` and the
+    * projected one-to-many `sum by (c,extra)(a[1h]) > on (c) group_left
+    * sum by (c)(b[1h])` compile instead of falling to the
+    * unsupported-shape error. `ignoring (l)` arrives here already
+    * resolved to explicit on-labels (resolveWithout).
+    *
+    * Matching rules (Prometheus semantics, proven at compile time so a
+    * wrong answer is unrepresentable): plain match — both groupings must
+    * equal the match labels (1:1 by construction: each side aggregates
+    * AT that grain, so no many-to-many guard is needed); `group_left` —
+    * the right side's grouping must equal the match labels exactly
+    * (many-to-one; carried labels stay on the dedicated
+    * moment-aggregation path above, which has the one-row guard);
+    * `group_right` — the mirror.
+    *
+    * Output: the kept (finer) side's labels + bucket_start +
+    * sum_a/sum_b + `result`. `arith` sets result = op(sum_a, sum_b); a
+    * `filter` compare passes the LEFT operand's value through and drops
+    * failing rows (Prometheus keeps the left value whichever side's
+    * labels survive); `bool` emits the 0/1 indicator and keeps all
+    * matched rows.
+    *
+    * Plan shape: two one-shuffle aggregations joined on group-sized
+    * keys (match labels + bucket) — binaryOpBy's exchange profile, no
+    * new scale surface.
+    */
+  private def vectorMatchGeneric(
+      t: Tsdb,
+      op: String,
+      lhs: Expr,
+      rhs: Expr,
+      on: Seq[String],
+      gl: Boolean,
+      gr: Boolean,
+      start: Long,
+      end: Long,
+      buckets: Seq[Double],
+      rollupStep: Option[Long],
+      mode: String): DataFrame = {
+    def grouping(e: Expr, side: String): Seq[String] =
+      groupingOf(e).getOrElse(throw new IllegalArgumentException(
+        s"vector-match $side side has no derivable label grouping: $e"))
+    def step(e: Expr, side: String): Long =
+      gridSpecOf(e).map(_._1).getOrElse(throw new IllegalArgumentException(
+        s"vector-match $side side has no derivable step grid " +
+        s"(needs a ranged selector `x[d]` inside): $e"))
+    val byA = grouping(lhs, "left")
+    val byB = grouping(rhs, "right")
+    require(step(lhs, "left") == step(rhs, "right"),
+      "vector-match sides must share the step grid")
+    val mk: Seq[String] =
+      if (on.nonEmpty) on
+      else if (gl) byB
+      else if (gr) byA
+      else {
+        require(byA == byB,
+          s"vector-match sides must aggregate by the same labels: " +
+          s"$byA vs $byB (use 'on (l) group_left/group_right' for " +
+          "one-to-many)")
+        byA
+      }
+    if (gl) {
+      require(mk.forall(byA.contains),
+        s"group_left: match labels ($mk) must be part of the left " +
+        s"side's grouping ($byA)")
+      require(byB.toSet == mk.toSet,
+        s"group_left on this side shape needs the right side " +
+        s"aggregated exactly at the match labels ($mk), got $byB — " +
+        "carried labels (group_left(extra)) are supported between " +
+        "moment aggregations only")
+    } else if (gr) {
+      require(mk.forall(byB.contains),
+        s"group_right: match labels ($mk) must be part of the right " +
+        s"side's grouping ($byB)")
+      require(byA.toSet == mk.toSet,
+        s"group_right on this side shape needs the left side " +
+        s"aggregated exactly at the match labels ($mk), got $byA — " +
+        "carried labels (group_right(extra)) are supported between " +
+        "moment aggregations only")
+    } else {
+      require(byA.toSet == mk.toSet && byB.toSet == mk.toSet,
+        s"plain vector match needs both sides grouped by exactly the " +
+        s"match labels ($mk): $byA vs $byB (use 'on (l) " +
+        "group_left/group_right' for one-to-many)")
+    }
+    val keptBy = if (gr) byB else byA
+    val dfA = compile(t, lhs, start, end, buckets, rollupStep)
+      .select(byA.map(col) ++ Seq(col("bucket_start"),
+        col(valueColOf(lhs)).cast("double").as("sum_a")): _*)
+    val dfB = compile(t, rhs, start, end, buckets, rollupStep)
+      .select(byB.map(col) ++ Seq(col("bucket_start"),
+        col(valueColOf(rhs)).cast("double").as("sum_b")): _*)
+    val out = dfA.join(dfB, mk :+ "bucket_start")
+      .select(keptBy.map(col) ++ Seq(col("bucket_start"),
+        col("sum_a"), col("sum_b")): _*)
+    mode match {
+      case "arith" =>
+        out.withColumn("result", arith(op)(col("sum_a"), col("sum_b")))
+      case "filter" =>
+        out.withColumn("result", col("sum_a"))
+          .where(cmp(op)(col("sum_a"), col("sum_b")))
+      case "bool" =>
+        out.withColumn("result",
+          org.apache.spark.sql.functions
+            .when(cmp(op)(col("sum_a"), col("sum_b")), 1.0)
+            .otherwise(0.0))
+    }
+  }
+
   /** The aggregated-moment column each shape exposes to scalar
     * arithmetic / threshold filtering — the column a hand-built query
     * would operate on. Fails fast for shapes with no single value
@@ -1576,16 +1698,24 @@ object PromQL {
           org.apache.spark.sql.functions
             .when(cmp(op)(x, y), 1.0).otherwise(0.0))
 
+      // generic bool vector compare — sides beyond the moment-agg fast
+      // path above (counter-family: `rate(a) > bool rate(b)` shapes),
+      // plain 1:1 matching on the shared grouping
+      case BoolCmp(op, lhs, rhs)
+          if groupingOf(lhs).isDefined && groupingOf(rhs).isDefined =>
+        vectorMatchGeneric(t, op, lhs, rhs, Seq.empty, gl = false,
+          gr = false, start, end, buckets, rollupStep, "bool")
+
       // other bool shapes parse fine, so without this case they would
       // fall through to the generic unsupported-shape error that never
       // mentions bool — name the restriction explicitly. (Scalar sides
-      // and moment-aggregation vector matches are handled above.)
+      // and aggregated vector matches are handled above.)
       case BoolCmp(op, _, _) =>
         throw new IllegalArgumentException(
           s"bool comparisons support a scalar side (`x > bool 0.5`) or " +
-          s"two matching moment aggregations (`sum by (l)(a[1h]) $op " +
-          s"bool sum by (l)(b[1h])`); other vector shapes are not " +
-          s"supported")
+          s"two matching aggregations (`sum by (l)(a[1h]) $op " +
+          s"bool sum by (l)(b[1h])`, incl. over rate/increase); other " +
+          s"vector shapes are not supported")
 
       // `expr or vector(s)` — Prometheus's gap-filling idiom
       // (`sum(x[step]) or vector(0)`). The rhs vector carries NO labels,
@@ -2068,6 +2198,19 @@ object PromQL {
             a.offsetSec, b.offsetSec)((x, _) => x)
           .where(cmp(op)(col("sum_a"), col("sum_b")))
 
+      // generic vector matches/compares — any side pair with a
+      // derivable grouping that the dedicated cases above didn't take:
+      // counter-family sides (`sum by (c)(rate(a[1h])) > sum by (c)
+      // (rate(b[1h]))`, the canonical alert compare), on()/ignoring
+      // projections at distinct grains with group_left/group_right, and
+      // nested arithmetic sides (`a/b > c/d`). Each side compiles
+      // independently; the match is a group-sized equi-join.
+      case BinOp(op, lhs, rhs, on, gl, gr)
+          if (ArithOps(op) || CmpOps(op)) &&
+            groupingOf(lhs).isDefined && groupingOf(rhs).isDefined =>
+        vectorMatchGeneric(t, op, lhs, rhs, on, gl, gr, start, end,
+          buckets, rollupStep, if (ArithOps(op)) "arith" else "filter")
+
       case other =>
         throw new IllegalArgumentException(
           s"unsupported query shape: $other — supported: selector, " +
@@ -2075,10 +2218,11 @@ object PromQL {
           "topk/bottomk(k, sum by), sum by (rate|increase|resets|changes), " +
           "bare rate/increase/delta, irate/idelta, " +
           "*_over_time, quantile_over_time, predict_linear, absent, " +
-          "holt_winters, vector matches between moment aggregations " +
-          "(arith incl. group_left/group_right with carried labels; " +
-          "compares — filter `>` and `> bool` — between plain-selector " +
-          "moment aggregations with matching by-lists), " +
+          "holt_winters, vector matches and compares (arith, filter " +
+          "`>`, `> bool`) between aggregated sides — moment " +
+          "aggregations, aggregations over rate/increase — incl. " +
+          "on()/ignoring() projection and group_left/group_right " +
+          "(carried labels between moment aggregations only), " +
           "and/or/unless, `or vector(s)` gap fill, label_replace/" +
           "label_join, sort/sort_desc/sort_by_label[_desc], " +
           "scalar()/time() sides, scalar arithmetic and threshold filters")

@@ -1162,12 +1162,82 @@ class PromQLSpec extends SparkSuite {
     assert(filtered.where(col("sum_a") <= col("sum_b")).count() == 0L)
   }
 
+  test("generic vector matches: on() projection, group_left/right, " +
+      "counter-family sides") {
+    // one-to-many projected compare: per-user max vs cohort avg
+    val cmpOn = PromQL.query(t,
+      "max by (cohort, user_id) (click[1h]) > on (cohort) group_left " +
+        "avg by (cohort) (click[1h])", T0, T1)
+    val perUser = PromQL.query(t,
+      "max by (cohort, user_id) (click[1h])", T0, T1)
+      .select(col("cohort"), col("user_id"), col("bucket_start"),
+        col("max_v"))
+    val perCohort = PromQL.query(t, "avg by (cohort) (click[1h])", T0, T1)
+      .select(col("cohort"), col("bucket_start"), col("avg_v"))
+    val expected = perUser.join(perCohort, Seq("cohort", "bucket_start"))
+      .where(col("max_v") > col("avg_v"))
+    assert(cmpOn.count() > 0 && cmpOn.count() == expected.count())
+    // the kept value is the LEFT side's (the per-user max)
+    assert(cmpOn.where(col("result") =!= col("sum_a")).isEmpty)
+    val bad = cmpOn.join(expected, Seq("cohort", "user_id", "bucket_start"))
+      .where(col("sum_a") =!= col("max_v") || col("sum_b") =!= col("avg_v"))
+    assert(bad.isEmpty)
+    // group_right mirror keeps the many (right) side's labels but still
+    // passes the LEFT operand's value through
+    val cmpGr = PromQL.query(t,
+      "avg by (cohort) (click[1h]) < on (cohort) group_right " +
+        "max by (cohort, user_id) (click[1h])", T0, T1)
+    assert(cmpGr.count() == cmpOn.count())
+    assert(cmpGr.columns.contains("user_id"))
+    assert(cmpGr.where(col("result") =!= col("sum_a")).isEmpty)
+    // counter-family compare: per-cohort click rate vs purchase rate
+    val cmpRate = PromQL.query(t,
+      "sum by (cohort) (rate(click[1h])) > " +
+        "sum by (cohort) (rate(purchase[1h]))", T0, T1)
+    val rc = PromQL.query(t, "sum by (cohort) (rate(click[1h]))", T0, T1)
+      .select(col("cohort"), col("bucket_start"),
+        col("rate_per_sec").as("ra"))
+    val rp = PromQL.query(t, "sum by (cohort) (rate(purchase[1h]))", T0, T1)
+      .select(col("cohort"), col("bucket_start"),
+        col("rate_per_sec").as("rb"))
+    val expRate = rc.join(rp, Seq("cohort", "bucket_start"))
+      .where(col("ra") > col("rb"))
+    assert(cmpRate.count() == expRate.count())
+    // arithmetic over counter-family sides: the error-ratio idiom
+    val ratio = PromQL.query(t,
+      "sum by (cohort) (rate(purchase[1h])) / " +
+        "sum by (cohort) (rate(click[1h]))", T0, T1)
+    val expRatio = rc.join(rp, Seq("cohort", "bucket_start"))
+    assert(ratio.count() == expRatio.count())
+    assert(ratio.join(expRatio, Seq("cohort", "bucket_start"))
+      .where(abs(col("result") - round(col("rb") / col("ra"), 6)) > 1e-9)
+      .isEmpty)
+    // bool over counter-family sides
+    val boolRate = PromQL.query(t,
+      "sum by (cohort) (rate(click[1h])) > bool " +
+        "sum by (cohort) (rate(purchase[1h]))", T0, T1)
+    assert(boolRate.count() == expRatio.count())
+    assert(boolRate.where(col("result") === 1.0).count() == cmpRate.count())
+    // loud failures: distinct grains without a group modifier, and
+    // carried labels outside the moment-aggregation path
+    val e1 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort, user_id) (rate(click[1h])) > " +
+        "sum by (cohort) (rate(purchase[1h]))", T0, T1))
+    assert(e1.getMessage.contains("group_left"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort, user_id) (rate(click[1h])) > on (cohort) " +
+        "group_left sum by (cohort, user_id) (rate(purchase[1h]))",
+      T0, T1))
+    assert(e2.getMessage.contains("moment aggregations only"),
+      e2.getMessage)
+  }
+
   test("bool between non-aggregated vectors names the restriction; " +
       "plain ignoring no longer demands an aggregated rhs at resolve " +
       "time") {
     val e = intercept[IllegalArgumentException](PromQL.query(t,
       "purchase > bool click", T0, T1))
-    assert(e.getMessage.contains("moment aggregations"))
+    assert(e.getMessage.contains("matching aggregations"))
     // plain-match ignoring with a non-aggregated rhs resolves its
     // on-labels from the LHS grouping now — the failure (if any) comes
     // from the compiler's shape support, not the resolve pass
