@@ -482,6 +482,59 @@ object OracleSql {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** SimHash star-cluster mirror — the EXACT DuckDB replay of
+    * Dedup.simHashClusters: the portable 60-bit simhash (same md5 token
+    * hash as the pair oracle), 4 bands × 15 bits, one hub per
+    * (band, bucket) cell (min doc_id — the struct-min, since each doc
+    * appears once per cell), hub→member edges kept iff the exact
+    * Hamming test passes, then the recursive-CTE transitive closure
+    * labeling every node with its minimum reachable id.
+    */
+  private val dedupSimhashClusters: String = {
+    val bitTerms = (0 until 60).map { j =>
+      val p = 1L << j
+      s"CASE WHEN SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN ${p} ELSE 0 END"
+    }.mkString(" +\n         ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         list_reduce(
+       |           list_transform(range(1, 16),
+       |             i -> strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1),
+       |           (a, x) -> a * 16 + x) AS th
+       |  FROM toks),
+       |s AS (
+       |  SELECT doc_id,
+       |         $bitTerms AS sh
+       |  FROM h GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sh, bands.band,
+       |         (sh >> (CAST(bands.band AS INTEGER) * 15)) & 32767 AS bucket
+       |  FROM s, (SELECT unnest(range(0, 4)) AS band) bands),
+       |hubs AS (
+       |  SELECT band, bucket, min(doc_id) AS hub
+       |  FROM banded GROUP BY 1, 2),
+       |e0 AS (
+       |  SELECT DISTINCT hb.hub AS id1, bd.doc_id AS id2
+       |  FROM banded bd
+       |  JOIN hubs hb USING (band, bucket)
+       |  JOIN s hs ON hs.doc_id = hb.hub
+       |  WHERE bd.doc_id <> hb.hub
+       |    AND bit_count(xor(bd.sh, hs.sh)) <= 3),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM e0
+       |  UNION SELECT id2, id1 FROM e0),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a)
+       |SELECT id AS doc_id, min(r) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   /** Embedding CTE: double-cast vectors + sequential-fold norms. */
   /** Normalized-embedding CTE over a parameterized source — `embeddings`
     * for the shared table, or a read_parquet() path for fixture corpora
@@ -2614,6 +2667,17 @@ object OracleSql {
     "dedup_components_minlabel" -> dedupComponents,
     "dedup_components_capped" -> dedupComponentsCapped,
     "dedup_simhash" -> dedupSimhash,
+    // the simhash star-cluster form replays EXACTLY in SQL (portable
+    // md5-derived bits, deterministic banding, hub edges, closure)
+    "dedup_simhash_clusters" -> dedupSimhashClusters,
+    // the minhash star-cluster form's banding is xxhash64-based (not
+    // SQL-expressible), but its verified hub-edge closure equals the
+    // full exact-Jaccard-pair closure whenever banding misses no true
+    // pair and every clique member verifies against its hub — miss
+    // probability < 1e-20 per pair at J>=0.8 with 32x4 banding, and
+    // OperatorSpec pins star==full-closure equality on the gate
+    // corpora, so the uncapped-closure oracle applies verbatim
+    "dedup_minhash_clusters" -> dedupComponents,
     "dedup_embedding" -> dedupEmbedding,
     "ann_topk" -> annTopk,
     "text_langid" -> textLangid,

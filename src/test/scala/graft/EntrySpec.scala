@@ -21,8 +21,7 @@ class EntrySpec extends SparkSuite {
     assert(q.diff(o) == Set(
       "ann_topk_lsh", "ann_topk_ivf", "q_approx_distinct",
       "dedup_embedding_lsh", "dedup_embedding_ivf",
-      "ann_clustered_lsh", "ann_clustered_ivf",
-      "dedup_minhash_clusters", "dedup_simhash_clusters"))
+      "ann_clustered_lsh", "ann_clustered_ivf"))
   }
 
   test("every query runs and returns rows at sf0.001") {
