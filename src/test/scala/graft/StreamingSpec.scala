@@ -34,6 +34,73 @@ class StreamingSpec extends SparkSuite {
     assert(segs == 2)
   }
 
+  test("kafka-shaped source: the (key, value, timestamp, partition) " +
+      "wire contract parses into samples and ingests") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.KafkaShaped
+    // memory-stream rows of EXACTLY the kafka connector's wire schema
+    val mem = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long,
+      java.sql.Timestamp, Int)]
+    val src = mem.toDF().toDF("key", "value", "topic", "partition",
+      "offset", "timestamp", "timestampType")
+    // same columns and types (memory-stream primitives pin tighter
+    // nullability than the connector's, which is fine for a producer)
+    assert(src.schema.map(f => (f.name, f.dataType)) ==
+      KafkaShaped.wireSchema.map(f => (f.name, f.dataType)))
+    def rec(key: String, json: String, part: Int, off: Long,
+        brokerTs: Long) =
+      (key.getBytes("UTF-8"), json.getBytes("UTF-8"), "metrics", part,
+        off, new java.sql.Timestamp(brokerTs * 1000L), 0)
+    val tsdb = new Tsdb(spark, TsdbConf(dataPath = tempDir("kafka")))
+    mem.addData(
+      rec("cpu.busy", """{"metric":"cpu.busy","labels":{"node":"vm0"},
+        "ts":1600000000,"value":1.5}""".replace("\n", ""), 0, 0L,
+        1600000900L),
+      // payload without ts: the broker timestamp is the event time
+      rec("cpu.busy", """{"metric":"cpu.busy","labels":{"node":"vm1"},
+        "value":2.5}""".replace("\n", ""), 1, 0L, 1600000060L),
+      // no labels at all: defaults to the empty map, not null
+      rec("mem.used", """{"metric":"mem.used","value":7.0,
+        "ts":1600000120}""".replace("\n", ""), 2, 5L, 1600000999L))
+    val q = Ingest.ingestStream(tsdb, KafkaShaped.samples(src),
+      tempDir("ckpt_kafka"))
+    q.processAllAvailable()
+    q.stop()
+    val cpu = tsdb.queryRange("cpu.busy", Seq.empty,
+      1600000000L, 1600001000L).orderBy("ts").collect()
+    assert(cpu.length == 2)
+    assert(cpu.map(_.getAs[Long]("ts")).toSeq ==
+      Seq(1600000000L, 1600000060L)) // payload ts, then broker fallback
+    assert(tsdb.queryRange("mem.used", Seq.empty,
+      1600000000L, 1600001000L).count() == 1)
+    // the key column is a partitioning hint only: series identity comes
+    // from (metric, labels) — the two cpu.busy rows are DIFFERENT series
+    assert(tsdb.queryRange("cpu.busy", Seq.empty,
+      1600000000L, 1600001000L)
+      .select(col("labels").getItem("node")).distinct().count() == 2)
+    // batch parse of the same wire shape (the connector's batch twin)
+    val batchWire = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        null, """{"metric":"disk.io","value":3.0,"ts":1600000200}"""
+          .getBytes("UTF-8"),
+        "metrics", 0, 9L, new java.sql.Timestamp(1600000300000L), 0))),
+      KafkaShaped.wireSchema)
+    val parsed = KafkaShaped.samples(batchWire).collect()
+    assert(parsed.length == 1 &&
+      parsed.head.getAs[String]("metric") == "disk.io" &&
+      parsed.head.getAs[Long]("ts") == 1600000200L)
+    // malformed payloads: loud by default (at-least-once redelivery
+    // would otherwise silently lose data), sheddable on request
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        null, "not json".getBytes("UTF-8"), "metrics", 0, 1L,
+        new java.sql.Timestamp(1600000000000L), 0))),
+      KafkaShaped.wireSchema)
+    val e = intercept[Exception](KafkaShaped.samples(bad).collect())
+    assert(e.getMessage != null)
+    assert(KafkaShaped.samples(bad, onMalformed = "drop").isEmpty)
+  }
+
   test("head-buffered streaming ingest: queries see head+disk; row trigger flushes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Double)]
