@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -138,6 +138,47 @@ object IngestBench {
     val streamRows = nb.toLong * streamX * batchRows.length
     val streamRate = streamRows / streamSec
 
+    // file-source streaming path — the distributed-feed twin of the
+    // memory-stream run above. The memory path times the DRIVER
+    // materializing each micro-batch (a 1M-tuple Seq built and
+    // serialized single-threaded per commit) in the same region as the
+    // engine's write — a real source (Kafka partitions, landing files)
+    // feeds executors directly. Here the corpus is pre-written as
+    // parquet file groups and readStream(maxFilesPerTrigger) slices the
+    // micro-batches, so the timed region is: distributed read +
+    // foreachBatch(insertRows) + commit log. A no-op pass (count-only
+    // foreachBatch) over the same files separates source+harness cost
+    // from the engine's per-commit write cost.
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("ingest_stage").toString + "/files"
+    // fixed 8-files-per-replica staging; SPARK_GRAFT_FILES_PER_TRIGGER
+    // varies the MICRO-BATCH SIZE against the same files (8 → one
+    // replica per commit, 16 → two, ...), isolating per-commit overhead
+    val filesPerBatch =
+      sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "8").toInt
+    base.repartition(nb * 8).write.parquet(stageDir)
+    val stagedSchema = spark.read.parquet(stageDir).schema
+    def fileStream() = spark.readStream
+      .schema(stagedSchema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(stageDir)
+    def runFileStream(sink: DataFrame => Unit): Double = {
+      val t = System.nanoTime()
+      val q = fileStream().writeStream
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("ingest_fs_ckpt").toString)
+        .foreachBatch((b: DataFrame, _: Long) => sink(b))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      (System.nanoTime() - t) / 1e9
+    }
+    val noopSec = runFileStream(b => { b.count(); () })
+    val tf = freshTsdb()
+    val fileSec = runFileStream(b => tf.insertRows(b))
+    val fileRate = n / fileSec
+    val fileBatches = math.ceil(nb * 8.0 / filesPerBatch).toInt
+
     println(
       s"""{"metric":"ingest","batch_rows":$n,"batch_sec":$batchSec,""" +
       s""""batch_rows_per_sec":${batchRate.toLong},""" +
@@ -145,7 +186,12 @@ object IngestBench {
       s""""flush_sec":$flushSec,""" +
       s""""stream_rows":$streamRows,"stream_sec":$streamSec,""" +
       s""""stream_rows_per_sec":${streamRate.toLong},""" +
-      s""""micro_batches":$nb,"config":"local[$cpus], shuffle=$cpus, """ +
+      s""""micro_batches":$nb,""" +
+      s""""fstream_rows":$n,"fstream_sec":$fileSec,""" +
+      s""""fstream_rows_per_sec":${fileRate.toLong},""" +
+      s""""fstream_batches":$fileBatches,""" +
+      s""""fstream_noop_sec":$noopSec,""" +
+      s""""config":"local[$cpus], shuffle=$cpus, """ +
       s"""zstd, seg=86400s, sf=$sfDir x$factor"}""")
     spark.stop()
   }
