@@ -211,22 +211,10 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     // listing equals max(old, thisBatch) exactly — and it shaves one
     // job launch per streaming commit (~0.2-0.4 s at micro-batch
     // cadence, measured in IngestBench's file-stream path).
-    maxSegOnDisk().foreach(s => frozenMaxSeg = math.max(frozenBoundary(), s))
-  }
-
-  /** Max `seg=N` partition value currently in the fact store — a
-    * driver-side directory listing (cheap: one name per segment). */
-  private def maxSegOnDisk(): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(samplesPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("seg=") =>
-        n.stripPrefix("seg=").toLongOption }
-      .flatten
-      .foldLeft(Option.empty[Long])((a, s) =>
-        Some(a.fold(s)(math.max(_, s))))
+    listSegDirs().map(_._1).maxOption.foreach { s =>
+      frozenInit = true // this listing IS the lazy init's listing
+      frozenMaxSeg = math.max(frozenMaxSeg, s)
+    }
   }
 
   /** Bookkeeping after every durable `series_meta` append: one more

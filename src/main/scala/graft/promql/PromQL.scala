@@ -1205,14 +1205,24 @@ object PromQL {
     def grouping(e: Expr, side: String): Seq[String] =
       groupingOf(e).getOrElse(throw new IllegalArgumentException(
         s"vector-match $side side has no derivable label grouping: $e"))
-    def step(e: Expr, side: String): Long =
-      gridSpecOf(e).map(_._1).getOrElse(throw new IllegalArgumentException(
+    def grid(e: Expr, side: String): (Long, Long) =
+      gridSpecOf(e).getOrElse(throw new IllegalArgumentException(
         s"vector-match $side side has no derivable step grid " +
         s"(needs a ranged selector `x[d]` inside): $e"))
     val byA = grouping(lhs, "left")
     val byB = grouping(rhs, "right")
-    require(step(lhs, "left") == step(rhs, "right"),
+    val (stepA, offA) = grid(lhs, "left")
+    val (stepB, offB) = grid(rhs, "right")
+    require(stepA == stepB,
       "vector-match sides must share the step grid")
+    // misaligned offsets would shift one side's bucket_start values off
+    // the other's grid and the equi-join would return EMPTY — an alert
+    // that can never fire. Fail loudly instead (offsets that are
+    // step-multiples keep the grids aligned and join fine).
+    require(Math.floorMod(offA, stepA) == Math.floorMod(offB, stepA),
+      s"vector-match sides' offsets ($offA s vs $offB s) are not " +
+      s"congruent mod the ${stepA}s step — their bucket grids would " +
+      "never intersect")
     val mk: Seq[String] =
       if (on.nonEmpty) on
       else if (gl) byB
@@ -1229,19 +1239,19 @@ object PromQL {
         s"group_left: match labels ($mk) must be part of the left " +
         s"side's grouping ($byA)")
       require(byB.toSet == mk.toSet,
-        s"group_left on this side shape needs the right side " +
-        s"aggregated exactly at the match labels ($mk), got $byB — " +
-        "carried labels (group_left(extra)) are supported between " +
-        "moment aggregations only")
+        s"group_left on this shape needs the right side aggregated " +
+        s"exactly at the match labels ($mk), got $byB — carried labels " +
+        "(group_left(extra)) are supported for ARITHMETIC between " +
+        "moment aggregations only, not for comparisons or counter sides")
     } else if (gr) {
       require(mk.forall(byB.contains),
         s"group_right: match labels ($mk) must be part of the right " +
         s"side's grouping ($byB)")
       require(byA.toSet == mk.toSet,
-        s"group_right on this side shape needs the left side " +
-        s"aggregated exactly at the match labels ($mk), got $byA — " +
-        "carried labels (group_right(extra)) are supported between " +
-        "moment aggregations only")
+        s"group_right on this shape needs the left side aggregated " +
+        s"exactly at the match labels ($mk), got $byA — carried labels " +
+        "(group_right(extra)) are supported for ARITHMETIC between " +
+        "moment aggregations only, not for comparisons or counter sides")
     } else {
       require(byA.toSet == mk.toSet && byB.toSet == mk.toSet,
         s"plain vector match needs both sides grouped by exactly the " +

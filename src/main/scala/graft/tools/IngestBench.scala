@@ -151,9 +151,9 @@ object IngestBench {
     // from the engine's per-commit write cost.
     val stageDir = java.nio.file.Files
       .createTempDirectory("ingest_stage").toString + "/files"
-    // fixed 8-files-per-replica staging; SPARK_GRAFT_FILES_PER_TRIGGER
-    // varies the MICRO-BATCH SIZE against the same files (8 → one
-    // replica per commit, 16 → two, ...), isolating per-commit overhead
+    // the full n-row corpus staged as nb*8 files, so 8 files/trigger =
+    // n/nb rows per commit (1M at factor=50) and 16 doubles the commit
+    // size against the SAME staged files — isolating per-commit overhead
     val filesPerBatch =
       sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "8").toInt
     base.repartition(nb * 8).write.parquet(stageDir)

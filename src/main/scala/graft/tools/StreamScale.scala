@@ -142,8 +142,10 @@ object StreamScale {
     val recStateBytes =
       recState.map(_.memoryUsedBytes).foldLeft(0L)(math.max)
     qr.stop()
+    // window capped at maxTs: the far-future sentinel cohorts' buckets
+    // (watermark-closers, value 0) must not inflate the scale record
     val recRows = tsdb.queryRange("cohort:click:sum", Seq.empty,
-      0L, maxTs + 300L * 86400).count()
+      0L, maxTs).count()
 
     println(
       s"""{"metric":"stream_scale","rows":$n,"sf":"$sfDir",""" +

@@ -76,6 +76,23 @@ class OperatorSpec extends SparkSuite {
     val exactGroups =
       exactComp.groupBy(_._2).values.map(_.keys.toSet).toSet
     assert(starGroups == exactGroups)
+    // the SAME equality on the sf0.01 corpus — the one the driver's
+    // DuckDB oracle compares against. dedup_minhash_clusters is oracled
+    // by the full exact-pair closure (OracleSql), which is only sound
+    // while star-verified hub edges connect exactly the exact-closure
+    // components; this pin makes any drift fail the suite BEFORE the
+    // driver's hash compare does (the structural guarantee is
+    // refinement-only: a hub edge failing exact Jaccard while a
+    // non-hub pair passes would split a cluster).
+    val docs01 = Tables.documents(spark, "/root/testdata/sf0.01")
+    val star01 = Dedup.minHashClusters(docs01, "doc_id", "text", 3, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact01 = Dedup.connectedComponentsStar(
+        Dedup.ngramJaccardPairs(docs01, "doc_id", "text", 3, 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star01 == exact01,
+      s"sf0.01 star clusters diverge from the exact closure: " +
+      s"${star01.size} vs ${exact01.size} docs")
   }
 
   test("connected components equals driver-side union-find") {

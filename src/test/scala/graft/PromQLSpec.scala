@@ -1228,8 +1228,17 @@ class PromQLSpec extends SparkSuite {
       "sum by (cohort, user_id) (rate(click[1h])) > on (cohort) " +
         "group_left sum by (cohort, user_id) (rate(purchase[1h]))",
       T0, T1))
-    assert(e2.getMessage.contains("moment aggregations only"),
-      e2.getMessage)
+    assert(e2.getMessage.contains("ARITHMETIC between"), e2.getMessage)
+    // misaligned offsets would make the grid join silently empty — the
+    // compiler rejects them; step-multiple offsets stay compilable
+    val e3 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort) (rate(click[3600] offset 1800s)) > " +
+        "sum by (cohort) (rate(purchase[3600]))", T0, T1))
+    assert(e3.getMessage.contains("congruent"), e3.getMessage)
+    assert(PromQL.query(t,
+      "sum by (cohort) (rate(click[3600] offset 3600s)) > " +
+        "sum by (cohort) (rate(purchase[3600]))", T0, T1).columns
+      .contains("result"))
   }
 
   test("bool between non-aggregated vectors names the restriction; " +
