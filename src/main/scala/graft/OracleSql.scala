@@ -1256,6 +1256,7 @@ object OracleSql {
        |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
        |         CAST(user_id AS VARCHAR) AS user_id,
        |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_a,
        |         CAST(max(value) AS DOUBLE) AS sum_a
        |  FROM events
        |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
@@ -1263,13 +1264,14 @@ object OracleSql {
        |b AS (
        |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
        |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_b,
        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
        |           / count(*) AS sum_b
        |  FROM events
        |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
        |  GROUP BY 1, 2)
-       |SELECT a.cohort, a.user_id, a.bucket_start, sum_a, sum_b,
-       |       sum_a AS result
+       |SELECT a.cohort, a.user_id, a.bucket_start, n_a, n_b,
+       |       sum_a, sum_b, sum_a AS result
        |FROM a JOIN b USING (cohort, bucket_start)
        |WHERE sum_a > sum_b
        |ORDER BY 1, 2, 3""".stripMargin

@@ -1241,8 +1241,8 @@ object PromQL {
       require(byB.toSet == mk.toSet,
         s"group_left on this shape needs the right side aggregated " +
         s"exactly at the match labels ($mk), got $byB — carried labels " +
-        "(group_left(extra)) are supported for ARITHMETIC between " +
-        "moment aggregations only, not for comparisons or counter sides")
+        "(group_left(extra)) are supported between moment aggregations " +
+        "only, not for counter (rate/increase) sides")
     } else if (gr) {
       require(mk.forall(byB.contains),
         s"group_right: match labels ($mk) must be part of the right " +
@@ -1250,8 +1250,8 @@ object PromQL {
       require(byA.toSet == mk.toSet,
         s"group_right on this shape needs the left side aggregated " +
         s"exactly at the match labels ($mk), got $byA — carried labels " +
-        "(group_right(extra)) are supported for ARITHMETIC between " +
-        "moment aggregations only, not for comparisons or counter sides")
+        "(group_right(extra)) are supported between moment aggregations " +
+        "only, not for counter (rate/increase) sides")
     } else {
       require(byA.toSet == mk.toSet && byB.toSet == mk.toSet,
         s"plain vector match needs both sides grouped by exactly the " +
@@ -2134,10 +2134,14 @@ object PromQL {
 
       // one-to-many matching: A op on (l) group_left B — the right side
       // aggregates at the on-label grain, the result keeps A's labels.
-      // Each side applies ITS OWN matcher list.
+      // Each side applies ITS OWN matcher list. Arithmetic sets result =
+      // op(a, b); a filter COMPARE passes the left value through and
+      // drops failing rows — both ride the same guarded join (incl.
+      // group_left(extra) carried labels).
       case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
           Agg(opB, _, _, byB, b: Selector, _), on, true, false)
-          if ArithOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
+          if (ArithOps(op) || CmpOps(op)) &&
+            MomentAggs(opA) && MomentAggs(opB) =>
         // byB beyond the on-labels = carried labels (group_left(extra)):
         // the right side aggregates at on+extra grain and the extras
         // ride onto the result, guarded one-row-per-match at execution
@@ -2147,16 +2151,20 @@ object PromQL {
         val step = stepOf(a, "group_left vector match")
         require(step == stepOf(b, "group_left vector match"),
           "vector-match sides must share the step grid")
-        t.binaryOpByGroupLeft(a.metric, b.metric,
+        val joined = t.binaryOpByGroupLeft(a.metric, b.metric,
           a.matchers, b.matchers, start, end, byA, byB, step,
           a.offsetSec, b.offsetSec,
-          momentCol(opA), momentCol(opB), onLabels = on)(arith(op))
+          momentCol(opA), momentCol(opB), onLabels = on)(
+          if (ArithOps(op)) arith(op) else (x, _) => x)
+        if (ArithOps(op)) joined
+        else joined.where(cmp(op)(col("sum_a"), col("sum_b")))
 
       // many-to-one: A op on (l) group_right B — the mirror, keeping B's
-      // finer label set
+      // finer label set; compares filter like the group_left case
       case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
           Agg(opB, _, _, byB, b: Selector, _), on, false, true)
-          if ArithOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
+          if (ArithOps(op) || CmpOps(op)) &&
+            MomentAggs(opA) && MomentAggs(opB) =>
         // mirror: byA beyond the on-labels = group_right(extra) carry
         require(on.forall(byA.contains),
           s"group_right: the on-labels ($on) must be part of the left " +
@@ -2164,10 +2172,13 @@ object PromQL {
         val step = stepOf(b, "group_right vector match")
         require(step == stepOf(a, "group_right vector match"),
           "vector-match sides must share the step grid")
-        t.binaryOpByGroupRight(a.metric, b.metric,
+        val joined = t.binaryOpByGroupRight(a.metric, b.metric,
           a.matchers, b.matchers, start, end, byA, byB, step,
           a.offsetSec, b.offsetSec,
-          momentCol(opA), momentCol(opB), onLabels = on)(arith(op))
+          momentCol(opA), momentCol(opB), onLabels = on)(
+          if (ArithOps(op)) arith(op) else (x, _) => x)
+        if (ArithOps(op)) joined
+        else joined.where(cmp(op)(col("sum_a"), col("sum_b")))
 
       // arithmetic vector match between two matching aggregations —
       // any moment pair (sum/avg/min/max/count), each side filtered by

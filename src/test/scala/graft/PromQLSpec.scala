@@ -1228,7 +1228,18 @@ class PromQLSpec extends SparkSuite {
       "sum by (cohort, user_id) (rate(click[1h])) > on (cohort) " +
         "group_left sum by (cohort, user_id) (rate(purchase[1h]))",
       T0, T1))
-    assert(e2.getMessage.contains("ARITHMETIC between"), e2.getMessage)
+    assert(e2.getMessage.contains("moment aggregations only"),
+      e2.getMessage)
+    // compare WITH carried labels between moment aggregations rides the
+    // guarded group_left join: rhs aggregates at on+carry, the carry
+    // (cohort, functionally determined by user_id) rides onto the
+    // surviving rows
+    val carryCmp = PromQL.query(t,
+      "sum by (user_id) (purchase[1h]) < on (user_id) " +
+        "group_left(cohort) max by (user_id, cohort) (click[1h])",
+      T0, T1)
+    assert(carryCmp.columns.contains("cohort") &&
+      carryCmp.where(col("sum_a") >= col("sum_b")).isEmpty)
     // misaligned offsets would make the grid join silently empty — the
     // compiler rejects them; step-multiple offsets stay compilable
     val e3 = intercept[IllegalArgumentException](PromQL.query(t,
