@@ -171,6 +171,29 @@ class PlanSpec extends SparkSuite {
       plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("vector compares: group-sized equi-joins, bounded exchanges, " +
+      "no cartesian") {
+    // counter-family compare (generic path): two lag+agg sides joined
+    // on (cohort, bucket). Each side: one window exchange (sid) + one
+    // aggregation exchange; the join keys equal the aggregation keys so
+    // the join reuses that partitioning (or AQE broadcasts a side) —
+    // bounded either way, never a cartesian or corpus broadcast.
+    val rate = planOf(
+      SparkEntry.queries("tsdb_promql_cmp_rate")(spark, sf0001))
+    assert(!rate.contains("CartesianProduct") &&
+      !rate.contains("BroadcastNestedLoopJoin"), rate.take(3000))
+    val rateEx = "Exchange hashpartitioning".r.findAllIn(rate).length
+    assert(rateEx <= 6, s"$rateEx hash exchanges\n${rate.take(3000)}")
+    // projected one-to-many compare (guarded group_left path): two
+    // one-shuffle aggregations joined on group-sized (on, bucket) keys
+    val on = planOf(SparkEntry.queries("tsdb_promql_cmp_on")(spark, sf0001))
+    assert(!on.contains("CartesianProduct") &&
+      !on.contains("BroadcastNestedLoopJoin"), on.take(3000))
+    val onEx = "Exchange hashpartitioning".r.findAllIn(on).length
+    assert(onEx <= 4, s"$onEx hash exchanges\n${on.take(3000)}")
+    assert(on.contains("HashAggregate"), on.take(3000))
+  }
+
   test("text_tfidf aggregations are partial (map-side combine)") {
     val plan = planOf(SparkEntry.queries("text_tfidf")(spark, sf0001))
     assert(plan.contains("partial_count"), plan.take(3000))
