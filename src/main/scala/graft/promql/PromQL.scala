@@ -167,7 +167,10 @@ object PromQL {
   /** A comparison with the `bool` modifier (`a > bool 0.5`): no rows are
     * dropped — the value column becomes 1.0 where the predicate holds,
     * 0.0 otherwise (Prometheus's 0/1 vector). */
-  final case class BoolCmp(op: String, lhs: Expr, rhs: Expr) extends Expr
+  final case class BoolCmp(
+      op: String, lhs: Expr, rhs: Expr,
+      on: Seq[String] = Nil, gl: Boolean = false,
+      gr: Boolean = false) extends Expr
   /** A pointwise math function over a vector (`abs(v)`, `ceil(v)`,
     * `floor(v)`, `sqrt(v)`, `sgn(v)`, `exp(v)`, `ln(v)`, `log2(v)`,
     * `log10(v)`, `round(v[, to])`, `clamp_min(v, s)`, `clamp_max(v, s)`,
@@ -359,11 +362,14 @@ object PromQL {
         // `bool` modifier: 0/1 result instead of PromQL drop semantics
         if (peek.contains(Ident("bool"))) {
           next()
-          val (ls, gl, gr, isIg, _) = parseMatchClause()
-          if (ls.nonEmpty || gl || gr || isIg)
-            fail("bool comparisons support plain 1:1 matching only — " +
-              "drop the on/ignoring/group modifier or use the filter form")
-          lhs = BoolCmp(op, lhs, parseAddSub())
+          val (ls, gl, gr, isIg, carry) = parseMatchClause()
+          if (isIg)
+            fail("bool comparisons take an explicit on (...) clause, " +
+              "not ignoring (...)")
+          if (carry.nonEmpty)
+            fail("bool comparisons do not carry labels — drop the " +
+              "group_left/group_right (extra) list")
+          lhs = BoolCmp(op, lhs, parseAddSub(), ls, gl, gr)
         } else {
           // filter compares take the same matching clause as arithmetic:
           // `a > on (l) group_left b`
@@ -815,13 +821,16 @@ object PromQL {
         if (px < p || (rhs && px == p)) s"(${render(x)})" else render(x)
       }
       s"${sub(l, rhs = false)} $op $clause ${sub(r, rhs = true)}"
-    case b @ BoolCmp(op, l, r) =>
+    case b @ BoolCmp(op, l, r, on, gl, gr) =>
       val p = precOf(b)
       def sub(x: Expr, rhs: Boolean): String = {
         val px = precOf(x)
         if (px < p || (rhs && px == p)) s"(${render(x)})" else render(x)
       }
-      s"${sub(l, rhs = false)} $op bool ${sub(r, rhs = true)}"
+      val clause =
+        (if (on.nonEmpty) on.mkString(" on (", ", ", ")") else "") +
+        (if (gl) " group_left" else if (gr) " group_right" else "")
+      s"${sub(l, rhs = false)} $op bool$clause ${sub(r, rhs = true)}"
     case NumLit(v) => renderNum(v)
     case TimeLit => "time()"
     case MathFn(name, arg, num, num2) =>
@@ -927,7 +936,7 @@ object PromQL {
       case Agg(_, _, _, _, body, _) => specs(body)
       case BinOp(_, l, r, _, _, _) => specs(l) ++ specs(r)
       case IgnoringOp(_, l, r, _, _, _) => specs(l) ++ specs(r)
-      case BoolCmp(_, l, r) => specs(l) ++ specs(r)
+      case BoolCmp(_, l, r, _, _, _) => specs(l) ++ specs(r)
       case MathFn(_, arg, _, _) => specs(arg)
       case LabelFn(_, inner, _) => specs(inner)
       case ValueLabel(_, inner) => specs(inner)
@@ -940,7 +949,8 @@ object PromQL {
       case b @ BinOp(_, l, r, _, _, _) => b.copy(lhs = strip(l), rhs = strip(r))
       case i @ IgnoringOp(_, l, r, _, _, _) =>
         i.copy(lhs = strip(l), rhs = strip(r))
-      case bc @ BoolCmp(_, l, r) => bc.copy(lhs = strip(l), rhs = strip(r))
+      case bc @ BoolCmp(_, l, r, _, _, _) =>
+        bc.copy(lhs = strip(l), rhs = strip(r))
       case m @ MathFn(_, arg, _, _) => m.copy(arg = strip(arg))
       case lf @ LabelFn(_, inner, _) => lf.copy(inner = strip(inner))
       case vl @ ValueLabel(_, inner) =>
@@ -953,7 +963,7 @@ object PromQL {
       case Agg(_, _, _, _, body, _) => ranges(body)
       case BinOp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
       case IgnoringOp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
-      case BoolCmp(_, l, r) => ranges(l) ++ ranges(r)
+      case BoolCmp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
       case MathFn(_, arg, _, _) => ranges(arg)
       case LabelFn(_, inner, _) => ranges(inner)
       case ValueLabel(_, inner) => ranges(inner)
@@ -1045,7 +1055,7 @@ object PromQL {
       validateSubquerySteps(l); validateSubquerySteps(r)
     case IgnoringOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
-    case BoolCmp(_, l, r) =>
+    case BoolCmp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
     // holt_winters consumes a [range:step] subquery step itself (the
     // eval grid), like the *_over_time family
@@ -1136,7 +1146,7 @@ object PromQL {
         case _ => ()
       }
       BinOp(op, rl, rr, on, gl, gr)
-    case bc @ BoolCmp(_, l, r) =>
+    case bc @ BoolCmp(_, l, r, _, _, _) =>
       bc.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
     case m @ MathFn(_, arg, _, _) => m.copy(arg = resolveWithout(t, arg))
     case lf @ LabelFn(_, inner, _) => lf.copy(inner = resolveWithout(t, inner))
@@ -1418,11 +1428,12 @@ object PromQL {
         case _ if gr => groupingOf(r)
         case _ => groupingOf(l)
       }
-    case BoolCmp(_, l, r) => (l, r) match {
+    case BoolCmp(_, l, r, _, _, gr) => (l, r) match {
       case (_, _: NumLit) => groupingOf(l)
       case (_: NumLit, _) => groupingOf(r)
-      // vector-vector bool keeps the matched grouping (byA == byB)
-      case _ => groupingOf(l)
+      // vector-vector bool keeps the matched grouping; under
+      // group_right the kept (finer) side is the right one
+      case _ => if (gr) groupingOf(r) else groupingOf(l)
     }
     case Agg("group", _, _, by, _: Selector, _) => Some(by)
     case LabelFn("sort_by_label" | "sort_by_label_desc", arg, _) =>
@@ -1675,13 +1686,13 @@ object PromQL {
 
       // `bool` comparisons keep every row and emit Prometheus's 0/1
       // vector in `result` instead of filtering
-      case BoolCmp(op, lhs, NumLit(v)) =>
+      case BoolCmp(op, lhs, NumLit(v), _, false, false) =>
         compile(t, lhs, start, end, buckets, rollupStep)
           .withColumn("result",
             org.apache.spark.sql.functions
               .when(cmp(op)(col(valueColOf(lhs)), lit(v)), 1.0)
               .otherwise(0.0))
-      case BoolCmp(op, NumLit(v), rhs) =>
+      case BoolCmp(op, NumLit(v), rhs, _, false, false) =>
         compile(t, rhs, start, end, buckets, rollupStep)
           .withColumn("result",
             org.apache.spark.sql.functions
@@ -1694,11 +1705,13 @@ object PromQL {
       // from the filter form (which sits with the vector-match family
       // below).
       case BoolCmp(op, Agg(opA, _, _, byA, a: Selector, _),
-          Agg(opB, _, _, byB, b: Selector, _))
+          Agg(opB, _, _, byB, b: Selector, _), on, false, false)
           if MomentAggs(opA) && MomentAggs(opB) =>
         require(byA == byB,
           s"vector-compare sides must aggregate by the same labels: " +
           s"$byA vs $byB")
+        require(on.isEmpty || on == byA,
+          s"on-labels ($on) must equal the grouping ($byA)")
         val step = stepOf(a, "bool vector compare")
         require(step == stepOf(b, "bool vector compare"),
           "vector-compare sides must share the step grid")
@@ -1711,16 +1724,51 @@ object PromQL {
       // generic bool vector compare — sides beyond the moment-agg fast
       // path above (counter-family: `rate(a) > bool rate(b)` shapes),
       // plain 1:1 matching on the shared grouping
-      case BoolCmp(op, lhs, rhs)
+      // bool with group_left/group_right between moment aggregations:
+      // the guarded one-to-many join, result = the 0/1 indicator, all
+      // matched rows kept (Prometheus bool semantics)
+      case BoolCmp(op, Agg(opA, _, _, byA, a: Selector, _),
+          Agg(opB, _, _, byB, b: Selector, _), on, true, false)
+          if MomentAggs(opA) && MomentAggs(opB) =>
+        require(on.forall(byB.contains),
+          s"group_left: the on-labels ($on) must be part of the right " +
+          s"side's grouping ($byB)")
+        val step = stepOf(a, "bool group_left vector compare")
+        require(step == stepOf(b, "bool group_left vector compare"),
+          "vector-compare sides must share the step grid")
+        t.binaryOpByGroupLeft(a.metric, b.metric,
+          a.matchers, b.matchers, start, end, byA, byB, step,
+          a.offsetSec, b.offsetSec,
+          momentCol(opA), momentCol(opB), onLabels = on)((x, y) =>
+          org.apache.spark.sql.functions
+            .when(cmp(op)(x, y), 1.0).otherwise(0.0))
+
+      case BoolCmp(op, Agg(opA, _, _, byA, a: Selector, _),
+          Agg(opB, _, _, byB, b: Selector, _), on, false, true)
+          if MomentAggs(opA) && MomentAggs(opB) =>
+        require(on.forall(byA.contains),
+          s"group_right: the on-labels ($on) must be part of the left " +
+          s"side's grouping ($byA)")
+        val step = stepOf(b, "bool group_right vector compare")
+        require(step == stepOf(a, "bool group_right vector compare"),
+          "vector-compare sides must share the step grid")
+        t.binaryOpByGroupRight(a.metric, b.metric,
+          a.matchers, b.matchers, start, end, byA, byB, step,
+          a.offsetSec, b.offsetSec,
+          momentCol(opA), momentCol(opB), onLabels = on)((x, y) =>
+          org.apache.spark.sql.functions
+            .when(cmp(op)(x, y), 1.0).otherwise(0.0))
+
+      case BoolCmp(op, lhs, rhs, on, gl, gr)
           if groupingOf(lhs).isDefined && groupingOf(rhs).isDefined =>
-        vectorMatchGeneric(t, op, lhs, rhs, Seq.empty, gl = false,
-          gr = false, start, end, buckets, rollupStep, "bool")
+        vectorMatchGeneric(t, op, lhs, rhs, on, gl, gr,
+          start, end, buckets, rollupStep, "bool")
 
       // other bool shapes parse fine, so without this case they would
       // fall through to the generic unsupported-shape error that never
       // mentions bool — name the restriction explicitly. (Scalar sides
       // and aggregated vector matches are handled above.)
-      case BoolCmp(op, _, _) =>
+      case BoolCmp(op, _, _, _, _, _) =>
         throw new IllegalArgumentException(
           s"bool comparisons support a scalar side (`x > bool 0.5`) or " +
           s"two matching aggregations (`sum by (l)(a[1h]) $op " +

@@ -1240,6 +1240,32 @@ class PromQLSpec extends SparkSuite {
       T0, T1)
     assert(carryCmp.columns.contains("cohort") &&
       carryCmp.where(col("sum_a") >= col("sum_b")).isEmpty)
+    // bool with matching modifiers: on() projection at the shared
+    // grouping, and group_left at distinct grains — 0/1 indicator over
+    // ALL matched rows (nothing dropped)
+    val boolOn = PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) > bool on (cohort) " +
+        "sum by (cohort) (click[1h])", T0, T1)
+    val boolPlain = PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) > bool sum by (cohort) (click[1h])",
+      T0, T1)
+    assert(boolOn.count() == boolPlain.count())
+    val boolGl = PromQL.query(t,
+      "max by (cohort, user_id) (click[1h]) > bool on (cohort) " +
+        "group_left avg by (cohort) (click[1h])", T0, T1)
+    assert(boolGl.count() > cmpOn.count()) // keeps rows filter drops
+    assert(boolGl.where(col("result") === 1.0).count() == cmpOn.count())
+    // round trip with modifiers
+    val qb = "max by (cohort, user_id) (click[1h]) > bool on (cohort) " +
+      "group_left avg by (cohort) (click[1h])"
+    assert(PromQL.parse(PromQL.render(PromQL.parse(qb))) == PromQL.parse(qb))
+    // ignoring and carried labels stay loud on bool
+    val eb1 = intercept[IllegalArgumentException](PromQL.parse(
+      "a > bool ignoring (l) b"))
+    assert(eb1.getMessage.contains("explicit on"), eb1.getMessage)
+    val eb2 = intercept[IllegalArgumentException](PromQL.parse(
+      "a > bool on (l) group_left(x) b"))
+    assert(eb2.getMessage.contains("do not carry"), eb2.getMessage)
     // misaligned offsets would make the grid join silently empty — the
     // compiler rejects them; step-multiple offsets stay compilable
     val e3 = intercept[IllegalArgumentException](PromQL.query(t,
