@@ -71,22 +71,67 @@ object AlertStream {
       cmp: String,
       thr: Double)
 
-  private def shapeOf(rule: Rules.AlertRule): Shape =
+  private val Moments = Set("sum", "avg", "min", "max", "count")
+  private val Cmps = Set(">", "<", ">=", "<=")
+
+  /** A plain unmodified ranged selector the streaming grid can evaluate
+    * — offset/@/[range:step] would silently shift batch-vs-stream. */
+  private def plain(sel: PromQL.Selector): Boolean =
+    sel.rangeSec.isDefined && sel.offsetSec == 0 &&
+      sel.stepSec.isEmpty && sel.atSpec.isEmpty
+
+  private def shapeOf(rule: Rules.AlertRule): Option[Shape] =
     PromQL.parse(rule.expr) match {
       case PromQL.BinOp(cmp, PromQL.Agg(op, _, _, by, sel: PromQL.Selector,
           without), PromQL.NumLit(thr), _, false, false)
-          if Set(">", "<", ">=", "<=")(cmp) &&
-            Set("sum", "avg", "min", "max", "count")(op) &&
-            without.isEmpty && sel.rangeSec.isDefined &&
-            // reject modifiers the streaming grid does not evaluate —
-            // offset/@ would silently shift batch-vs-stream otherwise
-            sel.offsetSec == 0 && sel.stepSec.isEmpty && sel.atSpec.isEmpty =>
-        Shape(sel.metric, sel.matchers, by, op, sel.rangeSec.get, cmp, thr)
-      case other => throw new IllegalArgumentException(
-        "streaming alerts support the canonical threshold shape " +
-        "`<moment> by (labels) (metric[step]) <cmp> <number>` " +
-        "(no offset/@/[range:step] modifiers), got: " + other)
+          if Cmps(cmp) && Moments(op) && without.isEmpty && plain(sel) =>
+        Some(Shape(sel.metric, sel.matchers, by, op, sel.rangeSec.get,
+          cmp, thr))
+      case _ => None
     }
+
+  /** The two-metric arithmetic alert shape — the `errors / requests`
+    * family: `<moment> by (l) (a[step]) <aop> <moment> by (l) (b[step])
+    * <cmp> <number>`, each side carrying its own matcher list. */
+  private final case class RatioShape(
+      metricA: String,
+      matchersA: Seq[graft.model.LabelMatcher],
+      opA: String,
+      metricB: String,
+      matchersB: Seq[graft.model.LabelMatcher],
+      opB: String,
+      by: Seq[String],
+      aop: String,
+      step: Long,
+      cmp: String,
+      thr: Double)
+
+  private def ratioShapeOf(rule: Rules.AlertRule): Option[RatioShape] =
+    PromQL.parse(rule.expr) match {
+      case PromQL.BinOp(cmp,
+          PromQL.BinOp(aop,
+            PromQL.Agg(opA, _, _, byA, a: PromQL.Selector, woA),
+            PromQL.Agg(opB, _, _, byB, b: PromQL.Selector, woB),
+            on, false, false),
+          PromQL.NumLit(thr), _, false, false)
+          if Cmps(cmp) && Set("/", "*", "+", "-")(aop) &&
+            Moments(opA) && Moments(opB) &&
+            byA == byB && (on.isEmpty || on == byA) &&
+            woA.isEmpty && woB.isEmpty &&
+            plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
+        Some(RatioShape(a.metric, a.matchers, opA,
+          b.metric, b.matchers, opB, byA, aop, a.rangeSec.get, cmp, thr))
+      case _ => None
+    }
+
+  private def unsupported(rule: Rules.AlertRule): Nothing =
+    throw new IllegalArgumentException(
+      "streaming alerts support the canonical threshold shape " +
+      "`<moment> by (labels) (metric[step]) <cmp> <number>` and the " +
+      "two-metric arithmetic form `<moment> by (l) (a[step]) <aop> " +
+      "<moment> by (l) (b[step]) <cmp> <number>` (no offset/@/" +
+      "[range:step] modifiers, matching by-lists, same step), got: " +
+      PromQL.parse(rule.expr))
 
   private def moment(op: String, b: Bucket): Double = op match {
     case "sum" => b.sum.toDouble
@@ -113,10 +158,22 @@ object AlertStream {
   def alerts(
       samples: DataFrame,
       rule: Rules.AlertRule,
+      watermark: String): Dataset[AlertEval] =
+    shapeOf(rule) match {
+      case Some(s) => alertsCanonical(samples, rule, s, watermark)
+      case None => ratioShapeOf(rule) match {
+        case Some(rs) => alertsRatio(samples, rule, rs, watermark)
+        case None => unsupported(rule)
+      }
+    }
+
+  private def alertsCanonical(
+      samples: DataFrame,
+      rule: Rules.AlertRule,
+      s: Shape,
       watermark: String): Dataset[AlertEval] = {
     val spark = samples.sparkSession
     import spark.implicits._
-    val s = shapeOf(rule)
     // the key joins label values on NUL (cannot appear in a label
     // value), with a distinct sentinel for ABSENT labels so {a:null,b:x}
     // and {a:x,b:null} never collide on one state key
@@ -194,6 +251,158 @@ object AlertStream {
     // gap (the contiguous successor closed empty), so the run is broken
     // and the key's state can drop entirely: no per-key residue outlives
     // its data by more than one step + lateness.
+    if (open.nonEmpty) {
+      state.update(st)
+      state.setTimeoutTimestamp((open.map(_.bucket).min + s.step) * 1000)
+    } else if (st.lastActive != Long.MinValue &&
+        wmSec < st.lastActive + 2 * s.step) {
+      state.update(st)
+      state.setTimeoutTimestamp((st.lastActive + 2 * s.step) * 1000)
+    } else if (state.exists) state.remove()
+    out.result().iterator
+  }
+
+  /** Internal event/state shapes for the two-metric form — public for
+    * Catalyst's generated (de)serializers, like [[Ev]]/[[St]]. */
+  final case class Ev2(
+      key: String, labels: Map[String, String], ts: Timestamp,
+      bucket: Long, side: Int, value: Double)
+  final case class Bucket2(
+      bucket: Long,
+      nA: Long, sumA: BigDecimal, mnA: Double, mxA: Double,
+      nB: Long, sumB: BigDecimal, mnB: Double, mxB: Double)
+  final case class St2(
+      labels: Map[String, String],
+      open: List[Bucket2],
+      lastActive: Long,
+      runStart: Long)
+
+  private def moment2(
+      op: String, n: Long, sum: BigDecimal, mn: Double, mx: Double)
+      : Double = op match {
+    case "sum" => sum.toDouble
+    case "avg" => sum.toDouble / n
+    case "count" => n.toDouble
+    case "min" => mn
+    case "max" => mx
+  }
+
+  /** The vector-match arithmetic with the BATCH twin's exact rounding:
+    * `/` rounds to 6 decimals (PromQL's arith, shared with the DuckDB
+    * oracle); NaN/Infinity pass through like Catalyst's Round. */
+  private def arith2(aop: String, a: Double, b: Double): Double =
+    aop match {
+      case "/" =>
+        val r = a / b
+        if (r.isNaN || r.isInfinite) r
+        else java.math.BigDecimal.valueOf(r)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      case "*" => a * b
+      case "+" => a + b
+      case "-" => a - b
+    }
+
+  /** The two-metric arithmetic alert — the streaming twin of the batch
+    * rule over `sum by (l)(a[step]) / sum by (l)(b[step]) > thr` (any
+    * moment pair, any of `/ * + -`). One stateful operator per labelset
+    * whose open buckets accumulate BOTH sides; when the watermark closes
+    * a bucket, the vector match applies (INNER-join semantics: a bucket
+    * with only one side present evaluates to no row — inactive, run
+    * broken), then the arithmetic, the threshold, and Prometheus `for`
+    * escalation — identical to the batch rule's gaps-and-islands pass,
+    * proven row-equal on a replayed fixture (StreamingSpec).
+    *
+    * Scale: same bounds as the canonical form — per-key state is
+    * O(open buckets), each bucket a fixed 9-field record; key
+    * cardinality (labelsets), not stream length, sizes the state.
+    */
+  private def alertsRatio(
+      samples: DataFrame,
+      rule: Rules.AlertRule,
+      s: RatioShape,
+      watermark: String): Dataset[AlertEval] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val keyCol =
+      if (s.by.isEmpty) lit("")
+      else concat_ws("\u0000", s.by.map(l =>
+        coalesce(col("labels").getItem(l), lit("\u0001"))): _*)
+    // a row may satisfy BOTH sides (same metric, overlapping matchers —
+    // the errors{code="500"} / errors idiom), so side membership is an
+    // exploded array, never an either/or branch
+    val sideA = col("metric") === s.metricA &&
+      Tsdb.matcherPredicate(col("labels"), s.matchersA)
+    val sideB = col("metric") === s.metricB &&
+      Tsdb.matcherPredicate(col("labels"), s.matchersB)
+    samples
+      .where(sideA || sideB)
+      .withWatermark("ts", watermark)
+      .select(
+        keyCol.as("key"),
+        (if (s.by.isEmpty) map().cast("map<string,string>")
+         else map(s.by.flatMap(l =>
+           Seq(lit(l), col("labels").getItem(l))): _*)).as("labels"),
+        col("ts"),
+        (col("ts").cast("long") -
+          pmod(col("ts").cast("long"), lit(s.step))).as("bucket"),
+        explode(array(when(sideA, 0), when(sideB, 1))).as("side"),
+        col("value").cast("double").as("value"))
+      .where(col("side").isNotNull)
+      .as[Ev2]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        process2(rule, s))
+  }
+
+  private def process2(rule: Rules.AlertRule, s: RatioShape)(
+      key: String,
+      events: Iterator[Ev2],
+      state: GroupState[St2]): Iterator[AlertEval] = {
+    var st = state.getOption.getOrElse(
+      St2(Map.empty, Nil, Long.MinValue, Long.MinValue))
+    val wmSec = state.getCurrentWatermarkMs() / 1000
+    val evs = events.toSeq.filter(e => e.bucket + s.step > wmSec)
+    if (evs.nonEmpty && st.labels.isEmpty)
+      st = st.copy(labels = evs.head.labels)
+    def zero(b: Long) = Bucket2(b,
+      0L, BigDecimal(0), Double.MaxValue, Double.MinValue,
+      0L, BigDecimal(0), Double.MaxValue, Double.MinValue)
+    val merged = evs.foldLeft(st.open.map(b => b.bucket -> b).toMap) {
+      (acc, e) =>
+        val b = acc.getOrElse(e.bucket, zero(e.bucket))
+        acc.updated(e.bucket,
+          if (e.side == 0)
+            b.copy(nA = b.nA + 1, sumA = b.sumA + dec2(e.value),
+              mnA = math.min(b.mnA, e.value),
+              mxA = math.max(b.mxA, e.value))
+          else
+            b.copy(nB = b.nB + 1, sumB = b.sumB + dec2(e.value),
+              mnB = math.min(b.mnB, e.value),
+              mxB = math.max(b.mxB, e.value)))
+    }
+    val (closed, open) = merged.values.toList.sortBy(_.bucket)
+      .partition(_.bucket + s.step <= wmSec)
+    val out = List.newBuilder[AlertEval]
+    closed.foreach { b =>
+      if (b.nA > 0 && b.nB > 0) {
+        val v = arith2(s.aop,
+          moment2(s.opA, b.nA, b.sumA, b.mnA, b.mxA),
+          moment2(s.opB, b.nB, b.sumB, b.mnB, b.mxB))
+        if (holds(s.cmp, v, s.thr)) {
+          val runStart =
+            if (st.lastActive == b.bucket - s.step) st.runStart
+            else b.bucket
+          val stateStr =
+            if (b.bucket - runStart >= rule.forSec) "firing"
+            else "pending"
+          out += AlertEval(rule.name, st.labels ++ rule.staticLabels,
+            b.bucket, v, stateStr)
+          st = st.copy(lastActive = b.bucket, runStart = runStart)
+        }
+      }
+    }
+    st = st.copy(open = open)
     if (open.nonEmpty) {
       state.update(st)
       state.setTimeoutTimestamp((open.map(_.bucket).min + s.step) * 1000)

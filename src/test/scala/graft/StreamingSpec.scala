@@ -683,6 +683,67 @@ class StreamingSpec extends SparkSuite {
         s"batch-only ${(batch -- streamed).take(3)}")
   }
 
+  test("streaming ratio alerts equal the batch rule on a replayed fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.AlertStream
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val samples = events.select(
+      col("event_type").as("metric"),
+      map(lit("cohort"),
+        pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    // the errors/requests family: purchase-to-click value ratio per
+    // cohort, thresholded, with for-escalation
+    val rule = Rules.AlertRule("purchase_heavy",
+      "sum by (cohort) (purchase[3600]) / sum by (cohort) (click[3600])" +
+        " > 0.4", forSec = 7200L)
+    val batch = Rules.alerts(Tsdb.attach(spark, samples), rule, T0, T1)
+      .select(col("cohort"), col("bucket_start"), col("value"),
+        col("state"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(batch.nonEmpty, "fixture produced no batch ratio alerts")
+    val data = samples
+      .where(col("ts").between(T0, T1) &&
+        col("metric").isin("purchase", "click"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getMap[String, String](1).toMap,
+        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+      .toIndexedSeq
+    val mem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+    val q = AlertStream.alerts(src, rule, watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("ratio_alerts_eq")
+      .outputMode("append").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "zz"),
+      new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "zz"),
+      new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ratio_alerts_eq")
+      .where(col("labels").getItem("cohort") =!= "zz")
+      .select(col("labels").getItem("cohort").as("cohort"),
+        col("bucket_start"), col("value"), col("state"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(streamed == batch,
+      s"sizes ${streamed.size} vs ${batch.size}; " +
+        s"stream-only ${(streamed -- batch).take(3)}; " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming recording rule materializes into a TSDB, equal to batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.promql.Rules
