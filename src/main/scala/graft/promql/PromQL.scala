@@ -1238,7 +1238,7 @@ object PromQL {
       else if (gl) byB
       else if (gr) byA
       else {
-        require(byA == byB,
+        require(byA.toSet == byB.toSet,
           s"vector-match sides must aggregate by the same labels: " +
           s"$byA vs $byB (use 'on (l) group_left/group_right' for " +
           "one-to-many)")
@@ -1466,14 +1466,28 @@ object PromQL {
       org.apache.spark.sql.Column,
       org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
     op match {
-      case "/" => (a, b) => round(a / b, 6)
+      // Spark 4's ANSI mode throws DIVIDE_BY_ZERO even for DOUBLE
+      // division, but Prometheus (and IEEE, and DuckDB) defines x/0:
+      // +Inf for x>0, -Inf for x<0, NaN for 0/0 — exactly what
+      // `x * +Inf` produces, so a zero-denominator bucket yields the
+      // Prometheus value instead of killing the query. round() passes
+      // the specials through (Catalyst Round checks them first).
+      case "/" => (a, b) =>
+        round(org.apache.spark.sql.functions
+          .when(b.cast("double") === 0.0,
+            a.cast("double") * lit(Double.PositiveInfinity))
+          .otherwise(a.cast("double") / b.cast("double")), 6)
       case "*" => (a, b) => a * b
       case "+" => (a, b) => a + b
       case "-" => (a, b) => a - b
       // PromQL `%` is Go math.Mod: remainder carrying the dividend's
-      // sign — exactly Java's / Spark's `%` on doubles (DuckDB: fmod).
+      // sign — exactly Java's / Spark's `%` on doubles (DuckDB: fmod);
+      // mod 0 is NaN (Go math.Mod), guarded like `/` above.
       // The double-only ops round like `/` for cross-engine hashing.
-      case "%" => (a, b) => round(a.cast("double") % b.cast("double"), 6)
+      case "%" => (a, b) =>
+        round(org.apache.spark.sql.functions
+          .when(b.cast("double") === 0.0, lit(Double.NaN))
+          .otherwise(a.cast("double") % b.cast("double")), 6)
       case "^" => (a, b) =>
         round(org.apache.spark.sql.functions.pow(a, b), 6)
       case "atan2" => (a, b) =>
@@ -1567,7 +1581,7 @@ object PromQL {
       case BinOp(op, Agg("sum", _, _, byA, a: Selector, _),
           Agg("sum", _, _, byB, b: Selector, _), _, false, false)
           if rollupStep.isDefined && ArithOps(op) =>
-        require(byA == byB,
+        require(byA.toSet == byB.toSet,
           s"vector-match sides must aggregate by the same labels: " +
           s"$byA vs $byB")
         checkRollupStep(b, rollupStep.get)
@@ -1686,13 +1700,13 @@ object PromQL {
 
       // `bool` comparisons keep every row and emit Prometheus's 0/1
       // vector in `result` instead of filtering
-      case BoolCmp(op, lhs, NumLit(v), _, false, false) =>
+      case BoolCmp(op, lhs, NumLit(v), Seq(), false, false) =>
         compile(t, lhs, start, end, buckets, rollupStep)
           .withColumn("result",
             org.apache.spark.sql.functions
               .when(cmp(op)(col(valueColOf(lhs)), lit(v)), 1.0)
               .otherwise(0.0))
-      case BoolCmp(op, NumLit(v), rhs, _, false, false) =>
+      case BoolCmp(op, NumLit(v), rhs, Seq(), false, false) =>
         compile(t, rhs, start, end, buckets, rollupStep)
           .withColumn("result",
             org.apache.spark.sql.functions
@@ -1707,10 +1721,10 @@ object PromQL {
       case BoolCmp(op, Agg(opA, _, _, byA, a: Selector, _),
           Agg(opB, _, _, byB, b: Selector, _), on, false, false)
           if MomentAggs(opA) && MomentAggs(opB) =>
-        require(byA == byB,
+        require(byA.toSet == byB.toSet,
           s"vector-compare sides must aggregate by the same labels: " +
           s"$byA vs $byB")
-        require(on.isEmpty || on == byA,
+        require(on.isEmpty || on.toSet == byA.toSet,
           s"on-labels ($on) must equal the grouping ($byA)")
         val step = stepOf(a, "bool vector compare")
         require(step == stepOf(b, "bool vector compare"),
@@ -1733,6 +1747,13 @@ object PromQL {
         require(on.forall(byB.contains),
           s"group_left: the on-labels ($on) must be part of the right " +
           s"side's grouping ($byB)")
+        // the parser rejects group_left(extra) on bool ("bool
+        // comparisons do not carry labels") — hold compile to the same
+        // contract: the one side must aggregate exactly at the match
+        // labels, or extras would ride implicitly
+        require(on.isEmpty || byB.toSet == on.toSet,
+          s"bool group_left does not carry labels — the right side " +
+          s"must aggregate exactly at the on-labels ($on), got $byB")
         val step = stepOf(a, "bool group_left vector compare")
         require(step == stepOf(b, "bool group_left vector compare"),
           "vector-compare sides must share the step grid")
@@ -1749,6 +1770,9 @@ object PromQL {
         require(on.forall(byA.contains),
           s"group_right: the on-labels ($on) must be part of the left " +
           s"side's grouping ($byA)")
+        require(on.isEmpty || byA.toSet == on.toSet,
+          s"bool group_right does not carry labels — the left side " +
+          s"must aggregate exactly at the on-labels ($on), got $byA")
         val step = stepOf(b, "bool group_right vector compare")
         require(step == stepOf(a, "bool group_right vector compare"),
           "vector-compare sides must share the step grid")
@@ -2234,10 +2258,10 @@ object PromQL {
       case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
           Agg(opB, _, _, byB, b: Selector, _), on, false, false)
           if ArithOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
-        require(byA == byB,
+        require(byA.toSet == byB.toSet,
           s"vector-match sides must aggregate by the same labels: " +
           s"$byA vs $byB (use 'on (l) group_left' for one-to-many)")
-        require(on.isEmpty || on == byA,
+        require(on.isEmpty || on.toSet == byA.toSet,
           s"on-labels ($on) must equal the grouping ($byA)")
         val step = stepOf(a, "vector match")
         require(step == stepOf(b, "vector match"),
@@ -2254,10 +2278,10 @@ object PromQL {
       case BinOp(op, Agg(opA, _, _, byA, a: Selector, _),
           Agg(opB, _, _, byB, b: Selector, _), on, false, false)
           if CmpOps(op) && MomentAggs(opA) && MomentAggs(opB) =>
-        require(byA == byB,
+        require(byA.toSet == byB.toSet,
           s"vector-compare sides must aggregate by the same labels: " +
           s"$byA vs $byB")
-        require(on.isEmpty || on == byA,
+        require(on.isEmpty || on.toSet == byA.toSet,
           s"on-labels ($on) must equal the grouping ($byA)")
         val step = stepOf(a, "vector compare")
         require(step == stepOf(b, "vector compare"),

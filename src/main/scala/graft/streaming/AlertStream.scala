@@ -35,8 +35,14 @@ import graft.promql.{PromQL, Rules}
   */
 object AlertStream {
 
-  private def dec2(v: Double): BigDecimal = BigDecimal(
-    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP))
+  private def dec2(v: Double): BigDecimal =
+    // the batch twin's cast("decimal(18,2)") turns non-finite values
+    // into NULL, which sum() skips — mirror by contributing zero (`n`
+    // still counts the row, like count(*)). BigDecimal.valueOf would
+    // otherwise THROW on NaN/Infinity and kill the streaming query.
+    if (v.isNaN || v.isInfinite) BigDecimal(0)
+    else BigDecimal(java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP))
 
   /** Internal event/state shapes — public because Catalyst's generated
     * (de)serializers live outside this object and need access. */
@@ -116,7 +122,8 @@ object AlertStream {
           PromQL.NumLit(thr), _, false, false)
           if Cmps(cmp) && Set("/", "*", "+", "-")(aop) &&
             Moments(opA) && Moments(opB) &&
-            byA == byB && (on.isEmpty || on == byA) &&
+            byA.toSet == byB.toSet &&
+            (on.isEmpty || on.toSet == byA.toSet) &&
             woA.isEmpty && woB.isEmpty &&
             plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
         Some(RatioShape(a.metric, a.matchers, opA,
@@ -150,6 +157,75 @@ object AlertStream {
     case ">=" => v >= thr
     case "<=" => v <= thr
   }
+
+  /** The batch filter's comparison semantics: Spark SQL orders NaN
+    * ABOVE every double (nanSafeCompareDoubles), so `NaN > thr` keeps
+    * the row — a JVM primitive comparison would drop it and silently
+    * diverge from the batch twin (reachable via a 0/0 ratio bucket).
+    * `thr` is a parsed literal, never NaN. */
+  private def holdsSpark(cmp: String, v: Double, thr: Double): Boolean =
+    if (v.isNaN) cmp == ">" || cmp == ">="
+    else holds(cmp, v, thr)
+
+  /** Shared close-loop of both rule families: evaluate each closed
+    * bucket's optional value in time order, threshold with
+    * [[holdsSpark]], run the Prometheus `for` clock (a missed or
+    * inactive step resets it), emit active evaluations. Returns the
+    * advanced (lastActive, runStart) — the run-clock semantics exist
+    * exactly once. */
+  private def emitRuns(
+      rule: Rules.AlertRule,
+      step: Long,
+      cmp: String,
+      thr: Double,
+      labels: Map[String, String],
+      closed: List[(Long, Option[Double])],
+      out: scala.collection.mutable.Builder[AlertEval, List[AlertEval]],
+      lastActive0: Long,
+      runStart0: Long): (Long, Long) = {
+    var lastActive = lastActive0
+    var runStart = runStart0
+    closed.foreach { case (bucket, vOpt) =>
+      vOpt.foreach { v =>
+        if (holdsSpark(cmp, v, thr)) {
+          val rs = if (lastActive == bucket - step) runStart else bucket
+          val stateStr =
+            if (bucket - rs >= rule.forSec) "firing" else "pending"
+          // static labels merge into the labels map (the batch twin
+          // emits them as columns — same information, map-shaped); on a
+          // key collision the rule's static label wins, like Prometheus
+          out += AlertEval(rule.name, labels ++ rule.staticLabels,
+            bucket, v, stateStr)
+          lastActive = bucket
+          runStart = rs
+        }
+      }
+    }
+    (lastActive, runStart)
+  }
+
+  /** Shared state lifecycle: with open buckets, arm a timeout at the
+    * earliest close so a quiet key still flushes when the watermark
+    * moves; with none, the run info only matters until the NEXT
+    * contiguous bucket's close has provably passed (lastActive +
+    * 2*step — the watermark then proved a gap), after which the key's
+    * state drops entirely: no per-key residue outlives its data by
+    * more than one step + lateness. */
+  private def persistOrDrop[S](
+      state: GroupState[S],
+      st: S,
+      openBuckets: List[Long],
+      lastActive: Long,
+      step: Long,
+      wmSec: Long): Unit =
+    if (openBuckets.nonEmpty) {
+      state.update(st)
+      state.setTimeoutTimestamp((openBuckets.min + step) * 1000)
+    } else if (lastActive != Long.MinValue &&
+        wmSec < lastActive + 2 * step) {
+      state.update(st)
+      state.setTimeoutTimestamp((lastActive + 2 * step) * 1000)
+    } else if (state.exists) state.remove()
 
   /** Evaluate `rule` continuously over a streaming samples frame
     * `(metric: string, labels: map<string,string>, ts: timestamp,
@@ -220,45 +296,23 @@ object AlertStream {
         val b = acc.getOrElse(e.bucket,
           Bucket(e.bucket, 0L, BigDecimal(0), Double.MaxValue,
             Double.MinValue))
+        // min skips NaN like Spark's aggregate (NaN sorts ABOVE all
+        // doubles there, so it never wins a min); max keeps Java's
+        // natural NaN propagation, which IS Spark's max
         acc.updated(e.bucket, Bucket(e.bucket, b.n + 1, b.sum + dec2(e.value),
-          math.min(b.mn, e.value), math.max(b.mx, e.value)))
+          if (e.value.isNaN) b.mn else math.min(b.mn, e.value),
+          math.max(b.mx, e.value)))
     }
     // close every bucket the watermark has passed, in time order; the
     // run clock resets on any non-contiguous (missed or inactive) step
     val (closed, open) = merged.values.toList.sortBy(_.bucket)
       .partition(_.bucket + s.step <= wmSec)
     val out = List.newBuilder[AlertEval]
-    closed.foreach { b =>
-      val v = moment(s.op, b)
-      if (holds(s.cmp, v, s.thr)) {
-        val runStart =
-          if (st.lastActive == b.bucket - s.step) st.runStart else b.bucket
-        val stateStr =
-          if (b.bucket - runStart >= rule.forSec) "firing" else "pending"
-        // static labels merge into the labels map (the batch twin emits
-        // them as columns — same information, map-shaped here); on a key
-        // collision the rule's static label wins, like Prometheus
-        out += AlertEval(rule.name, st.labels ++ rule.staticLabels,
-          b.bucket, v, stateStr)
-        st = st.copy(lastActive = b.bucket, runStart = runStart)
-      }
-    }
-    st = st.copy(open = open)
-    // state lifecycle: with open buckets, arm a timeout at the earliest
-    // close so a quiet key still flushes when the watermark moves. With
-    // none, the run info only matters until the NEXT bucket's own close
-    // has passed — beyond lastActive + 2*step the watermark has proven a
-    // gap (the contiguous successor closed empty), so the run is broken
-    // and the key's state can drop entirely: no per-key residue outlives
-    // its data by more than one step + lateness.
-    if (open.nonEmpty) {
-      state.update(st)
-      state.setTimeoutTimestamp((open.map(_.bucket).min + s.step) * 1000)
-    } else if (st.lastActive != Long.MinValue &&
-        wmSec < st.lastActive + 2 * s.step) {
-      state.update(st)
-      state.setTimeoutTimestamp((st.lastActive + 2 * s.step) * 1000)
-    } else if (state.exists) state.remove()
+    val (la, rs) = emitRuns(rule, s.step, s.cmp, s.thr, st.labels,
+      closed.map(b => b.bucket -> Some(moment(s.op, b))), out,
+      st.lastActive, st.runStart)
+    st = st.copy(open = open, lastActive = la, runStart = rs)
+    persistOrDrop(state, st, open.map(_.bucket), la, s.step, wmSec)
     out.result().iterator
   }
 
@@ -371,46 +425,32 @@ object AlertStream {
     val merged = evs.foldLeft(st.open.map(b => b.bucket -> b).toMap) {
       (acc, e) =>
         val b = acc.getOrElse(e.bucket, zero(e.bucket))
+        // same NaN handling as the canonical merge: min skips, max
+        // propagates (Spark aggregate semantics)
         acc.updated(e.bucket,
           if (e.side == 0)
             b.copy(nA = b.nA + 1, sumA = b.sumA + dec2(e.value),
-              mnA = math.min(b.mnA, e.value),
+              mnA = if (e.value.isNaN) b.mnA else math.min(b.mnA, e.value),
               mxA = math.max(b.mxA, e.value))
           else
             b.copy(nB = b.nB + 1, sumB = b.sumB + dec2(e.value),
-              mnB = math.min(b.mnB, e.value),
+              mnB = if (e.value.isNaN) b.mnB else math.min(b.mnB, e.value),
               mxB = math.max(b.mxB, e.value)))
     }
     val (closed, open) = merged.values.toList.sortBy(_.bucket)
       .partition(_.bucket + s.step <= wmSec)
     val out = List.newBuilder[AlertEval]
-    closed.foreach { b =>
-      if (b.nA > 0 && b.nB > 0) {
-        val v = arith2(s.aop,
-          moment2(s.opA, b.nA, b.sumA, b.mnA, b.mxA),
-          moment2(s.opB, b.nB, b.sumB, b.mnB, b.mxB))
-        if (holds(s.cmp, v, s.thr)) {
-          val runStart =
-            if (st.lastActive == b.bucket - s.step) st.runStart
-            else b.bucket
-          val stateStr =
-            if (b.bucket - runStart >= rule.forSec) "firing"
-            else "pending"
-          out += AlertEval(rule.name, st.labels ++ rule.staticLabels,
-            b.bucket, v, stateStr)
-          st = st.copy(lastActive = b.bucket, runStart = runStart)
-        }
-      }
-    }
-    st = st.copy(open = open)
-    if (open.nonEmpty) {
-      state.update(st)
-      state.setTimeoutTimestamp((open.map(_.bucket).min + s.step) * 1000)
-    } else if (st.lastActive != Long.MinValue &&
-        wmSec < st.lastActive + 2 * s.step) {
-      state.update(st)
-      state.setTimeoutTimestamp((st.lastActive + 2 * s.step) * 1000)
-    } else if (state.exists) state.remove()
+    // the batch twin's vector match is an INNER join: a bucket with
+    // only one side present evaluates to no row — inactive, run broken
+    val (la, rs) = emitRuns(rule, s.step, s.cmp, s.thr, st.labels,
+      closed.map(b => b.bucket -> (
+        if (b.nA > 0 && b.nB > 0)
+          Some(arith2(s.aop,
+            moment2(s.opA, b.nA, b.sumA, b.mnA, b.mxA),
+            moment2(s.opB, b.nB, b.sumB, b.mnB, b.mxB)))
+        else None)), out, st.lastActive, st.runStart)
+    st = st.copy(open = open, lastActive = la, runStart = rs)
+    persistOrDrop(state, st, open.map(_.bucket), la, s.step, wmSec)
     out.result().iterator
   }
 }

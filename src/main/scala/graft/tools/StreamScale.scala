@@ -121,6 +121,13 @@ object StreamScale {
     val alertUser = run(df => AlertStream.alerts(df,
       Rules.AlertRule("high_u", "sum by (user_id) (click[3600]) > 5",
         forSec = 7200L), watermark = "10 minutes").toDF(), "au")
+    // the two-metric ratio rule: both sides of the arithmetic
+    // accumulate in ONE stateful operator keyed by cohort
+    val alertRatio = run(df => AlertStream.alerts(df,
+      Rules.AlertRule("ratio",
+        "max by (cohort) (click[3600]) / avg by (cohort) (click[3600])" +
+          " > 1.5", forSec = 7200L),
+      watermark = "10 minutes").toDF(), "ar")
 
     // recording rule: watermarked agg reshaped to samples, appended to a
     // fresh TSDB per micro-batch (foreachBatch) — timed end to end
@@ -159,6 +166,11 @@ object StreamScale {
       s""""state_rows":${alertUser.stateRows},""" +
       s""""state_bytes":${alertUser.stateBytes},""" +
       s""""batches":${alertUser.batches}},""" +
+      s""""alert_ratio":{"rows_per_sec":${alertRatio.rowsPerSec},""" +
+      s""""sec":${alertRatio.sec},"out_rows":${alertRatio.outRows},""" +
+      s""""state_rows":${alertRatio.stateRows},""" +
+      s""""state_bytes":${alertRatio.stateBytes},""" +
+      s""""batches":${alertRatio.batches}},""" +
       s""""record":{"rows_per_sec":${(n / recSec).toLong},""" +
       s""""sec":$recSec,"materialized_rows":$recRows,""" +
       s""""state_rows":$recStateRows,"state_bytes":$recStateBytes},""" +

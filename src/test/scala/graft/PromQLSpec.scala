@@ -1266,6 +1266,16 @@ class PromQLSpec extends SparkSuite {
     val eb2 = intercept[IllegalArgumentException](PromQL.parse(
       "a > bool on (l) group_left(x) b"))
     assert(eb2.getMessage.contains("do not carry"), eb2.getMessage)
+    // a modifier on a SCALAR bool side is rejected, never silently
+    // discarded (the scalar cases match the empty on-list only)
+    intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort) (click[1h]) > bool on (cohort) 0.5", T0, T1))
+    // the un-annotated bool group_left form cannot carry implicitly
+    // either: the one side must aggregate exactly at the on-labels
+    val eb3 = intercept[IllegalArgumentException](PromQL.query(t,
+      "sum by (cohort) (purchase[1h]) > bool on (cohort) group_left " +
+        "max by (cohort, user_id) (click[1h])", T0, T1))
+    assert(eb3.getMessage.contains("does not carry"), eb3.getMessage)
     // misaligned offsets would make the grid join silently empty — the
     // compiler rejects them; step-multiple offsets stay compilable
     val e3 = intercept[IllegalArgumentException](PromQL.query(t,

@@ -742,6 +742,48 @@ class StreamingSpec extends SparkSuite {
       s"sizes ${streamed.size} vs ${batch.size}; " +
         s"stream-only ${(streamed -- batch).take(3)}; " +
         s"batch-only ${(batch -- streamed).take(3)}")
+    // NaN parity: an all-zero bucket gives 0/0 = NaN, and Spark's
+    // filter orders NaN ABOVE every double (nanSafeCompare) — the
+    // batch rule KEEPS that bucket under `>`, so the stream must too
+    val base2 = T0
+    val zeroSamples = spark.createDataFrame(
+      Seq(0L, 1L, 2L).flatMap(h => Seq(
+        ("a", base2 + h * 3600, 0.0), ("b", base2 + h * 3600, 0.0))))
+      .toDF("metric", "ts", "value")
+      .select(col("metric"), map(lit("site"), lit("x")).as("labels"),
+        col("ts"), col("value"))
+    val zeroRule = Rules.AlertRule("nanny",
+      "sum by (site) (a[3600]) / sum by (site) (b[3600]) > 0.5",
+      forSec = 0L)
+    val zb = Rules.alerts(Tsdb.attach(spark, zeroSamples), zeroRule,
+      base2, base2 + 3 * 3600 - 1)
+      .select("bucket_start", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(zb.size == 3, s"batch keeps NaN buckets: $zb") // NaN > 0.5
+    val memZ = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val srcZ = memZ.toDF().toDF("metric", "labels", "ts", "value")
+    val qz = AlertStream.alerts(srcZ, zeroRule, watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("nan_ratio")
+      .outputMode("append").start()
+    memZ.addData(Seq(0L, 1L, 2L).flatMap(h => Seq(
+      ("a", Map("site" -> "x"),
+        new java.sql.Timestamp((base2 + h * 3600) * 1000), 0.0),
+      ("b", Map("site" -> "x"),
+        new java.sql.Timestamp((base2 + h * 3600) * 1000), 0.0))): _*)
+    qz.processAllAvailable()
+    memZ.addData(("a", Map("site" -> "zz"),
+      new java.sql.Timestamp((base2 + 400L * 86400) * 1000), 0.0))
+    qz.processAllAvailable()
+    memZ.addData(("a", Map("site" -> "zz"),
+      new java.sql.Timestamp((base2 + 500L * 86400) * 1000), 0.0))
+    qz.processAllAvailable()
+    qz.stop()
+    val zs = spark.table("nan_ratio")
+      .where(col("labels").getItem("site") === "x")
+      .select("bucket_start", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(zs == zb, s"stream $zs vs batch $zb")
   }
 
   test("streaming recording rule materializes into a TSDB, equal to batch") {
