@@ -136,8 +136,9 @@ object AlertStream {
       "streaming alerts support the canonical threshold shape " +
       "`<moment> by (labels) (metric[step]) <cmp> <number>` and the " +
       "two-metric arithmetic form `<moment> by (l) (a[step]) <aop> " +
-      "<moment> by (l) (b[step]) <cmp> <number>` (no offset/@/" +
-      "[range:step] modifiers, matching by-lists, same step), got: " +
+      "<moment> by (l) (b[step]) <cmp> <number>`, and the absence form " +
+      "`absent(metric[step]) by (labels)` (no offset/@/[range:step] " +
+      "modifiers, matching by-lists, same step), got: " +
       PromQL.parse(rule.expr))
 
   private def moment(op: String, b: Bucket): Double = op match {
@@ -239,9 +240,171 @@ object AlertStream {
       case Some(s) => alertsCanonical(samples, rule, s, watermark)
       case None => ratioShapeOf(rule) match {
         case Some(rs) => alertsRatio(samples, rule, rs, watermark)
-        case None => unsupported(rule)
+        case None => absentShapeOf(rule) match {
+          case Some(as) => absentAlerts(samples, rule, as, watermark)
+          case None => unsupported(rule)
+        }
       }
     }
+
+  /** The absence-alert shape: `absent(metric{matchers}[step]) by
+    * (labels)` — the heartbeat-lost rule. The trailing `by` picks the
+    * SERIES grain the absence is tracked at (PER-KEY absence — a
+    * labelset that stops reporting — which is what a fleet needs and
+    * what Prometheus's global absent() cannot shard); empty `by` is
+    * the global form over one key. */
+  private final case class AbsentShape(
+      metric: String,
+      matchers: Seq[graft.model.LabelMatcher],
+      by: Seq[String],
+      step: Long)
+
+  private def absentShapeOf(rule: Rules.AlertRule): Option[AbsentShape] =
+    PromQL.parse(rule.expr) match {
+      case PromQL.RangeFn("absent", _, sel: PromQL.Selector, by, _)
+          if plain(sel) =>
+        Some(AbsentShape(sel.metric, sel.matchers, by, sel.rangeSec.get))
+      case _ => None
+    }
+
+  /** Internal shapes for the absence path — public for Catalyst's
+    * generated (de)serializers, like [[Ev]]/[[St]]. */
+  final case class AbsEv(
+      key: String, labels: Map[String, String], ts: Timestamp,
+      bucket: Long)
+  final case class AbsSt(
+      labels: Map[String, String],
+      lastData: Long,
+      emitted: Long)
+
+  /** PER-SERIES absence alerting — the heartbeat-lost rule, live:
+    * `absent(metric{matchers}[step]) by (labels)` with `for`. Each
+    * labelset that has EVER reported becomes a state key; when the
+    * event-time watermark closes a bucket after the key's last data
+    * with no samples in it, an absent evaluation (value 1.0) emits —
+    * `pending` until the silence has lasted `forSec`, then `firing`
+    * (the `for` clock is the absent run itself, which by construction
+    * is contiguous from the bucket after the last data). A key silent
+    * past `maxAbsentSec` is decommissioned: its state drops and
+    * emissions stop, so state stays bounded by the LIVE key count —
+    * the property that makes per-series absence shardable where
+    * Prometheus's global absent() is not. Event-time timeouts wake
+    * quiet keys as the watermark crosses each bucket close; the
+    * watermark is taken BEFORE the selector filter, so any traffic on
+    * the stream drives absence detection for every key.
+    */
+  def absentAlerts(
+      samples: DataFrame,
+      rule: Rules.AlertRule,
+      watermark: String,
+      maxAbsentSec: Long): Dataset[AlertEval] =
+    absentShapeOf(rule) match {
+      case Some(as) =>
+        absentAlertsImpl(samples, rule, as, watermark, maxAbsentSec)
+      case None => unsupported(rule)
+    }
+
+  private def absentAlerts(
+      samples: DataFrame,
+      rule: Rules.AlertRule,
+      s: AbsentShape,
+      watermark: String): Dataset[AlertEval] =
+    absentAlertsImpl(samples, rule, s, watermark,
+      maxAbsentSec = 48L * 3600)
+
+  private def absentAlertsImpl(
+      samples: DataFrame,
+      rule: Rules.AlertRule,
+      s: AbsentShape,
+      watermark: String,
+      maxAbsentSec: Long): Dataset[AlertEval] = {
+    require(maxAbsentSec >= s.step,
+      s"maxAbsentSec ($maxAbsentSec) must cover at least one step " +
+      s"(${s.step})")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val keyCol =
+      if (s.by.isEmpty) lit("")
+      else concat_ws("\u0000", s.by.map(l =>
+        coalesce(col("labels").getItem(l), lit("\u0001"))): _*)
+    samples
+      // watermark FIRST: non-matching traffic must still advance it,
+      // or a fully-silent selector could never be detected as absent.
+      // The `OR ts IS NULL` arm is a PUSHDOWN BARRIER, not a data
+      // filter: Catalyst pushes predicate conjuncts through
+      // EventTimeWatermark unless they reference the watermark
+      // attribute (PushPredicateThroughNonJoin splits AND-chains, so a
+      // mere ts-conjunct is NOT enough — the selector test must sit in
+      // an unsplittable disjunction with a ts term). A pushed-down
+      // selector filter would silently stop unrelated rows from
+      // advancing the watermark — the exact failure this path exists
+      // to avoid (caught by the StreamingSpec absence test). The
+      // second filter drops the vacuous null arm and also stays above
+      // the watermark (it references ts).
+      .withWatermark("ts", watermark)
+      .where((col("metric") === s.metric &&
+        Tsdb.matcherPredicate(col("labels"), s.matchers)) ||
+        col("ts").isNull)
+      .where(col("ts").isNotNull)
+      .select(
+        keyCol.as("key"),
+        (if (s.by.isEmpty) map().cast("map<string,string>")
+         else map(s.by.flatMap(l =>
+           Seq(lit(l), col("labels").getItem(l))): _*)).as("labels"),
+        col("ts"),
+        (col("ts").cast("long") -
+          pmod(col("ts").cast("long"), lit(s.step))).as("bucket"))
+      .as[AbsEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processAbsent(rule, s, maxAbsentSec))
+  }
+
+  private def processAbsent(
+      rule: Rules.AlertRule, s: AbsentShape, maxAbsent: Long)(
+      key: String,
+      events: Iterator[AbsEv],
+      state: GroupState[AbsSt]): Iterator[AlertEval] = {
+    var st = state.getOption.getOrElse(
+      AbsSt(Map.empty, Long.MinValue, Long.MinValue))
+    val wmSec = state.getCurrentWatermarkMs() / 1000
+    // rows behind the watermark cannot reopen a closed bucket — an
+    // already-final absence never rolls back (same lateness rule as
+    // the threshold paths)
+    val evs = events.toSeq.filter(e => e.bucket + s.step > wmSec)
+    if (evs.nonEmpty) {
+      if (st.labels.isEmpty) st = st.copy(labels = evs.head.labels)
+      val maxB = evs.map(_.bucket).max
+      // any open-bucket data is strictly later than every emitted
+      // absent bucket (those are watermark-closed), so lastData only
+      // ever advances past `emitted` — the next absent run restarts
+      // contiguously at lastData + step
+      if (maxB > st.lastData) st = st.copy(lastData = maxB)
+    }
+    val out = List.newBuilder[AlertEval]
+    if (st.lastData != Long.MinValue) {
+      val runStart = st.lastData + s.step
+      val horizon = st.lastData + maxAbsent
+      var b = math.max(runStart, st.emitted + s.step)
+      while (b + s.step <= wmSec && b <= horizon) {
+        out += AlertEval(rule.name, st.labels ++ rule.staticLabels, b,
+          1.0, if (b - runStart >= rule.forSec) "firing" else "pending")
+        st = st.copy(emitted = b)
+        b += s.step
+      }
+      if (b > horizon) {
+        // silence outlived the decommission horizon: drop the key —
+        // state stays bounded by live keys, not by history
+        if (state.exists) state.remove()
+      } else {
+        state.update(st)
+        // wake when the watermark crosses the next bucket's close
+        state.setTimeoutTimestamp((b + s.step) * 1000)
+      }
+    }
+    out.result().iterator
+  }
 
   private def alertsCanonical(
       samples: DataFrame,

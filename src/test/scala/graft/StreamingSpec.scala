@@ -683,6 +683,57 @@ class StreamingSpec extends SparkSuite {
         s"batch-only ${(batch -- streamed).take(3)}")
   }
 
+  test("streaming absence alerts: silent series escalate, decommission " +
+      "at the horizon, unrelated traffic drives the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.AlertStream
+    val base = 1704412800L
+    val mem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+    def at(h: Long) = new java.sql.Timestamp((base + h * 3600) * 1000)
+    val rule = Rules.AlertRule("hb_lost", "absent(hb[3600]) by (site)",
+      forSec = 7200L)
+    val q = AlertStream.absentAlerts(src, rule, watermark = "10 minutes",
+        maxAbsentSec = 5 * 3600L)
+      .toDF().writeStream.format("memory").queryName("absent_live")
+      .outputMode("append").start()
+    // site a reports h0-2 then goes silent; site b reports h0-6 then
+    // goes silent; a DIFFERENT metric carries the stream onward — the
+    // watermark sits before the selector filter, so unrelated traffic
+    // still closes buckets for the dead series
+    mem.addData((0L to 2L).map(h => ("hb", Map("site" -> "a"), at(h), 1.0))
+      ++ (0L to 6L).map(h => ("hb", Map("site" -> "b"), at(h), 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData(("other", Map.empty[String, String], at(24 * 30), 0.0))
+    q.processAllAvailable()
+    mem.addData(("other", Map.empty[String, String], at(24 * 31), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("absent_live")
+      .select(col("labels").getItem("site").as("site"),
+        col("bucket_start"), col("value"), col("state"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1) - base) / 3600,
+        r.getDouble(2), r.getString(3))).toSet
+    // site a: lastData h2, horizon h2+5h=h7 → absents h3..h7, firing
+    // from h5 (h5-h3 = 2h >= for); site b: lastData h6 → h7..h11
+    val expect = Set(
+      ("a", 3L, 1.0, "pending"), ("a", 4L, 1.0, "pending"),
+      ("a", 5L, 1.0, "firing"), ("a", 6L, 1.0, "firing"),
+      ("a", 7L, 1.0, "firing"),
+      ("b", 7L, 1.0, "pending"), ("b", 8L, 1.0, "pending"),
+      ("b", 9L, 1.0, "firing"), ("b", 10L, 1.0, "firing"),
+      ("b", 11L, 1.0, "firing"))
+    assert(got == expect,
+      s"extra ${(got -- expect).take(4)}; missing ${(expect -- got).take(4)}")
+    // the absent() rule also routes through the generic alerts() entry
+    intercept[IllegalArgumentException](
+      AlertStream.absentAlerts(src, Rules.AlertRule("x",
+        "sum by (s) (m[3600]) > 1", 0L), "10 minutes", 3600L))
+  }
+
   test("streaming ratio alerts equal the batch rule on a replayed fixture") {
     implicit val sqlCtx = spark.sqlContext
     import graft.promql.Rules
