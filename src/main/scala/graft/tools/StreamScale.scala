@@ -128,6 +128,13 @@ object StreamScale {
         "max by (cohort) (click[3600]) / avg by (cohort) (click[3600])" +
           " > 1.5", forSec = 7200L),
       watermark = "10 minutes").toDF(), "ar")
+    // per-series absence: every user key emits absents after the
+    // fixture's end (driven by the sentinel waves) up to a 2h horizon,
+    // then decommissions — the state-drop path at key scale
+    val alertAbsent = run(df => AlertStream.absentAlerts(df,
+      Rules.AlertRule("hb_lost", "absent(click[3600]) by (user_id)",
+        forSec = 3600L),
+      watermark = "10 minutes", maxAbsentSec = 2 * 3600L).toDF(), "aa")
 
     // recording rule: watermarked agg reshaped to samples, appended to a
     // fresh TSDB per micro-batch (foreachBatch) — timed end to end
@@ -171,6 +178,11 @@ object StreamScale {
       s""""state_rows":${alertRatio.stateRows},""" +
       s""""state_bytes":${alertRatio.stateBytes},""" +
       s""""batches":${alertRatio.batches}},""" +
+      s""""alert_absent":{"rows_per_sec":${alertAbsent.rowsPerSec},""" +
+      s""""sec":${alertAbsent.sec},"out_rows":${alertAbsent.outRows},""" +
+      s""""state_rows":${alertAbsent.stateRows},""" +
+      s""""state_bytes":${alertAbsent.stateBytes},""" +
+      s""""batches":${alertAbsent.batches}},""" +
       s""""record":{"rows_per_sec":${(n / recSec).toLong},""" +
       s""""sec":$recSec,"materialized_rows":$recRows,""" +
       s""""state_rows":$recStateRows,"state_bytes":$recStateBytes},""" +
