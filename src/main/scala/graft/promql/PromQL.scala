@@ -1462,7 +1462,7 @@ object PromQL {
     * doubles; `+ - *` on them are single IEEE ops reproducible across
     * engines, while `/` rounds to 6 decimals (the engine's documented
     * ratio form, shared with the tsdb_ratio oracle). */
-  private def arith(op: String): (
+  private[graft] def arith(op: String): (
       org.apache.spark.sql.Column,
       org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
     op match {

@@ -43,8 +43,46 @@ object RecordStream {
         Shape(sel.metric, sel.matchers, by, op, sel.rangeSec.get)
       case other => throw new IllegalArgumentException(
         "streaming recording rules support the canonical moment shape " +
-        "`<moment> by (labels) (metric[step])` " +
-        "(no offset/@/[range:step] modifiers), got: " + other)
+        "`<moment> by (labels) (metric[step])` and the two-metric " +
+        "arithmetic form `<moment> by (l) (a[step]) <aop> <moment> " +
+        "by (l) (b[step])` (no offset/@/[range:step] modifiers), " +
+        "got: " + other)
+    }
+
+  /** The two-metric arithmetic recording shape — the precomputed
+    * `errors / requests` dashboard series: `<moment> by (l) (a[step])
+    * <aop> <moment> by (l) (b[step])`. */
+  private final case class RatioShape(
+      metricA: String,
+      matchersA: Seq[graft.model.LabelMatcher],
+      opA: String,
+      metricB: String,
+      matchersB: Seq[graft.model.LabelMatcher],
+      opB: String,
+      by: Seq[String],
+      aop: String,
+      step: Long)
+
+  private def ratioShapeOf(
+      rule: Rules.RecordingRule): Option[RatioShape] =
+    PromQL.parse(rule.expr) match {
+      case PromQL.BinOp(aop,
+          PromQL.Agg(opA, _, _, byA, a: PromQL.Selector, woA),
+          PromQL.Agg(opB, _, _, byB, b: PromQL.Selector, woB),
+          on, false, false)
+          if Set("/", "*", "+", "-")(aop) &&
+            Set("sum", "avg", "min", "max", "count")(opA) &&
+            Set("sum", "avg", "min", "max", "count")(opB) &&
+            byA.toSet == byB.toSet &&
+            (on.isEmpty || on.toSet == byA.toSet) &&
+            woA.isEmpty && woB.isEmpty &&
+            a.rangeSec.isDefined && a.rangeSec == b.rangeSec &&
+            a.offsetSec == 0 && b.offsetSec == 0 &&
+            a.stepSec.isEmpty && b.stepSec.isEmpty &&
+            a.atSpec.isEmpty && b.atSpec.isEmpty =>
+        Some(RatioShape(a.metric, a.matchers, opA,
+          b.metric, b.matchers, opB, byA, aop, a.rangeSec.get))
+      case _ => None
     }
 
   /** The streaming compiled form (exposed so tests can drive it with a
@@ -56,6 +94,66 @@ object RecordStream {
       watermark: String): DataFrame = {
     require(rule.name.matches("[a-zA-Z_:][a-zA-Z0-9_:]*"),
       s"invalid metric name for a recording rule: ${rule.name}")
+    ratioShapeOf(rule) match {
+      case Some(rs) => compiledRatio(samples, rule, rs, watermark)
+      case None => compiledCanonical(samples, rule, watermark)
+    }
+  }
+
+  /** Two-metric arithmetic recording WITHOUT a stream-stream join:
+    * both sides flow into ONE windowed aggregation with
+    * side-conditional aggregates (a row matching both selectors —
+    * same metric, overlapping matchers — contributes to both, like
+    * independent selectors), then the vector match is a stateless
+    * projection over the closed bucket: inner-join semantics (both
+    * sides present) and the batch compiler's exact arithmetic
+    * ([[PromQL.arith]]: `/` rounds to 6, zero denominators yield
+    * Prometheus's ±Inf/NaN). One streaming aggregation — the same
+    * state-store shape and eviction as the canonical path.
+    */
+  private def compiledRatio(
+      samples: DataFrame,
+      rule: Rules.RecordingRule,
+      s: RatioShape,
+      watermark: String): DataFrame = {
+    val sideA = col("metric") === s.metricA &&
+      Tsdb.matcherPredicate(col("labels"), s.matchersA)
+    val sideB = col("metric") === s.metricB &&
+      Tsdb.matcherPredicate(col("labels"), s.matchersB)
+    def sideAggs(side: org.apache.spark.sql.Column, tag: String) = Seq(
+      count(when(side, 1)).as(s"n_$tag"),
+      sum(when(side, col("value")).cast("decimal(18,2)"))
+        .cast("double").as(s"sum_$tag"),
+      min(when(side, col("value")).cast("double")).as(s"min_$tag"),
+      max(when(side, col("value")).cast("double")).as(s"max_$tag"))
+    val agg = samples
+      .where(sideA || sideB)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"${s.step} seconds") +:
+        s.by.map(l => col("labels").getItem(l).as(l)): _*)
+      .agg(sideAggs(sideA, "a").head,
+        (sideAggs(sideA, "a").tail ++ sideAggs(sideB, "b")): _*)
+    def momentOf(op: String, tag: String) = op match {
+      case "sum" => col(s"sum_$tag")
+      case "avg" => col(s"sum_$tag") / col(s"n_$tag")
+      case "count" => col(s"n_$tag").cast("double")
+      case "min" => col(s"min_$tag")
+      case "max" => col(s"max_$tag")
+    }
+    agg
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .select(
+        lit(rule.name).as("metric"),
+        Rules.labelMap(s.by, col, rule.staticLabels).as("labels"),
+        col("window.start").cast("long").as("ts"),
+        PromQL.arith(s.aop)(momentOf(s.opA, "a"), momentOf(s.opB, "b"))
+          .cast("double").as("value"))
+  }
+
+  private def compiledCanonical(
+      samples: DataFrame,
+      rule: Rules.RecordingRule,
+      watermark: String): DataFrame = {
     val s = shapeOf(rule)
     val agg = samples
       .where(col("metric") === s.metric &&

@@ -897,4 +897,56 @@ class StreamingSpec extends SparkSuite {
       Rules.RecordingRule("r:x", "rate(click[3600])"), "10 minutes"))
     assert(e.getMessage.contains("canonical moment shape"))
   }
+
+  test("streaming RATIO recording rule equals the batch rule on a " +
+      "replayed fixture (one windowed agg, side-conditional)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.RecordStream
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val samples = events.select(
+      col("event_type").as("metric"),
+      map(lit("cohort"),
+        pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    val rule = Rules.RecordingRule("cohort:purchase_click:ratio1h",
+      "sum by (cohort) (purchase[3600]) / sum by (cohort) (click[3600])")
+    val batch = Rules.record(Tsdb.attach(spark, samples), rule, T0, T1)
+      .collect()
+      .map(r => (r.getMap[String, String](1).toMap, r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty)
+    val data = samples
+      .where(col("ts").between(T0, T1) &&
+        col("metric").isin("purchase", "click"))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+      .toIndexedSeq
+    val mem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+    val q = RecordStream.compiled(src, rule, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ratio_rec_eq")
+      .outputMode("append").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "0"),
+      new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ratio_rec_eq")
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (r.getMap[String, String](r.fieldIndex("labels")).toMap,
+        r.getLong(r.fieldIndex("ts")),
+        r.getDouble(r.fieldIndex("value")))).toSet
+    assert(got == batch,
+      s"sizes ${got.size} vs ${batch.size}; " +
+        s"stream-only ${(got -- batch).take(3)}; " +
+        s"batch-only ${(batch -- got).take(3)}")
+  }
 }
