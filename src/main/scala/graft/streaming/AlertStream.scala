@@ -136,7 +136,9 @@ object AlertStream {
       "streaming alerts support the canonical threshold shape " +
       "`<moment> by (labels) (metric[step]) <cmp> <number>` and the " +
       "two-metric arithmetic form `<moment> by (l) (a[step]) <aop> " +
-      "<moment> by (l) (b[step]) <cmp> <number>`, and the absence form " +
+      "<moment> by (l) (b[step]) <cmp> <number>`, their counter twins " +
+      "`<moment> by (l) (rate|increase(m[step])) …` (single side or " +
+      "two-metric arithmetic), and the absence form " +
       "`absent(metric[step]) by (labels)` (no offset/@/[range:step] " +
       "modifiers, matching by-lists, same step), got: " +
       PromQL.parse(rule.expr))
@@ -240,9 +242,12 @@ object AlertStream {
       case Some(s) => alertsCanonical(samples, rule, s, watermark)
       case None => ratioShapeOf(rule) match {
         case Some(rs) => alertsRatio(samples, rule, rs, watermark)
-        case None => absentShapeOf(rule) match {
-          case Some(as) => absentAlerts(samples, rule, as, watermark)
-          case None => unsupported(rule)
+        case None => counterShapeOf(rule) match {
+          case Some(cs) => alertsCounter(samples, rule, cs, watermark)
+          case None => absentShapeOf(rule) match {
+            case Some(as) => absentAlerts(samples, rule, as, watermark)
+            case None => unsupported(rule)
+          }
         }
       }
     }
@@ -614,6 +619,121 @@ object AlertStream {
         else None)), out, st.lastActive, st.runStart)
     st = st.copy(open = open, lastActive = la, runStart = rs)
     persistOrDrop(state, st, open.map(_.bucket), la, s.step, wmSec)
+    out.result().iterator
+  }
+
+  /** The counter-rule families — `sum by (l) (rate(errors[5m])) > thr`
+    * and its two-metric arithmetic twin (ratio of rates). Sides are
+    * [[CounterState.Side]]s; one side for the canonical form, two for
+    * the arithmetic form (`aop`/`opB` present). */
+  private final case class CounterShape(
+      sides: Seq[CounterState.Side],
+      by: Seq[String],
+      aop: Option[String],
+      step: Long,
+      cmp: String,
+      thr: Double)
+
+  private def counterFns(fn: String): Boolean =
+    fn == "rate" || fn == "increase"
+
+  private def counterShapeOf(rule: Rules.AlertRule): Option[CounterShape] =
+    PromQL.parse(rule.expr) match {
+      // single side: <moment> by (l) (rate|increase(m[step])) <cmp> thr
+      case PromQL.BinOp(cmp,
+          PromQL.Agg(op, _, _, by,
+            PromQL.RangeFn(fn, _, sel: PromQL.Selector, rfBy, _), wo),
+          PromQL.NumLit(thr), _, false, false)
+          if Cmps(cmp) && Moments(op) && counterFns(fn) &&
+            wo.isEmpty && rfBy.isEmpty && plain(sel) =>
+        Some(CounterShape(
+          Seq(CounterState.Side(sel.metric, sel.matchers, op, fn)),
+          by, None, sel.rangeSec.get, cmp, thr))
+      // two sides: <moment> by (l) (rate(a[s])) <aop>
+      //            <moment> by (l) (rate(b[s])) <cmp> thr
+      case PromQL.BinOp(cmp,
+          PromQL.BinOp(aop,
+            PromQL.Agg(opA, _, _, byA,
+              PromQL.RangeFn(fnA, _, a: PromQL.Selector, rbA, _), woA),
+            PromQL.Agg(opB, _, _, byB,
+              PromQL.RangeFn(fnB, _, b: PromQL.Selector, rbB, _), woB),
+            on, false, false),
+          PromQL.NumLit(thr), _, false, false)
+          if Cmps(cmp) && Set("/", "*", "+", "-")(aop) &&
+            Moments(opA) && Moments(opB) &&
+            counterFns(fnA) && counterFns(fnB) &&
+            byA.toSet == byB.toSet &&
+            (on.isEmpty || on.toSet == byA.toSet) &&
+            woA.isEmpty && woB.isEmpty && rbA.isEmpty && rbB.isEmpty &&
+            plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
+        Some(CounterShape(
+          Seq(CounterState.Side(a.metric, a.matchers, opA, fnA),
+            CounterState.Side(b.metric, b.matchers, opB, fnB)),
+          byA, Some(aop), a.rangeSec.get, cmp, thr))
+      case _ => None
+    }
+
+  /** Counter-family evaluation of one closed bucket: the side moments
+    * ([[CounterState.moment]] — the batch compiler's exact op order and
+    * rounding) vector-matched like the gauge ratio path (INNER join: a
+    * side with no contributing series drops the bucket's row). */
+  private def counterValue(
+      s: CounterShape, sides: Vector[Option[CounterState.SideAgg]])
+      : Option[Double] =
+    CounterState.value(s.sides, s.aop, s.step, sides)
+
+  /** The counter-rule streaming twin of
+    * [[graft.Tsdb.aggregateIncreaseBy]]/[[graft.Tsdb.momentIncreaseBy]]
+    * under `Rules.alerts` — per-labelset state carries each live
+    * series' last sample across bucket closes so reset-adjusted deltas
+    * replay the batch lag exactly ([[CounterState]]'s contract;
+    * StreamingSpec proves row-equality on a replayed fixture).
+    *
+    * Scale: state per key is O(open buckets × samples-per-step +
+    * live series in the key) — the carry map is bounded by series
+    * cardinality and horizon-purged, never by stream length; keys
+    * shard across executors like every flatMapGroupsWithState. */
+  private def alertsCounter(
+      samples: DataFrame,
+      rule: Rules.AlertRule,
+      s: CounterShape,
+      watermark: String): Dataset[AlertEval] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    CounterState.events(samples, s.sides, s.by, s.step, watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processCounter(rule, s))
+  }
+
+  private def processCounter(rule: Rules.AlertRule, s: CounterShape)(
+      key: String,
+      events: Iterator[CounterState.Ev],
+      state: GroupState[CounterState.St]): Iterator[AlertEval] = {
+    val wmSec = state.getCurrentWatermarkMs() / 1000
+    val (st0, closed) = CounterState.advance(
+      state.getOption.getOrElse(CounterState.EmptySt), events, wmSec,
+      s.sides.size, s.step)
+    val out = List.newBuilder[AlertEval]
+    val (la, rs) = emitRuns(rule, s.step, s.cmp, s.thr, st0.labels,
+      closed.map { case (b, sides) => b -> counterValue(s, sides) },
+      out, st0.lastActive, st0.runStart)
+    val st = st0.copy(lastActive = la, runStart = rs)
+    // keep state while anything still needs it: an open bucket's close,
+    // a carry entry's horizon expiry, or the run clock's relevance
+    // window (lastActive + 2*step, like the gauge paths) — whichever
+    // wakes first; with none left the key's state drops entirely
+    val deadlines = List(
+      st.buf.map(_.bucket + s.step).minOption,
+      CounterState.nextCarryDeadline(st.carry),
+      if (la != Long.MinValue && wmSec < la + 2 * s.step)
+        Some(la + 2 * s.step)
+      else None).flatten
+    if (deadlines.nonEmpty) {
+      state.update(st)
+      state.setTimeoutTimestamp(math.max(deadlines.min, wmSec + 1) * 1000)
+    } else if (state.exists) state.remove()
     out.result().iterator
   }
 }

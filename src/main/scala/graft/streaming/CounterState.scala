@@ -121,9 +121,14 @@ object CounterState {
       .as[Ev]
   }
 
-  /** Spark's non-ANSI `cast(v as decimal(18,2))`: HALF_UP to scale 2,
-    * None when the result exceeds precision 18 (overflow-to-NULL) —
-    * the caller treats None exactly like a non-finite sample. */
+  /** `cast(v as decimal(18,2))` with overflow-to-NULL: HALF_UP to
+    * scale 2, None when the result exceeds precision 18 — the caller
+    * treats None exactly like a non-finite sample. The ANSI batch plan
+    * (this engine's default) HARD-FAILS the whole query on such a
+    * value; a long-running alert stream must survive one poisoned
+    * sample, so the streaming side degrades to the non-ANSI NULL
+    * semantics instead — the only intentional divergence from the
+    * batch lag, pinned in StreamingSpec's CounterState unit test. */
   private def dec2(v: Double): Option[BigDecimal] = {
     val d = java.math.BigDecimal.valueOf(v)
       .setScale(2, java.math.RoundingMode.HALF_UP)
@@ -153,6 +158,32 @@ object CounterState {
       case "max" => a.maxInc.toDouble
     }
     if (side.fn == "rate") round6(inc / step) else inc
+  }
+
+  /** PromQL's vector-match arithmetic with the batch compiler's exact
+    * rounding ([[graft.promql.PromQL]]'s arith): `/` rounds to 6
+    * decimals, NaN/Inf pass through ([[round6]] already does). */
+  def arith(aop: String, a: Double, b: Double): Double = aop match {
+    case "/" => round6(a / b)
+    case "*" => a * b
+    case "+" => a + b
+    case "-" => a - b
+  }
+
+  /** One closed bucket's rule value: the side moments vector-matched
+    * with the batch INNER-join semantics — a side with no contributing
+    * series drops the bucket's row entirely (no row in the batch
+    * frame). `aop` present means the two-metric arithmetic form. */
+  def value(
+      sides: Seq[Side],
+      aop: Option[String],
+      step: Long,
+      aggs: Vector[Option[SideAgg]]): Option[Double] = aop match {
+    case None => aggs(0).map(a => moment(sides(0), step, a))
+    case Some(op) =>
+      for { a <- aggs(0); b <- aggs(1) }
+        yield arith(op, moment(sides(0), step, a),
+          moment(sides(1), step, b))
   }
 
   private def carryKey(side: Int, series: String): String =
@@ -246,6 +277,45 @@ object CounterState {
           wmSec
       }
     (closed, openBuf, carry)
+  }
+
+  /** The per-key state both consumers persist: open-bucket samples +
+    * the carry map + the alert path's run clock (the record path keeps
+    * the clock at MinValue). Public for Catalyst's generated
+    * (de)serializers, like [[AlertStream.St]]. */
+  final case class St(
+      labels: Map[String, String],
+      buf: List[Buf],
+      carry: Map[String, String],
+      lastActive: Long,
+      runStart: Long)
+
+  val EmptySt: St = St(Map.empty, Nil, Map.empty, Long.MinValue,
+    Long.MinValue)
+
+  /** One state-machine step, shared by the alert and recording
+    * consumers: drop events behind the watermark (a closed bucket
+    * never reopens — same lateness rule as the gauge paths), buffer
+    * the rest, close every bucket the watermark has passed. Returns
+    * the advanced state (open buffer + purged carry; the run clock is
+    * the CALLER's to advance) and the closed buckets in time order. */
+  def advance(
+      st0: St,
+      events: Iterator[Ev],
+      wmSec: Long,
+      nSides: Int,
+      step: Long,
+      carryHorizonSec: Long = DefaultCarryHorizonSec)
+      : (St, List[(Long, Vector[Option[SideAgg]])]) = {
+    var st = st0
+    val evs = events.toSeq.filter(e => e.bucket + step > wmSec)
+    if (evs.nonEmpty && st.labels.isEmpty)
+      st = st.copy(labels = evs.head.labels)
+    val buf = st.buf ++ evs.map(e =>
+      Buf(e.bucket, e.side, e.series, e.tsec, e.value))
+    val (closed, open, carry) =
+      close(buf, st.carry, nSides, step, wmSec, carryHorizonSec)
+    (st.copy(buf = open, carry = carry), closed)
   }
 
   /** Earliest wakeup the carry map still needs: the soonest horizon

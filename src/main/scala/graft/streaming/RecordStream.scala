@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 
 import graft.Tsdb
 import graft.promql.{PromQL, Rules}
@@ -43,10 +44,11 @@ object RecordStream {
         Shape(sel.metric, sel.matchers, by, op, sel.rangeSec.get)
       case other => throw new IllegalArgumentException(
         "streaming recording rules support the canonical moment shape " +
-        "`<moment> by (labels) (metric[step])` and the two-metric " +
+        "`<moment> by (labels) (metric[step])`, the two-metric " +
         "arithmetic form `<moment> by (l) (a[step]) <aop> <moment> " +
-        "by (l) (b[step])` (no offset/@/[range:step] modifiers), " +
-        "got: " + other)
+        "by (l) (b[step])`, and their counter twins " +
+        "`<moment> by (l) (rate|increase(m[step])) …` " +
+        "(no offset/@/[range:step] modifiers), got: " + other)
     }
 
   /** The two-metric arithmetic recording shape — the precomputed
@@ -96,8 +98,111 @@ object RecordStream {
       s"invalid metric name for a recording rule: ${rule.name}")
     ratioShapeOf(rule) match {
       case Some(rs) => compiledRatio(samples, rule, rs, watermark)
-      case None => compiledCanonical(samples, rule, watermark)
+      case None => counterShapeOf(rule) match {
+        case Some(cs) => compiledCounter(samples, rule, cs, watermark)
+        case None => compiledCanonical(samples, rule, watermark)
+      }
     }
+  }
+
+  /** The counter recording families — `<moment> by (l)
+    * (rate|increase(m[step]))` and the two-metric arithmetic twin
+    * (precomputed ratio-of-rates): per-series reset-adjusted deltas
+    * need a lag over the series' history, which a plain windowed
+    * aggregation cannot express, so this path rides the same
+    * [[CounterState]] stateful operator as the alert twin — state per
+    * labelset is the open buckets plus one carry entry per live
+    * series, horizon-purged. */
+  private final case class CounterShape(
+      sides: Seq[CounterState.Side],
+      by: Seq[String],
+      aop: Option[String],
+      step: Long)
+
+  /** Output sample of the counter recording path — public for
+    * Catalyst's generated (de)serializers. */
+  final case class Rec(
+      metric: String, labels: Map[String, String], ts: Long,
+      value: Double)
+
+  private def plain(sel: PromQL.Selector): Boolean =
+    sel.rangeSec.isDefined && sel.offsetSec == 0 &&
+      sel.stepSec.isEmpty && sel.atSpec.isEmpty
+
+  private val Moments = Set("sum", "avg", "min", "max", "count")
+
+  private def counterFns(fn: String): Boolean =
+    fn == "rate" || fn == "increase"
+
+  private def counterShapeOf(
+      rule: Rules.RecordingRule): Option[CounterShape] =
+    PromQL.parse(rule.expr) match {
+      case PromQL.Agg(op, _, _, by,
+          PromQL.RangeFn(fn, _, sel: PromQL.Selector, rfBy, _), wo)
+          if Moments(op) && counterFns(fn) && wo.isEmpty &&
+            rfBy.isEmpty && plain(sel) =>
+        Some(CounterShape(
+          Seq(CounterState.Side(sel.metric, sel.matchers, op, fn)),
+          by, None, sel.rangeSec.get))
+      case PromQL.BinOp(aop,
+          PromQL.Agg(opA, _, _, byA,
+            PromQL.RangeFn(fnA, _, a: PromQL.Selector, rbA, _), woA),
+          PromQL.Agg(opB, _, _, byB,
+            PromQL.RangeFn(fnB, _, b: PromQL.Selector, rbB, _), woB),
+          on, false, false)
+          if Set("/", "*", "+", "-")(aop) &&
+            Moments(opA) && Moments(opB) &&
+            counterFns(fnA) && counterFns(fnB) &&
+            byA.toSet == byB.toSet &&
+            (on.isEmpty || on.toSet == byA.toSet) &&
+            woA.isEmpty && woB.isEmpty && rbA.isEmpty && rbB.isEmpty &&
+            plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
+        Some(CounterShape(
+          Seq(CounterState.Side(a.metric, a.matchers, opA, fnA),
+            CounterState.Side(b.metric, b.matchers, opB, fnB)),
+          byA, Some(aop), a.rangeSec.get))
+      case _ => None
+    }
+
+  private def compiledCounter(
+      samples: DataFrame,
+      rule: Rules.RecordingRule,
+      s: CounterShape,
+      watermark: String): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    CounterState.events(samples, s.sides, s.by, s.step, watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processCounter(rule, s))
+      .toDF()
+  }
+
+  private def processCounter(rule: Rules.RecordingRule, s: CounterShape)(
+      key: String,
+      events: Iterator[CounterState.Ev],
+      state: GroupState[CounterState.St]): Iterator[Rec] = {
+    val wmSec = state.getCurrentWatermarkMs() / 1000
+    val (st, closed) = CounterState.advance(
+      state.getOption.getOrElse(CounterState.EmptySt), events, wmSec,
+      s.sides.size, s.step)
+    val out = closed.flatMap { case (bucket, aggs) =>
+      CounterState.value(s.sides, s.aop, s.step, aggs).map(v =>
+        // static labels win on collision, like Rules.labelMap (which
+        // drops a by-label shadowed by a static one)
+        Rec(rule.name, st.labels ++ rule.staticLabels, bucket, v))
+    }
+    // keep state while an open bucket's close or a carry entry's
+    // horizon expiry is still pending; with neither, the key drops
+    val deadlines = List(
+      st.buf.map(_.bucket + s.step).minOption,
+      CounterState.nextCarryDeadline(st.carry)).flatten
+    if (deadlines.nonEmpty) {
+      state.update(st)
+      state.setTimeoutTimestamp(math.max(deadlines.min, wmSec + 1) * 1000)
+    } else if (state.exists) state.remove()
+    out.iterator
   }
 
   /** Two-metric arithmetic recording WITHOUT a stream-stream join:

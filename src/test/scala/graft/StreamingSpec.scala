@@ -949,4 +949,179 @@ class StreamingSpec extends SparkSuite {
         s"stream-only ${(got -- batch).take(3)}; " +
         s"batch-only ${(batch -- got).take(3)}")
   }
+
+  test("streaming counter alerts equal the batch rate rules on a " +
+      "replayed fixture (resets, NaN/Inf, decimal overflow, carry)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.AlertStream
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val real = events.select(
+      col("event_type").as("metric"),
+      map(lit("cohort"),
+        pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    // adversarial samples on cohort 3's real series (same sid): a NaN
+    // and a +Inf (cast NULL drops own + next delta), a spike at the
+    // decimal(18,2) ceiling (forces a giant delta then a reset), and a
+    // small sample after it. Overflow BEYOND the decimal ceiling is a
+    // hard error in the ANSI batch plan and pinned separately in the
+    // CounterState unit test (the stream survives it as a NULL).
+    val weird = Seq(
+      ("click", Map("cohort" -> "3"), T0 + 3 * 3600 + 100L, Double.NaN),
+      ("click", Map("cohort" -> "3"), T0 + 3 * 3600 + 200L,
+        Double.PositiveInfinity),
+      ("click", Map("cohort" -> "3"), T0 + 5 * 3600 + 100L, 9.999e15),
+      ("click", Map("cohort" -> "3"), T0 + 5 * 3600 + 200L, 7.25)
+    ).toDF("metric", "labels", "ts", "value")
+    val samples = real.unionByName(weird)
+    val data = samples
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+      .toIndexedSeq
+    // one rule per compiled family: aggregateIncreaseBy (sum+rate),
+    // momentIncreaseBy (avg+increase), and the ratio-of-rates BinOp
+    val rules = Seq(
+      ("cr_sum", Rules.AlertRule("cr_sum",
+        "sum by (cohort) (rate(click[3600])) > 0", forSec = 7200L)),
+      ("cr_avg", Rules.AlertRule("cr_avg",
+        "avg by (cohort) (increase(click[3600])) > 1", forSec = 0L)),
+      ("cr_ratio", Rules.AlertRule("cr_ratio",
+        "sum by (cohort) (rate(click[3600])) / " +
+          "sum by (cohort) (rate(view[3600])) > 0.2", forSec = 3600L)))
+    rules.foreach { case (qn, rule) =>
+      val batch = Rules.alerts(Tsdb.attach(spark, samples), rule, T0, T1)
+        .select(col("cohort"), col("bucket_start"), col("value"),
+          col("state"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSet
+      val mem = MemoryStream[(String, Map[String, String],
+        java.sql.Timestamp, Double)]
+      val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+      val q = AlertStream.alerts(src, rule, watermark = "10 minutes")
+        .toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(("click", Map("cohort" -> "zz"),
+        new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+      q.processAllAvailable()
+      mem.addData(("click", Map("cohort" -> "zz"),
+        new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(qn)
+        .select(col("labels").getItem("cohort").as("cohort"),
+          col("bucket_start"), col("value"), col("state"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"[$qn] sizes ${streamed.size} vs ${batch.size}; " +
+          s"stream-only ${(streamed -- batch).take(3)}; " +
+          s"batch-only ${(batch -- streamed).take(3)}")
+    }
+  }
+
+  test("CounterState.close: reset-adjust, cross-bucket carry, NaN and " +
+      "decimal-overflow samples drop deltas, horizon purge") {
+    import graft.streaming.CounterState
+    import graft.streaming.CounterState.{Buf, SideAgg}
+    val step = 60L
+    // s1: 10 -> 25 in b0 (delta 15), carried to b1 where 5 is a reset
+    // (delta = the restarted value, 5); s2: a decimal(18,2) OVERFLOW in
+    // b0 (cast NULL: no delta, carry dropped), then 3 (lag NULL) and 8
+    // (delta 5) in b1
+    val buf = List(
+      Buf(0, 0, "s1", 10, 10.0), Buf(0, 0, "s1", 20, 25.0),
+      Buf(60, 0, "s1", 70, 5.0),
+      Buf(0, 0, "s2", 15, 1e17),
+      Buf(60, 0, "s2", 65, 3.0), Buf(60, 0, "s2", 75, 8.0))
+    val (closed, open, carry) =
+      CounterState.close(buf, Map.empty, nSides = 1, step, wmSec = 120)
+    assert(open.isEmpty)
+    val m = closed.toMap
+    assert(m(0L) == Vector(Some(SideAgg(1, BigDecimal(15),
+      BigDecimal(15), BigDecimal(15)))), m(0L).toString)
+    assert(m(60L) == Vector(Some(SideAgg(2, BigDecimal(10),
+      BigDecimal(5), BigDecimal(5)))), m(60L).toString)
+    assert(carry.keySet.map(_.split("\u0000")(1)) == Set("s1", "s2"))
+    // NaN kills its own delta AND the next sample's (lag NULL)
+    val bufN = List(
+      Buf(0, 0, "s3", 5, 10.0), Buf(0, 0, "s3", 10, Double.NaN),
+      Buf(0, 0, "s3", 20, 50.0), Buf(0, 0, "s3", 30, 60.0))
+    val (cN, _, _) =
+      CounterState.close(bufN, Map.empty, nSides = 1, step, wmSec = 60)
+    assert(cN.toMap.apply(0L) == Vector(Some(SideAgg(1, BigDecimal(10),
+      BigDecimal(10), BigDecimal(10)))), cN.toString)
+    // quiet carries purge once the watermark passes the horizon
+    val (_, _, purged) = CounterState.close(Nil, carry, nSides = 1, step,
+      wmSec = 120 + CounterState.DefaultCarryHorizonSec + 1)
+    assert(purged.isEmpty, purged.toString)
+  }
+
+  test("streaming counter recording rules equal the batch rule on a " +
+      "replayed fixture (rate + ratio-of-rates)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.RecordStream
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val samples = events.select(
+      col("event_type").as("metric"),
+      map(lit("cohort"),
+        pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    val data = samples
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+      .toIndexedSeq
+    val rules = Seq(
+      ("crr_sum", Rules.RecordingRule("cohort:click:rate1h",
+        "sum by (cohort) (rate(click[3600]))", Map("job" -> "rules"))),
+      ("crr_ratio", Rules.RecordingRule("cohort:click_view:rate_ratio",
+        "sum by (cohort) (rate(click[3600])) / " +
+          "sum by (cohort) (rate(view[3600]))")))
+    rules.foreach { case (qn, rule) =>
+      val batch = Rules.record(Tsdb.attach(spark, samples), rule, T0, T1)
+        .collect()
+        .map(r => (r.getMap[String, String](1).toMap, r.getLong(2),
+          r.getDouble(3))).toSet
+      val mem = MemoryStream[(String, Map[String, String],
+        java.sql.Timestamp, Double)]
+      val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+      val q = RecordStream.compiled(src, rule, watermark = "10 minutes")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(("click", Map("cohort" -> "zz"),
+        new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+      q.processAllAvailable()
+      mem.addData(("click", Map("cohort" -> "zz"),
+        new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(qn)
+        .where(col("ts").between(T0, T1))
+        .collect()
+        .map(r => (r.getMap[String, String](r.fieldIndex("labels")).toMap,
+          r.getLong(r.fieldIndex("ts")),
+          r.getDouble(r.fieldIndex("value")))).toSet
+      assert(got.nonEmpty && got == batch,
+        s"[$qn] sizes ${got.size} vs ${batch.size}; " +
+          s"stream-only ${(got -- batch).take(3)}; " +
+          s"batch-only ${(batch -- got).take(3)}")
+    }
+  }
 }
