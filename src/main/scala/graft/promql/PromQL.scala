@@ -163,7 +163,8 @@ object PromQL {
       rhs: Expr,
       ignoring: Seq[String],
       groupLeft: Boolean = false,
-      groupRight: Boolean = false) extends Expr
+      groupRight: Boolean = false,
+      bool: Boolean = false) extends Expr
   /** A comparison with the `bool` modifier (`a > bool 0.5`): no rows are
     * dropped — the value column becomes 1.0 where the predicate holds,
     * 0.0 otherwise (Prometheus's 0/1 vector). */
@@ -363,13 +364,16 @@ object PromQL {
         if (peek.contains(Ident("bool"))) {
           next()
           val (ls, gl, gr, isIg, carry) = parseMatchClause()
-          if (isIg)
-            fail("bool comparisons take an explicit on (...) clause, " +
-              "not ignoring (...)")
           if (carry.nonEmpty)
             fail("bool comparisons do not carry labels — drop the " +
               "group_left/group_right (extra) list")
-          lhs = BoolCmp(op, lhs, parseAddSub(), ls, gl, gr)
+          // `ignoring (...)` rides the same transient node as the
+          // filter/arithmetic form; resolveWithout rewrites it to a
+          // BoolCmp with explicit on-labels (pure AST arithmetic)
+          lhs =
+            if (isIg)
+              IgnoringOp(op, lhs, parseAddSub(), ls, gl, gr, bool = true)
+            else BoolCmp(op, lhs, parseAddSub(), ls, gl, gr)
         } else {
           // filter compares take the same matching clause as arithmetic:
           // `a > on (l) group_left b`
@@ -812,7 +816,7 @@ object PromQL {
         else render(x)
       }
       s"${sub(l, rhs = false)} $op$sep${sub(r, rhs = true)}"
-    case b @ IgnoringOp(op, l, r, ig, gl, gr) =>
+    case b @ IgnoringOp(op, l, r, ig, gl, gr, bool) =>
       val clause = ig.mkString("ignoring (", ", ", ")") +
         (if (gl) " group_left" else if (gr) " group_right" else "")
       val p = precOf(b)
@@ -820,7 +824,8 @@ object PromQL {
         val px = precOf(x)
         if (px < p || (rhs && px == p)) s"(${render(x)})" else render(x)
       }
-      s"${sub(l, rhs = false)} $op $clause ${sub(r, rhs = true)}"
+      val boolMod = if (bool) "bool " else ""
+      s"${sub(l, rhs = false)} $op $boolMod$clause ${sub(r, rhs = true)}"
     case b @ BoolCmp(op, l, r, on, gl, gr) =>
       val p = precOf(b)
       def sub(x: Expr, rhs: Boolean): String = {
@@ -850,12 +855,13 @@ object PromQL {
     case BinOp("and" | "unless", _, _, _, _, _) => 2
     case BinOp(op, _, _, _, _, _) if CmpOps(op) => 3
     case _: BoolCmp => 3
+    case IgnoringOp(op, _, _, _, _, _, _) if CmpOps(op) => 3
     case BinOp("+" | "-", _, _, _, _, _) => 4
-    case IgnoringOp("+" | "-", _, _, _, _, _) => 4
+    case IgnoringOp("+" | "-", _, _, _, _, _, _) => 4
     case BinOp("/" | "*" | "%" | "atan2", _, _, _, _, _) => 5
-    case IgnoringOp("/" | "*" | "%" | "atan2", _, _, _, _, _) => 5
+    case IgnoringOp("/" | "*" | "%" | "atan2", _, _, _, _, _, _) => 5
     case BinOp("^", _, _, _, _, _) => 6
-    case IgnoringOp("^", _, _, _, _, _) => 6
+    case IgnoringOp("^", _, _, _, _, _, _) => 6
     case _ => 9
   }
 
@@ -935,7 +941,7 @@ object PromQL {
       case RangeFn(_, _, sel, _, _) => specs(sel)
       case Agg(_, _, _, _, body, _) => specs(body)
       case BinOp(_, l, r, _, _, _) => specs(l) ++ specs(r)
-      case IgnoringOp(_, l, r, _, _, _) => specs(l) ++ specs(r)
+      case IgnoringOp(_, l, r, _, _, _, _) => specs(l) ++ specs(r)
       case BoolCmp(_, l, r, _, _, _) => specs(l) ++ specs(r)
       case MathFn(_, arg, _, _) => specs(arg)
       case LabelFn(_, inner, _) => specs(inner)
@@ -947,7 +953,7 @@ object PromQL {
       case rf @ RangeFn(_, _, sel, _, _) => rf.copy(sel = sel.copy(atSpec = None))
       case a @ Agg(_, _, _, _, body, _) => a.copy(body = strip(body))
       case b @ BinOp(_, l, r, _, _, _) => b.copy(lhs = strip(l), rhs = strip(r))
-      case i @ IgnoringOp(_, l, r, _, _, _) =>
+      case i @ IgnoringOp(_, l, r, _, _, _, _) =>
         i.copy(lhs = strip(l), rhs = strip(r))
       case bc @ BoolCmp(_, l, r, _, _, _) =>
         bc.copy(lhs = strip(l), rhs = strip(r))
@@ -962,7 +968,7 @@ object PromQL {
       case RangeFn(_, _, sel, _, _) => ranges(sel)
       case Agg(_, _, _, _, body, _) => ranges(body)
       case BinOp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
-      case IgnoringOp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
+      case IgnoringOp(_, l, r, _, _, _, _) => ranges(l) ++ ranges(r)
       case BoolCmp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
       case MathFn(_, arg, _, _) => ranges(arg)
       case LabelFn(_, inner, _) => ranges(inner)
@@ -1053,7 +1059,7 @@ object PromQL {
     case Agg(_, _, _, _, body, _) => validateSubquerySteps(body)
     case BinOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
-    case IgnoringOp(_, l, r, _, _, _) =>
+    case IgnoringOp(_, l, r, _, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
     case BoolCmp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
@@ -1115,7 +1121,7 @@ object PromQL {
     // either for a plain match — the compiler checks they agree) minus
     // the ignored labels. Pure AST arithmetic — the grouping clauses
     // carry the label sets, no data access.
-    case IgnoringOp(op, l, r, ig, gl, gr) =>
+    case IgnoringOp(op, l, r, ig, gl, gr, bool) =>
       val rl = resolveWithout(t, l)
       val rr = resolveWithout(t, r)
       val coarse = if (gr) rl else rr
@@ -1145,7 +1151,8 @@ object PromQL {
             "labels need an explicit on (...) clause")
         case _ => ()
       }
-      BinOp(op, rl, rr, on, gl, gr)
+      if (bool) BoolCmp(op, rl, rr, on, gl, gr)
+      else BinOp(op, rl, rr, on, gl, gr)
     case bc @ BoolCmp(_, l, r, _, _, _) =>
       bc.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
     case m @ MathFn(_, arg, _, _) => m.copy(arg = resolveWithout(t, arg))

@@ -189,6 +189,14 @@ object CounterState {
   private def carryKey(side: Int, series: String): String =
     s"$side\u0000$series"
 
+  /** One carry entry: a series' last finite sample — its truncated
+    * epoch second (for the horizon purge) and its decimal(18,2)-cast
+    * value (the next delta's lag). Public for Catalyst's generated
+    * (de)serializers; the BigDecimal round-trips through the state
+    * store's Decimal(38,18), which holds every scale-2 value with
+    * precision <= 18 exactly. */
+  final case class Carry(tsec: Long, v: BigDecimal)
+
   /** Close every buffered bucket the watermark has passed, in time
     * order, computing each (bucket, side)'s cross-series counter
     * aggregate with the carry map advanced sample by sample — the
@@ -197,20 +205,20 @@ object CounterState {
     * batch frame, vector-match inactive), the surviving open buffer,
     * and the updated carry map (horizon-purged).
     *
-    * `last` map encoding: carryKey → "tsec\u0000decimalString". A
-    * series whose latest sample was non-finite has NO entry (cast
-    * NULL = lag NULL for the next sample — identical effect to
-    * never-seen, so one representation serves both).
+    * `last` maps carryKey (side NUL series) → [[Carry]]. A series
+    * whose latest sample was non-finite has NO entry (cast NULL = lag
+    * NULL for the next sample — identical effect to never-seen, so
+    * one representation serves both).
     */
   def close(
       buf: List[Buf],
-      last: Map[String, String],
+      last: Map[String, Carry],
       nSides: Int,
       step: Long,
       wmSec: Long,
       carryHorizonSec: Long = DefaultCarryHorizonSec)
       : (List[(Long, Vector[Option[SideAgg]])], List[Buf],
-         Map[String, String]) = {
+         Map[String, Carry]) = {
     val (closedBuf, openBuf) = buf.partition(_.bucket + step <= wmSec)
     var carry = last
     val closed = closedBuf.groupBy(_.bucket).toList.sortBy(_._1)
@@ -228,11 +236,8 @@ object CounterState {
                 Ordering.Tuple2(Ordering.Long,
                   Ordering.Double.TotalOrdering))
               val ck = carryKey(side, series)
-              var prev: Option[BigDecimal] =
-                carry.get(ck).map(e =>
-                  BigDecimal(e.substring(e.indexOf('\u0000') + 1)))
+              var prev: Option[BigDecimal] = carry.get(ck).map(_.v)
               var inc: BigDecimal = null
-              var lastTs = 0L
               sorted.foreach { s =>
                 val cast =
                   if (s.value.isNaN || s.value.isInfinite) None
@@ -253,8 +258,7 @@ object CounterState {
                       case None => // first sample / after NULL: no delta
                     }
                     prev = Some(v)
-                    lastTs = s.tsec
-                    carry = carry.updated(ck, s"$lastTs\u0000$v")
+                    carry = carry.updated(ck, Carry(s.tsec, v))
                 }
               }
               if (inc != null) {
@@ -273,8 +277,7 @@ object CounterState {
     // LIVE series count, never by history
     if (wmSec > Long.MinValue)
       carry = carry.filter { case (_, e) =>
-        e.substring(0, e.indexOf('\u0000')).toLong + carryHorizonSec >=
-          wmSec
+        e.tsec + carryHorizonSec >= wmSec
       }
     (closed, openBuf, carry)
   }
@@ -286,7 +289,7 @@ object CounterState {
   final case class St(
       labels: Map[String, String],
       buf: List[Buf],
-      carry: Map[String, String],
+      carry: Map[String, Carry],
       lastActive: Long,
       runStart: Long)
 
@@ -322,9 +325,8 @@ object CounterState {
     * expiry, so a quiet key purges itself instead of holding state
     * forever. None when no carries remain. */
   def nextCarryDeadline(
-      last: Map[String, String],
+      last: Map[String, Carry],
       carryHorizonSec: Long = DefaultCarryHorizonSec): Option[Long] =
     if (last.isEmpty) None
-    else Some(last.values.map(e =>
-      e.substring(0, e.indexOf('\u0000')).toLong).min + carryHorizonSec)
+    else Some(last.values.map(_.tsec).min + carryHorizonSec)
 }

@@ -953,6 +953,35 @@ class PromQLSpec extends SparkSuite {
     assert(e.getMessage.contains("ignoring"))
   }
 
+  test("bool compares take ignoring (...) and resolve it to the " +
+      "on-complement, like the filter form") {
+    // group_left bool: ignoring(user_id) over a (cohort) coarse side
+    // == explicit on (cohort)
+    val lhs = "sum by (cohort, user_id) (purchase[1d])"
+    val rhs = "sum by (cohort) (click[1d])"
+    assertSame(
+      PromQL.query(t,
+        s"$lhs > bool ignoring (user_id) group_left $rhs", T0, T1),
+      PromQL.query(t, s"$lhs > bool on (cohort) group_left $rhs",
+        T0, T1))
+    // plain bool match: ignoring a label in neither grouping is the
+    // bare bool vector match
+    assertSame(
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) > bool ignoring (region) " +
+          "sum by (cohort) (click[1h])", T0, T1),
+      PromQL.query(t,
+        "sum by (cohort) (purchase[1h]) > bool " +
+          "sum by (cohort) (click[1h])", T0, T1))
+    // round-trip through the canonical rendering
+    val s = s"$lhs > bool ignoring (user_id) group_left $rhs"
+    assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
+    // carried labels still rejected on bool, ignoring or not
+    val e = intercept[IllegalArgumentException](PromQL.parse(
+      s"$lhs > bool ignoring (user_id) group_left(user_id) $rhs"))
+    assert(e.getMessage.contains("bool"))
+  }
+
   test("bool comparisons keep rows and emit the 0/1 vector") {
     val base = "sum by (cohort) (click[1h])"
     val filtered = PromQL.query(t, s"$base > 100", T0, T1)
@@ -1259,10 +1288,12 @@ class PromQLSpec extends SparkSuite {
     val qb = "max by (cohort, user_id) (click[1h]) > bool on (cohort) " +
       "group_left avg by (cohort) (click[1h])"
     assert(PromQL.parse(PromQL.render(PromQL.parse(qb))) == PromQL.parse(qb))
-    // ignoring and carried labels stay loud on bool
-    val eb1 = intercept[IllegalArgumentException](PromQL.parse(
-      "a > bool ignoring (l) b"))
-    assert(eb1.getMessage.contains("explicit on"), eb1.getMessage)
+    // bool ignoring PARSES now (resolved to on-complement elsewhere),
+    // but still fails loudly when no aggregated side provides the
+    // label set to complement; carried labels stay a parse error
+    val eb1 = intercept[IllegalArgumentException](
+      PromQL.query(t, "a > bool ignoring (l) b", T0, T1))
+    assert(eb1.getMessage.contains("ignoring"), eb1.getMessage)
     val eb2 = intercept[IllegalArgumentException](PromQL.parse(
       "a > bool on (l) group_left(x) b"))
     assert(eb2.getMessage.contains("do not carry"), eb2.getMessage)
