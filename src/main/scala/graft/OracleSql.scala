@@ -58,6 +58,17 @@ object OracleSql {
        |FROM events WHERE $tsS BETWEEN $T0 AND $T1
        |ORDER BY value""".stripMargin
 
+  /** Meta fast-path mirror: a (metric, user_id) series contributes its
+    * user_id when its [min ts, max ts] span overlaps the window —
+    * series-grain overlap, NOT per-sample membership. */
+  private val tsdbLabelValuesMeta =
+    s"""SELECT DISTINCT CAST(user_id AS VARCHAR) AS value
+       |FROM (SELECT event_type, user_id,
+       |             min($tsS) AS mn, max($tsS) AS mx
+       |      FROM events GROUP BY 1, 2)
+       |WHERE mn <= ${T0 + 2 * 86400} AND mx >= $T0
+       |ORDER BY value""".stripMargin
+
   private val tsdbAggBy =
     s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
        |       $tsS - ($tsS % 3600) AS bucket_start,
@@ -2551,6 +2562,7 @@ object OracleSql {
     "tsdb_range_neq" -> tsdbRangeNeq,
     "tsdb_series" -> tsdbSeries,
     "tsdb_label_values" -> tsdbLabelValues,
+    "tsdb_label_values_meta" -> tsdbLabelValuesMeta,
     "tsdb_bucket_agg" -> tsdbBucketAgg,
     "tsdb_delta" -> tsdbDelta,
     "tsdb_agg_by" -> tsdbAggBy,

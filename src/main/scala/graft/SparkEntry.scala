@@ -1069,7 +1069,16 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
 
   private def qTsdbLabelValues(s: SparkSession, dir: String): DataFrame =
-    tsdbOn(s, dir).queryLabelValues("user_id", T0, T1)
+    tsdbOn(s, dir).queryLabelValues("user_id", T0, T1, exact = true)
+
+  /** QueryLabelValues fast path (the default): the label's domain from
+    * the series_meta dimension only — minTs/maxTs overlap, the
+    * reference's coarse range semantics at series grain — zero
+    * fact-table IO however wide the range. Narrow window so overlap vs
+    * exact semantics actually differ at the oracle.
+    */
+  private def qTsdbLabelValuesMeta(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir).queryLabelValues("user_id", T0, T0 + 2 * 86400)
 
   private def qTsdbBucketAgg(s: SparkSession, dir: String): DataFrame =
     EventOps
@@ -2319,6 +2328,7 @@ object SparkEntry {
     "tsdb_range_regex" -> (qTsdbRangeRegex _),
     "tsdb_series" -> (qTsdbSeries _),
     "tsdb_label_values" -> (qTsdbLabelValues _),
+    "tsdb_label_values_meta" -> (qTsdbLabelValuesMeta _),
     "tsdb_bucket_agg" -> (qTsdbBucketAgg _),
     "tsdb_delta" -> (qTsdbDelta _),
     "tsdb_agg_by" -> (qTsdbAggBy _),

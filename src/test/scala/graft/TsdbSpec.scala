@@ -95,6 +95,39 @@ class TsdbSpec extends SparkSuite {
     val got = disk.queryLabelValues("node", Start, Start + 120)
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("vm0", "vm1", "vm2"))
+    // exact mode agrees on the dense grid
+    val exact = disk.queryLabelValues("node", Start, Start + 120,
+        exact = true)
+      .collect().map(_.getString(0)).toSeq
+    assert(exact == Seq("vm0", "vm1", "vm2"))
+    // the default path is dimension-only: no fact-table scan in the plan
+    val plan = disk.queryLabelValues("node", Start, Start + 120)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("/samples"), plan.take(600))
+  }
+
+  test("queryLabelValues: overlap (default) vs exact semantics diverge " +
+      "on a series whose gap covers the whole range") {
+    import spark.implicits._
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("tsdb_lv"), segmentDuration = 7200L))
+    // vmA samples bracket [1000, 2000] with a gap across it; vmB has a
+    // sample inside the range
+    t.insertRows(Seq(
+      ("hb", Map("node" -> "vmA"), Start, 1.0),
+      ("hb", Map("node" -> "vmA"), Start + 4000L, 2.0),
+      ("hb", Map("node" -> "vmB"), Start + 1500L, 3.0)
+    ).toDF("metric", "labels", "ts", "value"))
+    val overlap = t.queryLabelValues("node", Start + 1000, Start + 2000)
+      .collect().map(_.getString(0)).toSeq
+    val exact = t.queryLabelValues("node", Start + 1000, Start + 2000,
+        exact = true)
+      .collect().map(_.getString(0)).toSeq
+    // overlap counts vmA (span covers the range), exact does not (no
+    // sample inside) — the reference's coarse semantics vs the engine's
+    // strictly-more-correct opt-in
+    assert(overlap == Seq("vmA", "vmB"), overlap.toString)
+    assert(exact == Seq("vmB"), exact.toString)
   }
 
   test("negative matchers (beyond reference capability)") {
