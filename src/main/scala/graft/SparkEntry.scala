@@ -1923,8 +1923,12 @@ object SparkEntry {
     // cost is query-side-multiplied — tighter buckets pay for themselves.
     // maxBucket=512 bounds in-bucket candidate generation on over-cap
     // cluster buckets (the x10 sweep's quadratic blowup); it does not
-    // bind at the recall-gate scale (sf0.001 clusters ≈ 40 members) and
-    // thins only pathological buckets beyond it — the df-cap idiom.
+    // bind at the recall-gate scale (sf0.001 clusters ≈ 40 members).
+    // Round-11 adjudication: tightening the cap (autoMaxBucket's 64)
+    // does NOT move x100 wall-clock — the corpus-side projection
+    // dominates, and the 151 s record vs ~376 s isolated was JIT/cache
+    // warm-up (min-of-2 reproduces ~173 s) — so the clustered-corpus
+    // scale path remains the IVF probe (34 s), per the operator docs.
     Similarity.multiprobeTopK(
         c, clusteredQueries(c), "vec_id", "embedding", 5,
         nPlanes = -1, bands = 4, probeBits = 2, targetOcc = 8L,
@@ -2292,10 +2296,15 @@ object SparkEntry {
     // on BOTH sides (the oracle mirrors the filter): the primitive-typed
     // top-k aggregator rejects null scores, and engines disagree on
     // NULL ordering anyway
-    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
-      .select("doc_id", "quality")
+    // `keep` rides source through the map-side scoring projection, so
+    // the whole plan is scan -> project -> filter -> bounded top-k
+    // aggregation: NO corpus-wide self-join (the former doc_id join
+    // shuffled+sorted the scored corpus twice and was the one
+    // above-linear family in the x100 record)
+    val q = TextAnalysis
+      .qualityScore(docs, "doc_id", "text", keep = Seq("source"))
+      .select("doc_id", "source", "quality")
       .where(col("quality").isNotNull)
-      .join(docs.select("doc_id", "source"), "doc_id")
     graft.operators.TopK.topKPerGroup(q, "source", "quality", "doc_id",
         k = 8)
       .orderBy("source", "rank")

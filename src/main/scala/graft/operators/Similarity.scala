@@ -379,6 +379,30 @@ object Similarity {
     bands * math.min(math.max(r, 2), 16)
   }
 
+  /** Verification-budgeted bucket cap: each query verifies up to
+    * bands × 2^probeBits × cap candidates, so the auto form holds that
+    * bound near `budget` dot products: cap = budget / (|Q| × bands ×
+    * 2^probeBits), clamped to [64, 4096] so recall-gate scales (bucket
+    * occupancy ≈ planted cluster size ≈ 40) never bind and a tiny
+    * query set cannot explode the cap. MEASURED LIMIT (x100 clustered,
+    * 5M vectors, 100k queries): cap 64 vs 512 is indistinguishable
+    * probe-normalized — the corpus-side plane projection + explode
+    * dominates wall-clock there, not verification — so this knob
+    * bounds worst-case verify blowup (the x10 quadratic) but does NOT
+    * close the gap to the IVF probe (~173 s min-of-2 vs 34 s); tightly
+    * clustered corpora want ivfProbeTopK, as documented on the census
+    * thinning. Recall inside an over-cap bucket remains
+    * cap/occupancy. */
+  def autoMaxBucket(
+      nQueries: Long,
+      bands: Int,
+      probeBits: Int,
+      budget: Long = 1L << 26): Int = {
+    val perCand = math.max(
+      nQueries.toDouble * bands * (1L << probeBits), 1.0)
+    math.min(4096, math.max(64, (budget / perCand).toInt))
+  }
+
   def multiprobeTopK(
       emb: DataFrame,
       queries: DataFrame,
@@ -396,9 +420,14 @@ object Similarity {
     // 10k queries): r=12 → 162 s, r=16 → 28 s at identical output
     val np =
       if (nPlanes > 0) nPlanes else autoPlanes(emb.count(), bands, targetOcc)
+    val pb = math.min(probeBits, np / bands)
+    // maxBucket: 0 = uncapped, -1 = census-budgeted auto (the query
+    // count is one cheap job at plan-build time, like autoPlanes')
+    val mb =
+      if (maxBucket >= 0) maxBucket
+      else autoMaxBucket(queries.count(), bands, pb)
     val cands = multiprobePairs(
-      emb, queries, idCol, vecCol, np, bands,
-      math.min(probeBits, np / bands), maxBucket)
+      emb, queries, idCol, vecCol, np, bands, pb, mb)
     val sim = round(
       dotSeq(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6)
     // distinctIds dedups multi-band admits inside the aggregation buffer
