@@ -1319,6 +1319,12 @@ object PromQL {
         case (m, "increase") => s"${m}_increase"
         case (m, _) => s"${m}_rate"
       }
+    // quantile-of-counter (the SLO family) compiles to
+    // quantileIncreaseBy, whose columns are q_increase / q_rate — NOT
+    // the generic quantile aggregation's q_v
+    case Agg("quantile", _, _, _, RangeFn(fn, _, _, _, _), _)
+        if fn == "rate" || fn == "increase" =>
+      if (fn == "rate") "q_rate" else "q_increase"
     case Agg("sum", _, _, _, RangeFn("resets", _, _, _, _), _) => "resets"
     case Agg("sum", _, _, _, RangeFn("changes", _, _, _, _), _) => "changes"
     case Agg("sum", _, _, _, _, _) => "sum_v"
@@ -1424,6 +1430,12 @@ object PromQL {
     // threshold filters compose over e.g. `sum by (c)(rate(x[1h]))`
     case Agg(op, _, _, by, RangeFn(fn, _, _, _, _), _)
         if MomentAggs(op) && (fn == "rate" || fn == "increase") => Some(by)
+    // quantile has a parameter so it sits outside MomentAggs, but its
+    // grouping is just as static — both the plain form and the
+    // counter/SLO form (`quantile by (l) (q, rate(m[step]))`)
+    case Agg("quantile", _, Some(_), by, _: Selector, _) => Some(by)
+    case Agg("quantile", _, Some(_), by, RangeFn(fn, _, _, _, _), _)
+        if fn == "rate" || fn == "increase" => Some(by)
     case Agg("sum", _, _, by, RangeFn("resets" | "changes", _, _, _, _), _) =>
       Some(by)
     case Agg(op, _, _, by, LabelFn(_, _: Selector, _), _)

@@ -637,38 +637,48 @@ object AlertStream {
   private def counterFns(fn: String): Boolean =
     fn == "rate" || fn == "increase"
 
+  /** A usable counter moment: the five plain moments, or `quantile`
+    * with its parameter (the SLO family). */
+  private def counterMoment(op: String, q: Option[Double]): Boolean =
+    Moments(op) || (op == "quantile" && q.isDefined)
+
+  private def counterSide(
+      op: String, q: Option[Double], fn: String,
+      sel: PromQL.Selector): CounterState.Side =
+    CounterState.Side(sel.metric, sel.matchers, op, fn,
+      if (op == "quantile") q else None)
+
   private def counterShapeOf(rule: Rules.AlertRule): Option[CounterShape] =
     PromQL.parse(rule.expr) match {
       // single side: <moment> by (l) (rate|increase(m[step])) <cmp> thr
       case PromQL.BinOp(cmp,
-          PromQL.Agg(op, _, _, by,
+          PromQL.Agg(op, _, q, by,
             PromQL.RangeFn(fn, _, sel: PromQL.Selector, rfBy, _), wo),
           PromQL.NumLit(thr), _, false, false)
-          if Cmps(cmp) && Moments(op) && counterFns(fn) &&
+          if Cmps(cmp) && counterMoment(op, q) && counterFns(fn) &&
             wo.isEmpty && rfBy.isEmpty && plain(sel) =>
         Some(CounterShape(
-          Seq(CounterState.Side(sel.metric, sel.matchers, op, fn)),
+          Seq(counterSide(op, q, fn, sel)),
           by, None, sel.rangeSec.get, cmp, thr))
       // two sides: <moment> by (l) (rate(a[s])) <aop>
       //            <moment> by (l) (rate(b[s])) <cmp> thr
       case PromQL.BinOp(cmp,
           PromQL.BinOp(aop,
-            PromQL.Agg(opA, _, _, byA,
+            PromQL.Agg(opA, _, qA, byA,
               PromQL.RangeFn(fnA, _, a: PromQL.Selector, rbA, _), woA),
-            PromQL.Agg(opB, _, _, byB,
+            PromQL.Agg(opB, _, qB, byB,
               PromQL.RangeFn(fnB, _, b: PromQL.Selector, rbB, _), woB),
             on, false, false),
           PromQL.NumLit(thr), _, false, false)
           if Cmps(cmp) && Set("/", "*", "+", "-")(aop) &&
-            Moments(opA) && Moments(opB) &&
+            counterMoment(opA, qA) && counterMoment(opB, qB) &&
             counterFns(fnA) && counterFns(fnB) &&
             byA.toSet == byB.toSet &&
             (on.isEmpty || on.toSet == byA.toSet) &&
             woA.isEmpty && woB.isEmpty && rbA.isEmpty && rbB.isEmpty &&
             plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
         Some(CounterShape(
-          Seq(CounterState.Side(a.metric, a.matchers, opA, fnA),
-            CounterState.Side(b.metric, b.matchers, opB, fnB)),
+          Seq(counterSide(opA, qA, fnA, a), counterSide(opB, qB, fnB, b)),
           byA, Some(aop), a.rangeSec.get, cmp, thr))
       case _ => None
     }

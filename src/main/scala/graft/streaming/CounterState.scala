@@ -47,13 +47,15 @@ object CounterState {
   val DefaultCarryHorizonSec: Long = 32L * 86400
 
   /** One side of a counter rule: the selector plus the cross-series
-    * moment (`sum`/`avg`/`min`/`max`/`count`) and the counter function
-    * (`rate` divides by the step and rounds to 6; `increase` is raw). */
+    * moment (`sum`/`avg`/`min`/`max`/`count`, or `quantile` with `q` —
+    * the SLO family) and the counter function (`rate` divides by the
+    * step and rounds to 6; `increase` is raw). */
   final case class Side(
       metric: String,
       matchers: Seq[graft.model.LabelMatcher],
       op: String,
-      fn: String)
+      fn: String,
+      q: Option[Double] = None)
 
   /** Event row: `series` is the batch engine's own sid (xxhash64 of the
     * canonical folded label set, [[LabelFunctions.sidOf]]) so the lag
@@ -70,10 +72,13 @@ object CounterState {
 
   /** The cross-series aggregate of one (bucket, side): per-series
     * reset-adjusted increases, pre-reduced to the moments every
-    * consumer needs (decimal-exact sum/min/max + the series count). */
+    * consumer needs (decimal-exact sum/min/max + the series count),
+    * plus the sorted per-series increase list itself for the quantile
+    * moment — transient (computed at close, never persisted), so its
+    * size is bounded by the series contributing to ONE bucket. */
   final case class SideAgg(
       nSeries: Long, sumInc: BigDecimal, minInc: BigDecimal,
-      maxInc: BigDecimal)
+      maxInc: BigDecimal, incs: List[BigDecimal])
 
   /** Project a streaming samples frame into keyed counter events.
     * `sides` may overlap (the `errors{code="500"} / errors` idiom): a
@@ -143,12 +148,26 @@ object CounterState {
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Spark's Percentile.getPercentile on pre-sorted doubles: position
+    * (n-1)*q, linear interpolation in Spark's exact operation order
+    * `(hi - pos) * lower + (pos - lo) * higher` (NOT lo + frac*(hi-lo),
+    * which rounds differently at the ulp). */
+  def percentileCont(sorted: IndexedSeq[Double], q: Double): Double = {
+    val pos = (sorted.length - 1) * q
+    val lower = math.floor(pos).toInt
+    val higher = math.ceil(pos).toInt
+    if (higher == lower) sorted(lower)
+    else (higher - pos) * sorted(lower) + (pos - lower) * sorted(higher)
+  }
+
   /** The value column the batch compiler exposes for
     * `<op> by (l) (<fn>(m[step]))` — [[graft.promql.PromQL]]'s
     * valueColOf contract: sum→increase/rate_per_sec, count→n_series,
-    * avg/min/max→*_increase or round6(*_increase/step). Double
-    * conversions happen at exactly the batch plan's points (decimal
-    * sum cast double BEFORE the avg division). */
+    * avg/min/max→*_increase or round6(*_increase/step),
+    * quantile→q_increase/q_rate (both rounded, quantileIncreaseBy's
+    * convention). Double conversions happen at exactly the batch
+    * plan's points (decimal sum cast double BEFORE the avg division;
+    * per-series increases cast double BEFORE the percentile). */
   def moment(side: Side, step: Long, a: SideAgg): Double = {
     val inc: Double = side.op match {
       case "sum" => a.sumInc.toDouble
@@ -156,6 +175,10 @@ object CounterState {
       case "avg" => a.sumInc.toDouble / a.nSeries
       case "min" => a.minInc.toDouble
       case "max" => a.maxInc.toDouble
+      case "quantile" =>
+        val p = percentileCont(
+          a.incs.map(_.toDouble).sorted.toIndexedSeq, side.q.get)
+        return if (side.fn == "rate") round6(p / step) else round6(p)
     }
     if (side.fn == "rate") round6(inc / step) else inc
   }
@@ -228,6 +251,7 @@ object CounterState {
           var sumInc = BigDecimal(0)
           var minInc: BigDecimal = null
           var maxInc: BigDecimal = null
+          val incs = List.newBuilder[BigDecimal]
           rows.filter(_.side == side).groupBy(_.series).foreach {
             case (series, ss) =>
               // the batch window order: (ts, value), NaN greatest —
@@ -266,9 +290,13 @@ object CounterState {
                 sumInc += inc
                 if (minInc == null || inc < minInc) minInc = inc
                 if (maxInc == null || inc > maxInc) maxInc = inc
+                incs += inc
               }
           }
-          if (nSeries > 0) Some(SideAgg(nSeries, sumInc, minInc, maxInc))
+          // sorted: groupBy iteration order is map-dependent — a
+          // deterministic list keeps SideAgg equality-comparable
+          if (nSeries > 0) Some(SideAgg(nSeries, sumInc, minInc, maxInc,
+            incs.result().sorted))
           else None
         }
         bucket -> sides

@@ -134,32 +134,40 @@ object RecordStream {
   private def counterFns(fn: String): Boolean =
     fn == "rate" || fn == "increase"
 
+  private def counterMoment(op: String, q: Option[Double]): Boolean =
+    Moments(op) || (op == "quantile" && q.isDefined)
+
+  private def counterSide(
+      op: String, q: Option[Double], fn: String,
+      sel: PromQL.Selector): CounterState.Side =
+    CounterState.Side(sel.metric, sel.matchers, op, fn,
+      if (op == "quantile") q else None)
+
   private def counterShapeOf(
       rule: Rules.RecordingRule): Option[CounterShape] =
     PromQL.parse(rule.expr) match {
-      case PromQL.Agg(op, _, _, by,
+      case PromQL.Agg(op, _, q, by,
           PromQL.RangeFn(fn, _, sel: PromQL.Selector, rfBy, _), wo)
-          if Moments(op) && counterFns(fn) && wo.isEmpty &&
+          if counterMoment(op, q) && counterFns(fn) && wo.isEmpty &&
             rfBy.isEmpty && plain(sel) =>
         Some(CounterShape(
-          Seq(CounterState.Side(sel.metric, sel.matchers, op, fn)),
+          Seq(counterSide(op, q, fn, sel)),
           by, None, sel.rangeSec.get))
       case PromQL.BinOp(aop,
-          PromQL.Agg(opA, _, _, byA,
+          PromQL.Agg(opA, _, qA, byA,
             PromQL.RangeFn(fnA, _, a: PromQL.Selector, rbA, _), woA),
-          PromQL.Agg(opB, _, _, byB,
+          PromQL.Agg(opB, _, qB, byB,
             PromQL.RangeFn(fnB, _, b: PromQL.Selector, rbB, _), woB),
           on, false, false)
           if Set("/", "*", "+", "-")(aop) &&
-            Moments(opA) && Moments(opB) &&
+            counterMoment(opA, qA) && counterMoment(opB, qB) &&
             counterFns(fnA) && counterFns(fnB) &&
             byA.toSet == byB.toSet &&
             (on.isEmpty || on.toSet == byA.toSet) &&
             woA.isEmpty && woB.isEmpty && rbA.isEmpty && rbB.isEmpty &&
             plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
         Some(CounterShape(
-          Seq(CounterState.Side(a.metric, a.matchers, opA, fnA),
-            CounterState.Side(b.metric, b.matchers, opB, fnB)),
+          Seq(counterSide(opA, qA, fnA, a), counterSide(opB, qB, fnB, b)),
           byA, Some(aop), a.rangeSec.get))
       case _ => None
     }

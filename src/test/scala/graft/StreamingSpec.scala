@@ -993,7 +993,11 @@ class StreamingSpec extends SparkSuite {
         "avg by (cohort) (increase(click[3600])) > 1", forSec = 0L)),
       ("cr_ratio", Rules.AlertRule("cr_ratio",
         "sum by (cohort) (rate(click[3600])) / " +
-          "sum by (cohort) (rate(view[3600])) > 0.2", forSec = 3600L)))
+          "sum by (cohort) (rate(view[3600])) > 0.2", forSec = 3600L)),
+      // the SLO family: cross-series quantile of per-series rates
+      ("cr_q", Rules.AlertRule("cr_q",
+        "quantile by (cohort) (0.9, rate(click[3600])) > 0",
+        forSec = 7200L)))
     rules.foreach { case (qn, rule) =>
       val batch = Rules.alerts(Tsdb.attach(spark, samples), rule, T0, T1)
         .select(col("cohort"), col("bucket_start"), col("value"),
@@ -1048,9 +1052,11 @@ class StreamingSpec extends SparkSuite {
     assert(open.isEmpty)
     val m = closed.toMap
     assert(m(0L) == Vector(Some(SideAgg(1, BigDecimal(15),
-      BigDecimal(15), BigDecimal(15)))), m(0L).toString)
+      BigDecimal(15), BigDecimal(15), List(BigDecimal(15))))),
+      m(0L).toString)
     assert(m(60L) == Vector(Some(SideAgg(2, BigDecimal(10),
-      BigDecimal(5), BigDecimal(5)))), m(60L).toString)
+      BigDecimal(5), BigDecimal(5),
+      List(BigDecimal(5), BigDecimal(5))))), m(60L).toString)
     assert(carry.keySet.map(_.split("\u0000")(1)) == Set("s1", "s2"))
     // NaN kills its own delta AND the next sample's (lag NULL)
     val bufN = List(
@@ -1059,7 +1065,8 @@ class StreamingSpec extends SparkSuite {
     val (cN, _, _) =
       CounterState.close(bufN, Map.empty, nSides = 1, step, wmSec = 60)
     assert(cN.toMap.apply(0L) == Vector(Some(SideAgg(1, BigDecimal(10),
-      BigDecimal(10), BigDecimal(10)))), cN.toString)
+      BigDecimal(10), BigDecimal(10), List(BigDecimal(10))))),
+      cN.toString)
     // quiet carries purge once the watermark passes the horizon
     val (_, _, purged) = CounterState.close(Nil, carry, nSides = 1, step,
       wmSec = 120 + CounterState.DefaultCarryHorizonSec + 1)
@@ -1091,7 +1098,9 @@ class StreamingSpec extends SparkSuite {
         "sum by (cohort) (rate(click[3600]))", Map("job" -> "rules"))),
       ("crr_ratio", Rules.RecordingRule("cohort:click_view:rate_ratio",
         "sum by (cohort) (rate(click[3600])) / " +
-          "sum by (cohort) (rate(view[3600]))")))
+          "sum by (cohort) (rate(view[3600]))")),
+      ("crr_q", Rules.RecordingRule("cohort:click:rate_p90",
+        "quantile by (cohort) (0.9, rate(click[3600]))")))
     rules.foreach { case (qn, rule) =>
       val batch = Rules.record(Tsdb.attach(spark, samples), rule, T0, T1)
         .collect()
