@@ -1514,6 +1514,48 @@ object OracleSql {
        |            ELSE 'pending' END AS state
        |FROM st ORDER BY cohort, bucket_start""".stripMargin
 
+  // The SLO alert: p90 of per-series reset-robust rates, thresholded,
+  // with the same gaps-and-islands `for` escalation as tsdbAlertRule
+  private val tsdbAlertRuleQ =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT user_id, cohort, ts_s - (ts_s % 3600) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |s AS (
+       |  SELECT user_id, cohort, bucket_start,
+       |         CAST(SUM(delta) AS DOUBLE) AS inc
+       |  FROM x WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |a AS (
+       |  SELECT cohort, bucket_start,
+       |         round(quantile_cont(inc, 0.9) / 3600, 6) AS value
+       |  FROM s GROUP BY 1, 2
+       |  HAVING round(quantile_cont(inc, 0.9) / 3600, 6) > 0.005),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY cohort ORDER BY bucket_start) AS rn
+       |  FROM a),
+       |st AS (
+       |  SELECT *, min(bucket_start) OVER (
+       |    PARTITION BY cohort, bucket_start - rn * 3600) AS s0
+       |  FROM r)
+       |SELECT 'cohort_click_p90' AS alertname, cohort, bucket_start,
+       |       value,
+       |       CASE WHEN bucket_start - s0 >= 7200 THEN 'firing'
+       |            ELSE 'pending' END AS state
+       |FROM st ORDER BY cohort, bucket_start""".stripMargin
+
   // Recording rule: the same hourly cohort sum, re-read back out of the
   // engine under its recorded metric name + static job label
   private val tsdbRecordingRule =
@@ -2625,6 +2667,7 @@ object OracleSql {
     "tsdb_promql_time" -> tsdbPromqlTime,
     "tsdb_promql_or_vector" -> tsdbPromqlOrVector,
     "tsdb_alert_rule" -> tsdbAlertRule,
+    "tsdb_alert_rule_q" -> tsdbAlertRuleQ,
     "tsdb_recording_rule" -> tsdbRecordingRule,
     "tsdb_promql_share" -> tsdbPromqlShare,
     "tsdb_promql_and" -> tsdbPromqlAnd,

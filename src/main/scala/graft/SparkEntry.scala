@@ -648,6 +648,22 @@ object SparkEntry {
       .select("alertname", "cohort", "bucket_start", "value", "state")
       .orderBy("cohort", "bucket_start")
 
+  /** The SLO alert — `quantile by (cohort) (0.9, rate(click[1h])) >
+    * 0.005` under Prometheus `for` escalation: the batch compile goes
+    * through quantileIncreaseBy's q_rate column (valueColOf) and the
+    * quantile groupingOf case, both round-11 additions; its streaming
+    * twin is parity-gated in StreamingSpec.
+    */
+  private def qTsdbAlertRuleQ(s: SparkSession, dir: String): DataFrame =
+    graft.promql.Rules.alerts(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      graft.promql.Rules.AlertRule("cohort_click_p90",
+        "quantile by (cohort) (0.9, rate(click[3600])) > 0.005",
+        forSec = 7200L),
+      T0, T1)
+      .select("alertname", "cohort", "bucket_start", "value", "state")
+      .orderBy("cohort", "bucket_start")
+
   /** Recording rule ([[graft.promql.Rules.record]]): materialize
     * `sum by (cohort)(click[3600])` as the new metric
     * `cohort:click:sum1h` (static label job=rules), re-attach the
@@ -2399,6 +2415,7 @@ object SparkEntry {
     "tsdb_promql_time" -> (qTsdbPromqlTime _),
     "tsdb_promql_or_vector" -> (qTsdbPromqlOrVector _),
     "tsdb_alert_rule" -> (qTsdbAlertRule _),
+    "tsdb_alert_rule_q" -> (qTsdbAlertRuleQ _),
     "tsdb_recording_rule" -> (qTsdbRecordingRule _),
     "tsdb_promql_share" -> (qTsdbPromqlShare _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),
