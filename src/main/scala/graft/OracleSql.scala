@@ -1567,6 +1567,34 @@ object OracleSql {
        |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
        |GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin
 
+  // Quantile recording rule: the p90-of-rates series, read back with
+  // its static job label
+  private val tsdbRecordingRuleQ =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT user_id, cohort, ts_s - (ts_s % 3600) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |s AS (
+       |  SELECT user_id, cohort, bucket_start,
+       |         CAST(SUM(delta) AS DOUBLE) AS inc
+       |  FROM x WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2, 3)
+       |SELECT cohort, 'rules' AS job, bucket_start,
+       |       round(quantile_cont(inc, 0.9) / 3600, 6) AS q_rate
+       |FROM s
+       |GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin
+
   // `sum(purchase[3600]) or vector(0)`: every hour of the window, zero
   // where no samples landed (the gap-filling idiom) — one row per grid
   // bucket, 168 at T0..T1
@@ -2669,6 +2697,7 @@ object OracleSql {
     "tsdb_alert_rule" -> tsdbAlertRule,
     "tsdb_alert_rule_q" -> tsdbAlertRuleQ,
     "tsdb_recording_rule" -> tsdbRecordingRule,
+    "tsdb_recording_rule_q" -> tsdbRecordingRuleQ,
     "tsdb_promql_share" -> tsdbPromqlShare,
     "tsdb_promql_and" -> tsdbPromqlAnd,
     "tsdb_promql_unless" -> tsdbPromqlUnless,

@@ -687,6 +687,29 @@ object SparkEntry {
       .orderBy("cohort", "bucket_start")
   }
 
+  /** Quantile recording rule — the SLO series precomputed: materialize
+    * `quantile by (cohort) (0.9, rate(click[3600]))` (quantileIncreaseBy
+    * through the rules engine) under `cohort:click:rate_p90`, re-attach,
+    * and read it back through queryRange — the full materialization
+    * loop for the counter-quantile family.
+    */
+  private def qTsdbRecordingRuleQ(s: SparkSession, dir: String): DataFrame = {
+    val t = Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+    val rec = graft.promql.Rules.record(t,
+      graft.promql.Rules.RecordingRule("cohort:click:rate_p90",
+        "quantile by (cohort) (0.9, rate(click[3600]))",
+        Map("job" -> "rules")),
+      T0, T1)
+    Tsdb.attach(s, rec)
+      .queryRange("cohort:click:rate_p90", Seq.empty, T0, T1)
+      .select(
+        col("labels").getItem("cohort").as("cohort"),
+        col("labels").getItem("job").as("job"),
+        col("ts").as("bucket_start"),
+        col("value").as("q_rate"))
+      .orderBy("cohort", "bucket_start")
+  }
+
   /** `scalar()` — the share-of-total idiom: `sum by (cohort)(click[1h])
     * / scalar(sum(click[1h]))`. The global (by-empty) aggregation is one
     * row per grid bucket, broadcast-joined on bucket_start; a
@@ -2417,6 +2440,7 @@ object SparkEntry {
     "tsdb_alert_rule" -> (qTsdbAlertRule _),
     "tsdb_alert_rule_q" -> (qTsdbAlertRuleQ _),
     "tsdb_recording_rule" -> (qTsdbRecordingRule _),
+    "tsdb_recording_rule_q" -> (qTsdbRecordingRuleQ _),
     "tsdb_promql_share" -> (qTsdbPromqlShare _),
     "tsdb_promql_and" -> (qTsdbPromqlAnd _),
     "tsdb_promql_unless" -> (qTsdbPromqlUnless _),
