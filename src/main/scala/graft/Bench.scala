@@ -60,6 +60,53 @@ object Bench {
     // fixture): built outside the timed region — and only the ones the
     // selected queries actually consume
     SparkEntry.prewarm(spark, sfDir, only)
+    // JIT warmup for the hot vector kernels (the deep-warmup family):
+    // the custom-expression inner loops (minhash signature, plane
+    // projection + probe buckets, dot product, simhash votes) reach
+    // steady state only after C2 compilation (~10k+ invocations). At
+    // x100/REPS=1 that compilation landed entirely inside the first —
+    // and only — timed run, so sweep records read up to 2.3× their
+    // converged figures (dedup_minhash_capped: 197 s in-sweep vs 84.5 s
+    // at REPS=3; ann_clustered_lsh 376 s cold vs 173 s min-of-2). JIT
+    // warmth is data-size INDEPENDENT, so two passes over a bounded 20k-
+    // row slice of the current corpus compile the same loops at fixed
+    // cost before anything is timed.
+    locally {
+      import org.apache.spark.sql.functions._
+      val needVec = only.forall(names => names.exists(n =>
+        n.startsWith("dedup_") || n.startsWith("ann_") ||
+          n.startsWith("pipeline_") || n.startsWith("text_")))
+      if (needVec) {
+        val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text")).limit(20000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding")).limit(20000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dim = emb.select(size(col("embedding")).as("d")).limit(1)
+          .collect().headOption.map(_.getInt(0)).getOrElse(8)
+        val planes = (0 until 16)
+          .map(j => Array.tabulate(dim)(i =>
+            if (((j * 31 + i * 17) & 2) == 0) 1.0 else -1.0))
+        (1 to 2).foreach { _ =>
+          docs.select(graft.plans.MinHashSignature.signature(
+              graft.functions.TextFunctions.wordShingles(col("text"), 3),
+              128).as("sig"))
+            .selectExpr("sum(size(sig))").collect()
+          graft.operators.Dedup.simHashes(docs, "doc_id", "text")
+            .selectExpr("count(distinct sh)").collect()
+          emb.select(
+              graft.plans.PlaneProjections.project(
+                col("embedding").cast("array<double>"), planes).as("proj"),
+              graft.plans.DotProduct.dot(
+                col("embedding"), col("embedding")).as("d2"))
+            .select(explode(graft.plans.ProbeBuckets.buckets(
+              col("proj"), 4, 1)).as("b"), col("d2"))
+            .selectExpr("sum(b)", "sum(d2)").collect()
+        }
+        docs.unpersist(); emb.unpersist()
+      }
+    }
     // host-calibration probe: a fixed, data-independent pure-compute
     // workload (2^28 xxhash64 + sum over 32 partitions). Its time scales
     // with the host's per-core throughput but not with any corpus, so

@@ -170,10 +170,12 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * series-meta upsert. Caller persists `norm` for the two actions.
     */
   private def writeNormalized(norm: DataFrame): Unit = {
-    // shuffle by the partition column before the partitioned write: one
-    // file per time bucket instead of (tasks × buckets) small files —
-    // at fleet scale this is the difference between 1e3 and 1e6 files
-    // per ingest batch
+    // shuffle by the partition column before the partitioned write: files
+    // per time bucket stay bounded by `filesPerSegment` instead of
+    // (tasks × buckets) — at fleet scale this is the difference between
+    // 1e3 and 1e6 files per ingest batch. Sub-bucketing by sid (knob > 1)
+    // parallelizes the write of a single live bucket without breaking
+    // series locality: a sid lands whole inside one file either way.
     val fact =
       if (conf.storeLabelsInFact) norm
       else norm.select("sid", "seg", "ts", "value")
@@ -181,8 +183,10 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     // parquet delta-encodes the ts run per series (the role of the
     // reference's per-series Gorilla blocks) and sid row-group stats
     // let the semi-join path skip row groups
-    fact
-      .repartition(col("seg"))
+    (if (conf.filesPerSegment > 1)
+       fact.repartition(col("seg"),
+         pmod(col("sid"), lit(conf.filesPerSegment.toLong)))
+     else fact.repartition(col("seg")))
       .sortWithinPartitions("sid", "ts")
       .write
       .mode("append")
@@ -1915,15 +1919,22 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * one label within the time range.
     *
     * Default serves from the series_meta DIMENSION only — series whose
-    * [minTs, maxTs] span overlaps the range — which is the reference's own
-    * coarse-granularity semantics (it honors the range only at segment
-    * grain, tsdb.go:352-360 / label.go:62-77; this is the series-grain
-    * analogue) at dimension-scan cost: no fact-table IO regardless of how
-    * wide the range is. `exact = true` opts into exact `ts`-range
-    * semantics — strictly more correct than the reference (a series with a
-    * GAP covering the whole range contributes under overlap but not under
-    * exact) — by scanning the pruned fact table; at wide ranges that scan
-    * dominates (~12s vs ~1s at x100), which is why it is the opt-in.
+    * [minTs, maxTs] span overlaps the range. This is a SUPERSET of both
+    * the reference's result and the exact result: the reference honors
+    * the range at segment grain (tsdb.go:352-360 / label.go:62-77), so a
+    * series whose samples all live in segments outside the window is
+    * excluded there but included here when its global span straddles the
+    * window (a gap covering exactly the queried segments). In exchange
+    * the default costs one dimension scan: no fact-table IO regardless of
+    * how wide the range is. `exact = true` opts into exact `ts`-range
+    * semantics — strictly tighter than both (a series with a GAP covering
+    * the whole range contributes under overlap but not under exact) — by
+    * scanning the pruned fact table; at wide ranges that scan dominates
+    * (~12s vs ~1s at x100), which is why it is the opt-in.
+    *
+    * NOTE (migration): before round 11 the DEFAULT was the exact path;
+    * external callers upgrading across that boundary silently get the
+    * superset unless they pass `exact = true`.
     */
   def queryLabelValues(
       label: String,

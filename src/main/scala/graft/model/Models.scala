@@ -101,4 +101,16 @@ final case class TsdbConf(
       * merge-on-read only) and schedule
       * [[graft.Tsdb.compactSeriesMeta]] as an external maintenance job.
       */
-    metaCompactEvery: Int = 8)
+    metaCompactEvery: Int = 8,
+    /** Ingest write parallelism WITHIN one time bucket: each durable
+      * batch shuffles the fact rows by `(seg, sid % filesPerSegment)`
+      * before the partitioned write, so a batch covering few segments
+      * (the common streaming case: everything lands in the live bucket)
+      * still writes through up to this many tasks instead of one, while
+      * files-per-bucket-per-batch stays bounded by the knob (not by task
+      * count). Sub-bucketing by sid keeps each series whole inside one
+      * file, so per-series point locality and sid row-group skipping are
+      * unchanged. `1` (default) preserves the one-file-per-bucket layout;
+      * large ingest jobs set it near their per-job core count.
+      */
+    filesPerSegment: Int = 1)
