@@ -46,7 +46,16 @@ object Bench {
       // dedup_simhash 1204 s, dedup_minhash_lsh 848 s) — the timed scale
       // twins are the *_capped occupancy-thinned and *_clusters
       // star-edge forms
-      "dedup_simhash", "dedup_minhash_lsh")
+      "dedup_simhash", "dedup_minhash_lsh",
+      // clustered-corpus LSH: honest comparator, dominated scale path.
+      // Adjudicated r11/r12: the x100 residual (~173 s min-of-2) lives in
+      // the corpus-side banding stage that must touch every vector each
+      // run (cap 64 vs 512 indistinguishable — NOT verification), which
+      // is inherent to query-time LSH; the prebuilt partition-pruned IVF
+      // probe serves the same clustered-corpus shape 5× faster (~34 s)
+      // and stays the documented scale path. Recall + subset gates keep
+      // running in sbt; Verify keeps the rows-only check.
+      "ann_clustered_lsh")
     val withComparators =
       sys.env.get("SPARK_GRAFT_COMPARATORS").exists(_ == "1")
     // optional subset for isolating per-query timings (comma-separated names)
