@@ -1514,6 +1514,35 @@ object OracleSql {
        |            ELSE 'pending' END AS state
        |FROM st ORDER BY cohort, bucket_start""".stripMargin
 
+  // `sum without (noise) (click[3600]) > 5`: the grouping resolves to
+  // the label-key universe minus noise — (cohort, shard), shard NULL on
+  // the two-thirds of series that lack it (DuckDB and Spark both group
+  // NULLs together) — then the identical islands escalation
+  private val tsdbAlertRuleWo =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         CASE WHEN user_id % 3 = 0
+       |              THEN CAST(user_id % 2 AS VARCHAR) END AS shard,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2, 3
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 5),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY cohort, shard ORDER BY bucket_start) AS rn
+       |  FROM a),
+       |st AS (
+       |  SELECT *, min(bucket_start) OVER (
+       |    PARTITION BY cohort, shard, bucket_start - rn * 3600) AS s0
+       |  FROM r)
+       |SELECT 'grain_click_high' AS alertname, cohort, shard,
+       |       bucket_start, value,
+       |       CASE WHEN bucket_start - s0 >= 7200 THEN 'firing'
+       |            ELSE 'pending' END AS state
+       |FROM st ORDER BY cohort, shard NULLS FIRST, bucket_start""".stripMargin
+
   // The SLO alert: p90 of per-series reset-robust rates, thresholded,
   // with the same gaps-and-islands `for` escalation as tsdbAlertRule
   private val tsdbAlertRuleQ =
@@ -2695,6 +2724,7 @@ object OracleSql {
     "tsdb_promql_time" -> tsdbPromqlTime,
     "tsdb_promql_or_vector" -> tsdbPromqlOrVector,
     "tsdb_alert_rule" -> tsdbAlertRule,
+    "tsdb_alert_rule_wo" -> tsdbAlertRuleWo,
     "tsdb_alert_rule_q" -> tsdbAlertRuleQ,
     "tsdb_recording_rule" -> tsdbRecordingRule,
     "tsdb_recording_rule_q" -> tsdbRecordingRuleQ,

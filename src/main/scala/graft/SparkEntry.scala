@@ -648,6 +648,44 @@ object SparkEntry {
       .select("alertname", "cohort", "bucket_start", "value", "state")
       .orderBy("cohort", "bucket_start")
 
+  /** The cohort samples with a HETEROGENEOUS label universe: every row
+    * carries cohort + noise, rows with user_id % 3 == 0 also carry
+    * shard — the `without (...)` grouping fixture, whose resolved grain
+    * ({cohort, shard} with shard NULL on series lacking it) cannot be
+    * spelled as a fixed by-list without the store's label-key universe.
+    */
+  private def eventsAsSamplesGrain(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_type").as("metric"),
+      map_filter(
+        map(
+          lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"),
+          lit("noise"), pmod(col("user_id"), lit(4)).cast("string"),
+          lit("shard"), when(pmod(col("user_id"), lit(3)) === 0,
+            pmod(col("user_id"), lit(2)).cast("string"))),
+        (_, v) => v.isNotNull).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+
+  /** Alerting rule grouped `without (noise)`: the raw grouping list is
+    * unknown at rule-definition time — [[graft.promql.Rules.alerts]]
+    * resolves it against the store's label-key universe to
+    * (cohort, shard) and runs the same islands pass per resolved
+    * labelset (shard NULL where a series lacks it). The streaming twin
+    * groups each row by its OWN remaining labels and is parity-gated in
+    * StreamingSpec; this pins the batch semantics against DuckDB.
+    */
+  private def qTsdbAlertRuleWo(s: SparkSession, dir: String): DataFrame =
+    graft.promql.Rules.alerts(
+      Tsdb.attach(s, eventsAsSamplesGrain(s, dir)),
+      graft.promql.Rules.AlertRule("grain_click_high",
+        "sum without (noise) (click[3600]) > 5", forSec = 7200L),
+      T0, T1)
+      .select("alertname", "cohort", "shard", "bucket_start", "value",
+        "state")
+      .orderBy(col("cohort"), col("shard").asc_nulls_first,
+        col("bucket_start"))
+
   /** The SLO alert — `quantile by (cohort) (0.9, rate(click[1h])) >
     * 0.005` under Prometheus `for` escalation: the batch compile goes
     * through quantileIncreaseBy's q_rate column (valueColOf) and the
@@ -2438,6 +2476,7 @@ object SparkEntry {
     "tsdb_promql_time" -> (qTsdbPromqlTime _),
     "tsdb_promql_or_vector" -> (qTsdbPromqlOrVector _),
     "tsdb_alert_rule" -> (qTsdbAlertRule _),
+    "tsdb_alert_rule_wo" -> (qTsdbAlertRuleWo _),
     "tsdb_alert_rule_q" -> (qTsdbAlertRuleQ _),
     "tsdb_recording_rule" -> (qTsdbRecordingRule _),
     "tsdb_recording_rule_q" -> (qTsdbRecordingRuleQ _),

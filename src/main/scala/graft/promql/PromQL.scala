@@ -1102,8 +1102,11 @@ object PromQL {
 
   /** Resolve `without (labels)` clauses into explicit `by` lists against
     * the metric's actual label keys — after this pass the compiler only
-    * ever sees `by`. */
-  private def resolveWithout(t: Tsdb, e: Expr): Expr = e match {
+    * ever sees `by`. Package-visible so [[Rules]] derives its grouping
+    * from the SAME resolution the compiled frame uses (a raw AST's `by`
+    * is empty for a without-rule — grouping on it would island across
+    * labelsets and collapse recorded series). */
+  private[promql] def resolveWithout(t: Tsdb, e: Expr): Expr = e match {
     case a @ Agg(_, _, _, by, body, wo) =>
       val rBody = resolveWithout(t, body)
       if (wo.isEmpty) a.copy(body = rBody)

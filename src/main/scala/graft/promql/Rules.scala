@@ -86,7 +86,10 @@ object Rules {
       end: Long): DataFrame = {
     require(rule.name.matches("[a-zA-Z_:][a-zA-Z0-9_:]*"),
       s"invalid metric name for a recording rule: ${rule.name}")
-    val ast = PromQL.parse(rule.expr)
+    // resolve without(...) BEFORE reading the grouping: the raw AST's
+    // `by` is empty for a without-rule, and labelMap over an empty list
+    // would collapse every result series onto one unlabeled metric
+    val ast = PromQL.resolveWithout(t, PromQL.parse(rule.expr))
     val by = grouping(ast, "a recording rule")
     val vCol = PromQL.valueColOf(ast)
     val df = PromQL.query(t, rule.expr, start, end)
@@ -109,7 +112,7 @@ object Rules {
       rule: AlertRule,
       start: Long,
       end: Long): DataFrame =
-    alertsImpl(rule, PromQL.query(t, rule.expr, start, end))
+    alertsImpl(t, rule, PromQL.query(t, rule.expr, start, end))
 
   /** [[alerts]] served from the DOWNSAMPLED rollup tier instead of raw
     * samples — the alerting analog of [[PromQL.queryFromRollup]]: the
@@ -123,12 +126,16 @@ object Rules {
       start: Long,
       end: Long,
       rollupStepSec: Long): DataFrame =
-    alertsImpl(rule,
+    alertsImpl(t, rule,
       PromQL.queryFromRollup(t, rule.expr, start, end, rollupStepSec))
 
-  private def alertsImpl(rule: AlertRule, df: DataFrame): DataFrame = {
+  private def alertsImpl(
+      t: Tsdb, rule: AlertRule, df: DataFrame): DataFrame = {
     require(rule.forSec >= 0, s"for duration must be >= 0: ${rule.forSec}")
-    val ast = PromQL.parse(rule.expr)
+    // resolved like `record`: the islands window must partition by the
+    // SAME labels the compiled frame carries, or a without-rule would
+    // run one global gaps-and-islands pass across all labelsets
+    val ast = PromQL.resolveWithout(t, PromQL.parse(rule.expr))
     val (step, _) = PromQL.gridSpecOf(ast).getOrElse(
       throw new IllegalArgumentException(
         s"an alert expression needs a ranged selector `x[d]` inside " +

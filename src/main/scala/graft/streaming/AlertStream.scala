@@ -67,11 +67,14 @@ object AlertStream {
       state: String)
 
   /** The supported rule shape, extracted from the parsed expression:
-    * `<moment> by (labels) (metric{matchers}[step]) <cmp> <threshold>`. */
+    * `<moment> by|without (labels) (metric{matchers}[step]) <cmp>
+    * <threshold>` — `without` groups each row by its OWN labels minus
+    * the excluded keys ([[Grouping.Without]]), the batch-equivalent
+    * per-series resolution that needs no label-key universe. */
   private final case class Shape(
       metric: String,
       matchers: Seq[graft.model.LabelMatcher],
-      by: Seq[String],
+      grouping: Grouping,
       op: String,
       step: Long,
       cmp: String,
@@ -90,9 +93,9 @@ object AlertStream {
     PromQL.parse(rule.expr) match {
       case PromQL.BinOp(cmp, PromQL.Agg(op, _, _, by, sel: PromQL.Selector,
           without), PromQL.NumLit(thr), _, false, false)
-          if Cmps(cmp) && Moments(op) && without.isEmpty && plain(sel) =>
-        Some(Shape(sel.metric, sel.matchers, by, op, sel.rangeSec.get,
-          cmp, thr))
+          if Cmps(cmp) && Moments(op) && plain(sel) =>
+        Some(Shape(sel.metric, sel.matchers, Grouping.of(by, without), op,
+          sel.rangeSec.get, cmp, thr))
       case _ => None
     }
 
@@ -134,7 +137,8 @@ object AlertStream {
   private def unsupported(rule: Rules.AlertRule): Nothing =
     throw new IllegalArgumentException(
       "streaming alerts support the canonical threshold shape " +
-      "`<moment> by (labels) (metric[step]) <cmp> <number>` and the " +
+      "`<moment> by|without (labels) (metric[step]) <cmp> <number>` " +
+      "and the " +
       "two-metric arithmetic form `<moment> by (l) (a[step]) <aop> " +
       "<moment> by (l) (b[step]) <cmp> <number>`, their counter twins " +
       "`<moment> by (l) (rate|increase(m[step])) …` (single side or " +
@@ -328,10 +332,7 @@ object AlertStream {
       s"(${s.step})")
     val spark = samples.sparkSession
     import spark.implicits._
-    val keyCol =
-      if (s.by.isEmpty) lit("")
-      else concat_ws("\u0000", s.by.map(l =>
-        coalesce(col("labels").getItem(l), lit("\u0001"))): _*)
+    val g = Grouping.By(s.by)
     samples
       // watermark FIRST: non-matching traffic must still advance it,
       // or a fully-silent selector could never be detected as absent.
@@ -352,10 +353,8 @@ object AlertStream {
         col("ts").isNull)
       .where(col("ts").isNotNull)
       .select(
-        keyCol.as("key"),
-        (if (s.by.isEmpty) map().cast("map<string,string>")
-         else map(s.by.flatMap(l =>
-           Seq(lit(l), col("labels").getItem(l))): _*)).as("labels"),
+        g.keyCol(col("labels")).as("key"),
+        g.labelsCol(col("labels")).as("labels"),
         col("ts"),
         (col("ts").cast("long") -
           pmod(col("ts").cast("long"), lit(s.step))).as("bucket"))
@@ -418,22 +417,17 @@ object AlertStream {
       watermark: String): Dataset[AlertEval] = {
     val spark = samples.sparkSession
     import spark.implicits._
-    // the key joins label values on NUL (cannot appear in a label
-    // value), with a distinct sentinel for ABSENT labels so {a:null,b:x}
-    // and {a:x,b:null} never collide on one state key
-    val keyCol =
-      if (s.by.isEmpty) lit("")
-      else concat_ws("\u0000", s.by.map(l =>
-        coalesce(col("labels").getItem(l), lit("\u0001"))): _*)
+    // key + output labels from the shared Grouping: the by-form keeps
+    // the historic NUL-joined key with an absent-label sentinel, the
+    // without-form keys each row on its own canonicalized remaining
+    // labels (Grouping scaladoc proves batch-partition equivalence)
     samples
       .where(col("metric") === s.metric &&
         Tsdb.matcherPredicate(col("labels"), s.matchers))
       .withWatermark("ts", watermark)
       .select(
-        keyCol.as("key"),
-        (if (s.by.isEmpty) map().cast("map<string,string>")
-         else map(s.by.flatMap(l =>
-           Seq(lit(l), col("labels").getItem(l))): _*)).as("labels"),
+        s.grouping.keyCol(col("labels")).as("key"),
+        s.grouping.labelsCol(col("labels")).as("labels"),
         col("ts"),
         (col("ts").cast("long") -
           pmod(col("ts").cast("long"), lit(s.step))).as("bucket"),
@@ -545,10 +539,7 @@ object AlertStream {
       watermark: String): Dataset[AlertEval] = {
     val spark = samples.sparkSession
     import spark.implicits._
-    val keyCol =
-      if (s.by.isEmpty) lit("")
-      else concat_ws("\u0000", s.by.map(l =>
-        coalesce(col("labels").getItem(l), lit("\u0001"))): _*)
+    val g = Grouping.By(s.by)
     // a row may satisfy BOTH sides (same metric, overlapping matchers —
     // the errors{code="500"} / errors idiom), so side membership is an
     // exploded array, never an either/or branch
@@ -560,10 +551,8 @@ object AlertStream {
       .where(sideA || sideB)
       .withWatermark("ts", watermark)
       .select(
-        keyCol.as("key"),
-        (if (s.by.isEmpty) map().cast("map<string,string>")
-         else map(s.by.flatMap(l =>
-           Seq(lit(l), col("labels").getItem(l))): _*)).as("labels"),
+        g.keyCol(col("labels")).as("key"),
+        g.labelsCol(col("labels")).as("labels"),
         col("ts"),
         (col("ts").cast("long") -
           pmod(col("ts").cast("long"), lit(s.step))).as("bucket"),
@@ -628,7 +617,7 @@ object AlertStream {
     * the arithmetic form (`aop`/`opB` present). */
   private final case class CounterShape(
       sides: Seq[CounterState.Side],
-      by: Seq[String],
+      grouping: Grouping,
       aop: Option[String],
       step: Long,
       cmp: String,
@@ -656,10 +645,10 @@ object AlertStream {
             PromQL.RangeFn(fn, _, sel: PromQL.Selector, rfBy, _), wo),
           PromQL.NumLit(thr), _, false, false)
           if Cmps(cmp) && counterMoment(op, q) && counterFns(fn) &&
-            wo.isEmpty && rfBy.isEmpty && plain(sel) =>
+            rfBy.isEmpty && plain(sel) =>
         Some(CounterShape(
           Seq(counterSide(op, q, fn, sel)),
-          by, None, sel.rangeSec.get, cmp, thr))
+          Grouping.of(by, wo), None, sel.rangeSec.get, cmp, thr))
       // two sides: <moment> by (l) (rate(a[s])) <aop>
       //            <moment> by (l) (rate(b[s])) <cmp> thr
       case PromQL.BinOp(cmp,
@@ -679,7 +668,7 @@ object AlertStream {
             plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
         Some(CounterShape(
           Seq(counterSide(opA, qA, fnA, a), counterSide(opB, qB, fnB, b)),
-          byA, Some(aop), a.rangeSec.get, cmp, thr))
+          Grouping.By(byA), Some(aop), a.rangeSec.get, cmp, thr))
       case _ => None
     }
 
@@ -710,7 +699,7 @@ object AlertStream {
       watermark: String): Dataset[AlertEval] = {
     val spark = samples.sparkSession
     import spark.implicits._
-    CounterState.events(samples, s.sides, s.by, s.step, watermark)
+    CounterState.events(samples, s.sides, s.grouping, s.step, watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

@@ -89,15 +89,11 @@ object CounterState {
   def events(
       samples: DataFrame,
       sides: Seq[Side],
-      by: Seq[String],
+      grouping: Grouping,
       step: Long,
       watermark: String): Dataset[Ev] = {
     val spark = samples.sparkSession
     import spark.implicits._
-    val keyCol =
-      if (by.isEmpty) lit("")
-      else concat_ws("\u0000", by.map(l =>
-        coalesce(col("labels").getItem(l), lit("\u0001"))): _*)
     val sidePreds: Seq[Column] = sides.map(s =>
       col("metric") === s.metric &&
         Tsdb.matcherPredicate(col("labels"), s.matchers))
@@ -106,10 +102,8 @@ object CounterState {
       .where(anySide)
       .withWatermark("ts", watermark)
       .select(
-        keyCol.as("key"),
-        (if (by.isEmpty) map().cast("map<string,string>")
-         else map(by.flatMap(l =>
-           Seq(lit(l), col("labels").getItem(l))): _*)).as("labels"),
+        grouping.keyCol(col("labels")).as("key"),
+        grouping.labelsCol(col("labels")).as("labels"),
         // the batch lag partitions by the engine's sid — reuse the same
         // normalize+fold+hash so series identity cannot diverge
         LabelFunctions.sidOf(LabelFunctions.foldMetric(col("metric"),

@@ -29,7 +29,7 @@ object RecordStream {
   private final case class Shape(
       metric: String,
       matchers: Seq[graft.model.LabelMatcher],
-      by: Seq[String],
+      grouping: Grouping,
       op: String,
       step: Long)
 
@@ -37,14 +37,15 @@ object RecordStream {
     PromQL.parse(rule.expr) match {
       case PromQL.Agg(op, _, _, by, sel: PromQL.Selector, without)
           if Set("sum", "avg", "min", "max", "count")(op) &&
-            without.isEmpty && sel.rangeSec.isDefined &&
+            sel.rangeSec.isDefined &&
             // reject modifiers the streaming grid does not evaluate —
             // offset/@ would silently shift batch-vs-stream otherwise
             sel.offsetSec == 0 && sel.stepSec.isEmpty && sel.atSpec.isEmpty =>
-        Shape(sel.metric, sel.matchers, by, op, sel.rangeSec.get)
+        Shape(sel.metric, sel.matchers, Grouping.of(by, without), op,
+          sel.rangeSec.get)
       case other => throw new IllegalArgumentException(
         "streaming recording rules support the canonical moment shape " +
-        "`<moment> by (labels) (metric[step])`, the two-metric " +
+        "`<moment> by|without (labels) (metric[step])`, the two-metric " +
         "arithmetic form `<moment> by (l) (a[step]) <aop> <moment> " +
         "by (l) (b[step])`, and their counter twins " +
         "`<moment> by (l) (rate|increase(m[step])) …` " +
@@ -115,7 +116,7 @@ object RecordStream {
     * series, horizon-purged. */
   private final case class CounterShape(
       sides: Seq[CounterState.Side],
-      by: Seq[String],
+      grouping: Grouping,
       aop: Option[String],
       step: Long)
 
@@ -148,11 +149,11 @@ object RecordStream {
     PromQL.parse(rule.expr) match {
       case PromQL.Agg(op, _, q, by,
           PromQL.RangeFn(fn, _, sel: PromQL.Selector, rfBy, _), wo)
-          if counterMoment(op, q) && counterFns(fn) && wo.isEmpty &&
+          if counterMoment(op, q) && counterFns(fn) &&
             rfBy.isEmpty && plain(sel) =>
         Some(CounterShape(
           Seq(counterSide(op, q, fn, sel)),
-          by, None, sel.rangeSec.get))
+          Grouping.of(by, wo), None, sel.rangeSec.get))
       case PromQL.BinOp(aop,
           PromQL.Agg(opA, _, qA, byA,
             PromQL.RangeFn(fnA, _, a: PromQL.Selector, rbA, _), woA),
@@ -168,7 +169,7 @@ object RecordStream {
             plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
         Some(CounterShape(
           Seq(counterSide(opA, qA, fnA, a), counterSide(opB, qB, fnB, b)),
-          byA, Some(aop), a.rangeSec.get))
+          Grouping.By(byA), Some(aop), a.rangeSec.get))
       case _ => None
     }
 
@@ -179,7 +180,7 @@ object RecordStream {
       watermark: String): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
-    CounterState.events(samples, s.sides, s.by, s.step, watermark)
+    CounterState.events(samples, s.sides, s.grouping, s.step, watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
@@ -268,12 +269,22 @@ object RecordStream {
       rule: Rules.RecordingRule,
       watermark: String): DataFrame = {
     val s = shapeOf(rule)
+    // grouping key columns: the by-form groups on the label-value
+    // columns directly (the historic plan); the without-form groups on
+    // the SORTED entries array of the row's remaining labels — maps are
+    // not orderable grouping keys, their sorted entries arrays are, and
+    // the array round-trips back to the output map losslessly
+    val groupCols = s.grouping match {
+      case Grouping.By(by) => by.map(l => col("labels").getItem(l).as(l))
+      case g: Grouping.Without =>
+        Seq(sort_array(map_entries(g.labelsCol(col("labels"))))
+          .as("__lbl"))
+    }
     val agg = samples
       .where(col("metric") === s.metric &&
         Tsdb.matcherPredicate(col("labels"), s.matchers))
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), s"${s.step} seconds") +:
-        s.by.map(l => col("labels").getItem(l).as(l)): _*)
+      .groupBy(window(col("ts"), s"${s.step} seconds") +: groupCols: _*)
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
@@ -286,9 +297,28 @@ object RecordStream {
       case "min" => col("min_v")
       case "max" => col("max_v")
     }
+    // output labels: by-form through Rules.labelMap (shared with the
+    // batch recorder — static labels shadow grouping keys); without-form
+    // rebuilds the map from the grouped entries and merges the statics
+    // the same way (grouped keys a static shadows are dropped first, so
+    // no duplicate-key policy dependence)
+    val labelsCol = s.grouping match {
+      case Grouping.By(by) => Rules.labelMap(by, col, rule.staticLabels)
+      case _: Grouping.Without =>
+        val grouped = map_from_entries(col("__lbl"))
+        val unshadowed =
+          if (rule.staticLabels.isEmpty) grouped
+          else map_filter(grouped, (k, _) =>
+            !rule.staticLabels.keys.toSeq.sorted
+              .map(d => k === lit(d)).reduce(_ || _))
+        val static = rule.staticLabels.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        if (static.isEmpty) unshadowed
+        else map_concat(unshadowed, map(static: _*))
+    }
     agg.select(
       lit(rule.name).as("metric"),
-      Rules.labelMap(s.by, col, rule.staticLabels).as("labels"),
+      labelsCol.as("labels"),
       col("window.start").cast("long").as("ts"),
       valueCol.cast("double").as("value"))
   }

@@ -1133,4 +1133,146 @@ class StreamingSpec extends SparkSuite {
           s"batch-only ${(batch -- got).take(3)}")
     }
   }
+
+  test("without()-grouped rules: streaming alert, counter alert and " +
+      "recording rule each row-equal to the batch twin on a " +
+      "heterogeneous-label fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.{AlertStream, RecordStream}
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf0001)
+    // heterogeneous label keys: every row carries cohort + noise, only
+    // user_id % 3 == 0 rows carry shard — so `without (noise)` groups
+    // some series by {cohort} and others by {cohort, shard}, the shape
+    // a fixed by-list cannot express without a label-key universe.
+    // Batch resolves without against the store's universe
+    // ({cohort, noise, shard} minus noise) and emits a NULL shard
+    // column for series lacking it; the stream groups each row by its
+    // own remaining labels — identical partitions (Grouping scaladoc),
+    // null-vs-absent collapsed by dropping null map values below.
+    val samples = events.select(
+      col("event_type").as("metric"),
+      map_filter(
+        map(
+          lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"),
+          lit("noise"), pmod(col("user_id"), lit(4)).cast("string"),
+          lit("shard"), when(pmod(col("user_id"), lit(3)) === 0,
+            pmod(col("user_id"), lit(2)).cast("string"))),
+        (_, v) => v.isNotNull).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    val data = samples
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+      .toIndexedSeq
+    def dropNulls(m: Map[String, String]): Map[String, String] =
+      m.filter(_._2 != null)
+    def closeAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
+        mem: MemoryStream[(String, Map[String, String],
+          java.sql.Timestamp, Double)]): Unit = {
+      Seq(100L, 200L).foreach { d =>
+        mem.addData(("click", Map("cohort" -> "zz"),
+          new java.sql.Timestamp((T1 + d * 86400) * 1000), 0.0))
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+
+    // --- canonical threshold alert, without-grouped
+    val aRule = Rules.AlertRule("wo_hot",
+      "sum without (noise) (click[3600]) > 5", forSec = 7200L)
+    val aBatch = Rules.alerts(Tsdb.attach(spark, samples), aRule, T0, T1)
+      .collect()
+      .map { r =>
+        val labels = Seq("cohort", "shard")
+          .map(k => k -> r.getAs[String](k)).toMap
+        (dropNulls(labels), r.getAs[Long]("bucket_start"),
+          r.getAs[Double]("value"), r.getAs[String]("state"))
+      }.toSet
+    val aMem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val aq = AlertStream.alerts(
+        aMem.toDF().toDF("metric", "labels", "ts", "value"),
+        aRule, watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("wo_alert")
+      .outputMode("append").start()
+    aMem.addData(data: _*)
+    aq.processAllAvailable()
+    closeAndStop(aq, aMem)
+    val aStream = spark.table("wo_alert")
+      .where(col("labels").getItem("cohort") =!= "zz")
+      .collect()
+      .map(r => (dropNulls(r.getMap[String, String](1).toMap),
+        r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+    assert(aStream.nonEmpty && aStream == aBatch,
+      s"[alert] sizes ${aStream.size} vs ${aBatch.size}; " +
+        s"stream-only ${(aStream -- aBatch).take(3)}; " +
+        s"batch-only ${(aBatch -- aStream).take(3)}")
+    // the fixture is genuinely heterogeneous: both grain shapes emitted
+    assert(aStream.exists(_._1.contains("shard")) &&
+      aStream.exists(!_._1.contains("shard")))
+
+    // --- counter alert (rate), without-grouped
+    val cRule = Rules.AlertRule("wo_rate",
+      "sum without (noise) (rate(click[3600])) > 0", forSec = 7200L)
+    val cBatch = Rules.alerts(Tsdb.attach(spark, samples), cRule, T0, T1)
+      .collect()
+      .map { r =>
+        val labels = Seq("cohort", "shard")
+          .map(k => k -> r.getAs[String](k)).toMap
+        (dropNulls(labels), r.getAs[Long]("bucket_start"),
+          r.getAs[Double]("value"), r.getAs[String]("state"))
+      }.toSet
+    val cMem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val cq = AlertStream.alerts(
+        cMem.toDF().toDF("metric", "labels", "ts", "value"),
+        cRule, watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("wo_counter")
+      .outputMode("append").start()
+    cMem.addData(data: _*)
+    cq.processAllAvailable()
+    closeAndStop(cq, cMem)
+    val cStream = spark.table("wo_counter")
+      .where(col("labels").getItem("cohort") =!= "zz")
+      .collect()
+      .map(r => (dropNulls(r.getMap[String, String](1).toMap),
+        r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+    assert(cStream.nonEmpty && cStream == cBatch,
+      s"[counter] sizes ${cStream.size} vs ${cBatch.size}; " +
+        s"stream-only ${(cStream -- cBatch).take(3)}; " +
+        s"batch-only ${(cBatch -- cStream).take(3)}")
+
+    // --- recording rule, without-grouped (static label rides along)
+    val rRule = Rules.RecordingRule("grain:click:sum1h",
+      "sum without (noise) (click[3600])", Map("job" -> "rules"))
+    val rBatch = Rules.record(Tsdb.attach(spark, samples), rRule, T0, T1)
+      .collect()
+      .map(r => (dropNulls(r.getMap[String, String](1).toMap),
+        r.getLong(2), r.getDouble(3))).toSet
+    val rMem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val rq = RecordStream.compiled(
+        rMem.toDF().toDF("metric", "labels", "ts", "value"),
+        rRule, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wo_record")
+      .outputMode("append").start()
+    rMem.addData(data: _*)
+    rq.processAllAvailable()
+    closeAndStop(rq, rMem)
+    val rStream = spark.table("wo_record")
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (dropNulls(r.getMap[String, String](1).toMap),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(rStream.nonEmpty && rStream == rBatch,
+      s"[record] sizes ${rStream.size} vs ${rBatch.size}; " +
+        s"stream-only ${(rStream -- rBatch).take(3)}; " +
+        s"batch-only ${(rBatch -- rStream).take(3)}")
+    assert(rStream.forall(_._1.get("job").contains("rules")))
+  }
 }
