@@ -1514,6 +1514,38 @@ object OracleSql {
        |            ELSE 'pending' END AS state
        |FROM st ORDER BY cohort, bucket_start""".stripMargin
 
+  // without-resolved vector match on the heterogeneous grain: NULL
+  // shard groups must match across sides (IS NOT DISTINCT FROM — PromQL
+  // labelset identity; a plain equality join drops them)
+  private val tsdbPromqlRatioWo =
+    s"""WITH a AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         CASE WHEN user_id % 3 = 0
+       |              THEN CAST(user_id % 2 AS VARCHAR) END AS shard,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_a,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_a
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2, 3),
+       |b AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         CASE WHEN user_id % 3 = 0
+       |              THEN CAST(user_id % 2 AS VARCHAR) END AS shard,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n_b,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_b
+       |  FROM events
+       |  WHERE event_type = 'view' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2, 3)
+       |SELECT a.cohort, a.shard, a.bucket_start, n_a, n_b,
+       |       round(sum_a / sum_b, 6) AS result
+       |FROM a JOIN b
+       |  ON a.cohort = b.cohort
+       |  AND a.shard IS NOT DISTINCT FROM b.shard
+       |  AND a.bucket_start = b.bucket_start
+       |ORDER BY a.cohort, a.shard NULLS FIRST, a.bucket_start""".stripMargin
+
   // `sum without (noise) (click[3600]) > 5`: the grouping resolves to
   // the label-key universe minus noise — (cohort, shard), shard NULL on
   // the two-thirds of series that lack it (DuckDB and Spark both group
@@ -2725,6 +2757,7 @@ object OracleSql {
     "tsdb_promql_or_vector" -> tsdbPromqlOrVector,
     "tsdb_alert_rule" -> tsdbAlertRule,
     "tsdb_alert_rule_wo" -> tsdbAlertRuleWo,
+    "tsdb_promql_ratio_wo" -> tsdbPromqlRatioWo,
     "tsdb_alert_rule_q" -> tsdbAlertRuleQ,
     "tsdb_recording_rule" -> tsdbRecordingRule,
     "tsdb_recording_rule_q" -> tsdbRecordingRuleQ,

@@ -322,6 +322,23 @@ object SparkEntry {
       .select("cohort", "bucket_start", "n_a", "n_b", "result")
       .orderBy("cohort", "bucket_start")
 
+  /** Vector match over a `without (noise)`-resolved grain on the
+    * HETEROGENEOUS fixture: two-thirds of the series lack `shard`, so
+    * the resolved (cohort, shard) grouping holds NULL shard for them —
+    * and PromQL labelset identity says those groups MATCH across sides
+    * (absent matches absent). Pins [[graft.Tsdb.nullSafeEquiJoin]]
+    * against a DuckDB `IS NOT DISTINCT FROM` join: a plain equality
+    * join would silently drop every NULL-shard group.
+    */
+  private def qTsdbPromqlRatioWo(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesGrain(s, dir)),
+      "sum without (noise) (click[1h]) / sum without (noise) (view[1h])",
+      T0, T1)
+      .select("cohort", "shard", "bucket_start", "n_a", "n_b", "result")
+      .orderBy(col("cohort"), col("shard").asc_nulls_first,
+        col("bucket_start"))
+
   /** PromQL one-to-many vector matching through the STRING front-end:
     * `sum by (cohort, user_id)(purchase[1d]) / on (cohort) group_left
     * sum by (cohort)(click[1d])` — each user's purchases against their
@@ -2451,6 +2468,7 @@ object SparkEntry {
     "tsdb_ratio_rollup" -> (qTsdbRatioRollup _),
     "tsdb_promql_topk" -> (qTsdbPromqlTopk _),
     "tsdb_promql_ratio" -> (qTsdbPromqlRatio _),
+    "tsdb_promql_ratio_wo" -> (qTsdbPromqlRatioWo _),
     "tsdb_promql_rate" -> (qTsdbPromqlRate _),
     "tsdb_promql_topk_rate" -> (qTsdbPromqlTopkRate _),
     "tsdb_promql_ignoring" -> (qTsdbPromqlIgnoring _),

@@ -1051,7 +1051,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         offsetB)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col(momentB).as("sum_b")): _*)
-    a.join(b, byLabels :+ "bucket_start")
+    Tsdb.nullSafeEquiJoin(a, b, byLabels :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
   }
 
@@ -1083,7 +1083,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         byLabels, offsetB)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col("sum_v").as("sum_b")): _*)
-    a.join(b, byLabels :+ "bucket_start")
+    Tsdb.nullSafeEquiJoin(a, b, byLabels :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
   }
 
@@ -1155,7 +1155,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
               concat_ws(",", on.map(col): _*), lit(")"))))
             .otherwise(col("sum_b")))
       }
-    a.join(b, on :+ "bucket_start")
+    Tsdb.nullSafeEquiJoin(a, b, on :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
       .select(byA.map(col) ++ carry.map(col) ++
         Seq(col("bucket_start"), col("n_a"),
@@ -1222,7 +1222,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         offsetB)
       .select(byB.map(col) ++ Seq(col("bucket_start"),
         col("n").as("n_b"), col(momentB).as("sum_b")): _*)
-    b.join(a, on :+ "bucket_start")
+    Tsdb.nullSafeEquiJoin(b, a, on :+ "bucket_start")
       .withColumn("result", op(col("sum_a"), col("sum_b")))
       .select(byB.map(col) ++ carry.map(col) ++
         Seq(col("bucket_start"), col("n_a"),
@@ -1261,10 +1261,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     val b = aggregateBy(metricB, matchersB, start, end, byLabels, stepSec,
       offsetB)
     setOp match {
-      case "and" => a.join(b.select(keys.map(col): _*), keys, "left_semi")
-      case "unless" => a.join(b.select(keys.map(col): _*), keys, "left_anti")
+      case "and" => Tsdb.nullSafeEquiJoin(
+        a, b.select(keys.map(col): _*), keys, "left_semi")
+      case "unless" => Tsdb.nullSafeEquiJoin(
+        a, b.select(keys.map(col): _*), keys, "left_anti")
       case "or" =>
-        a.unionByName(b.join(a.select(keys.map(col): _*), keys, "left_anti"))
+        a.unionByName(Tsdb.nullSafeEquiJoin(
+          b, a.select(keys.map(col): _*), keys, "left_anti"))
       case other => throw new IllegalArgumentException(
         s"unknown vector set op: $other (expected and | or | unless)")
     }
@@ -2283,6 +2286,30 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
 
 object Tsdb {
   val MetricLabel: String = graft.functions.LabelFunctions.MetricLabel
+
+  /** Equi-join on `keys` where NULL matches NULL — PromQL's labelset
+    * identity for vector matching and set ops. A grouping label can be
+    * NULL for series that lack it (a `without`-resolved by-list over a
+    * heterogeneous label universe, or an explicit `by` naming a label
+    * only some series carry); Prometheus matches such labelsets (absent
+    * matches absent), but Spark's USING join compiles to EqualTo and
+    * silently drops those groups. `<=>` keys still extract as hash-join
+    * keys (ExtractEquiJoinKeys handles EqualNullSafe), so the plan shape
+    * is unchanged. The right side's key copies are renamed away before
+    * the join; inner joins keep the LEFT side's key columns. */
+  private[graft] def nullSafeEquiJoin(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val renamed = keys.foldLeft(b)((df, k) =>
+      df.withColumnRenamed(k, s"__r_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    val joined = a.join(renamed, cond, joinType)
+    if (joinType == "left_semi" || joinType == "left_anti") joined
+    else keys.foldLeft(joined)((df, k) => df.drop(s"__r_$k"))
+  }
 
   /** Conjunctive matcher predicate over a label map column — the Spark form
     * of the reference's per-matcher UNION + cross-matcher INTERSECT over sid

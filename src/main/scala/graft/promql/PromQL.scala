@@ -1285,7 +1285,10 @@ object PromQL {
     val dfB = compile(t, rhs, start, end, buckets, rollupStep)
       .select(byB.map(col) ++ Seq(col("bucket_start"),
         col(valueColOf(rhs)).cast("double").as("sum_b")): _*)
-    val out = dfA.join(dfB, mk :+ "bucket_start")
+    // null-safe keys: a without-resolved (or sparse `by`) grouping can
+    // hold NULL for series lacking a label; Prometheus matches those
+    // labelsets (absent matches absent) — see Tsdb.nullSafeEquiJoin
+    val out = Tsdb.nullSafeEquiJoin(dfA, dfB, mk :+ "bucket_start")
       .select(keptBy.map(col) ++ Seq(col("bucket_start"),
         col("sum_a"), col("sum_b")): _*)
     mode match {
@@ -1882,15 +1885,18 @@ object PromQL {
         val dfR = compile(t, r, start, end, buckets, rollupStep)
         sop match {
           case "and" =>
-            dfL.join(dfR.select(keys.map(col): _*), keys, "left_semi")
+            Tsdb.nullSafeEquiJoin(
+              dfL, dfR.select(keys.map(col): _*), keys, "left_semi")
           case "unless" =>
-            dfL.join(dfR.select(keys.map(col): _*), keys, "left_anti")
+            Tsdb.nullSafeEquiJoin(
+              dfL, dfR.select(keys.map(col): _*), keys, "left_anti")
           case _ =>
             require(dfL.columns.toSeq == dfR.columns.toSeq,
               s"'or' sides must produce the same columns: " +
               s"${dfL.columns.toSeq} vs ${dfR.columns.toSeq}")
             dfL.unionByName(
-              dfR.join(dfL.select(keys.map(col): _*), keys, "left_anti"))
+              Tsdb.nullSafeEquiJoin(
+                dfR, dfL.select(keys.map(col): _*), keys, "left_anti"))
         }
 
       // time functions read the grid timestamp, not the value column:

@@ -109,7 +109,7 @@ object AlertStream {
       metricB: String,
       matchersB: Seq[graft.model.LabelMatcher],
       opB: String,
-      by: Seq[String],
+      grouping: Grouping,
       aop: String,
       step: Long,
       cmp: String,
@@ -125,12 +125,12 @@ object AlertStream {
           PromQL.NumLit(thr), _, false, false)
           if Cmps(cmp) && Set("/", "*", "+", "-")(aop) &&
             Moments(opA) && Moments(opB) &&
-            byA.toSet == byB.toSet &&
+            byA.toSet == byB.toSet && woA.toSet == woB.toSet &&
             (on.isEmpty || on.toSet == byA.toSet) &&
-            woA.isEmpty && woB.isEmpty &&
             plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
         Some(RatioShape(a.metric, a.matchers, opA,
-          b.metric, b.matchers, opB, byA, aop, a.rangeSec.get, cmp, thr))
+          b.metric, b.matchers, opB, Grouping.of(byA, woA), aop,
+          a.rangeSec.get, cmp, thr))
       case _ => None
     }
 
@@ -539,7 +539,7 @@ object AlertStream {
       watermark: String): Dataset[AlertEval] = {
     val spark = samples.sparkSession
     import spark.implicits._
-    val g = Grouping.By(s.by)
+    val g = s.grouping
     // a row may satisfy BOTH sides (same metric, overlapping matchers —
     // the errors{code="500"} / errors idiom), so side membership is an
     // exploded array, never an either/or branch
@@ -662,13 +662,13 @@ object AlertStream {
           if Cmps(cmp) && Set("/", "*", "+", "-")(aop) &&
             counterMoment(opA, qA) && counterMoment(opB, qB) &&
             counterFns(fnA) && counterFns(fnB) &&
-            byA.toSet == byB.toSet &&
+            byA.toSet == byB.toSet && woA.toSet == woB.toSet &&
             (on.isEmpty || on.toSet == byA.toSet) &&
-            woA.isEmpty && woB.isEmpty && rbA.isEmpty && rbB.isEmpty &&
+            rbA.isEmpty && rbB.isEmpty &&
             plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
         Some(CounterShape(
           Seq(counterSide(opA, qA, fnA, a), counterSide(opB, qB, fnB, b)),
-          Grouping.By(byA), Some(aop), a.rangeSec.get, cmp, thr))
+          Grouping.of(byA, woA), Some(aop), a.rangeSec.get, cmp, thr))
       case _ => None
     }
 

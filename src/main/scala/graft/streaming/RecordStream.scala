@@ -62,7 +62,7 @@ object RecordStream {
       metricB: String,
       matchersB: Seq[graft.model.LabelMatcher],
       opB: String,
-      by: Seq[String],
+      grouping: Grouping,
       aop: String,
       step: Long)
 
@@ -76,15 +76,15 @@ object RecordStream {
           if Set("/", "*", "+", "-")(aop) &&
             Set("sum", "avg", "min", "max", "count")(opA) &&
             Set("sum", "avg", "min", "max", "count")(opB) &&
-            byA.toSet == byB.toSet &&
+            byA.toSet == byB.toSet && woA.toSet == woB.toSet &&
             (on.isEmpty || on.toSet == byA.toSet) &&
-            woA.isEmpty && woB.isEmpty &&
             a.rangeSec.isDefined && a.rangeSec == b.rangeSec &&
             a.offsetSec == 0 && b.offsetSec == 0 &&
             a.stepSec.isEmpty && b.stepSec.isEmpty &&
             a.atSpec.isEmpty && b.atSpec.isEmpty =>
         Some(RatioShape(a.metric, a.matchers, opA,
-          b.metric, b.matchers, opB, byA, aop, a.rangeSec.get))
+          b.metric, b.matchers, opB, Grouping.of(byA, woA), aop,
+          a.rangeSec.get))
       case _ => None
     }
 
@@ -163,13 +163,13 @@ object RecordStream {
           if Set("/", "*", "+", "-")(aop) &&
             counterMoment(opA, qA) && counterMoment(opB, qB) &&
             counterFns(fnA) && counterFns(fnB) &&
-            byA.toSet == byB.toSet &&
+            byA.toSet == byB.toSet && woA.toSet == woB.toSet &&
             (on.isEmpty || on.toSet == byA.toSet) &&
-            woA.isEmpty && woB.isEmpty && rbA.isEmpty && rbB.isEmpty &&
+            rbA.isEmpty && rbB.isEmpty &&
             plain(a) && plain(b) && a.rangeSec == b.rangeSec =>
         Some(CounterShape(
           Seq(counterSide(opA, qA, fnA, a), counterSide(opB, qB, fnB, b)),
-          Grouping.By(byA), Some(aop), a.rangeSec.get))
+          Grouping.of(byA, woA), Some(aop), a.rangeSec.get))
       case _ => None
     }
 
@@ -240,11 +240,16 @@ object RecordStream {
         .cast("double").as(s"sum_$tag"),
       min(when(side, col("value")).cast("double")).as(s"min_$tag"),
       max(when(side, col("value")).cast("double")).as(s"max_$tag"))
+    val groupCols = s.grouping match {
+      case Grouping.By(by) => by.map(l => col("labels").getItem(l).as(l))
+      case g: Grouping.Without =>
+        Seq(sort_array(map_entries(g.labelsCol(col("labels"))))
+          .as("__lbl"))
+    }
     val agg = samples
       .where(sideA || sideB)
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), s"${s.step} seconds") +:
-        s.by.map(l => col("labels").getItem(l).as(l)): _*)
+      .groupBy(window(col("ts"), s"${s.step} seconds") +: groupCols: _*)
       .agg(sideAggs(sideA, "a").head,
         (sideAggs(sideA, "a").tail ++ sideAggs(sideB, "b")): _*)
     def momentOf(op: String, tag: String) = op match {
@@ -258,7 +263,7 @@ object RecordStream {
       .where(col("n_a") > 0 && col("n_b") > 0)
       .select(
         lit(rule.name).as("metric"),
-        Rules.labelMap(s.by, col, rule.staticLabels).as("labels"),
+        recordLabels(s.grouping, rule.staticLabels).as("labels"),
         col("window.start").cast("long").as("ts"),
         PromQL.arith(s.aop)(momentOf(s.opA, "a"), momentOf(s.opB, "b"))
           .cast("double").as("value"))
@@ -297,31 +302,36 @@ object RecordStream {
       case "min" => col("min_v")
       case "max" => col("max_v")
     }
-    // output labels: by-form through Rules.labelMap (shared with the
-    // batch recorder — static labels shadow grouping keys); without-form
-    // rebuilds the map from the grouped entries and merges the statics
-    // the same way (grouped keys a static shadows are dropped first, so
-    // no duplicate-key policy dependence)
-    val labelsCol = s.grouping match {
-      case Grouping.By(by) => Rules.labelMap(by, col, rule.staticLabels)
+    agg.select(
+      lit(rule.name).as("metric"),
+      recordLabels(s.grouping, rule.staticLabels).as("labels"),
+      col("window.start").cast("long").as("ts"),
+      valueCol.cast("double").as("value"))
+  }
+
+  /** The output labels map of a grouped recording aggregation: by-form
+    * through Rules.labelMap (shared with the batch recorder — static
+    * labels shadow grouping keys); without-form rebuilds the map from
+    * the grouped `__lbl` entries array and merges the statics the same
+    * way (grouped keys a static shadows are dropped first, so no
+    * duplicate-key policy dependence). */
+  private def recordLabels(
+      g: Grouping,
+      staticLabels: Map[String, String]): org.apache.spark.sql.Column =
+    g match {
+      case Grouping.By(by) => Rules.labelMap(by, col, staticLabels)
       case _: Grouping.Without =>
         val grouped = map_from_entries(col("__lbl"))
         val unshadowed =
-          if (rule.staticLabels.isEmpty) grouped
+          if (staticLabels.isEmpty) grouped
           else map_filter(grouped, (k, _) =>
-            !rule.staticLabels.keys.toSeq.sorted
+            !staticLabels.keys.toSeq.sorted
               .map(d => k === lit(d)).reduce(_ || _))
-        val static = rule.staticLabels.toSeq.sortBy(_._1)
+        val static = staticLabels.toSeq.sortBy(_._1)
           .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
         if (static.isEmpty) unshadowed
         else map_concat(unshadowed, map(static: _*))
     }
-    agg.select(
-      lit(rule.name).as("metric"),
-      labelsCol.as("labels"),
-      col("window.start").cast("long").as("ts"),
-      valueCol.cast("double").as("value"))
-  }
 
   /** Run the rule continuously, appending each closed bucket's samples
     * into `target`. Returns the started query (registered on the target

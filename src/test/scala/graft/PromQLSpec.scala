@@ -1645,4 +1645,59 @@ class PromQLSpec extends SparkSuite {
       Rules.RecordingRule("not a metric!", "sum(click[1h])"), T0, T1))
     assert(e.getMessage.contains("invalid metric name"))
   }
+
+  test("vector match pairs NULL grouping keys: absent label matches " +
+      "absent, like Prometheus labelset identity") {
+    // heterogeneous universe: only user_id % 3 == 0 rows carry shard, so
+    // `by (cohort, shard)` groups two-thirds of the series under a NULL
+    // shard — a plain USING join (EqualTo) would silently drop those
+    // groups from the vector match; Tsdb.nullSafeEquiJoin must keep them
+    val het = graft.sources.Tables.events(spark, sf0001).select(
+      col("event_type").as("metric"),
+      map_filter(map(
+        lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"),
+        lit("shard"), when(pmod(col("user_id"), lit(3)) === 0,
+          pmod(col("user_id"), lit(2)).cast("string"))),
+        (_, v) => v.isNotNull).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    val th = Tsdb.attach(spark, het)
+    val got = PromQL.query(th,
+      "sum by (cohort, shard) (click[1h]) / " +
+        "sum by (cohort, shard) (view[1h])", T0, T1)
+      .localCheckpoint()
+    // expected match cardinality: (group, bucket) keys present on BOTH
+    // sides under null-safe identity, computed via sentinel strings
+    def keys(metric: String) =
+      th.aggregateBy(metric, Seq.empty, T0, T1,
+          Seq("cohort", "shard"), 3600L)
+        .select(concat_ws("\u0001",
+          coalesce(col("cohort"), lit("\u0002")),
+          coalesce(col("shard"), lit("\u0002")),
+          col("bucket_start").cast("string")).as("k"))
+        .collect().map(_.getString(0)).toSet
+    val expected = keys("click") intersect keys("view")
+    assert(got.count() == expected.size,
+      s"match count ${got.count()} vs null-safe key intersection " +
+        s"${expected.size}")
+    assert(got.where(col("shard").isNull).count() > 0,
+      "no NULL-shard groups survived the vector match")
+    // one NULL-shard group's ratio equals the independently computed
+    // decimal-sum ratio (PromQL `/` rounds to 6 decimals)
+    val row = got.where(col("shard").isNull)
+      .orderBy("cohort", "bucket_start").head()
+    val c = row.getAs[String]("cohort")
+    val b = row.getAs[Long]("bucket_start")
+    def sideSum(metric: String): Double = het
+      .where(col("metric") === metric &&
+        col("labels").getItem("cohort") === c &&
+        col("labels").getItem("shard").isNull &&
+        col("ts") >= b && col("ts") < b + 3600)
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    val want = BigDecimal(sideSum("click") / sideSum("view"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("result") - want) < 1e-9,
+      s"ratio ${row.getAs[Double]("result")} vs $want")
+  }
 }

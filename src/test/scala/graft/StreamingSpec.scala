@@ -1274,5 +1274,73 @@ class StreamingSpec extends SparkSuite {
         s"stream-only ${(rStream -- rBatch).take(3)}; " +
         s"batch-only ${(rBatch -- rStream).take(3)}")
     assert(rStream.forall(_._1.get("job").contains("rules")))
+
+    // --- TWO-SIDE forms, without-grouped: the vector match must pair a
+    // group with itself across sides even when a resolved grouping label
+    // is NULL (absent matches absent — Tsdb.nullSafeEquiJoin); the
+    // stream keys both sides on the row's remaining labels, so a batch
+    // side that dropped null-key groups would show up as stream-only
+    // rows here.
+    val vRule = Rules.AlertRule("wo_ratio",
+      "sum without (noise) (click[3600]) / " +
+        "sum without (noise) (view[3600]) > 0.05", forSec = 3600L)
+    val vBatch = Rules.alerts(Tsdb.attach(spark, samples), vRule, T0, T1)
+      .collect()
+      .map { r =>
+        val labels = Seq("cohort", "shard")
+          .map(k => k -> r.getAs[String](k)).toMap
+        (dropNulls(labels), r.getAs[Long]("bucket_start"),
+          r.getAs[Double]("value"), r.getAs[String]("state"))
+      }.toSet
+    val vMem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val vq = AlertStream.alerts(
+        vMem.toDF().toDF("metric", "labels", "ts", "value"),
+        vRule, watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("wo_ratio")
+      .outputMode("append").start()
+    vMem.addData(data: _*)
+    vq.processAllAvailable()
+    closeAndStop(vq, vMem)
+    val vStream = spark.table("wo_ratio")
+      .where(col("labels").getItem("cohort") =!= "zz")
+      .collect()
+      .map(r => (dropNulls(r.getMap[String, String](1).toMap),
+        r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+    assert(vStream.nonEmpty && vStream == vBatch,
+      s"[ratio] sizes ${vStream.size} vs ${vBatch.size}; " +
+        s"stream-only ${(vStream -- vBatch).take(3)}; " +
+        s"batch-only ${(vBatch -- vStream).take(3)}")
+    // groups at BOTH grains matched across sides
+    assert(vStream.exists(_._1.contains("shard")) &&
+      vStream.exists(!_._1.contains("shard")))
+
+    // ratio-of-rates recording rule, without-grouped
+    val wRule = Rules.RecordingRule("grain:cv:rate_ratio",
+      "sum without (noise) (rate(click[3600])) / " +
+        "sum without (noise) (rate(view[3600]))")
+    val wBatch = Rules.record(Tsdb.attach(spark, samples), wRule, T0, T1)
+      .collect()
+      .map(r => (dropNulls(r.getMap[String, String](1).toMap),
+        r.getLong(2), r.getDouble(3))).toSet
+    val wMem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val wq = RecordStream.compiled(
+        wMem.toDF().toDF("metric", "labels", "ts", "value"),
+        wRule, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wo_rate_ratio")
+      .outputMode("append").start()
+    wMem.addData(data: _*)
+    wq.processAllAvailable()
+    closeAndStop(wq, wMem)
+    val wStream = spark.table("wo_rate_ratio")
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (dropNulls(r.getMap[String, String](1).toMap),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(wStream.nonEmpty && wStream == wBatch,
+      s"[rate_ratio] sizes ${wStream.size} vs ${wBatch.size}; " +
+        s"stream-only ${(wStream -- wBatch).take(3)}; " +
+        s"batch-only ${(wBatch -- wStream).take(3)}")
   }
 }
