@@ -678,4 +678,42 @@ class TsdbSpec extends SparkSuite {
     assert(t2.samples.count() == 60L)
     assert(t2.seriesMeta.count() == 5L)
   }
+
+  test("filesPerSegment sub-buckets the write: bounded files per seg, " +
+      "whole series per file, read-back identical to the default layout") {
+    val data = grid()
+    val t1 = new Tsdb(spark, TsdbConf(dataPath = tempDir("fps1"),
+      segmentDuration = 7200L))
+    t1.insertRows(data)
+    val t4 = new Tsdb(spark, TsdbConf(dataPath = tempDir("fps4"),
+      segmentDuration = 7200L, filesPerSegment = 4))
+    // at toy scale AQE coalesces the sub-bucket shuffle back to one
+    // task (the knob is an upper BOUND on files, not a floor); disable
+    // coalescing for the write so the fan-out is observable here
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false")
+    try t4.insertRows(data)
+    finally spark.conf.set(coalesceKey, prev)
+    // read-back equality: same rows either way (layout is invisible)
+    val key = Seq("sid", "ts", "value")
+    assert(t4.samples.select(key.map(col): _*).except(
+      t1.samples.select(key.map(col): _*)).isEmpty &&
+      t1.samples.select(key.map(col): _*).except(
+        t4.samples.select(key.map(col): _*)).isEmpty)
+    // files per seg bucket bounded by the knob (>1 proves the sub-bucket
+    // shuffle engaged; the grid spans multiple buckets)
+    val perSeg = t4.samples
+      .select(col("seg"), input_file_name().as("f"))
+      .groupBy("seg").agg(countDistinct("f").as("nf"))
+      .collect().map(r => r.getLong(1))
+    assert(perSeg.nonEmpty && perSeg.forall(n => n >= 2 && n <= 4),
+      perSeg.mkString(","))
+    // series locality: every sid lands whole inside ONE file per bucket
+    val maxFilesPerSid = t4.samples
+      .select(col("sid"), col("seg"), input_file_name().as("f"))
+      .groupBy("sid", "seg").agg(countDistinct("f").as("nf"))
+      .agg(max("nf")).head().getLong(0)
+    assert(maxFilesPerSid == 1L)
+  }
 }
