@@ -58,15 +58,14 @@ object OracleSql {
        |FROM events WHERE $tsS BETWEEN $T0 AND $T1
        |ORDER BY value""".stripMargin
 
-  /** Meta fast-path mirror: a (metric, user_id) series contributes its
-    * user_id when its [min ts, max ts] span overlaps the window —
-    * series-grain overlap, NOT per-sample membership. */
+  /** Default-path mirror — the reference's segment-grain range semantics
+    * (tsdb.go:352-360 / label.go:62-77): a user_id is returned iff some
+    * sample carries it inside a 7200 s segment overlapping the window —
+    * NOT per-sample membership (exact) and NOT series-span overlap. */
   private val tsdbLabelValuesMeta =
     s"""SELECT DISTINCT CAST(user_id AS VARCHAR) AS value
-       |FROM (SELECT event_type, user_id,
-       |             min($tsS) AS mn, max($tsS) AS mx
-       |      FROM events GROUP BY 1, 2)
-       |WHERE mn <= ${T0 + 2 * 86400} AND mx >= $T0
+       |FROM events
+       |WHERE $tsS // 7200 BETWEEN ${T0 / 7200} AND ${(T0 + 2 * 86400) / 7200}
        |ORDER BY value""".stripMargin
 
   private val tsdbAggBy =

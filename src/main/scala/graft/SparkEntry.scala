@@ -1165,11 +1165,11 @@ object SparkEntry {
   private def qTsdbLabelValues(s: SparkSession, dir: String): DataFrame =
     tsdbOn(s, dir).queryLabelValues("user_id", T0, T1, exact = true)
 
-  /** QueryLabelValues fast path (the default): the label's domain from
-    * the series_meta dimension only — minTs/maxTs overlap, the
-    * reference's coarse range semantics at series grain — zero
-    * fact-table IO however wide the range. Narrow window so overlap vs
-    * exact semantics actually differ at the oracle.
+  /** QueryLabelValues fast path (the default): the label's domain at the
+    * reference's segment-grain range semantics (tsdb.go:352-360 /
+    * label.go:62-77) — served from the label→value-set tier on durable
+    * stores (zero fact-table IO however wide the range). Narrow window so
+    * segment-grain vs exact semantics actually differ at the oracle.
     */
   private def qTsdbLabelValuesMeta(s: SparkSession, dir: String): DataFrame =
     tsdbOn(s, dir).queryLabelValues("user_id", T0, T0 + 2 * 86400)

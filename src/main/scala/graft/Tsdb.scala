@@ -36,6 +36,26 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   private val samplesPath = s"${conf.dataPath}/samples"
   private val metaPath = s"${conf.dataPath}/series_meta"
 
+  /** Consolidated series-meta tier: one row per sid, produced by
+    * [[compactSeriesMeta]] (or by the very first durable batch, whose
+    * per-sid aggregation is already merged). `series_meta` itself is the
+    * DELTA level appends accumulate into; reads merge base ∪ delta, and
+    * the inline cadence fold ([[foldMetaDelta]]) only ever rewrites the
+    * delta — O(rows touched since the last full compaction), not O(all
+    * series) — so ingest latency stays flat as the store grows.
+    */
+  private val metaBasePath = s"${conf.dataPath}/series_meta_base"
+
+  /** Label→value-set dimension tier (the reference's `labelValueSet`,
+    * label.go:40-77, maintained on every insert,
+    * memory_segment.go:93-96): distinct `(seg, name, value)` label pairs,
+    * seg-partitioned. [[queryLabelValues]] reads O(distinct pairs in the
+    * queried segments) from it instead of aggregating the O(series)
+    * dimension — at 10M series a low-cardinality label's domain is tens
+    * of rows instead of a 15M-row map aggregation.
+    */
+  private val labelValuesPath = s"${conf.dataPath}/label_values"
+
   /** onlyMemoryMode head: accumulated in-memory batches (the reference's
     * memory segment, memory_segment.go). Batch appends only; the streaming
     * path writes through `insertRows` via foreachBatch. The union lineage
@@ -63,6 +83,12 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
 
   /** Cached [[seriesDimSmall]] verdict; invalidated by every meta write. */
   private var seriesDimSmallCache: Option[Boolean] = None
+
+  /** Cached "delta level fits under the broadcast threshold" verdict for
+    * the [[seriesMeta]] merge-on-read split; invalidated like
+    * [[seriesDimSmallCache]].
+    */
+  private var metaDeltaSmallCache: Option[Boolean] = None
 
   /** Rows currently buffered in the head (tracked incrementally — one count
     * per [[insertHeadRows]] batch, never a scan of the accumulated head).
@@ -193,19 +219,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .option("compression", conf.compression)
       .partitionBy("seg")
       .parquet(samplesPath)
-    norm
-      .groupBy("sid")
-      .agg(
-        first("metric").as("metric"),
-        first("labels").as("labels"),
-        min("ts").as("minTs"),
-        max("ts").as("maxTs"))
-      .coalesce(4)
-      .write
-      .mode("append")
-      .option("compression", conf.compression)
-      .parquet(metaPath)
-    metaAppended()
+    appendSeriesMeta(norm)
+    appendLabelValues(norm)
     // advance the outdated-rejection boundary here — this serves BOTH
     // durable paths (insertRows and flushHead), so segments frozen via
     // direct insertRows are visible to insertHeadRows' gate. The max
@@ -221,16 +236,77 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     }
   }
 
-  /** Bookkeeping after every durable `series_meta` append: one more
-    * partial generation on disk, size cache stale; fold the partials back
-    * to one generation inline once the configured cadence is reached, so
-    * metadata read cost stays O(1) in ingest-batch count.
+  /** Per-sid meta aggregation of one normalized batch. */
+  private def metaAggOf(norm: DataFrame): DataFrame =
+    norm
+      .groupBy("sid")
+      .agg(
+        first("metric").as("metric"),
+        first("labels").as("labels"),
+        min("ts").as("minTs"),
+        max("ts").as("maxTs"))
+
+  /** Durable series-meta upsert for one batch. The very first batch of a
+    * fresh store IS one-row-per-sid after its aggregation, so it becomes
+    * the consolidated base level directly; every later batch appends a
+    * delta generation (merged on read, folded on the
+    * `metaCompactEvery` cadence — delta-only, O(touched rows)).
+    */
+  private def appendSeriesMeta(norm: DataFrame): Unit = {
+    val freshStore = metaGenerations == 0 &&
+      !pathExists(metaBasePath) && !pathExists(metaPath)
+    val target = if (freshStore) metaBasePath else metaPath
+    metaAggOf(norm)
+      .coalesce(4)
+      .write
+      .mode("append")
+      .option("compression", conf.compression)
+      .parquet(target)
+    if (freshStore) {
+      seriesDimSmallCache = None
+      metaDeltaSmallCache = None
+    } else metaAppended()
+  }
+
+  /** Append one batch's distinct `(seg, name, value)` label pairs to the
+    * label→value-set tier. Duplicate pairs across batches are harmless
+    * ([[queryLabelValues]] ends in a distinct); [[compactLabelValues]]
+    * consolidates. Within each file rows are (name, value)-sorted so
+    * single-label reads skip foreign row groups via column stats; the
+    * `filesPerSegment` sub-bucketing parallelizes the single-live-bucket
+    * streaming write exactly like the fact path.
+    */
+  private def appendLabelValues(norm: DataFrame): Unit = {
+    val pairs = norm
+      .select(col("seg"), explode(col("labels")).as(Seq("name", "value")))
+      .distinct()
+    val sub = math.max(1, conf.filesPerSegment).toLong
+    pairs
+      .repartition(col("seg"),
+        pmod(xxhash64(col("name"), col("value")), lit(sub)))
+      .sortWithinPartitions("name", "value")
+      .write
+      .mode("append")
+      .option("compression", conf.compression)
+      .partitionBy("seg")
+      .parquet(labelValuesPath)
+  }
+
+  /** Bookkeeping after every durable `series_meta` DELTA append: one more
+    * partial generation on disk, size caches stale; fold the delta
+    * partials back to one generation inline once the configured cadence
+    * is reached, so metadata read cost stays O(1) in ingest-batch count.
+    * The fold never touches the consolidated base — its cost is bounded
+    * by the rows touched since the last [[compactSeriesMeta]], not by
+    * total series count (the reference's insert-time `labelValueSet`
+    * update is likewise O(batch), memory_segment.go:93-96).
     */
   private def metaAppended(): Unit = {
     metaGenerations += 1
     seriesDimSmallCache = None
+    metaDeltaSmallCache = None
     if (conf.metaCompactEvery > 0 && metaGenerations > conf.metaCompactEvery)
-      compactSeriesMeta()
+      foldMetaDelta()
   }
 
   /** Head-buffered ingest — the reference's live memory segment
@@ -345,11 +421,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     */
   private def seriesDimSmall: Boolean = seriesDimSmallCache.getOrElse {
     val thr = broadcastThresholdBytes
+    val dirs = Seq(metaBasePath, metaPath).filter(p =>
+      !conf.onlyMemoryMode && pathExists(p))
     val small =
       if (thr < 0) false
-      else if (!conf.onlyMemoryMode && pathExists(metaPath))
-        fs.getContentSummary(
-          new org.apache.hadoop.fs.Path(metaPath)).getLength * 4 < thr
+      else if (dirs.nonEmpty)
+        dirs.map(p => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(p)).getLength).sum * 4 < thr
       else true
     seriesDimSmallCache = Some(small)
     small
@@ -392,23 +470,70 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       _.groupBy("sid").agg(
         first("metric").as("metric"), first("labels").as("labels"),
         min("ts").as("minTs"), max("ts").as("maxTs")))
-    val diskMeta =
+    val base =
+      if (!conf.onlyMemoryMode && pathExists(metaBasePath))
+        Some(spark.read.parquet(metaBasePath))
+      else None
+    val diskDelta =
       if (!conf.onlyMemoryMode && pathExists(metaPath))
         Some(spark.read.parquet(metaPath))
       else None
-    def merged(raw: DataFrame): DataFrame = raw
-      .groupBy("sid")
-      .agg(
-        first("metric").as("metric"),
-        first("labels").as("labels"),
-        min("minTs").as("minTs"),
-        max("maxTs").as("maxTs"))
-    (diskMeta, headAgg) match {
-      case (Some(d), Some(h)) => merged(d.unionByName(h))
-      case (Some(d), None) => if (metaGenerations <= 1) d else merged(d)
-      case (None, Some(h)) => h
-      case (None, None) => merged(spark.read.parquet(metaPath))
+    // the head aggregation is just another (already-merged) delta level
+    val delta = (diskDelta, headAgg) match {
+      case (Some(d), Some(h)) => Some(d.unionByName(h))
+      case (d, h) => d.orElse(h)
     }
+    (base, delta) match {
+      case (Some(b), None) => b // base is one-row-per-sid by construction
+      case (Some(b), Some(d)) =>
+        if (metaDeltaSmall) {
+          // merge-on-read split: the base NEVER shuffles — untouched sids
+          // pass through a broadcast anti-join, touched sids re-merge
+          // through a broadcast semi-join + one aggregation bounded by
+          // delta size. At 15M series with a small delta this replaces a
+          // 15M-row shuffle aggregation per metadata read with two
+          // broadcast probes over the same scan.
+          val dm = mergedMeta(d)
+          val keys = dm.select("sid")
+          b.join(broadcast(keys), Seq("sid"), "left_anti")
+            .unionByName(mergedMeta(
+              b.join(broadcast(keys), Seq("sid"), "left_semi")
+                .unionByName(dm)))
+        } else mergedMeta(b.unionByName(d))
+      case (None, Some(d)) =>
+        if (diskDelta.isEmpty) d // head-only: its aggregation IS the merge
+        else if (headAgg.isEmpty && metaGenerations <= 1) d
+        else mergedMeta(d)
+      case (None, None) => mergedMeta(spark.read.parquet(metaPath))
+    }
+  }
+
+  /** Partial/final merge of stacked per-sid meta rows (the reference's
+    * cross-segment merge of series bounds, tsdb.go:295-321).
+    */
+  private def mergedMeta(raw: DataFrame): DataFrame = raw
+    .groupBy("sid")
+    .agg(
+      first("metric").as("metric"),
+      first("labels").as("labels"),
+      min("minTs").as("minTs"),
+      max("maxTs").as("maxTs"))
+
+  /** True when the accumulated series-meta delta level provably fits
+    * under the session broadcast threshold — the gate for the
+    * [[seriesMeta]] split read. Falls back to the full merge when the
+    * delta has grown past it (correct either way).
+    */
+  private def metaDeltaSmall: Boolean = metaDeltaSmallCache.getOrElse {
+    val thr = broadcastThresholdBytes
+    val small =
+      if (thr < 0) false
+      else if (pathExists(metaPath))
+        fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(metaPath)).getLength * 4 < thr
+      else true
+    metaDeltaSmallCache = Some(small)
+    small
   }
 
   // ---------------------------------------------------------------- queries
@@ -886,18 +1011,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
           promoteStagedFiles(tmp, path, s"b$id-")
       }
       writeModeMarker(path, "incremental")
-      norm
-        .groupBy("sid")
-        .agg(
-          first("metric").as("metric"),
-          first("labels").as("labels"),
-          min("ts").as("minTs"),
-          max("ts").as("maxTs"))
-        .coalesce(4)
-        .write.mode("append")
-        .option("compression", conf.compression)
-        .parquet(metaPath)
-      metaAppended()
+      appendSeriesMeta(norm)
+      appendLabelValues(norm)
       // the commit marker is written LAST — after the series-meta append —
       // so a crash in between replays the whole batch: re-promotion clears
       // the batch-prefixed files first and meta duplicates are idempotent
@@ -1921,23 +2036,30 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   /** QueryLabelValues (reference tsdb.go:352-370): sorted distinct values of
     * one label within the time range.
     *
-    * Default serves from the series_meta DIMENSION only — series whose
-    * [minTs, maxTs] span overlaps the range. This is a SUPERSET of both
-    * the reference's result and the exact result: the reference honors
-    * the range at segment grain (tsdb.go:352-360 / label.go:62-77), so a
-    * series whose samples all live in segments outside the window is
-    * excluded there but included here when its global span straddles the
-    * window (a gap covering exactly the queried segments). In exchange
-    * the default costs one dimension scan: no fact-table IO regardless of
-    * how wide the range is. `exact = true` opts into exact `ts`-range
-    * semantics — strictly tighter than both (a series with a GAP covering
-    * the whole range contributes under overlap but not under exact) — by
-    * scanning the pruned fact table; at wide ranges that scan dominates
-    * (~12s vs ~1s at x100), which is why it is the opt-in.
+    * Default matches the reference's semantics EXACTLY: the range is
+    * honored at segment grain (tsdb.go:352-360 / label.go:62-77 — a value
+    * is returned iff some sample carries it in a segment overlapping the
+    * window), served from the label→value-set tier the write path
+    * maintains per batch (the reference's `labelValueSet`, label.go:40-77,
+    * updated on every insert, memory_segment.go:93-96). Cost is O(distinct
+    * (seg, value) pairs of THIS label in the pruned segments): the scan is
+    * seg-partition-pruned and `name`-pushed-down, never touches the fact
+    * table or the O(series) dimension — flat in series count for
+    * low-cardinality labels. Stores written before the tier existed fall
+    * back to an equivalent fact-table plan until [[compactSeriesMeta]]
+    * backfills the tier.
+    *
+    * `exact = true` opts into exact `ts`-range semantics — strictly
+    * tighter than segment grain (a value whose samples sit in the queried
+    * segments but outside [start, end] contributes under segment grain
+    * but not under exact) — by scanning the pruned fact table; at wide
+    * ranges that scan dominates (~12s vs ~1s at x100), which is why it is
+    * the opt-in.
     *
     * NOTE (migration): before round 11 the DEFAULT was the exact path;
-    * external callers upgrading across that boundary silently get the
-    * superset unless they pass `exact = true`.
+    * rounds 11-12 served series-span overlap (a superset of the
+    * reference); round 13 tightened the default to the reference's
+    * segment grain.
     */
   def queryLabelValues(
       label: String,
@@ -1955,13 +2077,34 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         .where(col("value").isNotNull)
         .distinct()
         .orderBy("value")
-    else
-      seriesMeta
-        .where(col("minTs") <= end && col("maxTs") >= start)
-        .select(col("labels").getItem(label).as("value"))
-        .where(col("value").isNotNull)
-        .distinct()
-        .orderBy("value")
+    else {
+      val headVals = memHead.map(
+        _.where(segPredicate(start, end))
+          .select(col("labels").getItem(label).as("value"))
+          .where(col("value").isNotNull))
+      val diskVals =
+        if (conf.onlyMemoryMode) None
+        else if (pathExists(labelValuesPath))
+          Some(spark.read.parquet(labelValuesPath)
+            .where(segPredicate(start, end) && col("name") === label)
+            .select("value"))
+        else if (pathExists(samplesPath))
+          // pre-tier store: same segment-grain semantics off the fact
+          // table (one-off migration cost; compactSeriesMeta backfills)
+          Some(samplesWithLabels
+            .where(segPredicate(start, end))
+            .select(col("labels").getItem(label).as("value"))
+            .where(col("value").isNotNull))
+        else None
+      (diskVals, headVals) match {
+        case (Some(d), Some(h)) =>
+          d.unionByName(h).distinct().orderBy("value")
+        case (Some(d), None) => d.distinct().orderBy("value")
+        case (None, Some(h)) => h.distinct().orderBy("value")
+        case (None, None) => // preserve the read-of-missing-path error
+          spark.read.parquet(labelValuesPath).select("value")
+      }
+    }
 
   /** Per-segment stats — the reference's `Desc` metadata written at flush
     * time (segment.go:31-36: seriesCount, dataPointsCount, minTs, maxTs) as
@@ -1977,16 +2120,18 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         min("ts").as("min_ts"),
         max("ts").as("max_ts"))
 
-  /** Compact the append-accumulated series_meta partials into their merged
-    * form (one row per sid, few files) — the maintenance job bounding
-    * metadata growth that the reference explicitly lacks (no compaction,
-    * README.md:36-40). Materializes the merge to a sibling directory, then
-    * swaps it in.
+  /** Fold the accumulated series_meta DELTA generations back to one —
+    * the inline `metaCompactEvery` cadence job. Only the delta level is
+    * read and rewritten: O(rows touched since the last full compaction),
+    * never O(total series), so the ingest batch that crosses the cadence
+    * pays a small bounded fold instead of re-merging the world (the
+    * 10M-series churn failure mode: 20-30 s spikes when this used to
+    * rewrite all 15M meta rows).
     */
-  def compactSeriesMeta(): Unit = {
+  def foldMetaDelta(): Unit = {
     if (conf.onlyMemoryMode || !pathExists(metaPath)) return
     val tmp = metaPath + ".compact"
-    seriesMeta
+    mergedMeta(spark.read.parquet(metaPath))
       .coalesce(4)
       .write.mode("overwrite")
       .option("compression", conf.compression)
@@ -1995,6 +2140,83 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       new org.apache.hadoop.fs.Path(metaPath))
     metaGenerations = 1
     seriesDimSmallCache = None
+    metaDeltaSmallCache = None
+  }
+
+  /** Full series-meta consolidation: merge base ∪ delta into a fresh
+    * one-row-per-sid base level and clear the delta — the scheduled
+    * maintenance job (like [[compactSegments]]) bounding metadata growth
+    * that the reference explicitly lacks (no compaction, README.md:36-40).
+    * Cost is O(total series); the ingest path never runs this — inline
+    * cadence folds are delta-only ([[foldMetaDelta]]). Crash-safe: the
+    * delta is deleted only after the new base is live, and a leftover
+    * delta re-merges idempotently (min/max/first are stable under
+    * duplicated rows). Also consolidates (or, for stores created before
+    * the tier existed, backfills) the label→value-set tier.
+    */
+  def compactSeriesMeta(): Unit = {
+    if (conf.onlyMemoryMode) return
+    if (pathExists(metaPath)) {
+      val all =
+        if (pathExists(metaBasePath))
+          spark.read.parquet(metaBasePath)
+            .unionByName(spark.read.parquet(metaPath))
+        else spark.read.parquet(metaPath)
+      val tmp = metaBasePath + ".compact"
+      mergedMeta(all)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("compression", conf.compression)
+        .parquet(tmp)
+      swapInPlace(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(metaBasePath))
+      if (!fs.delete(new org.apache.hadoop.fs.Path(metaPath), true))
+        logWarning(s"compaction: could not clear delta $metaPath " +
+          "(reads stay correct; next compaction retries)")
+      metaGenerations = 0
+      seriesDimSmallCache = None
+      metaDeltaSmallCache = None
+    }
+    compactLabelValues()
+  }
+
+  /** Consolidate the label→value-set tier: distinct pairs, few files per
+    * segment. For stores written before the tier existed (no
+    * `label_values` directory but durable samples), BACKFILLS it from the
+    * fact table — one O(fact) scan, after which [[queryLabelValues]]
+    * serves from the tier.
+    */
+  def compactLabelValues(): Unit = {
+    if (conf.onlyMemoryMode) return
+    if (pathExists(labelValuesPath)) {
+      val tmp = labelValuesPath + ".compact"
+      spark.read.parquet(labelValuesPath)
+        .distinct()
+        .repartition(col("seg"))
+        .sortWithinPartitions("name", "value")
+        .write.mode("overwrite")
+        .option("compression", conf.compression)
+        .partitionBy("seg")
+        .parquet(tmp)
+      swapInPlace(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(labelValuesPath))
+    } else if (pathExists(samplesPath)) {
+      val disk = spark.read.parquet(samplesPath)
+      val labeled =
+        if (disk.columns.contains("labels")) disk.select("seg", "labels")
+        else disk.select("seg", "sid").distinct()
+          .join(seriesMeta.select("sid", "labels"), "sid")
+          .select("seg", "labels")
+      labeled
+        .select(col("seg"), explode(col("labels")).as(Seq("name", "value")))
+        .distinct()
+        .repartition(col("seg"))
+        .sortWithinPartitions("name", "value")
+        .write.mode("overwrite")
+        .option("compression", conf.compression)
+        .partitionBy("seg")
+        .parquet(labelValuesPath)
+    }
   }
 
   /** Crash-safe directory swap: rename the live dir aside, rename the
@@ -2013,6 +2235,11 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       live.getParent, s".trash_${live.getName}")
     if (fs.exists(trash) && !fs.delete(trash, true))
       sys.error(s"compaction: cannot clear stale $trash")
+    if (!fs.exists(live)) { // first materialization: nothing to swap aside
+      if (!fs.rename(tmp, live))
+        sys.error(s"compaction: rename $tmp -> $live failed")
+      return
+    }
     if (!fs.rename(live, trash))
       sys.error(s"compaction: rename $live -> $trash failed; store untouched")
     if (!fs.rename(tmp, live)) {
@@ -2173,7 +2400,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     if (fs.exists(base)) fs.listStatus(base)
       .filter(st => st.isDirectory && {
         val n = st.getPath.getName
-        n.startsWith("rollup_") || n == "gorilla_chunks"
+        n.startsWith("rollup_") || n == "gorilla_chunks" ||
+          n == "label_values"
       })
       .foreach { tier =>
         fs.listStatus(tier.getPath)

@@ -159,9 +159,47 @@ object Similarity {
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS"))
   }
 
-  /** Build the index at `path` unless it already exists; returns `path`.
-    * Corpus fixtures are immutable here, so presence == freshness; a
-    * mutable corpus would key the path by a corpus fingerprint instead.
+  /** Cheap corpus identity for index freshness: row count, max id, and an
+    * order-insensitive id hash (sum of xxhash64 over the id column,
+    * decimal-accumulated so it can never overflow) plus the build
+    * parameters. One single-column aggregation per check — any append,
+    * delete, or id replacement changes it. The one undetected mutation is
+    * rewriting a VECTOR under a stable id (hashing vectors would cost a
+    * full-width corpus scan per check); callers that mutate in place
+    * should delete the index path explicitly.
+    */
+  private def corpusFingerprint(
+      emb: DataFrame,
+      idCol: String,
+      nClusters: Int): String = {
+    val r = emb.agg(
+      count(lit(1)).as("n"),
+      max(col(idCol).cast("string")).as("mx"),
+      sum(xxhash64(col(idCol)).cast("decimal(38,0)")).as("h")).head()
+    s"v1,n=${r.get(0)},max=${r.get(1)},h=${r.get(2)},k=$nClusters"
+  }
+
+  private def storedFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](math.min(in.available(), 4096))
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+
+  /** Build the index at `path` unless a FRESH one already exists: the
+    * stored corpus fingerprint must match the current corpus, so a
+    * mutable corpus (the engine's own stores ingest continuously) can
+    * never be served a stale index — an append triggers a rebuild on the
+    * next ensure instead of silently probing yesterday's cells. The
+    * freshness check costs one single-column aggregation; the fingerprint
+    * is written only after a successful build, so a mid-build crash
+    * re-builds rather than serving half an index.
     */
   def ensureIvfIndex(
       emb: DataFrame,
@@ -170,8 +208,16 @@ object Similarity {
       nClusters: Int,
       path: String,
       trainFraction: Double = 1.0): String = synchronized {
-    if (!ivfIndexReady(emb.sparkSession, path))
+    val spark = emb.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(s"$path/_fingerprint")
+    val fp = corpusFingerprint(emb, idCol, nClusters)
+    if (!ivfIndexReady(spark, path) || !storedFingerprint(fs, fpPath).contains(fp)) {
       buildIvfIndex(emb, idCol, vecCol, nClusters, path, trainFraction)
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
     path
   }
 

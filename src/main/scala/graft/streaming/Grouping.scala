@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * [[AlertStream]], [[RecordStream]] and [[CounterState]] so every rule
   * family keys and labels its output identically.
   *
-  * [[Grouping.By]] is the classic `by (l1, l2)` form: the state key joins
-  * the listed label values on NUL with a distinct sentinel for ABSENT
-  * labels (so `{a:null,b:x}` and `{a:x,b:null}` never collide), and the
-  * output labels map carries exactly the listed keys.
+  * [[Grouping.By]] is the classic `by (l1, l2)` form: the state key
+  * concatenates the listed label values in a self-delimiting
+  * length-prefixed encoding with a distinct marker for ABSENT labels (so
+  * `{a:null,b:x}` and `{a:x,b:null}` never collide, whatever bytes the
+  * values contain), and the output labels map carries exactly the listed
+  * keys.
   *
   * [[Grouping.Without]] is the `without (l1, l2)` form, resolved PER ROW:
   * the grouping labelset is the row's own label map minus the excluded
@@ -39,13 +41,24 @@ private[streaming] sealed trait Grouping {
 
 private[streaming] object Grouping {
 
+  /** Self-delimiting component encoding: `v<charLen>:<string>` for a
+    * present string, the bare literal `x` for an absent label. A decoder
+    * reads digits up to the first `:` then exactly that many chars, so
+    * concatenated components parse back uniquely — NO byte is reserved,
+    * and a label name or value containing NUL/U+0001 (or equal to any
+    * former sentinel) cannot collide with absence or shift a component
+    * boundary.
+    */
+  private def enc(v: Column): Column =
+    concat(lit("v"), length(v).cast("string"), lit(":"), v)
+
+  private val Absent = "x"
+
   final case class By(labels: Seq[String]) extends Grouping {
-    // NUL joins, U+0001 marks an absent label — label values cannot
-    // contain NUL, so distinct by-tuples get distinct keys
     override def keyCol(m: Column): Column =
       if (labels.isEmpty) lit("")
-      else concat_ws("\u0000", labels.map(l =>
-        coalesce(m.getItem(l), lit("\u0001"))): _*)
+      else concat_ws("", labels.map(l =>
+        coalesce(enc(m.getItem(l)), lit(Absent))): _*)
 
     override def labelsCol(m: Column): Column =
       if (labels.isEmpty) map().cast("map<string,string>")
@@ -58,19 +71,24 @@ private[streaming] object Grouping {
 
     private def filtered(m: Column): Column =
       // the excluded list is small and static: an OR-chain of literal
-      // equality tests keeps the lambda codegen-friendly
-      map_filter(m, (k, _) =>
-        !dropped.map(d => k === lit(d)).reduce(_ || _))
+      // equality tests keeps the lambda codegen-friendly. Explicit
+      // null-VALUED entries are dropped too: insert-time normalization
+      // (LabelFunctions.normalizeLabels, label.go:190-203 semantics)
+      // collapses null-valued and absent labels, and the batch
+      // without-resolution groups them identically — an unnormalized
+      // stream must not give {k:null} a different state key than {}
+      // (or emit the null entry in its output labels).
+      map_filter(m, (k, v) =>
+        v.isNotNull && !dropped.map(d => k === lit(d)).reduce(_ || _))
 
     override def keyCol(m: Column): Column =
-      // canonical rendering of the SORTED remaining entries: NUL joins
-      // entries, U+0001 separates name from value inside one — names
-      // and values cannot contain NUL (the by-form key relies on the
-      // same invariant), so distinct filtered maps get distinct keys
-      concat_ws("\u0000",
+      // canonical rendering of the SORTED remaining entries: each entry
+      // is enc(name) ++ enc(value), so the whole key is self-delimiting
+      // — distinct filtered maps get distinct keys for ANY name/value
+      // content (map keys are unique, so entry sort order is stable)
+      concat_ws("",
         transform(sort_array(map_entries(filtered(m))),
-          e => concat_ws("\u0001",
-            e.getField("key"), e.getField("value"))))
+          e => concat(enc(e.getField("key")), enc(e.getField("value")))))
 
     override def labelsCol(m: Column): Column = filtered(m)
   }

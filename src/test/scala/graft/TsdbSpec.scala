@@ -106,28 +106,78 @@ class TsdbSpec extends SparkSuite {
     assert(!plan.contains("/samples"), plan.take(600))
   }
 
-  test("queryLabelValues: overlap (default) vs exact semantics diverge " +
-      "on a series whose gap covers the whole range") {
+  test("queryLabelValues: segment-grain (default) vs exact semantics " +
+      "diverge on a value whose samples sit outside the ts range") {
     import spark.implicits._
     val t = new Tsdb(spark, TsdbConf(
       dataPath = tempDir("tsdb_lv"), segmentDuration = 7200L))
-    // vmA samples bracket [1000, 2000] with a gap across it; vmB has a
-    // sample inside the range
+    // vmA's samples share the queried segment but sit outside
+    // [Start+1000, Start+2000]; vmB has a sample inside the range; vmC
+    // lives in a different segment entirely
     t.insertRows(Seq(
       ("hb", Map("node" -> "vmA"), Start, 1.0),
       ("hb", Map("node" -> "vmA"), Start + 4000L, 2.0),
-      ("hb", Map("node" -> "vmB"), Start + 1500L, 3.0)
+      ("hb", Map("node" -> "vmB"), Start + 1500L, 3.0),
+      ("hb", Map("node" -> "vmC"), Start + 30000L, 4.0)
     ).toDF("metric", "labels", "ts", "value"))
-    val overlap = t.queryLabelValues("node", Start + 1000, Start + 2000)
+    val segGrain = t.queryLabelValues("node", Start + 1000, Start + 2000)
       .collect().map(_.getString(0)).toSeq
     val exact = t.queryLabelValues("node", Start + 1000, Start + 2000,
         exact = true)
       .collect().map(_.getString(0)).toSeq
-    // overlap counts vmA (span covers the range), exact does not (no
-    // sample inside) — the reference's coarse semantics vs the engine's
-    // strictly-more-correct opt-in
-    assert(overlap == Seq("vmA", "vmB"), overlap.toString)
+    // segment grain counts vmA (samples in the overlapping segment —
+    // the reference's semantics, label.go:62-77) but not vmC (foreign
+    // segment); exact counts only vmB — the engine's strictly-tighter
+    // opt-in
+    assert(segGrain == Seq("vmA", "vmB"), segGrain.toString)
     assert(exact == Seq("vmB"), exact.toString)
+  }
+
+  test("label_values tier: tier-served default, legacy fact fallback, " +
+      "compaction backfill, retention sweep") {
+    import spark.implicits._
+    val path = tempDir("tsdb_lvt")
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = path, segmentDuration = 7200L))
+    t.insertRows(Seq(
+      ("hb", Map("node" -> "vmA", "dc" -> "0"), Start, 1.0),
+      ("hb", Map("node" -> "vmB", "dc" -> "1"), Start + 100L, 2.0),
+      ("hb", Map("node" -> "vmC", "dc" -> "0"), Start + 30000L, 3.0)
+    ).toDF("metric", "labels", "ts", "value"))
+    def nodes(tt: Tsdb) = tt.queryLabelValues("node", Start, Start + 200)
+    // tier-served: the plan reads label_values, never the fact table or
+    // the O(series) dimension
+    val plan = nodes(t).queryExecution.executedPlan.toString
+    assert(plan.contains("label_values"), plan.take(800))
+    assert(!plan.contains("/samples") && !plan.contains("series_meta"),
+      plan.take(800))
+    assert(nodes(t).collect().map(_.getString(0)).toSeq == Seq("vmA", "vmB"))
+    // the folded metric participates in the label universe
+    assert(t.queryLabelValues(Tsdb.MetricLabel, Start, Start + 200)
+      .collect().map(_.getString(0)).toSeq == Seq("hb"))
+    // legacy store (pre-tier): drop the tier — the default answers the
+    // same off the fact table
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/label_values"), true)
+    val t2 = new Tsdb(spark, TsdbConf(
+      dataPath = path, segmentDuration = 7200L))
+    val legacyPlan = nodes(t2).queryExecution.executedPlan.toString
+    assert(legacyPlan.contains("samples"), legacyPlan.take(800))
+    assert(nodes(t2).collect().map(_.getString(0)).toSeq == Seq("vmA", "vmB"))
+    // compaction backfills the tier; the default goes back to tier-served
+    t2.compactSeriesMeta()
+    val rebuilt = nodes(t2).queryExecution.executedPlan.toString
+    assert(rebuilt.contains("label_values") && !rebuilt.contains("/samples"),
+      rebuilt.take(800))
+    assert(nodes(t2).collect().map(_.getString(0)).toSeq == Seq("vmA", "vmB"))
+    // retention: expiring the first segment sweeps its tier rows too
+    val now = Start + 30000L + t2.conf.retention
+    val dropped = t2.removeExpires(now)
+    assert(dropped.nonEmpty)
+    val after = t2.queryLabelValues("node", Start, Start + 40000L)
+      .collect().map(_.getString(0)).toSeq
+    assert(after == Seq("vmC"), after.toString)
   }
 
   test("negative matchers (beyond reference capability)") {
@@ -245,14 +295,24 @@ class TsdbSpec extends SparkSuite {
       .toDF("metric", "labels", "ts", "value")
     (0 until 5).foreach(i => t.insertRows(batch(i * 86400L)))
     val before = t.seriesMeta.orderBy("sid").collect().map(_.toString).toSeq
-    val metaDir = new java.io.File(t.conf.dataPath + "/series_meta")
-    val filesBefore = metaDir.listFiles.count(_.getName.endsWith(".parquet"))
+    // batch 1 established the base level; batches 2-5 appended deltas
+    val deltaDir = new java.io.File(t.conf.dataPath + "/series_meta")
+    val baseDir = new java.io.File(t.conf.dataPath + "/series_meta_base")
+    def pq(d: java.io.File): Int =
+      Option(d.listFiles).map(_.count(_.getName.endsWith(".parquet")))
+        .getOrElse(0)
+    val filesBefore = pq(deltaDir) + pq(baseDir)
     t.compactSeriesMeta()
+    // full consolidation: delta cleared, everything in the merged base
+    assert(!deltaDir.exists(), "delta level should be cleared")
     val after = t.seriesMeta.orderBy("sid").collect().map(_.toString).toSeq
-    val filesAfter = metaDir.listFiles.count(_.getName.endsWith(".parquet"))
+    val filesAfter = pq(deltaDir) + pq(baseDir)
     assert(after == before)
     assert(filesAfter < filesBefore)
     assert(after.length == 2) // 2 series, merged across 5 appends
+    // the consolidated read is a plain scan — no merge aggregation
+    val plan = t.seriesMeta.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), plan.take(1500))
   }
 
   test("typedSamples reconstructs labels on the normalized disk layout") {
@@ -624,7 +684,7 @@ class TsdbSpec extends SparkSuite {
     assert(single(0) == Map("c" -> "z"))
   }
 
-  test("series_meta auto-compacts on the append cadence; reads skip merge") {
+  test("series_meta delta folds on the append cadence; base never rewrites") {
     import spark.implicits._
     val t = new Tsdb(spark, TsdbConf(
       dataPath = tempDir("autocompact"), metaCompactEvery = 2))
@@ -632,21 +692,30 @@ class TsdbSpec extends SparkSuite {
       ("m1", Map("n" -> "a"), off, 1.0),
       ("m2", Map("n" -> "b"), off + 60, 2.0))
       .toDF("metric", "labels", "ts", "value")
-    // appends 1,2 accumulate; append 3 crosses the cadence and folds the
-    // tier back to one generation inline
-    (0 until 3).foreach(i => t.insertRows(batch(i * 86400L)))
-    val metaDir = new java.io.File(t.conf.dataPath + "/series_meta")
-    val files = metaDir.listFiles.count(_.getName.endsWith(".parquet"))
-    assert(files <= 4, s"expected one compacted generation, got $files files")
-    // single-generation reads skip the merge aggregation entirely
-    val plan = t.seriesMeta.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("Aggregate"), plan.take(1500))
-    // and the merged content spans all three appends
+    // append 1 establishes the base level; appends 2,3 accumulate delta
+    // generations; append 4 crosses the cadence and folds the DELTA back
+    // to one generation inline — the base level is never rewritten
+    val baseDir = new java.io.File(t.conf.dataPath + "/series_meta_base")
+    t.insertRows(batch(0L))
+    assert(baseDir.exists(), "first batch should establish the base level")
+    val baseFiles0 = baseDir.listFiles.map(_.getName).toSet
+    (1 until 4).foreach(i => t.insertRows(batch(i * 86400L)))
+    val deltaDir = new java.io.File(t.conf.dataPath + "/series_meta")
+    val files = deltaDir.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"expected one folded delta generation, got $files")
+    assert(baseDir.listFiles.map(_.getName).toSet == baseFiles0,
+      "inline cadence fold must not rewrite the base level")
+    // the merge-on-read split keeps the base out of any shuffle: the
+    // delta joins it via broadcast anti/semi probes
+    val plan = t.seriesMeta.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    // and the merged content spans all four appends
     val rows = t.seriesMeta.orderBy("metric").collect()
     assert(rows.length == 2)
     val m1 = rows.find(_.getAs[String]("metric") == "m1").get
     assert(m1.getAs[Long]("minTs") == 0L)
-    assert(m1.getAs[Long]("maxTs") == 2 * 86400L)
+    assert(m1.getAs[Long]("maxTs") == 3 * 86400L)
   }
 
   test("close drains streaming ingest and head; reopen loses nothing") {
@@ -707,8 +776,11 @@ class TsdbSpec extends SparkSuite {
       .select(col("seg"), input_file_name().as("f"))
       .groupBy("seg").agg(countDistinct("f").as("nf"))
       .collect().map(r => r.getLong(1))
-    assert(perSeg.nonEmpty && perSeg.forall(n => n >= 2 && n <= 4),
-      perSeg.mkString(","))
+    // the knob is an upper bound per segment; the fan-out itself is
+    // asserted on the max across segments (a per-segment >=2 would
+    // depend on how the fixture's sids happen to hash into sub-buckets)
+    assert(perSeg.nonEmpty && perSeg.forall(_ <= 4), perSeg.mkString(","))
+    assert(perSeg.max >= 2, perSeg.mkString(","))
     // series locality: every sid lands whole inside ONE file per bucket
     val maxFilesPerSid = t4.samples
       .select(col("sid"), col("seg"), input_file_name().as("f"))
