@@ -1751,6 +1751,47 @@ object OracleSql {
        |FROM s
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Nested-subquery mirror — `max_over_time(rate(click[1h]) by (cohort)
+    * [6h:1h])`. Inner: sliding reset-robust increase per cohort at every
+    * 1h grid point E over window [E-3600+1, E] (lag computed over the
+    * SAME scanned span the engine scans: [T0-6h-1h+1, T1]); outer: max of
+    * those rates over [T-21600+1, T] for T on the 1h grid inside
+    * [T0, T1]. Grid bounds are precomputed (all aligned here).
+    */
+  private val tsdbPromqlSubqueryRate = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st // ceil((T0-or)/st)*st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2)
+       |SELECT cohort, t.t AS eval_ts, max(rate) AS max_v
+       |FROM ie JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON ie.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** The two set-op oracles share this pair of aggregates: purchase
     * cohort-hours (all moments, the engine's aggregateBy schema) and the
     * thresholded click cohort-hours.
@@ -2742,6 +2783,7 @@ object OracleSql {
     "tsdb_promql_sort" -> tsdbPromqlSort,
     "tsdb_promql_hour" -> tsdbPromqlHour,
     "tsdb_promql_quantile_rate" -> tsdbPromqlQuantileRate,
+    "tsdb_promql_subquery_rate" -> tsdbPromqlSubqueryRate,
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
     "tsdb_promql_scalar_alone" -> tsdbPromqlScalarAlone,

@@ -454,6 +454,18 @@ object SparkEntry {
       "quantile by (cohort) (0.9, rate(click[1h]))", T0, T1)
       .orderBy("cohort", "bucket_start")
 
+  /** Nested subquery — the "peak 1h-rate over the last 6h" idiom
+    * (`max_over_time(rate(x[1h])[6h:1h])`): the inner rate evaluates
+    * SLIDING on the 1h subquery grid, the outer max aggregates those
+    * points over 6h lookback windows on the same grid.
+    */
+  private def qTsdbPromqlSubqueryRate(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "max_over_time(rate(click[3600]) by (cohort) [21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("max_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** The business-hours-alerting shape: `hour()` over an aggregated
     * grid — the result column is the UTC hour of each bucket, pure
     * epoch arithmetic (no calendar, no timezone), composable with
@@ -2481,6 +2493,7 @@ object SparkEntry {
     "tsdb_promql_sort" -> (qTsdbPromqlSort _),
     "tsdb_promql_hour" -> (qTsdbPromqlHour _),
     "tsdb_promql_quantile_rate" -> (qTsdbPromqlQuantileRate _),
+    "tsdb_promql_subquery_rate" -> (qTsdbPromqlSubqueryRate _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),

@@ -808,6 +808,62 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
           .as("rate_per_sec"))
   }
 
+  /** Sliding-window counter increase/rate on the subquery eval grid:
+    * `rate(metric[rangeSec])` evaluated every `stepSec` — the inner leg
+    * of a nested subquery `max_over_time(rate(x[5m])[1h:1m])`.
+    * Per-sample reset-robust deltas are computed ONCE per series (the
+    * [[aggregateIncreaseBy]] decimal lag), then each delta row explodes
+    * to the eval points whose lookback window `[T-rangeSec+1, T]` covers
+    * it, and ONE hash aggregation sums per (label group, eval point).
+    * The scan (and the lag's visibility) covers
+    * `[start - rangeSec + 1, end]`, so an oracle computing the lag over
+    * the same scanned set mirrors it exactly.
+    */
+  def slidingIncreaseBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val start0 = start - offsetSec
+    val end0 = end - offsetSec
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("ts"), col("value"))
+    val firstEval =
+      floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val lastEval =
+      floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val gridStart = Math.floorDiv(start0 + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end0, stepSec) * stepSec
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      col("eval_ts")
+    queryRange(metric, matchers, start0 - rangeSec + 1, end0)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("v") >= col("prev"), col("v") - col("prev"))
+          .otherwise(col("v")))
+      .where(col("delta").isNotNull)
+      .withColumn("e0", greatest(firstEval, lit(gridStart)))
+      .withColumn("e1", least(lastEval, lit(gridEnd)))
+      .where(col("e0") <= col("e1"))
+      .withColumn("eval_ts",
+        explode(sequence(col("e0"), col("e1"), lit(stepSec))))
+      .withColumn("eval_ts", col("eval_ts") + offsetSec)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("delta")).cast("double").as("increase"),
+        round(sum(col("delta")).cast("double") / rangeSec, 6)
+          .as("rate_per_sec"))
+  }
+
   /** `avg/min/max/count by (labels) (increase(metric[step]))` — the
     * cross-series MOMENTS of the per-series reset-robust increase
     * ([[aggregateIncreaseBy]] is the `sum by` member of this family;
@@ -2515,6 +2571,48 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
 object Tsdb {
   val MetricLabel: String = graft.functions.LabelFunctions.MetricLabel
 
+  /** Sliding-window moment aggregation over an ALREADY-COMPUTED grid
+    * frame `(keyCols…, tsCol, valCol)` — the OUTER leg of a nested
+    * subquery: the same eval-grid explode [[graft.Tsdb.overTimeBy]]
+    * performs over raw samples, applied to an inner expression's points.
+    * The sum/avg moments accumulate in DECIMAL so they are
+    * order-insensitive (oracle-mirrorable); min/max/count/last are
+    * order-free by nature.
+    */
+  private[graft] def overTimeOnFrame(
+      frame: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      start: Long,
+      end: Long,
+      stepSec: Long,
+      rangeSec: Long): org.apache.spark.sql.DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    val firstEval =
+      floor((col(tsCol) + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val lastEval =
+      floor((col(tsCol) + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val gridStart = Math.floorDiv(start + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end, stepSec) * stepSec
+    val dec = sum(col(valCol).cast("decimal(28,10)")).cast("double")
+    frame
+      .withColumn("e0", greatest(firstEval, lit(gridStart)))
+      .withColumn("e1", least(lastEval, lit(gridEnd)))
+      .where(col("e0") <= col("e1"))
+      .withColumn("__out_ts",
+        explode(sequence(col("e0"), col("e1"), lit(stepSec))))
+      .groupBy(keyCols.map(col) :+ col("__out_ts"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        dec.as("sum_v"),
+        (dec / count(lit(1))).as("avg_v"),
+        min(col(valCol)).as("min_v"),
+        max(col(valCol)).as("max_v"),
+        max(struct(col(tsCol), col(valCol))).getField(valCol).as("last_v"))
+      .withColumnRenamed("__out_ts", "eval_ts")
+  }
+
   /** Equi-join on `keys` where NULL matches NULL — PromQL's labelset
     * identity for vector matching and set ops. A grouping label can be
     * NULL for series that lack it (a `without`-resolved by-list over a
@@ -2531,12 +2629,18 @@ object Tsdb {
       keys: Seq[String],
       joinType: String = "inner"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
+    // derive a rename prefix absent from the right frame's columns: a
+    // pre-existing __r_<key> column would otherwise produce duplicate
+    // names and an ambiguous join condition
+    val prefix = Iterator.iterate("__r_")(_ + "_")
+      .dropWhile(p => keys.exists(k => b.columns.contains(p + k)))
+      .next()
     val renamed = keys.foldLeft(b)((df, k) =>
-      df.withColumnRenamed(k, s"__r_$k"))
-    val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+      df.withColumnRenamed(k, s"$prefix$k"))
+    val cond = keys.map(k => col(k) <=> col(s"$prefix$k")).reduce(_ && _)
     val joined = a.join(renamed, cond, joinType)
     if (joinType == "left_semi" || joinType == "left_anti") joined
-    else keys.foldLeft(joined)((df, k) => df.drop(s"__r_$k"))
+    else keys.foldLeft(joined)((df, k) => df.drop(s"$prefix$k"))
   }
 
   /** Conjunctive matcher predicate over a label map column — the Spark form

@@ -111,6 +111,20 @@ object PromQL {
       sel: Selector,
       by: Seq[String],
       atSec: Option[Long] = None) extends Expr
+  /** A `*_over_time` aggregation over a COMPUTED inner range vector — the
+    * nested-subquery form `max_over_time(rate(errors[5m])[1h:1m])` ("peak
+    * 5m-rate over the last hour"). The inner expression evaluates on its
+    * own sliding grid every `stepSec` (the subquery resolution), and the
+    * outer function aggregates those inner points over `rangeSec`-wide
+    * lookback windows on the same grid. Only the `*_over_time` family
+    * can sit outside (parser-enforced) and only rate/increase inner
+    * vectors compile (compile-enforced, loudly). */
+  final case class SubqueryFn(
+      fn: String,
+      body: Expr,
+      rangeSec: Long,
+      stepSec: Long) extends Expr
+
   /** An aggregation operator with optional parameter (k for topk/bottomk,
     * q for quantile, value-label for count_values). `without` holds the
     * complement clause; it resolves to `by` at compile time against the
@@ -659,6 +673,32 @@ object PromQL {
           }
           expectSym(",")
         }
+        // nested subquery: `fn_over_time( <computed-vector>[range:step] )`
+        // — the argument is itself a function call, not a bare selector
+        val nestedHead = peek.collect { case Ident(n2) => n2 }
+        if (nestedHead.exists(n2 =>
+            RangeFns(n2) || AggOps(n2) || MathFns(n2) || LabelFns(n2))) {
+          if (!OverTime(name))
+            fail(s"nested subqueries are only supported under the " +
+              s"sum/avg/min/max/count/last _over_time family, not $name")
+          val body = parseTerm()
+          expectSym("[")
+          val rangeSec = next() match {
+            case Num(s) => durationSec(s)
+            case t => fail("subquery range must be a duration")
+          }
+          expectSym(":")
+          val stepSec = next() match {
+            case Num(s) => durationSec(s)
+            case t => fail("subquery step must be a duration")
+          }
+          expectSym("]")
+          expectSym(")")
+          if (parseByClause().nonEmpty)
+            fail("a nested subquery derives its grouping from the inner " +
+              "expression; drop the trailing 'by'")
+          return SubqueryFn(name, body, rangeSec, stepSec)
+        }
         val sel = parseSelector()
         var atSec: Option[Long] = None
         if (name == "predict_linear") {
@@ -778,6 +818,8 @@ object PromQL {
       val at = atSec.map(s => s", ${s}s").getOrElse("")
       val byC = if (by.isEmpty) "" else by.mkString(" by (", ", ", ")")
       s"$name($lead${render(sel)}$at)$byC"
+    case SubqueryFn(fn, body, rangeSec, stepSec) =>
+      s"$fn(${render(body)}[${rangeSec}s:${stepSec}s])"
     case ValueLabel(lbl, inner) =>
       // the inner rendering always leads with the conventional "value"
       // label — swap in the custom one
@@ -939,6 +981,7 @@ object PromQL {
     def specs(x: Expr): Seq[Option[AtSpec]] = x match {
       case s: Selector => Seq(s.atSpec)
       case RangeFn(_, _, sel, _, _) => specs(sel)
+      case SubqueryFn(_, body, _, _) => specs(body)
       case Agg(_, _, _, _, body, _) => specs(body)
       case BinOp(_, l, r, _, _, _) => specs(l) ++ specs(r)
       case IgnoringOp(_, l, r, _, _, _, _) => specs(l) ++ specs(r)
@@ -951,6 +994,7 @@ object PromQL {
     def strip(x: Expr): Expr = x match {
       case s: Selector => s.copy(atSpec = None)
       case rf @ RangeFn(_, _, sel, _, _) => rf.copy(sel = sel.copy(atSpec = None))
+      case sq @ SubqueryFn(_, body, _, _) => sq.copy(body = strip(body))
       case a @ Agg(_, _, _, _, body, _) => a.copy(body = strip(body))
       case b @ BinOp(_, l, r, _, _, _) => b.copy(lhs = strip(l), rhs = strip(r))
       case i @ IgnoringOp(_, l, r, _, _, _, _) =>
@@ -966,6 +1010,7 @@ object PromQL {
     def ranges(x: Expr): Seq[Option[Long]] = x match {
       case s: Selector => Seq(s.rangeSec)
       case RangeFn(_, _, sel, _, _) => ranges(sel)
+      case SubqueryFn(_, body, _, _) => ranges(body)
       case Agg(_, _, _, _, body, _) => ranges(body)
       case BinOp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
       case IgnoringOp(_, l, r, _, _, _, _) => ranges(l) ++ ranges(r)
@@ -1057,6 +1102,7 @@ object PromQL {
           "a [range:step] subquery step is only supported by the " +
           "*_over_time family, not a bare selector or aggregation body")
     case Agg(_, _, _, _, body, _) => validateSubquerySteps(body)
+    case SubqueryFn(_, body, _, _) => validateSubquerySteps(body)
     case BinOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
     case IgnoringOp(_, l, r, _, _, _, _) =>
@@ -1079,6 +1125,7 @@ object PromQL {
   private def metricOf(e: Expr): Option[String] = e match {
     case s: Selector => Some(s.metric)
     case RangeFn(_, _, sel, _, _) => Some(sel.metric)
+    case SubqueryFn(_, body, _, _) => metricOf(body)
     case a: Agg => metricOf(a.body)
     case MathFn(_, arg, _, _) => metricOf(arg)
     case LabelFn(_, inner, _) => metricOf(inner)
@@ -1117,6 +1164,8 @@ object PromQL {
         a.copy(by = labelKeys(t, metric).filterNot(wo.contains),
           body = rBody, without = Seq.empty)
       }
+    case sq @ SubqueryFn(_, body, _, _) =>
+      sq.copy(body = resolveWithout(t, body))
     case b @ BinOp(_, l, r, _, _, _) =>
       b.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
     // `ignoring (labels)` resolves to explicit on-labels: the COARSE
@@ -1341,6 +1390,16 @@ object PromQL {
     case Agg("quantile", _, _, _, _, _) => "q_v"
     case Agg("stddev", _, _, _, _, _) => "stddev"
     case Agg("stdvar", _, _, _, _, _) => "stdvar"
+    case SubqueryFn(fn, _, _, _) => fn match {
+      case "sum_over_time" => "sum_v"
+      case "avg_over_time" => "avg_v"
+      case "min_over_time" => "min_v"
+      case "max_over_time" => "max_v"
+      case "count_over_time" => "n"
+      case "last_over_time" => "last_v"
+      case other => throw new IllegalArgumentException(
+        s"unsupported nested-subquery outer function: $other")
+    }
     case RangeFn("rate", _, _, _, _) => "rate_per_sec"
     case RangeFn("increase", _, _, _, _) => "increase"
     case RangeFn("delta", _, _, _, _) => "delta"
@@ -1613,6 +1672,30 @@ object PromQL {
         t.binaryOpByFromRollup(checkRollupStep(a, rollupStep.get),
           a.metric, b.metric, a.matchers, b.matchers, start, end,
           byA, a.offsetSec, b.offsetSec)(arith(op))
+
+      // nested subquery: `fn_over_time( rate(x[5m])[1h:1m] )` — the
+      // "peak rate over the window" idiom. The inner counter function
+      // evaluates SLIDING on the subquery-step grid over an extended
+      // span (one decimal lag + one grid-explode aggregation,
+      // Tsdb.slidingIncreaseBy); the outer *_over_time is the same
+      // grid-explode aggregation over the inner points
+      // (Tsdb.overTimeOnFrame). Two shuffles total, both at label-group
+      // grain — never sample-cardinality beyond the first aggregation.
+      case SubqueryFn(fn, body, rangeSec, stepSec) =>
+        val (sel, ifn, iby) = body match {
+          case RangeFn(n, _, sel, by, _) if n == "rate" || n == "increase" =>
+            (sel, n, by)
+          case other => throw new IllegalArgumentException(
+            "nested subqueries support rate/increase inner vectors " +
+            s"(optionally with a trailing by), got: ${render(other)}")
+        }
+        val keys = if (iby.nonEmpty) iby else labelKeys(t, sel.metric)
+        val inner = t.slidingIncreaseBy(sel.metric, sel.matchers,
+          start - rangeSec, end, keys, stepSec, stepOf(sel, ifn),
+          sel.offsetSec)
+        val valCol = if (ifn == "rate") "rate_per_sec" else "increase"
+        Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
+          start, end, stepSec, rangeSec)
 
       // scalar arithmetic / threshold filters recurse on their vector
       // side, so they sit ABOVE the rollup catch-all and compose with

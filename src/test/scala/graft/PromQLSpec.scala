@@ -1700,4 +1700,42 @@ class PromQLSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("result") - want) < 1e-9,
       s"ratio ${row.getAs[Double]("result")} vs $want")
   }
+
+  test("nested subquery: max_over_time(rate(click[1h])[6h:1h]) equals an " +
+      "independent slide over the inner grid; unsupported shapes fail fast") {
+    val q = "max_over_time(rate(click[3600]) by (cohort) [21600:3600])"
+    val got = PromQL.query(t, q, T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty)
+    // independent recomputation: collect the inner sliding-rate grid and
+    // slide the 6h max window over it in plain Scala
+    val inner = t.slidingIncreaseBy("click", Seq.empty, T0 - 21600, T1,
+        Seq("cohort"), 3600L, 3600L)
+      .select("cohort", "eval_ts", "rate_per_sec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val gridStart = (T0 + 3599) / 3600 * 3600
+    val gridEnd = T1 / 3600 * 3600
+    val expect = (for {
+      tp <- gridStart.to(gridEnd, 3600)
+      (c, pts) <- inner.groupBy(_._1)
+      vs = pts.filter(p => p._2 >= tp - 21600 + 1 && p._2 <= tp).map(_._3)
+      if vs.nonEmpty
+    } yield (c, tp) -> vs.max).toMap
+    assert(got == expect,
+      s"${got.size} vs ${expect.size} grid points; " +
+        s"diff=${(got.toSet diff expect.toSet).take(3)}")
+    // parse-render round trip
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+    // fail-fast: aggregation inner vector (not yet supported)
+    val ex = intercept[IllegalArgumentException](
+      PromQL.query(t, "max_over_time(sum by (cohort) (click[1h])[6h:1h])",
+        T0, T1))
+    assert(ex.getMessage.contains("rate/increase"), ex.getMessage)
+    // fail-fast: an outer function outside the *_over_time moment family
+    val ex2 = intercept[IllegalArgumentException](
+      PromQL.parse("quantile_over_time(0.9, rate(click[1h])[6h:1h])"))
+    assert(ex2.getMessage.contains("_over_time family"), ex2.getMessage)
+  }
 }
