@@ -114,6 +114,20 @@ object Bench {
             .selectExpr("sum(b)", "sum(d2)").collect()
         }
         docs.unpersist(); emb.unpersist()
+        // page-cache prewarm for the deep-IO columns: the table warmup
+        // above is a parquet COUNT (metadata-only — zero data pages), so
+        // the first text-scanning query of a sweep used to pay the cold
+        // read while later sweeps found the pages cached — consecutive
+        // r12 x100 sweeps recorded dedup_minhash_capped at 54 s vs
+        // 110 s for that reason alone. One forced decompression pass
+        // over the text and embedding pages puts every sweep on the
+        // same (warm) footing; it runs OUTSIDE the timed region.
+        graft.sources.Tables.read(spark, sfDir, "documents")
+          .select(xxhash64(col("text")).as("h"))
+          .agg(max(col("h"))).collect()
+        graft.sources.Tables.read(spark, sfDir, "embeddings")
+          .select(xxhash64(col("embedding").cast("string")).as("h"))
+          .agg(max(col("h"))).collect()
       }
     }
     // host-calibration probe: a fixed, data-independent pure-compute

@@ -1166,6 +1166,31 @@ object PromQL {
       }
     case sq @ SubqueryFn(_, body, _, _) =>
       sq.copy(body = resolveWithout(t, body))
+    // two aggregated sides sharing one `without` clause (the ratio /
+    // ratio-of-rates families): resolve against the UNION of both
+    // metrics' key universes, so the sides group — and the vector match
+    // joins — on the same label list even when the two metrics carry
+    // different label keys. A side lacking one of the union's keys
+    // groups it as NULL, and the null-safe match joins NULL to NULL:
+    // Prometheus's labelset identity (absent matches absent). Resolving
+    // per-metric instead would produce unequal by-lists and reject a
+    // rule the STREAMING engine (per-row remaining-labels keys) happily
+    // runs — batch backfill must accept whatever the stream accepts.
+    case b @ BinOp(_, la: Agg, ra: Agg, _, _, _)
+        if la.without.nonEmpty && ra.without.nonEmpty &&
+          la.without.toSet == ra.without.toSet =>
+      val (mA, mB) = (metricOf(la.body), metricOf(ra.body))
+      if (mA.isEmpty || mB.isEmpty)
+        throw new IllegalArgumentException(
+          s"cannot resolve 'without' — no selector inside: $b")
+      val universe =
+        (labelKeys(t, mA.get) ++ labelKeys(t, mB.get)).distinct.sorted
+      val by = universe.filterNot(la.without.contains)
+      b.copy(
+        lhs = la.copy(by = by, body = resolveWithout(t, la.body),
+          without = Seq.empty),
+        rhs = ra.copy(by = by, body = resolveWithout(t, ra.body),
+          without = Seq.empty))
     case b @ BinOp(_, l, r, _, _, _) =>
       b.copy(lhs = resolveWithout(t, l), rhs = resolveWithout(t, r))
     // `ignoring (labels)` resolves to explicit on-labels: the COARSE

@@ -108,9 +108,13 @@ object CardinalityStress {
     }
     r += "churn_append_secs" -> churnSecs.mkString("[", ",", "]")
 
+    // post-churn metadata read: base + folded delta via the
+    // merge-on-read split (broadcast anti/semi when the delta is small,
+    // full merge when it is not — at this churn volume it is NOT small,
+    // so this measures the honest full-merge read)
     val (metaCount, metaReadSec) = timed(t.seriesMeta.count())
     r += "series_meta_rows" -> metaCount
-    r += "meta_read_sec_compacted" -> f"$metaReadSec%.2f".toDouble
+    r += "meta_read_sec_postchurn" -> f"$metaReadSec%.2f".toDouble
 
     // ---- sid collision audit: distinct sid must equal distinct labelset
     val (audit, auditSec) = timed {
@@ -187,6 +191,24 @@ object CardinalityStress {
       t.queryLabelValues("job", T0, T0 + 2 * segDur, exact = true).count())
     r += "label_values_exact_rows" -> nLvExact
     r += "label_values_exact_sec" -> f"$lvExactSec%.2f".toDouble
+    // high-cardinality label through the tier (one value per series —
+    // the tier's worst case, still column-pruned and name-pushed-down)
+    val (nLvHost, lvHostSec) = timed(
+      t.queryLabelValues("host", T0, T0 + 2 * segDur).count())
+    r += "label_values_host_rows" -> nLvHost
+    r += "label_values_host_sec" -> f"$lvHostSec%.2f".toDouble
+
+    // ---- explicit full consolidation (the scheduled maintenance job —
+    // ingest never pays this): base ∪ delta → base, tier distinct
+    val (_, compactSec) = timed(t.compactSeriesMeta())
+    r += "full_compact_sec" -> f"$compactSec%.1f".toDouble
+    val (_, serPostSec) = timed(
+      t.querySeries(Seq(LabelMatcher.eq("dc", "5")), T0, T0 + 2 * segDur)
+        .count())
+    r += "query_series_sec_postcompact" -> f"$serPostSec%.2f".toDouble
+    val (_, lvPostSec) = timed(
+      t.queryLabelValues("dc", T0, T0 + 2 * segDur).count())
+    r += "label_values_meta_sec_postcompact" -> f"$lvPostSec%.2f".toDouble
 
     println(r.map {
       case (k, v: String) => s"\"$k\":$v"

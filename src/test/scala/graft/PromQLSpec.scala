@@ -1701,6 +1701,40 @@ class PromQLSpec extends SparkSuite {
       s"ratio ${row.getAs[Double]("result")} vs $want")
   }
 
+  test("without-grouped ratio across metrics with DIFFERENT label-key " +
+      "universes resolves against the union of both sides") {
+    import spark.implicits._
+    // metric a: {cohort, noise, sometimes shard}; metric b: {cohort,
+    // noise} only — per-metric without-resolution would produce unequal
+    // by-lists ({cohort, shard} vs {cohort}) and reject a rule the
+    // streaming engine (per-row remaining-label keys) runs fine
+    val rows = (0 until 240).flatMap { i =>
+      val ts = T0 + i * 600L
+      val shard =
+        if (i % 3 == 0) Map("shard" -> (i % 2).toString)
+        else Map.empty[String, String]
+      Seq(
+        ("a", Map("cohort" -> (i % 4).toString,
+          "noise" -> (i % 5).toString) ++ shard, ts, (i % 7 + 1).toDouble),
+        ("b", Map("cohort" -> (i % 4).toString,
+          "noise" -> (i % 3).toString), ts, (i % 5 + 1).toDouble))
+    }
+    val th = Tsdb.attach(spark, rows.toDF("metric", "labels", "ts", "value"))
+    val wo = PromQL.query(th,
+      "sum without (noise) (a[3600]) / sum without (noise) (b[3600])",
+      T0, T0 + 86400)
+    // equivalent explicit-by form over the union-minus-excluded list
+    val by = PromQL.query(th,
+      "sum by (cohort, shard) (a[3600]) / sum by (cohort, shard) (b[3600])",
+      T0, T0 + 86400)
+    assertSame(wo, by)
+    // only the null-shard groups exist on BOTH sides (b never carries
+    // shard) — nonempty proves the null-safe match at union grain
+    val got = wo.collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[String]("shard") == null))
+  }
+
   test("nested subquery: max_over_time(rate(click[1h])[6h:1h]) equals an " +
       "independent slide over the inner grid; unsupported shapes fail fast") {
     val q = "max_over_time(rate(click[3600]) by (cohort) [21600:3600])"
