@@ -68,6 +68,18 @@ object OracleSql {
        |WHERE $tsS // 7200 BETWEEN ${T0 / 7200} AND ${(T0 + 2 * 86400) / 7200}
        |ORDER BY value""".stripMargin
 
+  /** Label-names mirror: the attached store folds the metric as
+    * `__name__` and every events row carries exactly one label
+    * (user_id), so the window's name universe is {__name__, user_id}
+    * wherever the window's segments hold any data — the EXISTS makes the
+    * oracle data-dependent, not a constant. */
+  private val tsdbLabelNames =
+    s"""SELECT name FROM (VALUES ('__name__'), ('user_id')) t(name)
+       |WHERE EXISTS (SELECT 1 FROM events
+       |  WHERE $tsS // 7200
+       |    BETWEEN ${T0 / 7200} AND ${(T0 + 2 * 86400) / 7200})
+       |ORDER BY name""".stripMargin
+
   private val tsdbAggBy =
     s"""SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
        |       $tsS - ($tsS % 3600) AS bucket_start,
@@ -2734,6 +2746,7 @@ object OracleSql {
     "tsdb_series" -> tsdbSeries,
     "tsdb_label_values" -> tsdbLabelValues,
     "tsdb_label_values_meta" -> tsdbLabelValuesMeta,
+    "tsdb_label_names" -> tsdbLabelNames,
     "tsdb_bucket_agg" -> tsdbBucketAgg,
     "tsdb_delta" -> tsdbDelta,
     "tsdb_agg_by" -> tsdbAggBy,

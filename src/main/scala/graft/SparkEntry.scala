@@ -1186,6 +1186,13 @@ object SparkEntry {
   private def qTsdbLabelValuesMeta(s: SparkSession, dir: String): DataFrame =
     tsdbOn(s, dir).queryLabelValues("user_id", T0, T0 + 2 * 86400)
 
+  /** Label names in the window (Prometheus /api/v1/labels) at the same
+    * segment-grain semantics — the folded metric key plus the store's
+    * label keys wherever the window holds data.
+    */
+  private def qTsdbLabelNames(s: SparkSession, dir: String): DataFrame =
+    tsdbOn(s, dir).queryLabelNames(T0, T0 + 2 * 86400)
+
   private def qTsdbBucketAgg(s: SparkSession, dir: String): DataFrame =
     EventOps
       .tumblingAgg(Tables.events(s, dir), "event_type", "ts_s", "value", 3600L)
@@ -2444,6 +2451,7 @@ object SparkEntry {
     "tsdb_series" -> (qTsdbSeries _),
     "tsdb_label_values" -> (qTsdbLabelValues _),
     "tsdb_label_values_meta" -> (qTsdbLabelValuesMeta _),
+    "tsdb_label_names" -> (qTsdbLabelNames _),
     "tsdb_bucket_agg" -> (qTsdbBucketAgg _),
     "tsdb_delta" -> (qTsdbDelta _),
     "tsdb_agg_by" -> (qTsdbAggBy _),

@@ -39,12 +39,18 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   /** Consolidated series-meta tier: one row per sid, produced by
     * [[compactSeriesMeta]] (or by the very first durable batch, whose
     * per-sid aggregation is already merged). `series_meta` itself is the
-    * DELTA level appends accumulate into; reads merge base ∪ delta, and
-    * the inline cadence fold ([[foldMetaDelta]]) only ever rewrites the
-    * delta — O(rows touched since the last full compaction), not O(all
-    * series) — so ingest latency stays flat as the store grows.
+    * fresh-append level (L0); the inline cadence fold ([[foldMetaDelta]])
+    * merges L0 — and ONLY L0, O(rows appended since the last fold) —
+    * into the append-only folded level (L1, `series_meta_folded`),
+    * never re-merging earlier folded generations or the base. Reads
+    * merge base ∪ L1 ∪ L0; [[compactSeriesMeta]] is the explicit full
+    * consolidation collapsing everything back into the base.
     */
   private val metaBasePath = s"${conf.dataPath}/series_meta_base"
+
+  /** Folded delta level (L1): one merged generation appended per inline
+    * fold. Bounded by churn volume since the last full compaction. */
+  private val metaFoldedPath = s"${conf.dataPath}/series_meta_folded"
 
   /** Label→value-set dimension tier (the reference's `labelValueSet`,
     * label.go:40-77, maintained on every insert,
@@ -254,7 +260,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     */
   private def appendSeriesMeta(norm: DataFrame): Unit = {
     val freshStore = metaGenerations == 0 &&
-      !pathExists(metaBasePath) && !pathExists(metaPath)
+      !pathExists(metaBasePath) && !pathExists(metaPath) &&
+      !pathExists(metaFoldedPath)
     val target = if (freshStore) metaBasePath else metaPath
     metaAggOf(norm)
       .coalesce(4)
@@ -421,7 +428,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     */
   private def seriesDimSmall: Boolean = seriesDimSmallCache.getOrElse {
     val thr = broadcastThresholdBytes
-    val dirs = Seq(metaBasePath, metaPath).filter(p =>
+    val dirs = Seq(metaBasePath, metaFoldedPath, metaPath).filter(p =>
       !conf.onlyMemoryMode && pathExists(p))
     val small =
       if (thr < 0) false
@@ -474,15 +481,17 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       if (!conf.onlyMemoryMode && pathExists(metaBasePath))
         Some(spark.read.parquet(metaBasePath))
       else None
-    val diskDelta =
+    val diskL0 =
       if (!conf.onlyMemoryMode && pathExists(metaPath))
         Some(spark.read.parquet(metaPath))
       else None
+    val diskL1 =
+      if (!conf.onlyMemoryMode && pathExists(metaFoldedPath))
+        Some(spark.read.parquet(metaFoldedPath))
+      else None
     // the head aggregation is just another (already-merged) delta level
-    val delta = (diskDelta, headAgg) match {
-      case (Some(d), Some(h)) => Some(d.unionByName(h))
-      case (d, h) => d.orElse(h)
-    }
+    val delta = Seq(diskL1, diskL0, headAgg).flatten
+      .reduceOption(_ unionByName _)
     (base, delta) match {
       case (Some(b), None) => b // base is one-row-per-sid by construction
       case (Some(b), Some(d)) =>
@@ -501,8 +510,9 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
                 .unionByName(dm)))
         } else mergedMeta(b.unionByName(d))
       case (None, Some(d)) =>
-        if (diskDelta.isEmpty) d // head-only: its aggregation IS the merge
-        else if (headAgg.isEmpty && metaGenerations <= 1) d
+        if (diskL0.isEmpty && diskL1.isEmpty) d // head-only: pre-merged
+        else if (headAgg.isEmpty && diskL1.isEmpty && metaGenerations <= 1)
+          d
         else mergedMeta(d)
       case (None, None) => mergedMeta(spark.read.parquet(metaPath))
     }
@@ -526,11 +536,12 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     */
   private def metaDeltaSmall: Boolean = metaDeltaSmallCache.getOrElse {
     val thr = broadcastThresholdBytes
+    val dirs = Seq(metaFoldedPath, metaPath).filter(pathExists)
     val small =
       if (thr < 0) false
-      else if (pathExists(metaPath))
-        fs.getContentSummary(
-          new org.apache.hadoop.fs.Path(metaPath)).getLength * 4 < thr
+      else if (dirs.nonEmpty)
+        dirs.map(p => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(p)).getLength).sum * 4 < thr
       else true
     metaDeltaSmallCache = Some(small)
     small
@@ -2162,6 +2173,38 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       }
     }
 
+  /** Label NAMES present in the range (Prometheus `/api/v1/labels`;
+    * beyond the reference's API, which only exposes per-label values,
+    * tsdb.go:352-370) — the same segment-grain range semantics as the
+    * [[queryLabelValues]] default, served from the label→value-set tier:
+    * a pruned, column-pruned scan over (seg, name) distinct — O(distinct
+    * pairs in the window), no fact or dimension IO. Same fallbacks as
+    * the values path (head, pre-tier fact scan).
+    */
+  def queryLabelNames(start: Long, end: Long): DataFrame = {
+    val headNames = memHead.map(
+      _.where(segPredicate(start, end))
+        .select(explode(map_keys(col("labels"))).as("name")))
+    val diskNames =
+      if (conf.onlyMemoryMode) None
+      else if (pathExists(labelValuesPath))
+        Some(spark.read.parquet(labelValuesPath)
+          .where(segPredicate(start, end))
+          .select("name"))
+      else if (pathExists(samplesPath))
+        Some(samplesWithLabels
+          .where(segPredicate(start, end))
+          .select(explode(map_keys(col("labels"))).as("name")))
+      else None
+    (diskNames, headNames) match {
+      case (Some(d), Some(h)) => d.unionByName(h).distinct().orderBy("name")
+      case (Some(d), None) => d.distinct().orderBy("name")
+      case (None, Some(h)) => h.distinct().orderBy("name")
+      case (None, None) =>
+        spark.read.parquet(labelValuesPath).select("name")
+    }
+  }
+
   /** Per-segment stats — the reference's `Desc` metadata written at flush
     * time (segment.go:31-36: seriesCount, dataPointsCount, minTs, maxTs) as
     * one aggregation over the fact table. `countDistinct(sid)` is exact
@@ -2176,25 +2219,27 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         min("ts").as("min_ts"),
         max("ts").as("max_ts"))
 
-  /** Fold the accumulated series_meta DELTA generations back to one —
-    * the inline `metaCompactEvery` cadence job. Only the delta level is
-    * read and rewritten: O(rows touched since the last full compaction),
-    * never O(total series), so the ingest batch that crosses the cadence
-    * pays a small bounded fold instead of re-merging the world (the
-    * 10M-series churn failure mode: 20-30 s spikes when this used to
-    * rewrite all 15M meta rows).
+  /** Fold the fresh series_meta generations (L0) into the append-only
+    * folded level (L1) — the inline `metaCompactEvery` cadence job. The
+    * fold reads and merges ONLY the rows appended since the last fold:
+    * O(cadence × batch), independent of total series count AND of how
+    * long the store has been appending (earlier folded generations are
+    * never re-merged — the 10M-series churn failure mode was exactly
+    * this job re-merging all 15M meta rows, 20-30 s spikes). Crash
+    * between the L1 append and the L0 clear leaves duplicated rows,
+    * which the read-side merge collapses idempotently.
     */
   def foldMetaDelta(): Unit = {
     if (conf.onlyMemoryMode || !pathExists(metaPath)) return
-    val tmp = metaPath + ".compact"
     mergedMeta(spark.read.parquet(metaPath))
       .coalesce(4)
-      .write.mode("overwrite")
+      .write.mode("append")
       .option("compression", conf.compression)
-      .parquet(tmp)
-    swapInPlace(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(metaPath))
-    metaGenerations = 1
+      .parquet(metaFoldedPath)
+    if (!fs.delete(new org.apache.hadoop.fs.Path(metaPath), true))
+      logWarning(s"meta fold: could not clear L0 $metaPath " +
+        "(reads stay correct; next fold retries)")
+    metaGenerations = 0
     seriesDimSmallCache = None
     metaDeltaSmallCache = None
   }
@@ -2212,12 +2257,10 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     */
   def compactSeriesMeta(): Unit = {
     if (conf.onlyMemoryMode) return
-    if (pathExists(metaPath)) {
-      val all =
-        if (pathExists(metaBasePath))
-          spark.read.parquet(metaBasePath)
-            .unionByName(spark.read.parquet(metaPath))
-        else spark.read.parquet(metaPath)
+    val levels = Seq(metaBasePath, metaFoldedPath, metaPath)
+      .filter(pathExists)
+    if (levels.nonEmpty && levels != Seq(metaBasePath)) {
+      val all = levels.map(spark.read.parquet(_)).reduce(_ unionByName _)
       val tmp = metaBasePath + ".compact"
       mergedMeta(all)
         .coalesce(4)
@@ -2226,9 +2269,11 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         .parquet(tmp)
       swapInPlace(new org.apache.hadoop.fs.Path(tmp),
         new org.apache.hadoop.fs.Path(metaBasePath))
-      if (!fs.delete(new org.apache.hadoop.fs.Path(metaPath), true))
-        logWarning(s"compaction: could not clear delta $metaPath " +
-          "(reads stay correct; next compaction retries)")
+      Seq(metaFoldedPath, metaPath).filter(pathExists).foreach { d =>
+        if (!fs.delete(new org.apache.hadoop.fs.Path(d), true))
+          logWarning(s"compaction: could not clear delta $d " +
+            "(reads stay correct; next compaction retries)")
+      }
       metaGenerations = 0
       seriesDimSmallCache = None
       metaDeltaSmallCache = None

@@ -89,19 +89,22 @@ final case class TsdbConf(
       */
     writeListenerTimeoutSec: Long = 30L,
     /** Series-metadata maintenance cadence: every durable append (ingest
-      * batch, head flush, rollup-dim append) adds a partial generation to
-      * `series_meta`, and reads pay a merge per accumulated generation.
-      * Once this many generations pile up, the store compacts them back to
-      * one merged generation inline ([[graft.Tsdb.compactSeriesMeta]]), so
-      * metadata read cost stays O(1) in ingest-batch count. The fold
-      * runs inline on the append that crosses the cadence — that batch
-      * pays the (small, bounded) rewrite, which also counts toward the
-      * streaming path's `writeListenerTimeoutSec` budget; latency-strict
-      * streaming deployments can set `<= 0` (disables auto-compaction,
-      * merge-on-read only) and schedule
-      * [[graft.Tsdb.compactSeriesMeta]] as an external maintenance job.
+      * batch, head flush, rollup-dim append) adds a fresh generation to
+      * `series_meta` (L0), and reads pay a merge while deltas exist.
+      * Once this many generations pile up, the store folds them inline
+      * ([[graft.Tsdb.foldMetaDelta]]) into the append-only folded level
+      * (L1) — the fold merges ONLY the rows appended since the last
+      * fold (O(cadence × batch), independent of total series count and
+      * of store age), so metadata read cost stays O(1) in ingest-batch
+      * count and the ingest-path latency spike is bounded by the
+      * cadence, not by the dimension. The fold runs inline on the
+      * append that crosses the cadence and counts toward the streaming
+      * path's `writeListenerTimeoutSec` budget; latency-strict
+      * streaming deployments can set `<= 0` (merge-on-read only) and
+      * schedule [[graft.Tsdb.compactSeriesMeta]] — the full
+      * base ∪ L1 ∪ L0 consolidation — as an external maintenance job.
       */
-    metaCompactEvery: Int = 8,
+    metaCompactEvery: Int = 4,
     /** Ingest write parallelism WITHIN one time bucket: each durable
       * batch shuffles the fact rows by `(seg, sid % filesPerSegment)`
       * before the partitioned write, so a batch covering few segments

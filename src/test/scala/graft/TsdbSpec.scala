@@ -133,6 +133,32 @@ class TsdbSpec extends SparkSuite {
     assert(exact == Seq("vmB"), exact.toString)
   }
 
+  test("queryLabelNames: segment-grain name universe from the tier, " +
+      "per-segment divergence honored") {
+    import spark.implicits._
+    val t = new Tsdb(spark, TsdbConf(
+      dataPath = tempDir("tsdb_ln"), segmentDuration = 7200L))
+    // segment A carries {zone}; a later segment carries {rack}
+    t.insertRows(Seq(
+      ("hb", Map("zone" -> "z1"), Start, 1.0),
+      ("hb", Map("rack" -> "r1"), Start + 30000L, 2.0)
+    ).toDF("metric", "labels", "ts", "value"))
+    def names(lo: Long, hi: Long) =
+      t.queryLabelNames(lo, hi).collect().map(_.getString(0)).toSeq
+    assert(names(Start, Start + 100) == Seq(Tsdb.MetricLabel, "zone"))
+    assert(names(Start + 30000L, Start + 30100L) ==
+      Seq(Tsdb.MetricLabel, "rack"))
+    assert(names(Start, Start + 40000L) ==
+      Seq(Tsdb.MetricLabel, "rack", "zone"))
+    // memory-mode twin answers identically
+    val m = Tsdb.attach(spark, Seq(
+      ("hb", Map("zone" -> "z1"), Start, 1.0),
+      ("hb", Map("rack" -> "r1"), Start + 30000L, 2.0)
+    ).toDF("metric", "labels", "ts", "value"))
+    assert(m.queryLabelNames(Start, Start + 100)
+      .collect().map(_.getString(0)).toSeq == Seq(Tsdb.MetricLabel, "zone"))
+  }
+
   test("label_values tier: tier-served default, legacy fact fallback, " +
       "compaction backfill, retention sweep") {
     import spark.implicits._
@@ -692,30 +718,38 @@ class TsdbSpec extends SparkSuite {
       ("m1", Map("n" -> "a"), off, 1.0),
       ("m2", Map("n" -> "b"), off + 60, 2.0))
       .toDF("metric", "labels", "ts", "value")
-    // append 1 establishes the base level; appends 2,3 accumulate delta
-    // generations; append 4 crosses the cadence and folds the DELTA back
-    // to one generation inline — the base level is never rewritten
+    // append 1 establishes the base level; appends 2,3 accumulate fresh
+    // (L0) generations; append 4 crosses the cadence and folds L0 into
+    // the append-only folded level (L1) — base and earlier L1
+    // generations are never rewritten
     val baseDir = new java.io.File(t.conf.dataPath + "/series_meta_base")
     t.insertRows(batch(0L))
     assert(baseDir.exists(), "first batch should establish the base level")
     val baseFiles0 = baseDir.listFiles.map(_.getName).toSet
     (1 until 4).foreach(i => t.insertRows(batch(i * 86400L)))
-    val deltaDir = new java.io.File(t.conf.dataPath + "/series_meta")
-    val files = deltaDir.listFiles.count(_.getName.endsWith(".parquet"))
-    assert(files <= 4, s"expected one folded delta generation, got $files")
+    val l0Dir = new java.io.File(t.conf.dataPath + "/series_meta")
+    val l1Dir = new java.io.File(t.conf.dataPath + "/series_meta_folded")
+    assert(!l0Dir.exists(), "fold should clear the fresh level")
+    val l1Files = l1Dir.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(l1Files <= 4, s"expected one folded generation, got $l1Files")
     assert(baseDir.listFiles.map(_.getName).toSet == baseFiles0,
       "inline cadence fold must not rewrite the base level")
+    // a second fold cycle APPENDS to L1 without rewriting its files
+    val l1Files0 = l1Dir.listFiles.map(_.getName).toSet
+    (4 until 7).foreach(i => t.insertRows(batch(i * 86400L)))
+    assert(l1Files0.subsetOf(l1Dir.listFiles.map(_.getName).toSet),
+      "later folds must never rewrite earlier folded generations")
     // the merge-on-read split keeps the base out of any shuffle: the
     // delta joins it via broadcast anti/semi probes
     val plan = t.seriesMeta.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
-    // and the merged content spans all four appends
+    // and the merged content spans all seven appends
     val rows = t.seriesMeta.orderBy("metric").collect()
     assert(rows.length == 2)
     val m1 = rows.find(_.getAs[String]("metric") == "m1").get
     assert(m1.getAs[Long]("minTs") == 0L)
-    assert(m1.getAs[Long]("maxTs") == 3 * 86400L)
+    assert(m1.getAs[Long]("maxTs") == 6 * 86400L)
   }
 
   test("close drains streaming ingest and head; reopen loses nothing") {
