@@ -1804,6 +1804,50 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Canonical aggregated-inner subquery mirror —
+    * `avg_over_time(sum by (cohort) (rate(click[1h]))[6h:2h])`. Inner:
+    * the same sliding reset-robust increase per cohort as the
+    * subquery_rate mirror, on the 2h subquery grid; outer: the DECIMAL
+    * mean of those rates over [T-21600+1, T] for T on the 2h grid —
+    * cast orders mirror the engine's overTimeOnFrame (decimal(28,10)
+    * sum → double ÷ exact count).
+    */
+  private val tsdbPromqlSubqueryAggsum = {
+    val ir = 3600L; val or = 21600L; val st = 7200L
+    val innerLo = (T0 - or + st - 1) / st * st // ceil((T0-or)/st)*st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2)
+       |SELECT cohort, t.t AS eval_ts,
+       |       CAST(SUM(CAST(rate AS DECIMAL(28,10))) AS DOUBLE)
+       |         / count(*) AS avg_v
+       |FROM ie JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON ie.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** The two set-op oracles share this pair of aggregates: purchase
     * cohort-hours (all moments, the engine's aggregateBy schema) and the
     * thresholded click cohort-hours.
@@ -2797,6 +2841,7 @@ object OracleSql {
     "tsdb_promql_hour" -> tsdbPromqlHour,
     "tsdb_promql_quantile_rate" -> tsdbPromqlQuantileRate,
     "tsdb_promql_subquery_rate" -> tsdbPromqlSubqueryRate,
+    "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
     "tsdb_promql_scalar_alone" -> tsdbPromqlScalarAlone,

@@ -466,6 +466,21 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("max_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** The canonical Prometheus spelling of an aggregated subquery inner —
+    * `avg_over_time(sum by (cohort) (rate(click[1h]))[6h:2h])`: the Agg
+    * normalizes onto the same sliding-increase plan (summing per-series
+    * reset-robust increases IS the by-grained delta sum), the outer avg
+    * accumulates the inner grid points in DECIMAL.
+    */
+  private def qTsdbPromqlSubqueryAggsum(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "avg_over_time(sum by (cohort) (rate(click[3600]))[21600:7200])",
+      T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("avg_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** The business-hours-alerting shape: `hour()` over an aggregated
     * grid — the result column is the UTC hour of each bucket, pure
     * epoch arithmetic (no calendar, no timezone), composable with
@@ -2502,6 +2517,7 @@ object SparkEntry {
     "tsdb_promql_hour" -> (qTsdbPromqlHour _),
     "tsdb_promql_quantile_rate" -> (qTsdbPromqlQuantileRate _),
     "tsdb_promql_subquery_rate" -> (qTsdbPromqlSubqueryRate _),
+    "tsdb_promql_subquery_aggsum" -> (qTsdbPromqlSubqueryAggsum _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),

@@ -1707,14 +1707,26 @@ object PromQL {
       // (Tsdb.overTimeOnFrame). Two shuffles total, both at label-group
       // grain — never sample-cardinality beyond the first aggregation.
       case SubqueryFn(fn, body, rangeSec, stepSec) =>
-        val (sel, ifn, iby) = body match {
+        val (sel, ifn, keys) = body match {
           case RangeFn(n, _, sel, by, _) if n == "rate" || n == "increase" =>
+            // bare rate/increase is per-series: an empty trailing-by
+            // means the metric's full label-key universe
+            (sel, n, if (by.nonEmpty) by else labelKeys(t, sel.metric))
+          // canonical Prometheus spelling: `sum by (l) (rate(x[5m]))` —
+          // summing per-series reset-robust increases equals the
+          // by-grained delta sum slidingIncreaseBy computes directly, so
+          // the Agg normalizes onto the same plan (a `sum without (…)`
+          // arrives here already by-resolved via resolveWithout; an
+          // empty by is the GLOBAL sum — one series, no keys)
+          case Agg("sum", None, None, by,
+              RangeFn(n, _, sel, Nil, _), Nil)
+              if n == "rate" || n == "increase" =>
             (sel, n, by)
           case other => throw new IllegalArgumentException(
             "nested subqueries support rate/increase inner vectors " +
-            s"(optionally with a trailing by), got: ${render(other)}")
+            "(optionally aggregated: `sum by (l) (rate(x[d]))` or the " +
+            s"trailing-by extension), got: ${render(other)}")
         }
-        val keys = if (iby.nonEmpty) iby else labelKeys(t, sel.metric)
         val inner = t.slidingIncreaseBy(sel.metric, sel.matchers,
           start - rangeSec, end, keys, stepSec, stepOf(sel, ifn),
           sel.offsetSec)

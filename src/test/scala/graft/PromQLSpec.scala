@@ -1772,4 +1772,48 @@ class PromQLSpec extends SparkSuite {
       PromQL.parse("quantile_over_time(0.9, rate(click[1h])[6h:1h])"))
     assert(ex2.getMessage.contains("_over_time family"), ex2.getMessage)
   }
+
+  test("nested subquery aggregated inner: canonical " +
+      "sum by (l)(rate(x[d])) equals the trailing-by extension; global " +
+      "sum and resolved without() forms compile") {
+    val canonical =
+      "max_over_time(sum by (cohort) (rate(click[3600]))[21600:3600])"
+    val extension =
+      "max_over_time(rate(click[3600]) by (cohort) [21600:3600])"
+    def run(q: String) = PromQL.query(t, q, T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val a = run(canonical)
+    assert(a.nonEmpty && a == run(extension))
+    // `sum without (user_id)` resolves to the complementary by-list
+    // (cohort) and must land on the identical plan/output
+    assert(a == run("max_over_time(sum without (user_id) " +
+      "(rate(click[3600]))[21600:3600])"))
+    // GLOBAL sum (empty by): one output series per grid point, equal to
+    // the max over eval points of the cross-cohort rate sums
+    val g = PromQL.query(t,
+        "max_over_time(sum(rate(click[3600]))[21600:3600])", T0, T1)
+      .select("eval_ts", "max_v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g.nonEmpty)
+    val innerGlobal = t.slidingIncreaseBy("click", Seq.empty, T0 - 21600,
+        T1, Seq.empty, 3600L, 3600L)
+      .select("eval_ts", "rate_per_sec")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = g.keys.map(tp =>
+      tp -> innerGlobal.filter(p =>
+        p._1 >= tp - 21600 + 1 && p._1 <= tp).map(_._2).max).toMap
+    assert(g == expect)
+    // parse-render round trip on the canonical form
+    assert(PromQL.parse(PromQL.render(PromQL.parse(canonical))) ==
+      PromQL.parse(canonical))
+    // non-sum aggregated inners stay fail-fast (avg of per-series rates
+    // is NOT a delta sum — never silently mis-served)
+    val ex = intercept[IllegalArgumentException](
+      PromQL.query(t,
+        "max_over_time(avg by (cohort) (rate(click[3600]))[21600:3600])",
+        T0, T1))
+    assert(ex.getMessage.contains("rate/increase"), ex.getMessage)
+  }
 }
