@@ -586,6 +586,40 @@ object OracleSql {
        |FROM p WHERE cs >= 0.45
        |ORDER BY id1, id2""".stripMargin
 
+  /** SQ8 quantization roundtrip mirror — per-element op order matches
+    * the engine exactly (abs-max fold → /127 → floor(x/scale + 0.5) →
+    * q*scale), the cosine is the sequential list_reduce fold shared by
+    * every embedding oracle, and max/sum folds are order-insensitive. */
+  private val embQuantizeSq8 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, e,
+       |         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+       |  FROM v),
+       |d AS (
+       |  SELECT vec_id, e, scale,
+       |         list_transform(e, x -> floor(x / scale + 0.5)) AS qi
+       |  FROM q WHERE scale > 0),
+       |r AS (
+       |  SELECT vec_id, e, scale, qi,
+       |         list_transform(qi, x -> x * scale) AS dv
+       |  FROM d)
+       |SELECT vec_id,
+       |       round(scale, 6) AS scale_r,
+       |       CAST(list_sum(list_transform(qi, x -> CAST(x AS BIGINT)))
+       |            AS BIGINT) AS q_sum,
+       |       round(list_max(list_transform(range(1, len(e) + 1),
+       |             i -> abs(e[i] - dv[i]))), 6) AS max_abs_err,
+       |       round(list_reduce(list_transform(range(1, len(e) + 1),
+       |               i -> e[i] * dv[i]), (x, y) -> x + y)
+       |         / (sqrt(list_reduce(list_transform(e, x -> x * x),
+       |                             (a, b) -> a + b))
+       |          * sqrt(list_reduce(list_transform(dv, x -> x * x),
+       |                             (a, b) -> a + b))), 6) AS cos_dequant
+       |FROM r ORDER BY vec_id""".stripMargin
+
   private val annTopk =
     s"""$embNorm,
        |p AS (
@@ -2928,6 +2962,7 @@ object OracleSql {
     "dedup_minhash_clusters" -> dedupComponents,
     "dedup_embedding" -> dedupEmbedding,
     "ann_topk" -> annTopk,
+    "emb_quantize_sq8" -> embQuantizeSq8,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,

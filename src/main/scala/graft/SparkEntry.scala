@@ -1940,6 +1940,29 @@ object SparkEntry {
 
   // ------------------------------------------------------------ similarity
 
+  /** SQ8 scalar quantization roundtrip quality — per-vector scale,
+    * integer codes checksum, max reconstruction error, and
+    * cosine(original, dequantized): the receipts that the 4×-smaller
+    * int8 form preserves direction (cos ≈ 1) with bounded per-element
+    * error (≤ scale/2 by construction). One narrow codegen'd pass.
+    */
+  private def qEmbQuantizeSq8(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val qz = Similarity.quantizeInt8(
+      Tables.embeddings(s, dir), "vec_id", "embedding")
+    val e = toDoubleArray(col("embedding"))
+    qz.select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        aggregate(col("qvec"), lit(0L),
+          (a, x) => a + x.cast("long")).as("q_sum"),
+        round(aggregate(zip_with(e, col("dvec"), (a, b) => abs(a - b)),
+          lit(0.0), (m, x) => greatest(m, x)), 6).as("max_abs_err"),
+        round(dotSeq(e, col("dvec")) /
+          (normSeq(e) * normSeq(col("dvec"))), 6).as("cos_dequant"))
+      .orderBy("vec_id")
+  }
+
   private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.bruteForceTopK(
@@ -2607,6 +2630,7 @@ object SparkEntry {
     "dedup_embedding_ivf" -> (qDedupEmbeddingIvf _),
     "tsdb_range_neq" -> (qTsdbRangeNeq _),
     "ann_topk" -> (qAnnTopk _),
+    "emb_quantize_sq8" -> (qEmbQuantizeSq8 _),
     "ann_topk_lsh" -> (qAnnTopkLsh _),
     "ann_topk_ivf" -> (qAnnTopkIvf _),
     "ann_clustered_agg" -> (qAnnClusteredAgg _),

@@ -312,7 +312,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     metaGenerations += 1
     seriesDimSmallCache = None
     metaDeltaSmallCache = None
-    if (conf.metaCompactEvery > 0 && metaGenerations > conf.metaCompactEvery)
+    if (conf.metaCompactEvery > 0 && metaGenerations >= conf.metaCompactEvery)
       foldMetaDelta()
   }
 

@@ -103,8 +103,15 @@ final case class TsdbConf(
       * streaming deployments can set `<= 0` (merge-on-read only) and
       * schedule [[graft.Tsdb.compactSeriesMeta]] — the full
       * base ∪ L1 ∪ L0 consolidation — as an external maintenance job.
+      * Default 2: at high series cardinality the fold-bearing append
+      * then stays within ~1.5× of a plain append (measured at 10M live
+      * series, bench_history_r13), vs 2.5× at cadence 4 — the fold's
+      * fixed job cost amortizes worse than its per-row cost, so smaller
+      * more-frequent folds bound the worst-case ingest latency better
+      * at the same total write amplification (each L0 row is rewritten
+      * exactly once per cycle regardless of cadence).
       */
-    metaCompactEvery: Int = 4,
+    metaCompactEvery: Int = 2,
     /** Ingest write parallelism WITHIN one time bucket: each durable
       * batch shuffles the fact rows by `(seg, sid % filesPerSegment)`
       * before the partitioned write, so a batch covering few segments

@@ -73,6 +73,36 @@ object Similarity {
       .select("qid", "rank", "nid", "sim")
   }
 
+  /** Symmetric per-vector int8 scalar quantization (SQ8) — the storage/
+    * memory scale path for embedding corpora: 4× smaller than float32
+    * (at 100 TB that is the difference between an IVF index fitting in
+    * the fleet's memory or not). Per vector: `scale = max|x| / 127`,
+    * `q_i = floor(x_i / scale + 0.5)` (round-half-up — deterministic and
+    * engine-mirrorable, unlike banker's rounding), dequantized value
+    * `q_i * scale`. Zero vectors (scale 0) are dropped — they have no
+    * direction to preserve. Entirely codegen'd higher-order array
+    * functions; one narrow pass, no shuffle.
+    *
+    * Input columns are preserved; `scale`, `qvec` (array<int>) and
+    * `dvec` (array<double>, the dequantized form downstream cosine math
+    * consumes — [[bruteForceTopK]] accepts it as vecCol directly) are
+    * appended.
+    */
+  def quantizeInt8(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val e = toDoubleArray(col(vecCol))
+    emb
+      .withColumn("scale", aggregate(transform(e, x => abs(x)),
+        lit(0.0), (a, x) => greatest(a, x)) / lit(127.0))
+      .where(col("scale") > 0)
+      .withColumn("qvec",
+        transform(e, x => floor(x / col("scale") + lit(0.5)).cast("int")))
+      .withColumn("dvec",
+        transform(col("qvec"), q => q.cast("double") * col("scale")))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * xxhash64 of (j, i) mapped to ±1.0. No Math.random — reproducible across
     * runs and engines that matter here (only Spark executes this).

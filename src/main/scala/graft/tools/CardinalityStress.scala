@@ -24,9 +24,9 @@ import graft.model.{LabelMatcher, TsdbConf}
   *    equality matcher returns exactly the generated points;
   *  - query latencies at real cardinality: queryRange (eq + regex
   *    matcher), querySeries, queryLabelValues (meta default vs exact);
-  *  - series-meta churn: 10 appends cross the `metaCompactEvery=8`
-  *    cadence, so one append pays the inline fold; meta read latency is
-  *    recorded before and after compaction;
+  *  - series-meta churn: 10 appends cross the `metaCompactEvery`
+  *    cadence repeatedly, so fold-bearing appends pay the inline L0->L1
+  *    fold; meta read latency is recorded before and after compaction;
   *  - an xxhash64 sid collision audit over the full labelset universe.
   *
   * Not part of the driver sweep — run ad hoc (SPARK_DRIVER_MEM=32g),
@@ -97,8 +97,8 @@ object CardinalityStress {
     // ---- churn: 10 appends of n/10 series each into segment 1 — the id
     // window [n/2, 3n/2) means half of each append re-touches existing
     // series (new minTs/maxTs per sid) and half extends the universe
-    // (new sids; final dimension = 1.5n); the 9th append crosses
-    // metaCompactEvery=8 and pays the inline fold
+    // (new sids; final dimension = 1.5n); appends crossing the
+    // metaCompactEvery cadence pay the inline L0->L1 fold
     val churnSecs = (0 until 10).map { k =>
       val from = nSeries / 2 + (nSeries / 10) * k
       val until = from + nSeries / 10

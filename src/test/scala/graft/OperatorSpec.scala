@@ -175,6 +175,41 @@ class OperatorSpec extends SparkSuite {
     assert(n == docs.select("text").distinct().count())
   }
 
+  test("SQ8 quantization: bounded reconstruction error, near-1 cosine, " +
+      "and high top-k recall on the dequantized corpus") {
+    val qz = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    assert(qz.count() == emb.count()) // no zero vectors in the fixture
+    // per-element error bound is scale/2 by round-to-nearest construction
+    import graft.functions.VectorFunctions._
+    val viol = qz.where(
+      aggregate(zip_with(toDoubleArray(col("embedding")), col("dvec"),
+          (a, b) => abs(a - b)), lit(0.0), (m, x) => greatest(m, x))
+        > col("scale") / 2 + lit(1e-12)).count()
+    assert(viol == 0, s"$viol vectors exceed the scale/2 error bound")
+    // codes are genuinely int8-ranged
+    val oob = qz.where(exists(col("qvec"),
+      q => q > 127 || q < -127)).count()
+    assert(oob == 0, s"$oob vectors carry out-of-range codes")
+    // direction preserved: worst-case cosine(original, dequant) near 1
+    val e = toDoubleArray(col("embedding"))
+    val minCos = qz
+      .select((dotSeq(e, col("dvec")) /
+        (normSeq(e) * normSeq(col("dvec")))).as("c"))
+      .agg(min("c")).head().getDouble(0)
+    assert(minCos >= 0.999, s"worst dequant cosine = $minCos")
+    // search on the 4x-smaller form: top-k over dequantized vectors
+    // recalls the exact float top-k almost perfectly
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qCorpus = qz.select(col("vec_id"), col("dvec"))
+    val sq = Similarity.bruteForceTopK(qCorpus,
+        qCorpus.where(col("vec_id") % 50 === 0), "vec_id", "dvec", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = sq.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.95, s"SQ8 recall vs float brute force = $recall")
+  }
+
   test("ANN LSH top-k has reasonable recall vs brute force") {
     val queries = emb.where(col("vec_id") % 50 === 0)
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

@@ -718,15 +718,15 @@ class TsdbSpec extends SparkSuite {
       ("m1", Map("n" -> "a"), off, 1.0),
       ("m2", Map("n" -> "b"), off + 60, 2.0))
       .toDF("metric", "labels", "ts", "value")
-    // append 1 establishes the base level; appends 2,3 accumulate fresh
-    // (L0) generations; append 4 crosses the cadence and folds L0 into
-    // the append-only folded level (L1) — base and earlier L1
-    // generations are never rewritten
+    // append 1 establishes the base level; append 2 accumulates a fresh
+    // (L0) generation; append 3 reaches the cadence (2 generations) and
+    // folds L0 into the append-only folded level (L1) — base and
+    // earlier L1 generations are never rewritten
     val baseDir = new java.io.File(t.conf.dataPath + "/series_meta_base")
     t.insertRows(batch(0L))
     assert(baseDir.exists(), "first batch should establish the base level")
     val baseFiles0 = baseDir.listFiles.map(_.getName).toSet
-    (1 until 4).foreach(i => t.insertRows(batch(i * 86400L)))
+    (1 until 3).foreach(i => t.insertRows(batch(i * 86400L)))
     val l0Dir = new java.io.File(t.conf.dataPath + "/series_meta")
     val l1Dir = new java.io.File(t.conf.dataPath + "/series_meta_folded")
     assert(!l0Dir.exists(), "fold should clear the fresh level")
@@ -734,9 +734,10 @@ class TsdbSpec extends SparkSuite {
     assert(l1Files <= 4, s"expected one folded generation, got $l1Files")
     assert(baseDir.listFiles.map(_.getName).toSet == baseFiles0,
       "inline cadence fold must not rewrite the base level")
-    // a second fold cycle APPENDS to L1 without rewriting its files
+    // two more fold cycles APPEND to L1 without rewriting its files
     val l1Files0 = l1Dir.listFiles.map(_.getName).toSet
-    (4 until 7).foreach(i => t.insertRows(batch(i * 86400L)))
+    (3 until 7).foreach(i => t.insertRows(batch(i * 86400L)))
+    assert(!l0Dir.exists(), "append 7 is the fourth-cycle fold")
     assert(l1Files0.subsetOf(l1Dir.listFiles.map(_.getName).toSet),
       "later folds must never rewrite earlier folded generations")
     // the merge-on-read split keeps the base out of any shuffle: the
