@@ -189,24 +189,49 @@ object Similarity {
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS"))
   }
 
-  /** Cheap corpus identity for index freshness: row count, max id, and an
-    * order-insensitive id hash (sum of xxhash64 over the id column,
-    * decimal-accumulated so it can never overflow) plus the build
-    * parameters. One single-column aggregation per check — any append,
-    * delete, or id replacement changes it. The one undetected mutation is
-    * rewriting a VECTOR under a stable id (hashing vectors would cost a
-    * full-width corpus scan per check); callers that mutate in place
-    * should delete the index path explicitly.
+  /** Cheap corpus identity for index freshness, two tiers:
+    *
+    *  - **File-backed corpora** (the normal case — the frame's lineage
+    *    bottoms out in parquet/ORC/CSV files): an MD5 over the sorted
+    *    (path, length, mtime) triples of `df.inputFiles` — pure driver-
+    *    side file metadata, NO executor scan. Appends add files, rewrites
+    *    change length/mtime, so any durable mutation flips the
+    *    fingerprint. Deterministic transforms over the same files (the
+    *    clustered bench fixture) fingerprint identically — correct, since
+    *    the derivation is a pure function of the inputs; two DIFFERENT
+    *    derivations must use different index paths (they already do).
+    *    This tier exists because the v1 content scan was ~50 s per
+    *    ensure on the x100 clustered corpus — per PROBE, dwarfing the
+    *    probe itself.
+    *  - **In-memory frames** (no input files): the v1 content scan —
+    *    row count, max id, and an order-insensitive id hash (sum of
+    *    xxhash64, decimal-accumulated) in one single-column aggregation.
+    *    The one undetected mutation is rewriting a VECTOR under a stable
+    *    id; callers that mutate in place should delete the index path.
     */
   private def corpusFingerprint(
       emb: DataFrame,
       idCol: String,
       nClusters: Int): String = {
-    val r = emb.agg(
-      count(lit(1)).as("n"),
-      max(col(idCol).cast("string")).as("mx"),
-      sum(xxhash64(col(idCol)).cast("decimal(38,0)")).as("h")).head()
-    s"v1,n=${r.get(0)},max=${r.get(1)},h=${r.get(2)},k=$nClusters"
+    val files = emb.inputFiles
+    if (files.nonEmpty) {
+      val conf = emb.sparkSession.sparkContext.hadoopConfiguration
+      val parts = files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("\n").getBytes("UTF-8"))
+      s"v2,files=${files.length}," +
+        s"h=${md.map("%02x".format(_)).mkString},k=$nClusters"
+    } else {
+      val r = emb.agg(
+        count(lit(1)).as("n"),
+        max(col(idCol).cast("string")).as("mx"),
+        sum(xxhash64(col(idCol)).cast("decimal(38,0)")).as("h")).head()
+      s"v1,n=${r.get(0)},max=${r.get(1)},h=${r.get(2)},k=$nClusters"
+    }
   }
 
   private def storedFingerprint(

@@ -333,6 +333,35 @@ class OperatorSpec extends SparkSuite {
     val files1 = cellFiles()
     Similarity.ensureIvfIndex(c2, "vec_id", "embedding", 2, path)
     assert(cellFiles() == files1, "fresh index was rebuilt needlessly")
+
+    // file-backed corpus: freshness comes from file METADATA (no corpus
+    // scan) — a parquet append flips the fingerprint and rebuilds; an
+    // unchanged directory is a no-op
+    val corpusDir = tempDir("ivf_fresh_corpus")
+    val path2 = tempDir("ivf_fresh_fileidx")
+    c1.write.mode("overwrite").parquet(corpusDir)
+    val pq1 = spark.read.parquet(corpusDir)
+    Similarity.ensureIvfIndex(pq1, "vec_id", "embedding", 2, path2)
+    def cellFiles2() = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$path2/cells"), true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) b += it.next().getPath.toString
+      b.toSet
+    }
+    val f1 = cellFiles2()
+    Similarity.ensureIvfIndex(
+      spark.read.parquet(corpusDir), "vec_id", "embedding", 2, path2)
+    assert(cellFiles2() == f1, "file-backed fresh index rebuilt needlessly")
+    (100L until 110L).map(i => (i, vec(3, 0.0))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(corpusDir)
+    Similarity.ensureIvfIndex(
+      spark.read.parquet(corpusDir), "vec_id", "embedding", 2, path2)
+    val after2 = Similarity
+      .ivfProbeTopK(spark, path2, q, "vec_id", "embedding", 3, nProbe = 2)
+      .select("nid").collect().map(_.getLong(0)).toSet
+    assert(after2.nonEmpty && after2.forall(_ >= 100L),
+      s"file-backed append not detected: $after2")
   }
 
   test("clustered corpus: LSH and IVF reach recall >= 0.9 and stay selective") {
