@@ -321,18 +321,21 @@ class TsdbSpec extends SparkSuite {
       .toDF("metric", "labels", "ts", "value")
     (0 until 5).foreach(i => t.insertRows(batch(i * 86400L)))
     val before = t.seriesMeta.orderBy("sid").collect().map(_.toString).toSeq
-    // batch 1 established the base level; batches 2-5 appended deltas
+    // batch 1 established the base level; batches 2-5 appended fresh
+    // generations, some already folded to L1 by the inline cadence
     val deltaDir = new java.io.File(t.conf.dataPath + "/series_meta")
+    val foldedDir = new java.io.File(t.conf.dataPath + "/series_meta_folded")
     val baseDir = new java.io.File(t.conf.dataPath + "/series_meta_base")
     def pq(d: java.io.File): Int =
       Option(d.listFiles).map(_.count(_.getName.endsWith(".parquet")))
         .getOrElse(0)
-    val filesBefore = pq(deltaDir) + pq(baseDir)
+    val filesBefore = pq(deltaDir) + pq(foldedDir) + pq(baseDir)
     t.compactSeriesMeta()
-    // full consolidation: delta cleared, everything in the merged base
-    assert(!deltaDir.exists(), "delta level should be cleared")
+    // full consolidation: delta levels cleared, everything in the base
+    assert(!deltaDir.exists(), "fresh level should be cleared")
+    assert(!foldedDir.exists(), "folded level should be cleared")
     val after = t.seriesMeta.orderBy("sid").collect().map(_.toString).toSeq
-    val filesAfter = pq(deltaDir) + pq(baseDir)
+    val filesAfter = pq(deltaDir) + pq(foldedDir) + pq(baseDir)
     assert(after == before)
     assert(filesAfter < filesBefore)
     assert(after.length == 2) // 2 series, merged across 5 appends
