@@ -481,6 +481,20 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("avg_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Quantile subquery outer — `quantile_over_time(0.9,
+    * rate(click[1h])[6h:1h])`: the p90 of the sliding 1h rates inside
+    * each 6h lookback, exact linear-interpolation percentile (the same
+    * Percentile the quantile rule family uses).
+    */
+  private def qTsdbPromqlSubqueryQuant(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
+        "[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("q_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** The business-hours-alerting shape: `hour()` over an aggregated
     * grid — the result column is the UTC hour of each bucket, pure
     * epoch arithmetic (no calendar, no timezone), composable with
@@ -2541,6 +2555,7 @@ object SparkEntry {
     "tsdb_promql_quantile_rate" -> (qTsdbPromqlQuantileRate _),
     "tsdb_promql_subquery_rate" -> (qTsdbPromqlSubqueryRate _),
     "tsdb_promql_subquery_aggsum" -> (qTsdbPromqlSubqueryAggsum _),
+    "tsdb_promql_subquery_quant" -> (qTsdbPromqlSubqueryQuant _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),

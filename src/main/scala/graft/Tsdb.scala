@@ -2632,7 +2632,8 @@ object Tsdb {
       start: Long,
       end: Long,
       stepSec: Long,
-      rangeSec: Long): org.apache.spark.sql.DataFrame = {
+      rangeSec: Long,
+      quantile: Option[Double] = None): org.apache.spark.sql.DataFrame = {
     require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
     val firstEval =
       floor((col(tsCol) + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
@@ -2641,6 +2642,19 @@ object Tsdb {
     val gridStart = Math.floorDiv(start + stepSec - 1, stepSec) * stepSec
     val gridEnd = Math.floorDiv(end, stepSec) * stepSec
     val dec = sum(col(valCol).cast("decimal(28,10)")).cast("double")
+    val moments = Seq(
+      count(lit(1)).as("n"),
+      dec.as("sum_v"),
+      (dec / count(lit(1))).as("avg_v"),
+      min(col(valCol)).as("min_v"),
+      max(col(valCol)).as("max_v"),
+      max(struct(col(tsCol), col(valCol))).getField(valCol).as("last_v")) ++
+      // quantile_over_time: exact linear-interpolation percentile (the
+      // same Percentile the quantile rule family oracles against
+      // DuckDB's quantile_cont) — computed only when asked, so the
+      // moment-only plans stay sort-free
+      quantile.map(qv =>
+        round(percentile(col(valCol), lit(qv)), 6).as("q_v"))
     frame
       .withColumn("e0", greatest(firstEval, lit(gridStart)))
       .withColumn("e1", least(lastEval, lit(gridEnd)))
@@ -2648,13 +2662,7 @@ object Tsdb {
       .withColumn("__out_ts",
         explode(sequence(col("e0"), col("e1"), lit(stepSec))))
       .groupBy(keyCols.map(col) :+ col("__out_ts"): _*)
-      .agg(
-        count(lit(1)).as("n"),
-        dec.as("sum_v"),
-        (dec / count(lit(1))).as("avg_v"),
-        min(col(valCol)).as("min_v"),
-        max(col(valCol)).as("max_v"),
-        max(struct(col(tsCol), col(valCol))).getField(valCol).as("last_v"))
+      .agg(moments.head, moments.tail: _*)
       .withColumnRenamed("__out_ts", "eval_ts")
   }
 

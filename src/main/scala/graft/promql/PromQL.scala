@@ -117,13 +117,15 @@ object PromQL {
     * own sliding grid every `stepSec` (the subquery resolution), and the
     * outer function aggregates those inner points over `rangeSec`-wide
     * lookback windows on the same grid. Only the `*_over_time` family
-    * can sit outside (parser-enforced) and only rate/increase inner
-    * vectors compile (compile-enforced, loudly). */
+    * (plus `quantile_over_time(q, …)`, whose q rides in `q`) can sit
+    * outside (parser-enforced) and only rate/increase inner vectors
+    * compile (compile-enforced, loudly). */
   final case class SubqueryFn(
       fn: String,
       body: Expr,
       rangeSec: Long,
-      stepSec: Long) extends Expr
+      stepSec: Long,
+      q: Option[Double] = None) extends Expr
 
   /** An aggregation operator with optional parameter (k for topk/bottomk,
     * q for quantile, value-label for count_values). `without` holds the
@@ -678,9 +680,11 @@ object PromQL {
         val nestedHead = peek.collect { case Ident(n2) => n2 }
         if (nestedHead.exists(n2 =>
             RangeFns(n2) || AggOps(n2) || MathFns(n2) || LabelFns(n2))) {
-          if (!OverTime(name))
+          if (!OverTime(name) &&
+              !(name == "quantile_over_time" && numArg.isDefined))
             fail(s"nested subqueries are only supported under the " +
-              s"sum/avg/min/max/count/last _over_time family, not $name")
+              s"sum/avg/min/max/count/last/quantile _over_time family, " +
+              s"not $name")
           val body = parseTerm()
           expectSym("[")
           val rangeSec = next() match {
@@ -697,7 +701,7 @@ object PromQL {
           if (parseByClause().nonEmpty)
             fail("a nested subquery derives its grouping from the inner " +
               "expression; drop the trailing 'by'")
-          return SubqueryFn(name, body, rangeSec, stepSec)
+          return SubqueryFn(name, body, rangeSec, stepSec, numArg)
         }
         val sel = parseSelector()
         var atSec: Option[Long] = None
@@ -818,8 +822,9 @@ object PromQL {
       val at = atSec.map(s => s", ${s}s").getOrElse("")
       val byC = if (by.isEmpty) "" else by.mkString(" by (", ", ", ")")
       s"$name($lead${render(sel)}$at)$byC"
-    case SubqueryFn(fn, body, rangeSec, stepSec) =>
-      s"$fn(${render(body)}[${rangeSec}s:${stepSec}s])"
+    case SubqueryFn(fn, body, rangeSec, stepSec, q) =>
+      s"$fn(${q.map(renderNum(_) + ", ").getOrElse("")}" +
+        s"${render(body)}[${rangeSec}s:${stepSec}s])"
     case ValueLabel(lbl, inner) =>
       // the inner rendering always leads with the conventional "value"
       // label — swap in the custom one
@@ -981,7 +986,7 @@ object PromQL {
     def specs(x: Expr): Seq[Option[AtSpec]] = x match {
       case s: Selector => Seq(s.atSpec)
       case RangeFn(_, _, sel, _, _) => specs(sel)
-      case SubqueryFn(_, body, _, _) => specs(body)
+      case SubqueryFn(_, body, _, _, _) => specs(body)
       case Agg(_, _, _, _, body, _) => specs(body)
       case BinOp(_, l, r, _, _, _) => specs(l) ++ specs(r)
       case IgnoringOp(_, l, r, _, _, _, _) => specs(l) ++ specs(r)
@@ -994,7 +999,7 @@ object PromQL {
     def strip(x: Expr): Expr = x match {
       case s: Selector => s.copy(atSpec = None)
       case rf @ RangeFn(_, _, sel, _, _) => rf.copy(sel = sel.copy(atSpec = None))
-      case sq @ SubqueryFn(_, body, _, _) => sq.copy(body = strip(body))
+      case sq @ SubqueryFn(_, body, _, _, _) => sq.copy(body = strip(body))
       case a @ Agg(_, _, _, _, body, _) => a.copy(body = strip(body))
       case b @ BinOp(_, l, r, _, _, _) => b.copy(lhs = strip(l), rhs = strip(r))
       case i @ IgnoringOp(_, l, r, _, _, _, _) =>
@@ -1010,7 +1015,7 @@ object PromQL {
     def ranges(x: Expr): Seq[Option[Long]] = x match {
       case s: Selector => Seq(s.rangeSec)
       case RangeFn(_, _, sel, _, _) => ranges(sel)
-      case SubqueryFn(_, body, _, _) => ranges(body)
+      case SubqueryFn(_, body, _, _, _) => ranges(body)
       case Agg(_, _, _, _, body, _) => ranges(body)
       case BinOp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
       case IgnoringOp(_, l, r, _, _, _, _) => ranges(l) ++ ranges(r)
@@ -1102,7 +1107,7 @@ object PromQL {
           "a [range:step] subquery step is only supported by the " +
           "*_over_time family, not a bare selector or aggregation body")
     case Agg(_, _, _, _, body, _) => validateSubquerySteps(body)
-    case SubqueryFn(_, body, _, _) => validateSubquerySteps(body)
+    case SubqueryFn(_, body, _, _, _) => validateSubquerySteps(body)
     case BinOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
     case IgnoringOp(_, l, r, _, _, _, _) =>
@@ -1125,7 +1130,7 @@ object PromQL {
   private def metricOf(e: Expr): Option[String] = e match {
     case s: Selector => Some(s.metric)
     case RangeFn(_, _, sel, _, _) => Some(sel.metric)
-    case SubqueryFn(_, body, _, _) => metricOf(body)
+    case SubqueryFn(_, body, _, _, _) => metricOf(body)
     case a: Agg => metricOf(a.body)
     case MathFn(_, arg, _, _) => metricOf(arg)
     case LabelFn(_, inner, _) => metricOf(inner)
@@ -1164,7 +1169,7 @@ object PromQL {
         a.copy(by = labelKeys(t, metric).filterNot(wo.contains),
           body = rBody, without = Seq.empty)
       }
-    case sq @ SubqueryFn(_, body, _, _) =>
+    case sq @ SubqueryFn(_, body, _, _, _) =>
       sq.copy(body = resolveWithout(t, body))
     // two aggregated sides sharing one `without` clause (the ratio /
     // ratio-of-rates families): resolve against the UNION of both
@@ -1415,13 +1420,14 @@ object PromQL {
     case Agg("quantile", _, _, _, _, _) => "q_v"
     case Agg("stddev", _, _, _, _, _) => "stddev"
     case Agg("stdvar", _, _, _, _, _) => "stdvar"
-    case SubqueryFn(fn, _, _, _) => fn match {
+    case SubqueryFn(fn, _, _, _, _) => fn match {
       case "sum_over_time" => "sum_v"
       case "avg_over_time" => "avg_v"
       case "min_over_time" => "min_v"
       case "max_over_time" => "max_v"
       case "count_over_time" => "n"
       case "last_over_time" => "last_v"
+      case "quantile_over_time" => "q_v"
       case other => throw new IllegalArgumentException(
         s"unsupported nested-subquery outer function: $other")
     }
@@ -1706,7 +1712,7 @@ object PromQL {
       // grid-explode aggregation over the inner points
       // (Tsdb.overTimeOnFrame). Two shuffles total, both at label-group
       // grain — never sample-cardinality beyond the first aggregation.
-      case SubqueryFn(fn, body, rangeSec, stepSec) =>
+      case SubqueryFn(fn, body, rangeSec, stepSec, q) =>
         val (sel, ifn, keys) = body match {
           case RangeFn(n, _, sel, by, _) if n == "rate" || n == "increase" =>
             // bare rate/increase is per-series: an empty trailing-by
@@ -1732,7 +1738,7 @@ object PromQL {
           sel.offsetSec)
         val valCol = if (ifn == "rate") "rate_per_sec" else "increase"
         Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
-          start, end, stepSec, rangeSec)
+          start, end, stepSec, rangeSec, q)
 
       // scalar arithmetic / threshold filters recurse on their vector
       // side, so they sit ABOVE the rollup catch-all and compose with

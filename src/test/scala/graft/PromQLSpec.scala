@@ -1767,10 +1767,46 @@ class PromQLSpec extends SparkSuite {
       PromQL.query(t, "max_over_time(sum by (cohort) (click[1h])[6h:1h])",
         T0, T1))
     assert(ex.getMessage.contains("rate/increase"), ex.getMessage)
-    // fail-fast: an outer function outside the *_over_time moment family
+    // fail-fast: an outer function outside the supported over_time family
     val ex2 = intercept[IllegalArgumentException](
-      PromQL.parse("quantile_over_time(0.9, rate(click[1h])[6h:1h])"))
+      PromQL.parse("stdvar_over_time(rate(click[1h])[6h:1h])"))
     assert(ex2.getMessage.contains("_over_time family"), ex2.getMessage)
+  }
+
+  test("nested subquery quantile outer: quantile_over_time(q, rate[R:s]) " +
+      "equals the independent percentile over the inner grid") {
+    val q = "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
+      "[21600:3600])"
+    val got = PromQL.query(t, q, T0, T1)
+      .select("cohort", "eval_ts", "q_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty)
+    val inner = t.slidingIncreaseBy("click", Seq.empty, T0 - 21600, T1,
+        Seq("cohort"), 3600L, 3600L)
+      .select("cohort", "eval_ts", "rate_per_sec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def pctl(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+    }
+    val gridStart = (T0 + 3599) / 3600 * 3600
+    val gridEnd = T1 / 3600 * 3600
+    val expect = (for {
+      tp <- gridStart.to(gridEnd, 3600)
+      (c, pts) <- inner.groupBy(_._1)
+      vs = pts.filter(p => p._2 >= tp - 21600 + 1 && p._2 <= tp).map(_._3)
+      if vs.nonEmpty
+    } yield (c, tp) ->
+      BigDecimal(pctl(vs.toSeq, 0.9)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(got == expect,
+      s"${got.size} vs ${expect.size}; " +
+        s"diff=${(got.toSet diff expect.toSet).take(3)}")
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
   }
 
   test("nested subquery aggregated inner: canonical " +
