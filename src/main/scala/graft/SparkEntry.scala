@@ -2055,6 +2055,22 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** The SQ8-quantized IVF probe: same index, same pruning, candidates
+    * served from the int8 cells store (~4-8× fewer bytes per probed
+    * candidate) and dequantized on the fly for the exact-cosine rerank.
+    * Recall vs brute force is spec-gated alongside the float probe.
+    */
+  private def qAnnTopkIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val k = cachedClusters("emb", dir, 16)(emb.count())
+    val path = Similarity.ensureIvfIndex(
+      emb, "vec_id", "embedding", k, ivfPath(dir, "emb", k))
+    Similarity.ivfProbeTopKSq8(
+        s, path, emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        5, nProbe = 4)
+      .orderBy("qid", "rank")
+  }
+
   // ------------------------------------------- clustered-corpus ANN bench
   // The shared embeddings fixture is near-isotropic, which caps how
   // selective ANY sublinear ANN index can be on it (no cluster structure to
@@ -2648,6 +2664,7 @@ object SparkEntry {
     "emb_quantize_sq8" -> (qEmbQuantizeSq8 _),
     "ann_topk_lsh" -> (qAnnTopkLsh _),
     "ann_topk_ivf" -> (qAnnTopkIvf _),
+    "ann_topk_ivf_sq8" -> (qAnnTopkIvfSq8 _),
     "ann_clustered_agg" -> (qAnnClusteredAgg _),
     "ann_clustered_lsh" -> (qAnnClusteredLsh _),
     "ann_clustered_ivf" -> (qAnnClusteredIvf _),

@@ -350,6 +350,95 @@ object Similarity {
       .select("qid", "rank", "nid", "sim")
   }
 
+  /** Derive the SQ8 form of a prebuilt float IVF index: the cells store
+    * re-encoded as (nid, scale, qvec int8-ranged codes, dnrm precomputed
+    * dequant norm), same `cell` partitioning — int codes bit-pack to
+    * ~1 byte/dim in parquet vs 8 for the float64 cells, so a probe reads
+    * ~4-8× fewer bytes per candidate at identical pruning. Derivation is
+    * one partition-preserving pass over the cells store; freshness is
+    * chained to the float index (the parent's stored fingerprint is
+    * copied here and compared on every ensure, so a parent rebuild
+    * regenerates the SQ8 form too).
+    */
+  def ensureIvfIndexSq8(
+      spark: org.apache.spark.sql.SparkSession,
+      floatIndexPath: String): String = synchronized {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val parentFp = storedFingerprint(fs,
+      new org.apache.hadoop.fs.Path(s"$floatIndexPath/_fingerprint"))
+      .getOrElse("unfingerprinted")
+    val sq8Path = s"$floatIndexPath/cells_sq8"
+    val fpPath = new org.apache.hadoop.fs.Path(s"$sq8Path/_parent_fp")
+    val ready =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$sq8Path/_SUCCESS")) &&
+        storedFingerprint(fs, fpPath).contains(parentFp)
+    if (!ready) {
+      quantizeInt8(
+        spark.read.parquet(s"$floatIndexPath/cells"), "nid", "cvec")
+        .withColumn("dnrm", normSeq(col("dvec")))
+        .select("nid", "scale", "qvec", "dnrm", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(sq8Path)
+      val out = fs.create(fpPath, true)
+      try out.write(parentFp.getBytes("UTF-8")) finally out.close()
+    }
+    sq8Path
+  }
+
+  /** [[ivfProbeTopK]] over the SQ8 cells store — identical centroid
+    * ranking and partition pruning (centroids stay float: there are only
+    * nClusters of them), candidates dequantized on the fly
+    * (`q_i * scale`) for the exact-cosine rerank. Returns the same
+    * (qid, rank, nid, sim) shape; sim is the cosine against the
+    * DEQUANTIZED candidate, within ~1e-4 of the float form (the SQ8
+    * roundtrip spec bounds per-vector cosine at ≥ 0.999), so recall vs
+    * brute force is indistinguishable from the float probe's.
+    */
+  def ivfProbeTopKSq8(
+      spark: org.apache.spark.sql.SparkSession,
+      floatIndexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val sq8Path = ensureIvfIndexSq8(spark, floatIndexPath)
+    val cents = spark.read.parquet(s"$floatIndexPath/centroids")
+      .withColumn("cenrm", normSeq(col("centroid")))
+    val q = queries.select(col(idCol).as("qid"),
+        toDoubleArray(col(vecCol)).as("qvec"))
+      .withColumn("qnrm", normSeq(col("qvec")))
+    val rankedCells = TopK.topKPerGroup(
+      q.crossJoin(broadcast(cents))
+        .withColumn("cdist",
+          dotSeq(col("qvec"), col("centroid")) / (col("qnrm") * col("cenrm")))
+        .where(col("cdist").isNotNull)
+        .select(col("qid"), col("cdist"), col("cell").cast("long").as("cl")),
+      "qid", "cdist", "cl", nProbe)
+      .select(col("qid"), col("cl").cast("int").as("cell"))
+    val probes = q.join(rankedCells, "qid")
+      .select("qid", "qvec", "qnrm", "cell")
+      .localCheckpoint()
+    val cellIds = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(sq8Path)
+      .where(col("cell").isin(cellIds: _*))
+      // the store's code column is named qvec (quantizeInt8's output);
+      // rename away from the query side's qvec before the join
+      .withColumnRenamed("qvec", "codes")
+      .withColumn("dvec",
+        transform(col("codes"), c => c.cast("double") * col("scale")))
+    val sim = round(
+      dotSeq(col("qvec"), col("dvec")) / (col("qnrm") * col("dnrm")), 6)
+    TopK.topKPerGroup(
+      cells.join(broadcast(probes), "cell")
+        .where(col("qid") =!= col("nid"))
+        .withColumn("sim", sim)
+        .select("qid", "sim", "nid"),
+      "qid", "sim", "nid", k)
+      .select("qid", "rank", "nid", "sim")
+  }
+
   /** ANN top-k via an in-memory IVF built for just this call — the
     * index-less form kept for tests and one-shot use; anything repeated
     * should [[buildIvfIndex]] once and [[ivfProbeTopK]] per query instead

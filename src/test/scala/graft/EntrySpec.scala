@@ -19,7 +19,8 @@ class EntrySpec extends SparkSuite {
     // DuckDB-inexpressible (exactness is spec-gated in OperatorSpec:
     // LSH/IVF recall vs the exact in-engine brute-force twin)
     assert(q.diff(o) == Set(
-      "ann_topk_lsh", "ann_topk_ivf", "q_approx_distinct",
+      "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_sq8",
+      "q_approx_distinct",
       "dedup_embedding_lsh", "dedup_embedding_ivf",
       "ann_clustered_lsh", "ann_clustered_ivf"))
   }

@@ -293,6 +293,16 @@ class OperatorSpec extends SparkSuite {
     val again = SparkEntry.queries("ann_topk_ivf")(spark, sf0001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == ivf)
+    // the SQ8 probe (int8 cells, on-the-fly dequant) probes the SAME
+    // cells, so its neighbor set tracks the float probe's almost
+    // perfectly (per-vector dequant cosine >= 0.999) and its recall vs
+    // brute force matches the float gate
+    val sq8 = SparkEntry.queries("ann_topk_ivf_sq8")(spark, sf0001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSq8 = sq8.intersect(bf).size.toDouble / bf.size
+    assert(recallSq8 >= 0.4, s"SQ8-IVF recall vs brute force = $recallSq8")
+    val agree = sq8.intersect(ivf).size.toDouble / ivf.size
+    assert(agree >= 0.95, s"SQ8 probe diverges from the float probe: $agree")
   }
 
   test("IVF index freshness: appending to the corpus rebuilds the index " +
