@@ -1838,6 +1838,46 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Subquery-offset mirror — `max_over_time(rate(click[1h]) by (cohort)
+    * [6h:1h] offset 1d)` on [T0+1d, T1]: identical to the subquery_rate
+    * mirror evaluated on the 1d-back window, with every output timestamp
+    * shifted forward by the offset. */
+  private val tsdbPromqlSubqueryOffset = {
+    val ir = 3600L; val or = 21600L; val st = 3600L; val off = 86400L
+    val s0 = (T0 + off) - off // = T0: engine evaluates [start-off, end-off]
+    val e0 = T1 - off
+    val innerLo = (s0 - or + st - 1) / st * st
+    val hi = e0 / st * st
+    val outerLo = (s0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${s0 - or - ir + 1} AND $e0),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2)
+       |SELECT cohort, t.t + $off AS eval_ts, max(rate) AS max_v
+       |FROM ie JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON ie.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Quantile subquery mirror — `quantile_over_time(0.9,
     * rate(click[1h]) by (cohort)[6h:1h])`: the same inner sliding-rate
     * CTE as the subquery_rate mirror; the outer quantile_cont matches
@@ -2918,6 +2958,7 @@ object OracleSql {
     "tsdb_promql_subquery_rate" -> tsdbPromqlSubqueryRate,
     "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
+    "tsdb_promql_subquery_offset" -> tsdbPromqlSubqueryOffset,
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
     "tsdb_promql_scalar_alone" -> tsdbPromqlScalarAlone,

@@ -481,6 +481,20 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("avg_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Subquery `offset` — the yesterday-comparison idiom
+    * `max_over_time(rate(click[1h])[6h:1h] offset 1d)`: the whole
+    * nested construct (inner grid and outer windows) evaluates one day
+    * back, timestamps shifted forward to the query grid.
+    */
+  private def qTsdbPromqlSubqueryOffset(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "max_over_time(rate(click[3600]) by (cohort) " +
+        "[21600:3600] offset 86400)", T0 + 86400, T1)
+      .select(col("cohort"), col("eval_ts"), col("max_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** Quantile subquery outer — `quantile_over_time(0.9,
     * rate(click[1h])[6h:1h])`: the p90 of the sliding 1h rates inside
     * each 6h lookback, exact linear-interpolation percentile (the same
@@ -2572,6 +2586,7 @@ object SparkEntry {
     "tsdb_promql_subquery_rate" -> (qTsdbPromqlSubqueryRate _),
     "tsdb_promql_subquery_aggsum" -> (qTsdbPromqlSubqueryAggsum _),
     "tsdb_promql_subquery_quant" -> (qTsdbPromqlSubqueryQuant _),
+    "tsdb_promql_subquery_offset" -> (qTsdbPromqlSubqueryOffset _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),

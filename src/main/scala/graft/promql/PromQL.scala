@@ -125,7 +125,8 @@ object PromQL {
       body: Expr,
       rangeSec: Long,
       stepSec: Long,
-      q: Option[Double] = None) extends Expr
+      q: Option[Double] = None,
+      offsetSec: Long = 0L) extends Expr
 
   /** An aggregation operator with optional parameter (k for topk/bottomk,
     * q for quantile, value-label for count_values). `without` holds the
@@ -697,11 +698,20 @@ object PromQL {
             case t => fail("subquery step must be a duration")
           }
           expectSym("]")
+          // `expr[R:s] offset d` — the whole subquery evaluates d back
+          var sqOff = 0L
+          if (peek.contains(Ident("offset"))) {
+            next()
+            sqOff = next() match {
+              case Num(d) => durationSec(d)
+              case t => fail("subquery offset must be a duration")
+            }
+          }
           expectSym(")")
           if (parseByClause().nonEmpty)
             fail("a nested subquery derives its grouping from the inner " +
               "expression; drop the trailing 'by'")
-          return SubqueryFn(name, body, rangeSec, stepSec, numArg)
+          return SubqueryFn(name, body, rangeSec, stepSec, numArg, sqOff)
         }
         val sel = parseSelector()
         var atSec: Option[Long] = None
@@ -822,9 +832,10 @@ object PromQL {
       val at = atSec.map(s => s", ${s}s").getOrElse("")
       val byC = if (by.isEmpty) "" else by.mkString(" by (", ", ", ")")
       s"$name($lead${render(sel)}$at)$byC"
-    case SubqueryFn(fn, body, rangeSec, stepSec, q) =>
+    case SubqueryFn(fn, body, rangeSec, stepSec, q, off) =>
       s"$fn(${q.map(renderNum(_) + ", ").getOrElse("")}" +
-        s"${render(body)}[${rangeSec}s:${stepSec}s])"
+        s"${render(body)}[${rangeSec}s:${stepSec}s]" +
+        s"${if (off != 0) s" offset ${off}s" else ""})"
     case ValueLabel(lbl, inner) =>
       // the inner rendering always leads with the conventional "value"
       // label — swap in the custom one
@@ -986,7 +997,7 @@ object PromQL {
     def specs(x: Expr): Seq[Option[AtSpec]] = x match {
       case s: Selector => Seq(s.atSpec)
       case RangeFn(_, _, sel, _, _) => specs(sel)
-      case SubqueryFn(_, body, _, _, _) => specs(body)
+      case SubqueryFn(_, body, _, _, _, _) => specs(body)
       case Agg(_, _, _, _, body, _) => specs(body)
       case BinOp(_, l, r, _, _, _) => specs(l) ++ specs(r)
       case IgnoringOp(_, l, r, _, _, _, _) => specs(l) ++ specs(r)
@@ -999,7 +1010,7 @@ object PromQL {
     def strip(x: Expr): Expr = x match {
       case s: Selector => s.copy(atSpec = None)
       case rf @ RangeFn(_, _, sel, _, _) => rf.copy(sel = sel.copy(atSpec = None))
-      case sq @ SubqueryFn(_, body, _, _, _) => sq.copy(body = strip(body))
+      case sq @ SubqueryFn(_, body, _, _, _, _) => sq.copy(body = strip(body))
       case a @ Agg(_, _, _, _, body, _) => a.copy(body = strip(body))
       case b @ BinOp(_, l, r, _, _, _) => b.copy(lhs = strip(l), rhs = strip(r))
       case i @ IgnoringOp(_, l, r, _, _, _, _) =>
@@ -1015,7 +1026,7 @@ object PromQL {
     def ranges(x: Expr): Seq[Option[Long]] = x match {
       case s: Selector => Seq(s.rangeSec)
       case RangeFn(_, _, sel, _, _) => ranges(sel)
-      case SubqueryFn(_, body, _, _, _) => ranges(body)
+      case SubqueryFn(_, body, _, _, _, _) => ranges(body)
       case Agg(_, _, _, _, body, _) => ranges(body)
       case BinOp(_, l, r, _, _, _) => ranges(l) ++ ranges(r)
       case IgnoringOp(_, l, r, _, _, _, _) => ranges(l) ++ ranges(r)
@@ -1107,7 +1118,7 @@ object PromQL {
           "a [range:step] subquery step is only supported by the " +
           "*_over_time family, not a bare selector or aggregation body")
     case Agg(_, _, _, _, body, _) => validateSubquerySteps(body)
-    case SubqueryFn(_, body, _, _, _) => validateSubquerySteps(body)
+    case SubqueryFn(_, body, _, _, _, _) => validateSubquerySteps(body)
     case BinOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
     case IgnoringOp(_, l, r, _, _, _, _) =>
@@ -1130,7 +1141,7 @@ object PromQL {
   private def metricOf(e: Expr): Option[String] = e match {
     case s: Selector => Some(s.metric)
     case RangeFn(_, _, sel, _, _) => Some(sel.metric)
-    case SubqueryFn(_, body, _, _, _) => metricOf(body)
+    case SubqueryFn(_, body, _, _, _, _) => metricOf(body)
     case a: Agg => metricOf(a.body)
     case MathFn(_, arg, _, _) => metricOf(arg)
     case LabelFn(_, inner, _) => metricOf(inner)
@@ -1169,7 +1180,7 @@ object PromQL {
         a.copy(by = labelKeys(t, metric).filterNot(wo.contains),
           body = rBody, without = Seq.empty)
       }
-    case sq @ SubqueryFn(_, body, _, _, _) =>
+    case sq @ SubqueryFn(_, body, _, _, _, _) =>
       sq.copy(body = resolveWithout(t, body))
     // two aggregated sides sharing one `without` clause (the ratio /
     // ratio-of-rates families): resolve against the UNION of both
@@ -1420,7 +1431,7 @@ object PromQL {
     case Agg("quantile", _, _, _, _, _) => "q_v"
     case Agg("stddev", _, _, _, _, _) => "stddev"
     case Agg("stdvar", _, _, _, _, _) => "stdvar"
-    case SubqueryFn(fn, _, _, _, _) => fn match {
+    case SubqueryFn(fn, _, _, _, _, _) => fn match {
       case "sum_over_time" => "sum_v"
       case "avg_over_time" => "avg_v"
       case "min_over_time" => "min_v"
@@ -1712,7 +1723,7 @@ object PromQL {
       // grid-explode aggregation over the inner points
       // (Tsdb.overTimeOnFrame). Two shuffles total, both at label-group
       // grain — never sample-cardinality beyond the first aggregation.
-      case SubqueryFn(fn, body, rangeSec, stepSec, q) =>
+      case SubqueryFn(fn, body, rangeSec, stepSec, q, sqOff) =>
         val (sel, ifn, keys) = body match {
           case RangeFn(n, _, sel, by, _) if n == "rate" || n == "increase" =>
             // bare rate/increase is per-series: an empty trailing-by
@@ -1733,12 +1744,20 @@ object PromQL {
             "(optionally aggregated: `sum by (l) (rate(x[d]))` or the " +
             s"trailing-by extension), got: ${render(other)}")
         }
+        // `offset d` on the subquery: the whole construct evaluates d
+        // back (inner grid AND outer windows), timestamps shift forward
+        // to the query grid — the same convention the selector offsets
+        // use (bucket_start + offset)
+        val s0 = start - sqOff
+        val e0 = end - sqOff
         val inner = t.slidingIncreaseBy(sel.metric, sel.matchers,
-          start - rangeSec, end, keys, stepSec, stepOf(sel, ifn),
+          s0 - rangeSec, e0, keys, stepSec, stepOf(sel, ifn),
           sel.offsetSec)
         val valCol = if (ifn == "rate") "rate_per_sec" else "increase"
-        Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
-          start, end, stepSec, rangeSec, q)
+        val frame = Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
+          s0, e0, stepSec, rangeSec, q)
+        if (sqOff == 0L) frame
+        else frame.withColumn("eval_ts", col("eval_ts") + sqOff)
 
       // scalar arithmetic / threshold filters recurse on their vector
       // side, so they sit ABOVE the rollup catch-all and compose with

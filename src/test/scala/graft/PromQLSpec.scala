@@ -1809,6 +1809,28 @@ class PromQLSpec extends SparkSuite {
     assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
   }
 
+  test("nested subquery offset: [R:s] offset d equals the unshifted " +
+      "query on the shifted window with timestamps moved forward") {
+    val d = 86400L
+    val q = "max_over_time(rate(click[3600]) by (cohort) " +
+      s"[21600:3600] offset $d)"
+    val got = PromQL.query(t, q, T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty)
+    val base = PromQL.query(t,
+        "max_over_time(rate(click[3600]) by (cohort) [21600:3600])",
+        T0 - d, T1 - d)
+      .select("cohort", "eval_ts", "max_v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) + d) -> r.getDouble(2))
+      .toMap
+    assert(got == base,
+      s"${got.size} vs ${base.size}; diff=${(got.toSet diff base.toSet).take(3)}")
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+  }
+
   test("nested subquery aggregated inner: canonical " +
       "sum by (l)(rate(x[d])) equals the trailing-by extension; global " +
       "sum and resolved without() forms compile") {
