@@ -1838,6 +1838,33 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Gauge-smoothing subquery mirror — `max_over_time(avg_over_time(
+    * click[1h]) by (cohort)[6h:1h])`: inner hourly DECIMAL-mean per
+    * cohort at every 1h grid point over (E-3600, E], outer max of those
+    * means over (T-21600, T]. */
+  private val tsdbPromqlSubqueryGauge = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         CAST(SUM(v) AS DOUBLE) / count(*) AS avg_v
+       |  FROM e JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON e.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  GROUP BY 1, 2)
+       |SELECT cohort, t.t AS eval_ts, max(avg_v) AS max_v
+       |FROM ie JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON ie.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Subquery-offset mirror — `max_over_time(rate(click[1h]) by (cohort)
     * [6h:1h] offset 1d)` on [T0+1d, T1]: identical to the subquery_rate
     * mirror evaluated on the 1d-back window, with every output timestamp
@@ -2959,6 +2986,7 @@ object OracleSql {
     "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
     "tsdb_promql_subquery_offset" -> tsdbPromqlSubqueryOffset,
+    "tsdb_promql_subquery_gauge" -> tsdbPromqlSubqueryGauge,
     "tsdb_promql_delta" -> tsdbPromqlDelta,
     "tsdb_promql_scalar" -> tsdbPromqlScalar,
     "tsdb_promql_scalar_alone" -> tsdbPromqlScalarAlone,

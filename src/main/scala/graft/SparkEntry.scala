@@ -495,6 +495,20 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("max_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Gauge-smoothing subquery — `max_over_time(avg_over_time(click[1h])
+    * [6h:1h])`: the inner hourly means evaluate sliding on the subquery
+    * grid (Tsdb.slidingOverTimeBy), the outer max picks the peak
+    * smoothed value per 6h lookback.
+    */
+  private def qTsdbPromqlSubqueryGauge(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "max_over_time(avg_over_time(click[3600]) by (cohort) " +
+        "[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("max_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** Quantile subquery outer — `quantile_over_time(0.9,
     * rate(click[1h])[6h:1h])`: the p90 of the sliding 1h rates inside
     * each 6h lookback, exact linear-interpolation percentile (the same
@@ -2587,6 +2601,7 @@ object SparkEntry {
     "tsdb_promql_subquery_aggsum" -> (qTsdbPromqlSubqueryAggsum _),
     "tsdb_promql_subquery_quant" -> (qTsdbPromqlSubqueryQuant _),
     "tsdb_promql_subquery_offset" -> (qTsdbPromqlSubqueryOffset _),
+    "tsdb_promql_subquery_gauge" -> (qTsdbPromqlSubqueryGauge _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),

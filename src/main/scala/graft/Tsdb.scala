@@ -1790,6 +1790,37 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     (windowed, keys)
   }
 
+  /** Sliding gauge moments on the subquery eval grid — the gauge twin of
+    * [[slidingIncreaseBy]]: `avg/min/max/sum/count/last_over_time(
+    * metric[rangeSec])` evaluated every `stepSec`, aggregated straight to
+    * the `byLabels` grain (the full label-key universe for the per-series
+    * form). One sample explode + ONE hash aggregation, the exact
+    * [[overTimeBy]] moment set (decimal sums, struct-ordered last), so
+    * oracles mirror 1:1.
+    */
+  def slidingOverTimeBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val (windowed, keys) = overTimeWindowed(metric, matchers, start, end,
+      byLabels, stepSec, rangeSec, offsetSec)
+    windowed.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
+      (sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_v"),
+      min("value").as("min_v"),
+      max("value").as("max_v"),
+      max(struct(col("ts"), col("value"))).getField("value").as("last_v"))
+  }
+
   def overTimeBy(
       metric: String,
       matchers: Seq[LabelMatcher],

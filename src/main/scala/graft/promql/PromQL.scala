@@ -1724,11 +1724,24 @@ object PromQL {
       // (Tsdb.overTimeOnFrame). Two shuffles total, both at label-group
       // grain — never sample-cardinality beyond the first aggregation.
       case SubqueryFn(fn, body, rangeSec, stepSec, q, sqOff) =>
-        val (sel, ifn, keys) = body match {
+        // `offset d` on the subquery: the whole construct evaluates d
+        // back (inner grid AND outer windows), timestamps shift forward
+        // to the query grid — the same convention the selector offsets
+        // use (bucket_start + offset)
+        val s0 = start - sqOff
+        val e0 = end - sqOff
+        val gaugeVal = Map(
+          "sum_over_time" -> "sum_v", "avg_over_time" -> "avg_v",
+          "min_over_time" -> "min_v", "max_over_time" -> "max_v",
+          "count_over_time" -> "n", "last_over_time" -> "last_v")
+        val (inner, keys, valCol) = body match {
           case RangeFn(n, _, sel, by, _) if n == "rate" || n == "increase" =>
             // bare rate/increase is per-series: an empty trailing-by
             // means the metric's full label-key universe
-            (sel, n, if (by.nonEmpty) by else labelKeys(t, sel.metric))
+            val ks = if (by.nonEmpty) by else labelKeys(t, sel.metric)
+            (t.slidingIncreaseBy(sel.metric, sel.matchers, s0 - rangeSec,
+              e0, ks, stepSec, stepOf(sel, n), sel.offsetSec),
+              ks, if (n == "rate") "rate_per_sec" else "increase")
           // canonical Prometheus spelling: `sum by (l) (rate(x[5m]))` —
           // summing per-series reset-robust increases equals the
           // by-grained delta sum slidingIncreaseBy computes directly, so
@@ -1738,22 +1751,24 @@ object PromQL {
           case Agg("sum", None, None, by,
               RangeFn(n, _, sel, Nil, _), Nil)
               if n == "rate" || n == "increase" =>
-            (sel, n, by)
+            (t.slidingIncreaseBy(sel.metric, sel.matchers, s0 - rangeSec,
+              e0, by, stepSec, stepOf(sel, n), sel.offsetSec),
+              by, if (n == "rate") "rate_per_sec" else "increase")
+          // gauge smoothing inner: `max_over_time(avg_over_time(x[5m])
+          // [1h:5m])` — the inner moments evaluate sliding on the
+          // subquery grid (Tsdb.slidingOverTimeBy, the exact overTimeBy
+          // moment set), the outer aggregates those points
+          case RangeFn(n, _, sel, by, _) if gaugeVal.contains(n) =>
+            val ks = if (by.nonEmpty) by else labelKeys(t, sel.metric)
+            (t.slidingOverTimeBy(sel.metric, sel.matchers, s0 - rangeSec,
+              e0, ks, stepSec, stepOf(sel, n), sel.offsetSec),
+              ks, gaugeVal(n))
           case other => throw new IllegalArgumentException(
-            "nested subqueries support rate/increase inner vectors " +
-            "(optionally aggregated: `sum by (l) (rate(x[d]))` or the " +
-            s"trailing-by extension), got: ${render(other)}")
+            "nested subqueries support rate/increase or *_over_time " +
+            "inner vectors (optionally aggregated: `sum by (l) " +
+            "(rate(x[d]))` or the trailing-by extension), " +
+            s"got: ${render(other)}")
         }
-        // `offset d` on the subquery: the whole construct evaluates d
-        // back (inner grid AND outer windows), timestamps shift forward
-        // to the query grid — the same convention the selector offsets
-        // use (bucket_start + offset)
-        val s0 = start - sqOff
-        val e0 = end - sqOff
-        val inner = t.slidingIncreaseBy(sel.metric, sel.matchers,
-          s0 - rangeSec, e0, keys, stepSec, stepOf(sel, ifn),
-          sel.offsetSec)
-        val valCol = if (ifn == "rate") "rate_per_sec" else "increase"
         val frame = Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
           s0, e0, stepSec, rangeSec, q)
         if (sqOff == 0L) frame

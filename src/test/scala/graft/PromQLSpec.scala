@@ -1831,6 +1831,39 @@ class PromQLSpec extends SparkSuite {
     assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
   }
 
+  test("nested subquery gauge inner: max_over_time(avg_over_time(x[1h])" +
+      "[6h:1h]) equals an independent slide over the inner moments") {
+    val q = "max_over_time(avg_over_time(click[3600]) by (cohort) " +
+      "[21600:3600])"
+    val got = PromQL.query(t, q, T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty)
+    val inner = t.slidingOverTimeBy("click", Seq.empty, T0 - 21600, T1,
+        Seq("cohort"), 3600L, 3600L)
+      .select("cohort", "eval_ts", "avg_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val gridStart = (T0 + 3599) / 3600 * 3600
+    val gridEnd = T1 / 3600 * 3600
+    val expect = (for {
+      tp <- gridStart.to(gridEnd, 3600)
+      (c, pts) <- inner.groupBy(_._1)
+      vs = pts.filter(p => p._2 >= tp - 21600 + 1 && p._2 <= tp).map(_._3)
+      if vs.nonEmpty
+    } yield (c, tp) -> vs.max).toMap
+    assert(got == expect,
+      s"${got.size} vs ${expect.size}; " +
+        s"diff=${(got.toSet diff expect.toSet).take(3)}")
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+    // unsupported gauge inners still fail fast
+    val ex = intercept[IllegalArgumentException](
+      PromQL.query(t,
+        "max_over_time(present_over_time(click[3600])[21600:3600])",
+        T0, T1))
+    assert(ex.getMessage.contains("inner vectors"), ex.getMessage)
+  }
+
   test("nested subquery aggregated inner: canonical " +
       "sum by (l)(rate(x[d])) equals the trailing-by extension; global " +
       "sum and resolved without() forms compile") {
