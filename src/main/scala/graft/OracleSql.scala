@@ -1990,6 +1990,105 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Moment-aggregated-inner subquery mirror — `max_over_time(avg by
+    * (cohort)(rate(click[1h]))[6h:1h])`. Inner: the per-SERIES sliding
+    * rate (lag partitioned by user_id ≡ sid, the same scanned span),
+    * then the cross-series DECIMAL mean per (cohort, eval point) in the
+    * engine's op order (decimal(28,10) sum → double ÷ exact count);
+    * outer: max of those means over the 6h lookback.
+    */
+  private val tsdbPromqlSubqueryMoment = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT user_id, cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ps AS (
+       |  SELECT user_id, cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |im AS (
+       |  SELECT cohort, ets,
+       |         CAST(SUM(CAST(rate AS DECIMAL(28,10))) AS DOUBLE)
+       |           / count(*) AS avg_v
+       |  FROM ps GROUP BY 1, 2)
+       |SELECT cohort, t.t AS eval_ts, max(avg_v) AS max_v
+       |FROM im JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON im.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
+  /** Spread-outer subquery mirror — `stddev_over_time(rate(click[1h])
+    * by (cohort)[6h:1h])`: the same inner sliding-rate CTE as the
+    * subquery_rate mirror, then the engine's integer-micro spread
+    * scheme per 6h lookback — the 6-decimal-quantized rate scales
+    * losslessly to BIGINT micros, HUGEINT squares, and the double op
+    * order mirrors Tsdb.overTimeOnFrame exactly:
+    * sqrt((sum2/n - (sum/n)^2) / 1e12), rounded to 6.
+    */
+  private val tsdbPromqlSubquerySpread = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT cohort, ets,
+       |         CAST(round(rate * 1e6) AS BIGINT) AS m
+       |  FROM ie)
+       |SELECT cohort, t.t AS eval_ts,
+       |       floor(sqrt(
+       |         (CAST(SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
+       |            AS DOUBLE) / count(*)
+       |          - (CAST(SUM(m) AS DOUBLE) / count(*))
+       |            * (CAST(SUM(m) AS DOUBLE) / count(*))) / 1e12)
+       |         * 1e6 + 0.5) / 1e6
+       |         AS stddev_v
+       |FROM mm JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON mm.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** The two set-op oracles share this pair of aggregates: purchase
     * cohort-hours (all moments, the engine's aggregateBy schema) and the
     * thresholded click cohort-hours.
@@ -2985,6 +3084,8 @@ object OracleSql {
     "tsdb_promql_subquery_rate" -> tsdbPromqlSubqueryRate,
     "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
+    "tsdb_promql_subquery_moment" -> tsdbPromqlSubqueryMoment,
+    "tsdb_promql_subquery_spread" -> tsdbPromqlSubquerySpread,
     "tsdb_promql_subquery_offset" -> tsdbPromqlSubqueryOffset,
     "tsdb_promql_subquery_gauge" -> tsdbPromqlSubqueryGauge,
     "tsdb_promql_delta" -> tsdbPromqlDelta,

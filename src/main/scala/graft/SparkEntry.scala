@@ -523,6 +523,36 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("q_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Moment-aggregated subquery inner — `max_over_time(avg by (cohort)
+    * (rate(click[1h]))[6h:1h])`: the peak of the cross-series MEAN rate
+    * (avg of per-series rates is NOT a delta sum — the per-(series,
+    * eval point) leg materializes before the moment,
+    * Tsdb.slidingMomentIncreaseBy), outer max over the 6h lookback.
+    */
+  private def qTsdbPromqlSubqueryMoment(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "max_over_time(avg by (cohort) (rate(click[3600]))[21600:3600])",
+      T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("max_v"))
+      .orderBy("cohort", "eval_ts")
+
+  /** Spread subquery outer — `stddev_over_time(rate(click[1h])[6h:1h])`:
+    * the volatility of the sliding 1h rate inside each 6h lookback, via
+    * the integer-micro exactness scheme (the inner rate is 6-decimal
+    * quantized, so micro sums are lossless and the double op order
+    * mirrors 1:1 in DuckDB).
+    */
+  private def qTsdbPromqlSubquerySpread(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "stddev_over_time(rate(click[3600]) by (cohort) [21600:3600])",
+      T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("stddev_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** The business-hours-alerting shape: `hour()` over an aggregated
     * grid — the result column is the UTC hour of each bucket, pure
     * epoch arithmetic (no calendar, no timezone), composable with
@@ -2602,6 +2632,8 @@ object SparkEntry {
     "tsdb_promql_subquery_quant" -> (qTsdbPromqlSubqueryQuant _),
     "tsdb_promql_subquery_offset" -> (qTsdbPromqlSubqueryOffset _),
     "tsdb_promql_subquery_gauge" -> (qTsdbPromqlSubqueryGauge _),
+    "tsdb_promql_subquery_moment" -> (qTsdbPromqlSubqueryMoment _),
+    "tsdb_promql_subquery_spread" -> (qTsdbPromqlSubquerySpread _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),

@@ -875,6 +875,74 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
           .as("rate_per_sec"))
   }
 
+  /** Sliding cross-series MOMENTS of the per-series counter rate on the
+    * subquery eval grid — `avg/min/max/count by (l)(rate(x[rangeSec]))`
+    * evaluated every `stepSec`, the moment-aggregated inner of a nested
+    * subquery ([[slidingIncreaseBy]] is the `sum` member; avg/min/max of
+    * per-series rates are NOT delta sums, so they need the per-series
+    * leg materialized). Three stages by nature: the per-sample decimal
+    * lag (shuffle on sid), the per-(sid, eval point) increase sum after
+    * the grid explode, then the cross-series moment aggregation at the
+    * `byLabels` grain. The per-series value is the [[slidingIncreaseBy]]
+    * quantity exactly — `round(sum(delta)/rangeSec, 6)` for rate, the
+    * raw delta sum for increase — and the avg divides the exact
+    * decimal(28,10) sum by the exact series count, the engine's shared
+    * op order, so DuckDB mirrors are hash-exact. A series contributes to
+    * an eval point only when it has ≥ 1 delta in the lookback window,
+    * the same membership rule as the sum form. */
+  def slidingMomentIncreaseBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long,
+      offsetSec: Long = 0L,
+      rate: Boolean = true): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val start0 = start - offsetSec
+    val end0 = end - offsetSec
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("ts"), col("value"))
+    val firstEval =
+      floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val lastEval =
+      floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val gridStart = Math.floorDiv(start0 + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end0, stepSec) * stepSec
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      col("eval_ts")
+    val perSeriesVal =
+      if (rate) round(sum(col("delta")).cast("double") / rangeSec, 6)
+      else sum(col("delta")).cast("double")
+    queryRange(metric, matchers, start0 - rangeSec + 1, end0)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("v") >= col("prev"), col("v") - col("prev"))
+          .otherwise(col("v")))
+      .where(col("delta").isNotNull)
+      .withColumn("e0", greatest(firstEval, lit(gridStart)))
+      .withColumn("e1", least(lastEval, lit(gridEnd)))
+      .where(col("e0") <= col("e1"))
+      .withColumn("eval_ts",
+        explode(sequence(col("e0"), col("e1"), lit(stepSec))))
+      .withColumn("eval_ts", col("eval_ts") + offsetSec)
+      .groupBy((col("sid") +: keys): _*)
+      .agg(perSeriesVal.as("v_s"))
+      .groupBy((byLabels.map(col) :+ col("eval_ts")): _*)
+      .agg(
+        count(lit(1)).as("n_series"),
+        sum(col("v_s").cast("decimal(28,10)")).cast("double").as("sum_v"),
+        (sum(col("v_s").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("avg_v"),
+        min(col("v_s")).as("min_v"),
+        max(col("v_s")).as("max_v"))
+  }
+
   /** `avg/min/max/count by (labels) (increase(metric[step]))` — the
     * cross-series MOMENTS of the per-series reset-robust increase
     * ([[aggregateIncreaseBy]] is the `sum by` member of this family;
@@ -2664,7 +2732,8 @@ object Tsdb {
       end: Long,
       stepSec: Long,
       rangeSec: Long,
-      quantile: Option[Double] = None): org.apache.spark.sql.DataFrame = {
+      quantile: Option[Double] = None,
+      spread: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
     val firstEval =
       floor((col(tsCol) + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
@@ -2679,14 +2748,29 @@ object Tsdb {
       (dec / count(lit(1))).as("avg_v"),
       min(col(valCol)).as("min_v"),
       max(col(valCol)).as("max_v"),
-      max(struct(col(tsCol), col(valCol))).getField(valCol).as("last_v")) ++
+      max(struct(col(tsCol), col(valCol))).getField(valCol).as("last_v"),
+      // present_over_time: the group exists only when ≥ 1 inner point
+      // lands in the window, so presence is the constant 1.0
+      max(lit(1.0)).as("present_v")) ++
       // quantile_over_time: exact linear-interpolation percentile (the
       // same Percentile the quantile rule family oracles against
       // DuckDB's quantile_cont) — computed only when asked, so the
       // moment-only plans stay sort-free
       quantile.map(qv =>
-        round(percentile(col(valCol), lit(qv)), 6).as("q_v"))
-    frame
+        round(percentile(col(valCol), lit(qv)), 6).as("q_v")) ++
+      // stddev/stdvar over the window: the overTimeBy integer-spread
+      // exactness scheme, at MICRO grain because the inner value is
+      // 6-decimal quantized (the counter family's round(…,6)) — lossless
+      // integer micro sums, fixed double op order mirrored 1:1 in the
+      // oracle SQL, round(…,6) absorbing ULP. Callers must only enable
+      // this for quantized inner value columns.
+      (if (!spread) Seq.empty else {
+        val m = round(col(valCol) * 1e6).cast("long")
+        Seq(sum(m).as("__sum_m"),
+          sum((m.cast("decimal(19,0)") * m.cast("decimal(19,0)")))
+            .as("__sum2_m"))
+      })
+    val out = frame
       .withColumn("e0", greatest(firstEval, lit(gridStart)))
       .withColumn("e1", least(lastEval, lit(gridEnd)))
       .where(col("e0") <= col("e1"))
@@ -2695,6 +2779,26 @@ object Tsdb {
       .groupBy(keyCols.map(col) :+ col("__out_ts"): _*)
       .agg(moments.head, moments.tail: _*)
       .withColumnRenamed("__out_ts", "eval_ts")
+    if (!spread) out
+    else {
+      val n = col("n").cast("double")
+      val meanM = col("__sum_m").cast("double") / n
+      val stdvar =
+        (col("__sum2_m").cast("double") / n - meanM * meanM) / 1e12
+      // tie-free 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 in pure
+      // double ops — Spark's round() (BigDecimal HALF_UP on the shortest
+      // decimal repr) and DuckDB's round() (float multiply + half-away)
+      // disagree on values whose *1e6 product lands exactly on .5; this
+      // formulation is the same IEEE op sequence on both engines, so it
+      // cannot diverge (and it clamps the -epsilon variance fp artifact
+      // to exactly 0 on both sides)
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5) / 1e6
+      out
+        .withColumn("stdvar_v", r6(stdvar))
+        .withColumn("stddev_v", r6(sqrt(stdvar)))
+        .drop("__sum_m", "__sum2_m")
+    }
   }
 
   /** Equi-join on `keys` where NULL matches NULL — PromQL's labelset

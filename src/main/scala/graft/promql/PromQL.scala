@@ -681,11 +681,12 @@ object PromQL {
         val nestedHead = peek.collect { case Ident(n2) => n2 }
         if (nestedHead.exists(n2 =>
             RangeFns(n2) || AggOps(n2) || MathFns(n2) || LabelFns(n2))) {
-          if (!OverTime(name) &&
+          if (!OverTime(name) && !SpreadOverTime(name) &&
+              name != "present_over_time" &&
               !(name == "quantile_over_time" && numArg.isDefined))
             fail(s"nested subqueries are only supported under the " +
-              s"sum/avg/min/max/count/last/quantile _over_time family, " +
-              s"not $name")
+              s"sum/avg/min/max/count/last/quantile/stddev/stdvar/" +
+              s"present _over_time family, not $name")
           val body = parseTerm()
           expectSym("[")
           val rangeSec = next() match {
@@ -1439,6 +1440,9 @@ object PromQL {
       case "count_over_time" => "n"
       case "last_over_time" => "last_v"
       case "quantile_over_time" => "q_v"
+      case "stddev_over_time" => "stddev_v"
+      case "stdvar_over_time" => "stdvar_v"
+      case "present_over_time" => "present_v"
       case other => throw new IllegalArgumentException(
         s"unsupported nested-subquery outer function: $other")
     }
@@ -1754,6 +1758,23 @@ object PromQL {
             (t.slidingIncreaseBy(sel.metric, sel.matchers, s0 - rangeSec,
               e0, by, stepSec, stepOf(sel, n), sel.offsetSec),
               by, if (n == "rate") "rate_per_sec" else "increase")
+          // moment-aggregated inner: `avg/min/max/count by (l)
+          // (rate(x[d]))` — avg/min/max of per-series rates are NOT
+          // delta sums, so the per-(series, eval point) leg materializes
+          // before the cross-series moment (Tsdb.slidingMomentIncreaseBy,
+          // the sliding twin of momentIncreaseBy); `without` arrives here
+          // already by-resolved via resolveWithout, empty by is global
+          case Agg(op, None, None, by,
+              RangeFn(n, _, sel, Nil, _), Nil)
+              if Set("avg", "min", "max", "count")(op) &&
+                (n == "rate" || n == "increase") =>
+            (t.slidingMomentIncreaseBy(sel.metric, sel.matchers,
+              s0 - rangeSec, e0, by, stepSec, stepOf(sel, n),
+              sel.offsetSec, rate = n == "rate"),
+              by, op match {
+                case "avg" => "avg_v"; case "min" => "min_v"
+                case "max" => "max_v"; case _ => "n_series"
+              })
           // gauge smoothing inner: `max_over_time(avg_over_time(x[5m])
           // [1h:5m])` — the inner moments evaluate sliding on the
           // subquery grid (Tsdb.slidingOverTimeBy, the exact overTimeBy
@@ -1769,8 +1790,21 @@ object PromQL {
             "(rate(x[d]))` or the trailing-by extension), " +
             s"got: ${render(other)}")
         }
+        // spread outers (stddev/stdvar_over_time) use the integer-micro
+        // exactness scheme, which is lossless ONLY over 6-decimal
+        // quantized inner values: the counter family's round(…,6) rate,
+        // the 2-decimal delta-sum increase, and integer counts. Raw
+        // gauge moments (an unquantized avg_v division, raw sample
+        // min/max/last) would silently lose precision — fail fast.
+        val spread = SpreadOverTime(fn)
+        if (spread && !Set("rate_per_sec", "increase", "n", "n_series")
+            .contains(valCol))
+          throw new IllegalArgumentException(
+            s"stddev/stdvar_over_time subquery outers support counter " +
+            s"(rate/increase, optionally aggregated) and count inners; " +
+            s"got inner value '$valCol'")
         val frame = Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
-          s0, e0, stepSec, rangeSec, q)
+          s0, e0, stepSec, rangeSec, q, spread = spread)
         if (sqOff == 0L) frame
         else frame.withColumn("eval_ts", col("eval_ts") + sqOff)
 

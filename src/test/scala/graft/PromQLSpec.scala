@@ -1769,7 +1769,7 @@ class PromQLSpec extends SparkSuite {
     assert(ex.getMessage.contains("rate/increase"), ex.getMessage)
     // fail-fast: an outer function outside the supported over_time family
     val ex2 = intercept[IllegalArgumentException](
-      PromQL.parse("stdvar_over_time(rate(click[1h])[6h:1h])"))
+      PromQL.parse("deriv(rate(click[1h])[6h:1h])"))
     assert(ex2.getMessage.contains("_over_time family"), ex2.getMessage)
   }
 
@@ -1899,12 +1899,125 @@ class PromQLSpec extends SparkSuite {
     // parse-render round trip on the canonical form
     assert(PromQL.parse(PromQL.render(PromQL.parse(canonical))) ==
       PromQL.parse(canonical))
-    // non-sum aggregated inners stay fail-fast (avg of per-series rates
-    // is NOT a delta sum — never silently mis-served)
+    // spread-aggregated inners stay fail-fast (stddev of per-series
+    // rates is not in the moment set — never silently mis-served)
     val ex = intercept[IllegalArgumentException](
       PromQL.query(t,
-        "max_over_time(avg by (cohort) (rate(click[3600]))[21600:3600])",
+        "max_over_time(stddev by (cohort) (rate(click[3600]))" +
+          "[21600:3600])",
         T0, T1))
     assert(ex.getMessage.contains("rate/increase"), ex.getMessage)
+  }
+
+  test("nested subquery moment-aggregated inner: avg/min/max/count by " +
+      "(l)(rate(x[d])) equals the independent per-series recomputation") {
+    // per-series rates at the full (cohort, user_id) grain — the
+    // independent ground truth the moment frame must reproduce
+    val perSeries = t.slidingIncreaseBy("click", Seq.empty, T0 - 21600,
+        T1, Seq("cohort", "user_id"), 3600L, 3600L)
+      .select("cohort", "user_id", "eval_ts", "rate_per_sec")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byGroup = perSeries.groupBy(p => (p._1, p._3))
+    val inner = t.slidingMomentIncreaseBy("click", Seq.empty, T0 - 21600,
+        T1, Seq("cohort"), 3600L, 3600L)
+      .select("cohort", "eval_ts", "n_series", "avg_v", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(inner.nonEmpty && inner.keySet == byGroup.keySet)
+    inner.foreach { case (k, (n, avg, mn, mx)) =>
+      val vs = byGroup(k).map(_._4)
+      assert(n == vs.length, s"$k n")
+      assert(math.abs(avg - vs.sum / vs.length) < 1e-9, s"$k avg")
+      assert(mn == vs.min && mx == vs.max, s"$k min/max")
+    }
+    // the engine query end-to-end: outer max over the inner avg frame
+    val q = "max_over_time(avg by (cohort) (rate(click[3600]))" +
+      "[21600:3600])"
+    val got = PromQL.query(t, q, T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val gridStart = (T0 + 3599) / 3600 * 3600
+    val gridEnd = T1 / 3600 * 3600
+    val expect = (for {
+      tp <- gridStart.to(gridEnd, 3600)
+      (c, pts) <- inner.toSeq.map { case ((c, e), v) => (c, e, v._2) }
+        .groupBy(_._1)
+      vs = pts.filter(p => p._2 >= tp - 21600 + 1 && p._2 <= tp).map(_._3)
+      if vs.nonEmpty
+    } yield (c, tp) -> vs.max).toMap
+    assert(got == expect,
+      s"${got.size} vs ${expect.size}; " +
+        s"diff=${(got.toSet diff expect.toSet).take(3)}")
+    // count inner, global grain: n_series per eval point
+    val gc = PromQL.query(t,
+        "last_over_time(count(rate(click[3600]))[21600:3600])", T0, T1)
+      .select("eval_ts", "last_v").collect()
+    assert(gc.nonEmpty)
+    // parse-render round trip
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+  }
+
+  test("nested subquery spread/present outers: stddev/stdvar_over_time " +
+      "use the integer-micro scheme; present_over_time is the 1.0 grid") {
+    val inner = t.slidingIncreaseBy("click", Seq.empty, T0 - 21600, T1,
+        Seq("cohort"), 3600L, 3600L)
+      .select("cohort", "eval_ts", "rate_per_sec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val gridStart = (T0 + 3599) / 3600 * 3600
+    val gridEnd = T1 / 3600 * 3600
+    def windows = for {
+      tp <- gridStart.to(gridEnd, 3600)
+      (c, pts) <- inner.groupBy(_._1)
+      vs = pts.filter(p => p._2 >= tp - 21600 + 1 && p._2 <= tp).map(_._3)
+      if vs.nonEmpty
+    } yield (c, tp, vs)
+    // the engine's exact double op order over integer micros
+    def spreadOf(vs: Seq[Double]): (Double, Double) = {
+      val ms = vs.map(v => math.round(v * 1e6))
+      val n = ms.length.toDouble
+      val meanM = ms.sum.toDouble / n
+      val stdvar =
+        (ms.map(m => BigInt(m) * BigInt(m)).sum.toDouble / n -
+          meanM * meanM) / 1e12
+      // the engine's tie-free rounding: floor(x*1e6 + 0.5)/1e6
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      (r6(stdvar), r6(math.sqrt(stdvar)))
+    }
+    val gotVar = PromQL.query(t,
+        "stdvar_over_time(rate(click[3600]) by (cohort) [21600:3600])",
+        T0, T1)
+      .select("cohort", "eval_ts", "stdvar_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val gotDev = PromQL.query(t,
+        "stddev_over_time(rate(click[3600]) by (cohort) [21600:3600])",
+        T0, T1)
+      .select("cohort", "eval_ts", "stddev_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val exp = windows.map { case (c, tp, vs) =>
+      (c, tp) -> spreadOf(vs.toSeq) }.toMap
+    assert(gotVar.nonEmpty && gotVar.keySet == exp.keySet)
+    exp.foreach { case (k, (sv, sd)) =>
+      assert(gotVar(k) == sv, s"$k stdvar ${gotVar(k)} vs $sv")
+      assert(gotDev(k) == sd, s"$k stddev ${gotDev(k)} vs $sd")
+    }
+    // present_over_time: 1.0 on exactly the populated grid
+    val gotP = PromQL.query(t,
+        "present_over_time(rate(click[3600]) by (cohort) [21600:3600])",
+        T0, T1)
+      .select("cohort", "eval_ts", "present_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(gotP.keySet == exp.keySet && gotP.values.forall(_ == 1.0))
+    // spread outers over unquantized gauge inners stay fail-fast
+    val ex = intercept[IllegalArgumentException](
+      PromQL.query(t,
+        "stddev_over_time(avg_over_time(click[3600])[21600:3600])",
+        T0, T1))
+    assert(ex.getMessage.contains("counter"), ex.getMessage)
   }
 }
