@@ -2089,6 +2089,247 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Spread-aggregated-inner subquery mirror — `max_over_time(stddev by
+    * (cohort)(rate(click[1h]))[6h:1h])`: per-series rates (ps CTE), the
+    * engine's integer-micro spread per (cohort, eval point) with the
+    * tie-free floor(x*1e6+0.5)/1e6 rounding, outer max (exact on the
+    * quantized stddev values). */
+  private val tsdbPromqlSubquerySprinner = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT user_id, cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ps AS (
+       |  SELECT user_id, cohort, g.e AS ets,
+       |         CAST(round(round(CAST(SUM(delta) AS DOUBLE) / $ir, 6)
+       |           * 1e6) AS BIGINT) AS m
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |im AS (
+       |  SELECT cohort, ets,
+       |         floor(sqrt(
+       |           (CAST(SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
+       |              AS DOUBLE) / count(*)
+       |            - (CAST(SUM(m) AS DOUBLE) / count(*))
+       |              * (CAST(SUM(m) AS DOUBLE) / count(*))) / 1e12)
+       |           * 1e6 + 0.5) / 1e6 AS stddev_v
+       |  FROM ps GROUP BY 1, 2)
+       |SELECT cohort, t.t AS eval_ts, max(stddev_v) AS max_v
+       |FROM im JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON im.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
+  /** Quantile-aggregated-inner subquery mirror — `avg_over_time(
+    * quantile by (cohort)(0.9, rate(click[1h]))[6h:1h])`: per-series
+    * rates, quantile_cont per (cohort, eval point) (the established
+    * Percentile parity, round 6 both sides), DECIMAL-mean outer. */
+  private val tsdbPromqlSubqueryQinner = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT user_id, cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ps AS (
+       |  SELECT user_id, cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |im AS (
+       |  SELECT cohort, ets,
+       |         round(quantile_cont(rate, 0.9), 6) AS q_v
+       |  FROM ps GROUP BY 1, 2)
+       |SELECT cohort, t.t AS eval_ts,
+       |       CAST(SUM(CAST(q_v AS DECIMAL(28,10))) AS DOUBLE)
+       |         / count(*) AS avg_v
+       |FROM im JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON im.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
+  /** Binary-op-inner subquery mirror — `max_over_time((sum by (cohort)
+    * (rate(click[1h])) / sum by (cohort)(rate(view[1h])))[6h:1h])`: two
+    * sliding-rate CTE chains (one per metric, each lag-partitioned per
+    * series over its own scanned span), inner-joined per (cohort, eval
+    * point) like the engine's vector match, ratio via the engine's `/`
+    * (0-denominator → ±Inf/NaN, round 6), outer max. */
+  private val tsdbPromqlSubqueryRatio = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    def rateCte(metric: String, p: String) =
+      s"""${p}e AS (
+         |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+         |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+         |  FROM events
+         |  WHERE event_type = '$metric'
+         |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+         |${p}d AS (
+         |  SELECT *, lag(v) OVER (PARTITION BY user_id
+         |                         ORDER BY ts_s, v) AS prev
+         |  FROM ${p}e),
+         |${p}x AS (
+         |  SELECT cohort, ts_s,
+         |         CASE WHEN prev IS NULL THEN NULL
+         |              WHEN v >= prev THEN v - prev
+         |              ELSE v END AS delta
+         |  FROM ${p}d),
+         |${p}ie AS (
+         |  SELECT cohort, g.e AS ets,
+         |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+         |  FROM ${p}x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+         |    ON ${p}x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+         |  WHERE delta IS NOT NULL
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${rateCte("click", "a")},
+       |${rateCte("view", "b")},
+       |j AS (
+       |  SELECT aie.cohort, aie.ets,
+       |         round(CASE WHEN bie.rate = 0
+       |                    THEN aie.rate * CAST('Infinity' AS DOUBLE)
+       |                    ELSE aie.rate / bie.rate END, 6) AS ratio
+       |  FROM aie JOIN bie
+       |    ON aie.cohort = bie.cohort AND aie.ets = bie.ets)
+       |SELECT cohort, t.t AS eval_ts, max(ratio) AS max_v
+       |FROM j JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON j.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
+  /** Subquery alert mirror — `max_over_time(rate(click[1h]) by (cohort)
+    * [6h:1h]) > 0.004` held for 2h: the subquery_rate CTE chain with a
+    * HAVING threshold, then the gaps-and-islands `for` escalation on
+    * the subquery's own 1h eval grid (the tsdbAlertRule scheme).
+    */
+  private val tsdbAlertRuleSubq = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2),
+       |act AS (
+       |  SELECT cohort, t.t AS bucket_start, max(rate) AS value
+       |  FROM ie JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |    ON ie.ets BETWEEN t.t - $or + 1 AND t.t
+       |  GROUP BY 1, 2
+       |  HAVING max(rate) > 0.004),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY cohort ORDER BY bucket_start) AS rn
+       |  FROM act),
+       |stx AS (
+       |  SELECT *, min(bucket_start) OVER (
+       |    PARTITION BY cohort, bucket_start - rn * $st) AS s0
+       |  FROM r)
+       |SELECT 'cohort_peak_rate_high' AS alertname, cohort, bucket_start,
+       |       value,
+       |       CASE WHEN bucket_start - s0 >= 7200 THEN 'firing'
+       |            ELSE 'pending' END AS state
+       |FROM stx ORDER BY cohort, bucket_start""".stripMargin
+  }
+
+  /** Subquery recording-rule mirror — the tsdbPromqlSubqueryMoment
+    * series materialized under its rule name with the static job label,
+    * read back through the engine (metric/labels round-trip through the
+    * sample schema, so this mirrors the read-back projection). */
+  private val tsdbRecordingRuleSubq = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT user_id, cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ps AS (
+       |  SELECT user_id, cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |im AS (
+       |  SELECT cohort, ets,
+       |         CAST(SUM(CAST(rate AS DECIMAL(28,10))) AS DOUBLE)
+       |           / count(*) AS avg_v
+       |  FROM ps GROUP BY 1, 2)
+       |SELECT cohort, 'rules' AS job, t.t AS bucket_start,
+       |       max(avg_v) AS peak_v
+       |FROM im JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON im.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 3 ORDER BY cohort, bucket_start""".stripMargin
+  }
+
   /** The two set-op oracles share this pair of aggregates: purchase
     * cohort-hours (all moments, the engine's aggregateBy schema) and the
     * thresholded click cohort-hours.
@@ -3086,6 +3327,11 @@ object OracleSql {
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
     "tsdb_promql_subquery_moment" -> tsdbPromqlSubqueryMoment,
     "tsdb_promql_subquery_spread" -> tsdbPromqlSubquerySpread,
+    "tsdb_alert_rule_subq" -> tsdbAlertRuleSubq,
+    "tsdb_recording_rule_subq" -> tsdbRecordingRuleSubq,
+    "tsdb_promql_subquery_sprinner" -> tsdbPromqlSubquerySprinner,
+    "tsdb_promql_subquery_qinner" -> tsdbPromqlSubqueryQinner,
+    "tsdb_promql_subquery_ratio" -> tsdbPromqlSubqueryRatio,
     "tsdb_promql_subquery_offset" -> tsdbPromqlSubqueryOffset,
     "tsdb_promql_subquery_gauge" -> tsdbPromqlSubqueryGauge,
     "tsdb_promql_delta" -> tsdbPromqlDelta,

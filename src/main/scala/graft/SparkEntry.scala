@@ -553,6 +553,87 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("stddev_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Spread-aggregated subquery inner — `max_over_time(stddev by
+    * (cohort)(rate(click[1h]))[6h:1h])`: the peak cross-series rate
+    * DISPERSION (imbalance detection — how unevenly the cohort's users
+    * click), integer-micro scheme over the quantized per-series rates.
+    */
+  private def qTsdbPromqlSubquerySprinner(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "max_over_time(stddev by (cohort) (rate(click[3600]))" +
+        "[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("max_v"))
+      .orderBy("cohort", "eval_ts")
+
+  /** Quantile-aggregated subquery inner — `avg_over_time(quantile by
+    * (cohort)(0.9, rate(click[1h]))[6h:1h])`: the 6h mean of the
+    * cross-series p90 rate (the SLO family as a subquery inner), exact
+    * linear-interpolation Percentile, DECIMAL-mean outer.
+    */
+  private def qTsdbPromqlSubqueryQinner(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "avg_over_time(quantile by (cohort) (0.9, rate(click[3600]))" +
+        "[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("avg_v"))
+      .orderBy("cohort", "eval_ts")
+
+  /** Binary-op subquery inner — the peak-error-ratio idiom
+    * `max_over_time((sum by (c)(rate(a[1h]))/sum by (c)(rate(b[1h])))
+    * [6h:1h])`: both legs slide on the shared subquery grid, a
+    * null-safe vector match joins them per (cohort, eval point), the
+    * outer max picks the worst 1h click-to-view rate ratio per 6h.
+    */
+  private def qTsdbPromqlSubqueryRatio(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "max_over_time((sum by (cohort) (rate(click[3600])) / " +
+        "sum by (cohort) (rate(view[3600])))[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("max_v"))
+      .orderBy("cohort", "eval_ts")
+
+  /** Alerting on a nested subquery — the "sustained peak rate" rule
+    * (`max_over_time(rate(x[1h])[6h:1h]) > T for 2h`): the compiled
+    * subquery frame's [range:step] resolution IS the rule's evaluation
+    * grid, the islands escalation runs per inner grouping labelset.
+    */
+  private def qTsdbAlertRuleSubq(s: SparkSession, dir: String): DataFrame =
+    graft.promql.Rules.alerts(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      graft.promql.Rules.AlertRule("cohort_peak_rate_high",
+        "max_over_time(rate(click[3600]) by (cohort) [21600:3600]) " +
+          "> 0.004", forSec = 7200L),
+      T0, T1)
+      .select("alertname", "cohort", "bucket_start", "value", "state")
+      .orderBy("cohort", "bucket_start")
+
+  /** Recording a nested subquery — materialize the peak-of-mean-rate
+    * series (`max_over_time(avg by (cohort)(rate(click[1h]))[6h:1h])`)
+    * as a new metric, then read it back through the engine: the
+    * subquery's eval grid becomes the recorded series' timestamps.
+    */
+  private def qTsdbRecordingRuleSubq(
+      s: SparkSession, dir: String): DataFrame = {
+    val t = Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+    val rec = graft.promql.Rules.record(t,
+      graft.promql.Rules.RecordingRule("cohort:click:peak_mean_rate_6h",
+        "max_over_time(avg by (cohort) (rate(click[3600]))[21600:3600])",
+        Map("job" -> "rules")),
+      T0, T1)
+    Tsdb.attach(s, rec)
+      .queryRange("cohort:click:peak_mean_rate_6h", Seq.empty, T0, T1)
+      .select(
+        col("labels").getItem("cohort").as("cohort"),
+        col("labels").getItem("job").as("job"),
+        col("ts").as("bucket_start"),
+        col("value").as("peak_v"))
+      .orderBy("cohort", "bucket_start")
+  }
+
   /** The business-hours-alerting shape: `hour()` over an aggregated
     * grid — the result column is the UTC hour of each bucket, pure
     * epoch arithmetic (no calendar, no timezone), composable with
@@ -2634,6 +2715,11 @@ object SparkEntry {
     "tsdb_promql_subquery_gauge" -> (qTsdbPromqlSubqueryGauge _),
     "tsdb_promql_subquery_moment" -> (qTsdbPromqlSubqueryMoment _),
     "tsdb_promql_subquery_spread" -> (qTsdbPromqlSubquerySpread _),
+    "tsdb_alert_rule_subq" -> (qTsdbAlertRuleSubq _),
+    "tsdb_recording_rule_subq" -> (qTsdbRecordingRuleSubq _),
+    "tsdb_promql_subquery_sprinner" -> (qTsdbPromqlSubquerySprinner _),
+    "tsdb_promql_subquery_qinner" -> (qTsdbPromqlSubqueryQinner _),
+    "tsdb_promql_subquery_ratio" -> (qTsdbPromqlSubqueryRatio _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),

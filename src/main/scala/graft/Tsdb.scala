@@ -899,7 +899,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       stepSec: Long,
       rangeSec: Long,
       offsetSec: Long = 0L,
-      rate: Boolean = true): DataFrame = {
+      rate: Boolean = true,
+      quantile: Option[Double] = None): DataFrame = {
     require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
     require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     val start0 = start - offsetSec
@@ -917,7 +918,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     val perSeriesVal =
       if (rate) round(sum(col("delta")).cast("double") / rangeSec, 6)
       else sum(col("delta")).cast("double")
-    queryRange(metric, matchers, start0 - rangeSec + 1, end0)
+    val perSeries = queryRange(metric, matchers, start0 - rangeSec + 1, end0)
       .withColumn("v", col("value").cast("decimal(18,2)"))
       .withColumn("prev", lag("v", 1).over(w))
       .withColumn("delta",
@@ -933,14 +934,38 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .withColumn("eval_ts", col("eval_ts") + offsetSec)
       .groupBy((col("sid") +: keys): _*)
       .agg(perSeriesVal.as("v_s"))
+      // cross-series spread via the integer-micro exactness scheme: the
+      // per-series value is quantized (round(…,6) rate / 2-decimal
+      // increase), so micro sums are lossless; the tie-free
+      // floor(x*1e6+0.5)/1e6 rounding below is the same IEEE op
+      // sequence the DuckDB mirror runs (see overTimeOnFrame's spread)
+      .withColumn("__m", round(col("v_s") * 1e6).cast("long"))
+    val aggs = Seq(
+      count(lit(1)).as("n_series"),
+      sum(col("v_s").cast("decimal(28,10)")).cast("double").as("sum_v"),
+      (sum(col("v_s").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("avg_v"),
+      min(col("v_s")).as("min_v"),
+      max(col("v_s")).as("max_v"),
+      sum(col("__m")).as("__sum_m"),
+      sum((col("__m").cast("decimal(19,0)") *
+        col("__m").cast("decimal(19,0)"))).as("__sum2_m")) ++
+      // cross-series quantile of the per-series rate — the SLO family
+      // as a subquery inner (exact linear-interpolation Percentile,
+      // the quantileIncreaseBy scheme)
+      quantile.map(qv =>
+        round(percentile(col("v_s"), lit(qv)), 6).as("q_v"))
+    val nD = col("n_series").cast("double")
+    val meanM = col("__sum_m").cast("double") / nD
+    val stdvar =
+      (col("__sum2_m").cast("double") / nD - meanM * meanM) / 1e12
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    perSeries
       .groupBy((byLabels.map(col) :+ col("eval_ts")): _*)
-      .agg(
-        count(lit(1)).as("n_series"),
-        sum(col("v_s").cast("decimal(28,10)")).cast("double").as("sum_v"),
-        (sum(col("v_s").cast("decimal(28,10)")).cast("double") /
-          count(lit(1))).as("avg_v"),
-        min(col("v_s")).as("min_v"),
-        max(col("v_s")).as("max_v"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("stdvar_v", r6(stdvar))
+      .withColumn("stddev_v", r6(sqrt(stdvar)))
+      .drop("__sum_m", "__sum2_m")
   }
 
   /** `avg/min/max/count by (labels) (increase(metric[step]))` — the

@@ -679,15 +679,25 @@ object PromQL {
         // nested subquery: `fn_over_time( <computed-vector>[range:step] )`
         // — the argument is itself a function call, not a bare selector
         val nestedHead = peek.collect { case Ident(n2) => n2 }
+        // a parenthesized head is a computed-vector subquery too:
+        // `max_over_time((sum(rate(a)) / sum(rate(b)))[1h:5m])` — the
+        // binary-op inner needs the parens (as in Prometheus), and a
+        // plain selector never starts with one
         if (nestedHead.exists(n2 =>
-            RangeFns(n2) || AggOps(n2) || MathFns(n2) || LabelFns(n2))) {
+            RangeFns(n2) || AggOps(n2) || MathFns(n2) || LabelFns(n2)) ||
+            peek.contains(Sym("("))) {
           if (!OverTime(name) && !SpreadOverTime(name) &&
               name != "present_over_time" &&
               !(name == "quantile_over_time" && numArg.isDefined))
             fail(s"nested subqueries are only supported under the " +
               s"sum/avg/min/max/count/last/quantile/stddev/stdvar/" +
               s"present _over_time family, not $name")
-          val body = parseTerm()
+          // a parenthesized inner is a full expression (the binary-op
+          // forms); a bare function head parses as one term
+          val body =
+            if (peek.contains(Sym("("))) {
+              next(); val e = parseExpr(); expectSym(")"); e
+            } else parseTerm()
           expectSym("[")
           val rangeSec = next() match {
             case Num(s) => durationSec(s)
@@ -834,8 +844,13 @@ object PromQL {
       val byC = if (by.isEmpty) "" else by.mkString(" by (", ", ", ")")
       s"$name($lead${render(sel)}$at)$byC"
     case SubqueryFn(fn, body, rangeSec, stepSec, q, off) =>
+      // binary-op inners re-parse only parenthesized (as in Prometheus)
+      val b = body match {
+        case _: BinOp => s"(${render(body)})"
+        case _ => render(body)
+      }
       s"$fn(${q.map(renderNum(_) + ", ").getOrElse("")}" +
-        s"${render(body)}[${rangeSec}s:${stepSec}s]" +
+        s"$b[${rangeSec}s:${stepSec}s]" +
         s"${if (off != 0) s" offset ${off}s" else ""})"
     case ValueLabel(lbl, inner) =>
       // the inner rendering always leads with the conventional "value"
@@ -1566,6 +1581,17 @@ object PromQL {
       case _ => if (gr) groupingOf(r) else groupingOf(l)
     }
     case Agg("group", _, _, by, _: Selector, _) => Some(by)
+    // nested subqueries carry the inner vector's grouping: explicit on
+    // the trailing-by extension or an aggregated inner (a bare
+    // per-series inner derives the full label-key universe at compile
+    // time, which isn't static — callers needing a static schema, like
+    // the rule engine, get None and fail loudly)
+    case SubqueryFn(_, body, _, _, _, _) => body match {
+      case RangeFn(_, _, _, by, _) if by.nonEmpty => Some(by)
+      case Agg(_, _, _, by, _, Nil) => Some(by)
+      case BinOp(_, Agg(_, _, _, by, _, Nil), _, _, _, _) => Some(by)
+      case _ => None
+    }
     case LabelFn("sort_by_label" | "sort_by_label_desc", arg, _) =>
       groupingOf(arg)
     case MathFn(_, arg, _, _) => groupingOf(arg)
@@ -1579,6 +1605,9 @@ object PromQL {
     * wins (the `or` guard already proved a single global aggregation). */
   private[promql] def gridSpecOf(e: Expr): Option[(Long, Long)] = e match {
     case s: Selector => s.rangeSec.map(st => (st, s.offsetSec))
+    // a nested subquery's output grid is the [range:step] resolution,
+    // shifted by the construct's own offset (eval_ts = grid + offset)
+    case SubqueryFn(_, _, _, stepSec, _, sqOff) => Some((stepSec, sqOff))
     case Agg(_, _, _, _, body, _) => gridSpecOf(body)
     case RangeFn(_, _, sel, _, _) => gridSpecOf(sel)
     case LabelFn(_, inner, _) => gridSpecOf(inner)
@@ -1766,15 +1795,27 @@ object PromQL {
           // already by-resolved via resolveWithout, empty by is global
           case Agg(op, None, None, by,
               RangeFn(n, _, sel, Nil, _), Nil)
-              if Set("avg", "min", "max", "count")(op) &&
+              if Set("avg", "min", "max", "count",
+                "stddev", "stdvar")(op) &&
                 (n == "rate" || n == "increase") =>
             (t.slidingMomentIncreaseBy(sel.metric, sel.matchers,
               s0 - rangeSec, e0, by, stepSec, stepOf(sel, n),
               sel.offsetSec, rate = n == "rate"),
               by, op match {
                 case "avg" => "avg_v"; case "min" => "min_v"
-                case "max" => "max_v"; case _ => "n_series"
+                case "max" => "max_v"; case "stddev" => "stddev_v"
+                case "stdvar" => "stdvar_v"; case _ => "n_series"
               })
+          // cross-series quantile inner — the SLO family as a subquery:
+          // `quantile by (l)(0.9, rate(x[d]))[R:s]` (exact
+          // linear-interpolation Percentile over per-series rates)
+          case Agg("quantile", _, Some(qv), by,
+              RangeFn(n, _, sel, Nil, _), Nil)
+              if n == "rate" || n == "increase" =>
+            (t.slidingMomentIncreaseBy(sel.metric, sel.matchers,
+              s0 - rangeSec, e0, by, stepSec, stepOf(sel, n),
+              sel.offsetSec, rate = n == "rate", quantile = Some(qv)),
+              by, "q_v")
           // gauge smoothing inner: `max_over_time(avg_over_time(x[5m])
           // [1h:5m])` — the inner moments evaluate sliding on the
           // subquery grid (Tsdb.slidingOverTimeBy, the exact overTimeBy
@@ -1784,25 +1825,62 @@ object PromQL {
             (t.slidingOverTimeBy(sel.metric, sel.matchers, s0 - rangeSec,
               e0, ks, stepSec, stepOf(sel, n), sel.offsetSec),
               ks, gaugeVal(n))
+          // binary-op inner: `(sum by (l)(rate(a[d])) <op> sum by (l)
+          // (rate(b[d])))[R:s]` — the peak-error-ratio idiom
+          // `max_over_time((sum(rate(err[5m]))/sum(rate(req[5m])))
+          // [1h:5m])`. Both legs evaluate sliding on the shared
+          // subquery grid (one slidingIncreaseBy each), then a
+          // null-safe vector match per (labels, eval point); inner
+          // join semantics = Prometheus vector matching (a point
+          // exists only where both sides do)
+          case BinOp(op,
+              Agg("sum", None, None, byA, RangeFn(nA, _, selA, Nil, _),
+                Nil),
+              Agg("sum", None, None, byB, RangeFn(nB, _, selB, Nil, _),
+                Nil), Nil, false, false)
+              if ArithOps(op) && nA == nB &&
+                (nA == "rate" || nA == "increase") =>
+            require(byA.toSet == byB.toSet,
+              s"subquery vector-match sides must aggregate by the same " +
+              s"labels: $byA vs $byB")
+            val vc = if (nA == "rate") "rate_per_sec" else "increase"
+            def leg(sel: Selector, n2: String, out: String) =
+              t.slidingIncreaseBy(sel.metric, sel.matchers, s0 - rangeSec,
+                  e0, byA, stepSec, stepOf(sel, n2), sel.offsetSec)
+                .select((byA.map(col) :+ col("eval_ts") :+
+                  col(vc).as(out)): _*)
+            val joined = Tsdb.nullSafeEquiJoin(
+                leg(selA, nA, "__va"), leg(selB, nB, "__vb"),
+                byA :+ "eval_ts")
+              .withColumn("result", arith(op)(col("__va"), col("__vb")))
+              .drop("__va", "__vb")
+            (joined, byA, "result")
           case other => throw new IllegalArgumentException(
             "nested subqueries support rate/increase or *_over_time " +
             "inner vectors (optionally aggregated: `sum by (l) " +
-            "(rate(x[d]))` or the trailing-by extension), " +
+            "(rate(x[d]))` or the trailing-by extension, moments, " +
+            "quantile, or a two-sided sum-rate binary op), " +
             s"got: ${render(other)}")
         }
         // spread outers (stddev/stdvar_over_time) use the integer-micro
         // exactness scheme, which is lossless ONLY over 6-decimal
-        // quantized inner values: the counter family's round(…,6) rate,
-        // the 2-decimal delta-sum increase, and integer counts. Raw
-        // gauge moments (an unquantized avg_v division, raw sample
-        // min/max/last) would silently lose precision — fail fast.
+        // QUANTIZED inner values: the counter family's round(…,6) rate,
+        // the 2-decimal delta-sum increase/sum, integer counts, and the
+        // floor-r6 moment/quantile columns. Unquantized inners (a raw
+        // double avg_v division, raw gauge sample min/max/last) would
+        // silently lose precision — fail fast. The name-keyed set works
+        // because quantized and unquantized inners never share a value
+        // column name EXCEPT avg_v/min_v/max_v — those are quantized
+        // from the moment-aggregated COUNTER path (per-series rates are
+        // round(…,6)) for min/max but not avg, and never quantized from
+        // the gauge path, so both ambiguous families stay excluded.
         val spread = SpreadOverTime(fn)
-        if (spread && !Set("rate_per_sec", "increase", "n", "n_series")
-            .contains(valCol))
+        if (spread && !Set("rate_per_sec", "increase", "n", "n_series",
+            "stddev_v", "stdvar_v", "q_v").contains(valCol))
           throw new IllegalArgumentException(
             s"stddev/stdvar_over_time subquery outers support counter " +
-            s"(rate/increase, optionally aggregated) and count inners; " +
-            s"got inner value '$valCol'")
+            s"(rate/increase, optionally aggregated), count, quantile, " +
+            s"and spread inners; got inner value '$valCol'")
         val frame = Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
           s0, e0, stepSec, rangeSec, q, spread = spread)
         if (sqOff == 0L) frame

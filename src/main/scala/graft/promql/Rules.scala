@@ -92,13 +92,21 @@ object Rules {
     val ast = PromQL.resolveWithout(t, PromQL.parse(rule.expr))
     val by = grouping(ast, "a recording rule")
     val vCol = PromQL.valueColOf(ast)
-    val df = PromQL.query(t, rule.expr, start, end)
+    val df = onGrid(PromQL.query(t, rule.expr, start, end))
     df.select(
       lit(rule.name).as("metric"),
       labelMap(by, col, rule.staticLabels).as("labels"),
       col("bucket_start").cast("long").as("ts"),
       col(vCol).cast("double").as("value"))
   }
+
+  /** Normalize a compiled frame onto the rule grid column name: plain
+    * aggregations emit `bucket_start`, nested subqueries emit `eval_ts`
+    * (their own [range:step] resolution IS the rule's evaluation grid) —
+    * the islands/emit logic downstream reads one name. */
+  private def onGrid(df: DataFrame): DataFrame =
+    if (df.columns.contains("bucket_start")) df
+    else df.withColumnRenamed("eval_ts", "bucket_start")
 
   /** Evaluate an alerting rule over `[start, end]`. Output: one row per
     * ACTIVE (labelset, step) —
@@ -130,7 +138,8 @@ object Rules {
       PromQL.queryFromRollup(t, rule.expr, start, end, rollupStepSec))
 
   private def alertsImpl(
-      t: Tsdb, rule: AlertRule, df: DataFrame): DataFrame = {
+      t: Tsdb, rule: AlertRule, df0: DataFrame): DataFrame = {
+    val df = onGrid(df0)
     require(rule.forSec >= 0, s"for duration must be >= 0: ${rule.forSec}")
     // resolved like `record`: the islands window must partition by the
     // SAME labels the compiled frame carries, or a without-rule would

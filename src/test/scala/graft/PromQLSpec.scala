@@ -1899,11 +1899,11 @@ class PromQLSpec extends SparkSuite {
     // parse-render round trip on the canonical form
     assert(PromQL.parse(PromQL.render(PromQL.parse(canonical))) ==
       PromQL.parse(canonical))
-    // spread-aggregated inners stay fail-fast (stddev of per-series
-    // rates is not in the moment set — never silently mis-served)
+    // selection-aggregated inners stay fail-fast (topk of per-series
+    // rates is not a per-group scalar — never silently mis-served)
     val ex = intercept[IllegalArgumentException](
       PromQL.query(t,
-        "max_over_time(stddev by (cohort) (rate(click[3600]))" +
+        "max_over_time(topk by (cohort) (3, rate(click[3600]))" +
           "[21600:3600])",
         T0, T1))
     assert(ex.getMessage.contains("rate/increase"), ex.getMessage)
@@ -1956,8 +1956,155 @@ class PromQLSpec extends SparkSuite {
         "last_over_time(count(rate(click[3600]))[21600:3600])", T0, T1)
       .select("eval_ts", "last_v").collect()
     assert(gc.nonEmpty)
+    // spread + quantile inners over the same per-series rates: the
+    // engine's micro-scheme stddev/stdvar and exact Percentile q_v
+    // against plain-Scala recomputation over byGroup
+    val innerS = t.slidingMomentIncreaseBy("click", Seq.empty,
+        T0 - 21600, T1, Seq("cohort"), 3600L, 3600L,
+        quantile = Some(0.9))
+      .select("cohort", "eval_ts", "stddev_v", "stdvar_v", "q_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def r6f(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def pctl(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      val raw = if (lo == s.length - 1) s(lo)
+        else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    innerS.foreach { case (k, (sd, sv, qv)) =>
+      val vs = byGroup(k).map(_._4).toSeq
+      val ms = vs.map(v => math.round(v * 1e6))
+      val n = ms.length.toDouble
+      val meanM = ms.sum.toDouble / n
+      val stdvar = (ms.map(m => BigInt(m) * BigInt(m)).sum.toDouble / n -
+        meanM * meanM) / 1e12
+      assert(sv == r6f(stdvar), s"$k stdvar")
+      assert(sd == r6f(math.sqrt(stdvar)), s"$k stddev")
+      assert(qv == pctl(vs, 0.9), s"$k q_v")
+    }
+    // end-to-end: stddev inner under a max outer, and the quantile
+    // inner under an avg outer, both compile and populate the grid
+    val e2e = PromQL.query(t,
+        "max_over_time(stddev by (cohort) (rate(click[3600]))" +
+          "[21600:3600])", T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val expectS = (for {
+      tp <- gridStart.to(gridEnd, 3600)
+      (c, pts) <- innerS.toSeq.map { case ((c, e), v) => (c, e, v._1) }
+        .groupBy(_._1)
+      vs = pts.filter(p => p._2 >= tp - 21600 + 1 && p._2 <= tp).map(_._3)
+      if vs.nonEmpty
+    } yield (c, tp) -> vs.max).toMap
+    assert(e2e == expectS)
+    assert(PromQL.query(t,
+      "avg_over_time(quantile by (cohort) (0.9, rate(click[3600]))" +
+        "[21600:3600])", T0, T1).collect().nonEmpty)
     // parse-render round trip
     assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+  }
+
+  test("nested subquery binary-op inner: the peak-error-ratio idiom " +
+      "equals the manual join of the two sliding legs") {
+    val q = "max_over_time((sum by (cohort) (rate(click[3600])) / " +
+      "sum by (cohort) (rate(view[3600])))[21600:3600])"
+    val got = PromQL.query(t, q, T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty)
+    def leg(metric: String) = t.slidingIncreaseBy(metric, Seq.empty,
+        T0 - 21600, T1, Seq("cohort"), 3600L, 3600L)
+      .select("cohort", "eval_ts", "rate_per_sec")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val (a, b) = (leg("click"), leg("view"))
+    def r6h(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ratio = a.keySet.intersect(b.keySet).map { k =>
+      val d = b(k)
+      k -> r6h(if (d == 0.0) a(k) * Double.PositiveInfinity
+        else a(k) / d)
+    }.toMap
+    val gridStart = (T0 + 3599) / 3600 * 3600
+    val gridEnd = T1 / 3600 * 3600
+    val expect = (for {
+      tp <- gridStart.to(gridEnd, 3600)
+      (c, pts) <- ratio.toSeq.map { case ((c, e), v) => (c, e, v) }
+        .groupBy(_._1)
+      vs = pts.filter(p => p._2 >= tp - 21600 + 1 && p._2 <= tp).map(_._3)
+      if vs.nonEmpty
+    } yield (c, tp) -> vs.max).toMap
+    assert(got == expect,
+      s"${got.size} vs ${expect.size}; " +
+        s"diff=${(got.toSet diff expect.toSet).take(3)}")
+    // parse-render round trip keeps the parenthesized binary-op inner
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+    // mismatched by-lists across the two legs are rejected loudly
+    val ex = intercept[IllegalArgumentException](
+      PromQL.query(t,
+        "max_over_time((sum by (cohort) (rate(click[3600])) / " +
+          "sum by (user_id) (rate(view[3600])))[21600:3600])", T0, T1))
+    assert(ex.getMessage.contains("same labels"), ex.getMessage)
+  }
+
+  test("rules over nested subqueries: the [range:step] resolution is the " +
+      "rule grid; islands escalate per inner labelset; record round-trips") {
+    import graft.promql.Rules
+    val expr = "max_over_time(rate(click[3600]) by (cohort) " +
+      "[21600:3600]) > 0.004"
+    val out = Rules.alerts(t,
+        Rules.AlertRule("peak", expr, forSec = 7200L), T0, T1)
+      .select("cohort", "bucket_start", "value", "state").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+    assert(out.nonEmpty)
+    // ground truth: the compiled subquery frame thresholded, then the
+    // gaps-and-islands escalation recomputed in plain Scala
+    val active = PromQL.query(t, expr, T0, T1)
+      .select("cohort", "eval_ts", "max_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expect = active.groupBy(_._1).toSeq.flatMap { case (c, pts) =>
+      var since = -1L; var prev = -1L
+      pts.sortBy(_._2).map { case (_, ts, v) =>
+        if (prev < 0 || ts - prev != 3600) since = ts
+        prev = ts
+        (c, ts, v, if (ts - since >= 7200) "firing" else "pending")
+      }
+    }.toSet
+    assert(out.toSet == expect,
+      s"${out.size} vs ${expect.size}; " +
+        s"diff=${(out.toSet diff expect).take(3)}")
+    // the threshold sits inside the value range: both states occur
+    assert(out.exists(_._4 == "firing") && out.exists(_._4 == "pending"))
+    // recording a subquery round-trips through the sample schema
+    val sq = "max_over_time(avg by (cohort) (rate(click[3600]))" +
+      "[21600:3600])"
+    val rec = Rules.record(t,
+      Rules.RecordingRule("cohort:click:peak6h", sq), T0, T1)
+    val back = Tsdb.attach(spark, rec)
+      .queryRange("cohort:click:peak6h", Seq.empty, T0, T1)
+      .select(col("labels").getItem("cohort").as("cohort"), col("ts"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val direct = PromQL.query(t, sq, T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(back == direct)
+    // a bare per-series subquery inner has no static label schema — the
+    // rule layer rejects it loudly instead of guessing
+    val e = intercept[IllegalArgumentException](Rules.alerts(t,
+      Rules.AlertRule("r",
+        "max_over_time(rate(click[3600])[21600:3600]) > 0.004", 0L),
+      T0, T1))
+    assert(e.getMessage.contains("aggregated vector"))
   }
 
   test("nested subquery spread/present outers: stddev/stdvar_over_time " +
