@@ -733,6 +733,70 @@ object OracleSql {
   // domain cap: top-8 docs per source by quality (same quality CTE as
   // text_quality), rank = row_number over (quality DESC, doc_id) — the
   // bounded aggregator's documented window equivalence
+  /** PII redaction mirror: the identical doc_id-derived augmentation
+    * (one doc in three gains an email/IPv4/SSN/phone), then the same
+    * pattern chain via RE2 — counts per pattern on the original text,
+    * replacements folded in [[graft.operators.TextAnalysis.PiiPatterns]]
+    * order with the 'g' flag (Spark's regexp_replace is global by
+    * default; DuckDB's is first-match without it). */
+  private val pipelineRedactPii: String = {
+    val pats = graft.operators.TextAnalysis.PiiPatterns
+    def sq(s: String) = s.replace("'", "''")
+    val counts = pats.map { case (n, p, _) =>
+      s"len(regexp_extract_all(text, '${sq(p)}')) AS n_$n"
+    }.mkString(",\n       ")
+    val repl = pats.foldLeft("text") { case (acc, (_, p, tok)) =>
+      s"regexp_replace($acc, '${sq(p)}', '$tok', 'g')"
+    }
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         text || CASE WHEN doc_id % 3 = 0 THEN
+       |           ' contact u' || CAST(doc_id AS VARCHAR) ||
+       |           '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+       |           '.example.com' ||
+       |           ' from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+       |           '.' || CAST(doc_id % 250 AS VARCHAR) ||
+       |           '.' || CAST(doc_id % 97 AS VARCHAR) ||
+       |           ' ssn ' ||
+       |           lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') ||
+       |           '-' || lpad(CAST(doc_id * 3 % 100 AS VARCHAR), 2, '0') ||
+       |           '-' || lpad(CAST(doc_id * 11 % 10000 AS VARCHAR), 4, '0') ||
+       |           ' call +1-555-' ||
+       |           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+       |           '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+       |           ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |       $counts,
+       |       $repl AS clean_text
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
+
+  /** Chunking mirror: identical tokenization (regexp_split_to_array on
+    * trimmed text), identical chunk-count formula, DuckDB 1-based
+    * inclusive list slice ≡ Spark's slice(arr, start, length). */
+  private val pipelineChunks: String = {
+    val cw = 24; val st = 16 // chunkWords / stride (overlap 8)
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents WHERE trim(text) <> ''),
+       |c AS (
+       |  SELECT doc_id, ws, len(ws) AS n,
+       |         CASE WHEN len(ws) <= $cw THEN 1
+       |              ELSE 1 + CAST(ceil((len(ws) - $cw)
+       |                / CAST($st AS DOUBLE)) AS BIGINT) END AS nch
+       |  FROM w),
+       |x AS (
+       |  SELECT doc_id, n, ws, unnest(range(nch)) AS chunk_idx FROM c)
+       |SELECT doc_id, chunk_idx,
+       |       chunk_idx * $st AS word_offset,
+       |       least($cw, n - chunk_idx * $st) AS chunk_words,
+       |       array_to_string(
+       |         ws[chunk_idx * $st + 1 : chunk_idx * $st + $cw], ' ')
+       |         AS chunk_text
+       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   private val pipelineDomainCap: String = {
     s"""WITH t AS (
        |  ${qualityCountsCte("source")}),
@@ -3447,5 +3511,7 @@ object OracleSql {
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "pipeline_clean_capped" -> pipelineCleanCorpusCapped,
     "pipeline_keep_best" -> pipelineKeepBest,
-    "pipeline_domain_cap" -> pipelineDomainCap)
+    "pipeline_domain_cap" -> pipelineDomainCap,
+    "pipeline_redact_pii" -> pipelineRedactPii,
+    "pipeline_chunks" -> pipelineChunks)
 }

@@ -2610,6 +2610,43 @@ object SparkEntry {
     * aggregator (O(domains × k) shuffle — no per-domain window sort of
     * the full corpus), deterministic tiebreak by doc_id.
     */
+  /** PII redaction ([[graft.operators.TextAnalysis.redactPii]]): the
+    * synthetic corpus is digit-free, so the query deterministically
+    * AUGMENTS one doc in three with doc_id-derived PII (an email, an
+    * IPv4, an SSN, a phone number — identical string expressions on
+    * both engines) before redacting; the hash compare then proves the
+    * regex replacement chain and per-category counts byte-for-byte.
+    * Map-side codegen'd regex only — no shuffle at any corpus size. */
+  private def qPipelineRedactPii(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def padMul(m: Int, mod: Int, w: Int) =
+      lpad(pmod(id * m, lit(mod)).cast("string"), w, "0")
+    val pii = concat(
+      lit(" contact u"), id.cast("string"),
+      lit("@mail"), pmod(id, lit(7)).cast("string"), lit(".example.com"),
+      lit(" from 10."), pmod(id, lit(200)).cast("string"),
+      lit("."), pmod(id, lit(250)).cast("string"),
+      lit("."), pmod(id, lit(97)).cast("string"),
+      lit(" ssn "), padMul(7, 1000, 3), lit("-"), padMul(3, 100, 2),
+      lit("-"), padMul(11, 10000, 4),
+      lit(" call +1-555-"), padMul(1, 1000, 3), lit("-"),
+      padMul(13, 10000, 4))
+    val aug = Tables.documents(s, dir).select(id,
+      concat(col("text"),
+        when(pmod(id, lit(3)) === 0, pii).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.redactPii(aug, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Document chunking ([[graft.operators.TextAnalysis.chunkDocuments]]):
+    * 24-word windows, 8-word overlap (stride 16) — the RAG/pretraining
+    * splitter; median 56-word docs yield ~3 overlapping chunks each.
+    */
+  private def qPipelineChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id",
+        "text", chunkWords = 24, overlapWords = 8)
+      .orderBy("doc_id", "chunk_idx")
+
   private def qPipelineDomainCap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // empty/whitespace-only docs score NULL (0/0 division) — drop them
@@ -2842,7 +2879,9 @@ object SparkEntry {
     "pipeline_clean_corpus" -> (qPipelineCleanCorpus _),
     "pipeline_clean_capped" -> (qPipelineCleanCapped _),
     "pipeline_keep_best" -> (qPipelineKeepBest _),
-    "pipeline_domain_cap" -> (qPipelineDomainCap _))
+    "pipeline_domain_cap" -> (qPipelineDomainCap _),
+    "pipeline_redact_pii" -> (qPipelineRedactPii _),
+    "pipeline_chunks" -> (qPipelineChunks _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted: `ann_topk_lsh` (approximate by design).

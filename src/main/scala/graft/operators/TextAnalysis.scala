@@ -174,6 +174,79 @@ object TextAnalysis {
       dupFrac(grams(3)).as("dup_3gram_frac"))
   }
 
+  /** PII redaction patterns, applied IN THIS ORDER (emails first so an
+    * address's dotted host can't be half-eaten by the IP rule). Each
+    * pattern is written in the common subset of Java regex (Spark) and
+    * RE2 (DuckDB oracles): character classes, bounded repetition, `\b`,
+    * non-capturing groups — no lookaround, no backreferences. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}", "<PHONE>"))
+
+  /** PII redaction — the corpus-cleaning stage every production training
+    * pipeline runs before anything else: emails, IPv4 addresses, SSNs,
+    * and international-format phone numbers are replaced with typed
+    * placeholder tokens, and per-category match counts are emitted for
+    * the scrub report. Counts are measured on the ORIGINAL text per
+    * pattern independently; replacements fold in [[PiiPatterns]] order.
+    * Pure map-side codegen'd regex expressions (`regexp_count` /
+    * `regexp_replace`) — no shuffle, no UDFs, linear at any corpus size.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = PiiPatterns.foldLeft(t) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    docs.select(
+      (col(idCol).as("doc_id") +:
+        PiiPatterns.map { case (name, pat, _) =>
+          regexp_count(t, lit(pat)).as(s"n_$name")
+        }) :+ redacted.as("clean_text"): _*)
+  }
+
+  /** Overlapping-window document chunking — the RAG / long-context
+    * pretraining splitter: fixed `chunkWords`-word windows advancing by
+    * `chunkWords - overlapWords`, each chunk carrying its index, word
+    * offset, and actual length (the last window may be short; a window
+    * always starts inside the document, so every word lands in ≥ 1
+    * chunk and consecutive chunks share exactly `overlapWords` words).
+    * One tokenize + one `posexplode` — map-side, no shuffle, output
+    * rows ≈ corpus words / stride: linear at any corpus size.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int,
+      overlapWords: Int): DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 &&
+      overlapWords < chunkWords,
+      s"need 0 <= overlapWords < chunkWords: $overlapWords / $chunkWords")
+    val stride = chunkWords - overlapWords
+    val d = docs.where(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("nch",
+        when(col("n") <= chunkWords, lit(1L))
+          .otherwise(lit(1L) +
+            ceil((col("n") - chunkWords).cast("double") / stride)
+              .cast("long")))
+    d.select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0L), col("nch") - 1),
+          i => concat_ws(" ",
+            slice(col("ws"), (i * stride + 1).cast("int"),
+              lit(chunkWords))))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("pos").cast("long") * stride).as("word_offset"),
+        least(lit(chunkWords.toLong),
+          col("n") - col("pos").cast("long") * stride).as("chunk_words"),
+        col("col").as("chunk_text"))
+  }
+
   /** Quantile quality gate: drop the lowest `dropFrac` of documents per
     * language by composite quality score (the relative-threshold filter a
     * mixture pipeline applies per subcorpus, rather than one absolute

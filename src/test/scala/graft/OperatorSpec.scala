@@ -676,6 +676,61 @@ class OperatorSpec extends SparkSuite {
     assert(got(3L) == ((0.0, 0.0, 0.0)))
   }
 
+  test("PII redaction: typed placeholders, per-category counts, no-op " +
+      "on clean text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org or bob@ex.co thanks"),
+      (2L, "server 192.168.0.1 and 10.20.30.40 are up"),
+      (3L, "ssn 123-45-6789 phone +1-555-123-4567"),
+      (4L, "perfectly clean text with no pii at all"),
+      (5L, "mixed a@b.io 8.8.8.8 987-65-4321 +44-201-555-0199 end")
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.redactPii(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getString(5)))).toMap
+    assert(got(1L) == ((2, 0, 0, 0,
+      "mail me at <EMAIL> or <EMAIL> thanks")), got(1L).toString)
+    assert(got(2L) == ((0, 2, 0, 0,
+      "server <IP> and <IP> are up")), got(2L).toString)
+    assert(got(3L) == ((0, 0, 1, 1,
+      "ssn <SSN> phone <PHONE>")), got(3L).toString)
+    assert(got(4L) == ((0, 0, 0, 0,
+      "perfectly clean text with no pii at all")))
+    assert(got(5L) == ((1, 1, 1, 1,
+      "mixed <EMAIL> <IP> <SSN> <PHONE> end")), got(5L).toString)
+  }
+
+  test("document chunking: full coverage, exact overlap, short docs " +
+      "single-chunk, blank docs dropped") {
+    import spark.implicits._
+    val words40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words40),                  // 40 words: chunks at 0/16/32
+      (2L, "a b c"),                  // short: one 3-word chunk
+      (3L, "   ")                     // blank: dropped
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis
+      .chunkDocuments(d, "doc_id", "text", chunkWords = 24,
+        overlapWords = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(!got.exists(_._1 == 3L))
+    // 40 words, stride 16: nch = 1 + ceil((40-24)/16) = 2 — the second
+    // window [17..40] already reaches the document end
+    val one = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(one.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 24L), (1L, 16L, 24L)))
+    // exact overlap: chunk 0's last 8 words == chunk 1's first 8
+    val texts = one.map(_._5.split(" ").toSeq)
+    assert(texts(0).takeRight(8) == texts(1).take(8))
+    // full coverage in order
+    assert((texts(0) ++ texts(1).drop(8)) == (1 to 40).map(i => s"w$i"))
+    assert(got.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 0L, 3L, "a b c")))
+  }
+
   test("quality filter drops the bottom quantile per language") {
     val out = operators.TextAnalysis.qualityFilter(docs, "doc_id", "text", "lang", 0.2)
     val total = docs.count()
