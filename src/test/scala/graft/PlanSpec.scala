@@ -509,4 +509,47 @@ class PlanSpec extends SparkSuite {
       "positive control: repartition() no longer renders as RoundRobin — " +
       "update the gate's needle")
   }
+
+  test("subquery plans: label-grain exchanges only, no cartesian, " +
+      "spread adds no extra shuffle") {
+    // moment-aggregated inner: lag window (sid) + per-(sid, eval) agg +
+    // cross-series moment agg + outer over_time agg — all label/sid
+    // grain, bounded count, never a cartesian or corpus broadcast
+    val moment = planOf(
+      SparkEntry.queries("tsdb_promql_subquery_moment")(spark, sf0001))
+    assert(!moment.contains("CartesianProduct") &&
+      !moment.contains("BroadcastNestedLoopJoin"), moment.take(3000))
+    val momentEx = "Exchange hashpartitioning".r.findAllIn(moment).length
+    assert(momentEx <= 4, s"$momentEx hash exchanges\n${moment.take(3000)}")
+    // spread outer reuses the same plan shape as the plain outer — the
+    // micro moments ride the existing aggregation, no extra exchange
+    val spread = planOf(
+      SparkEntry.queries("tsdb_promql_subquery_spread")(spark, sf0001))
+    val plain = planOf(
+      SparkEntry.queries("tsdb_promql_subquery_rate")(spark, sf0001))
+    val exOf = (p: String) =>
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exOf(spread) == exOf(plain),
+      s"spread ${exOf(spread)} vs plain ${exOf(plain)} exchanges")
+    // ratio inner: two sliding legs + a group-sized equi-join — hash
+    // join on the label grain, never nested-loop
+    val ratio = planOf(
+      SparkEntry.queries("tsdb_promql_subquery_ratio")(spark, sf0001))
+    assert(!ratio.contains("CartesianProduct") &&
+      !ratio.contains("BroadcastNestedLoopJoin"), ratio.take(3000))
+  }
+
+  test("pii redaction and chunking are shuffle-free map-side plans") {
+    // redaction: scan -> project (regexp exprs) — zero exchanges before
+    // the presentation sort
+    val pii = planOf(
+      SparkEntry.queries("pipeline_redact_pii")(spark, sf0001))
+    assert(!pii.contains("Exchange hashpartitioning"), pii.take(3000))
+    assert(!pii.toLowerCase.contains("scalaudf"), pii.take(3000))
+    // chunking: scan -> project -> generate (posexplode) — no
+    // aggregation, no join, zero hash exchanges
+    val ch = planOf(SparkEntry.queries("pipeline_chunks")(spark, sf0001))
+    assert(!ch.contains("Exchange hashpartitioning"), ch.take(3000))
+    assert(ch.contains("Generate"), ch.take(3000))
+  }
 }

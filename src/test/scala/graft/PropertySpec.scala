@@ -209,7 +209,7 @@ class PropertySpec extends SparkSuite {
           case 2 => Some(AtTime(1704412800L + rnd.nextInt(100000)))
           case _ => None
         })
-    def randExpr(): Expr = rnd.nextInt(16) match {
+    def randExpr(): Expr = rnd.nextInt(17) match {
       case 0 => randSelector(rnd.nextBoolean())
       case 1 =>
         val op = Seq("sum", "avg", "min", "max", "count", "stddev",
@@ -292,6 +292,37 @@ class PropertySpec extends SparkSuite {
           case _ => MathFn("holt_winters", randSelector(true),
             Some(0.5), Some(0.3))
         }
+      case 16 => // nested subqueries: every supported outer × inner combo
+        def innerSel() =
+          randSelector(true).copy(stepSec = None, atSpec = None)
+        val inner: Expr = rnd.nextInt(5) match {
+          case 0 => RangeFn(Seq("rate", "increase")(rnd.nextInt(2)), None,
+            innerSel(),
+            if (rnd.nextBoolean()) Seq("cohort") else Seq.empty)
+          case 1 => Agg(Seq("sum", "avg", "min", "max", "count", "stddev",
+            "stdvar")(rnd.nextInt(7)), None, None,
+            if (rnd.nextBoolean()) Seq("cohort") else Seq.empty,
+            RangeFn("rate", None, innerSel(), Seq.empty))
+          case 2 => Agg("quantile", None, Some(0.9), Seq("cohort"),
+            RangeFn("rate", None, innerSel(), Seq.empty))
+          case 3 => BinOp(Seq("/", "*", "+", "-")(rnd.nextInt(4)),
+            Agg("sum", None, None, Seq("cohort"),
+              RangeFn("rate", None, innerSel(), Seq.empty)),
+            Agg("sum", None, None, Seq("cohort"),
+              RangeFn("rate", None, innerSel(), Seq.empty)))
+          case _ => RangeFn(Seq("avg_over_time", "max_over_time",
+            "last_over_time")(rnd.nextInt(3)), None, innerSel(),
+            Seq("cohort"))
+        }
+        if (rnd.nextInt(4) == 0)
+          SubqueryFn("quantile_over_time", inner, 21600L, 3600L,
+            Some(0.9), if (rnd.nextBoolean()) 0L else 86400L)
+        else
+          SubqueryFn(Seq("max_over_time", "avg_over_time", "min_over_time",
+            "sum_over_time", "count_over_time", "last_over_time",
+            "stddev_over_time", "stdvar_over_time", "present_over_time")(
+            rnd.nextInt(9)), inner, 21600L, 3600L, None,
+            if (rnd.nextBoolean()) 0L else 86400L)
     }
     for (i <- 0 until 500) {
       val ast = randExpr()
