@@ -2296,6 +2296,50 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Top-k-inner subquery mirror — `count_over_time(topk(3, sum by
+    * (cohort)(rate(click[1h])))[6h:1h])`: the cohort-grain sliding-rate
+    * CTE, ranked per eval point (value DESC, cohort ASC — the engine's
+    * pinned tie order), top 3 kept, outer count per cohort. */
+  private val tsdbPromqlSubqueryTopk = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY ets
+       |    ORDER BY rate DESC, cohort ASC NULLS FIRST) AS r
+       |  FROM ie)
+       |SELECT cohort, t.t AS eval_ts, count(*) AS n
+       |FROM rk JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON rk.ets BETWEEN t.t - $or + 1 AND t.t
+       |WHERE r <= 3
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Subquery alert mirror — `max_over_time(rate(click[1h]) by (cohort)
     * [6h:1h]) > 0.004` held for 2h: the subquery_rate CTE chain with a
     * HAVING threshold, then the gaps-and-islands `for` escalation on
@@ -3396,6 +3440,7 @@ object OracleSql {
     "tsdb_promql_subquery_sprinner" -> tsdbPromqlSubquerySprinner,
     "tsdb_promql_subquery_qinner" -> tsdbPromqlSubqueryQinner,
     "tsdb_promql_subquery_ratio" -> tsdbPromqlSubqueryRatio,
+    "tsdb_promql_subquery_topk" -> tsdbPromqlSubqueryTopk,
     "tsdb_promql_subquery_offset" -> tsdbPromqlSubqueryOffset,
     "tsdb_promql_subquery_gauge" -> tsdbPromqlSubqueryGauge,
     "tsdb_promql_delta" -> tsdbPromqlDelta,

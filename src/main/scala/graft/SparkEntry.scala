@@ -596,6 +596,21 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("max_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Selection-aggregated subquery inner — "time spent in the top k":
+    * `count_over_time(topk(3, sum by (cohort)(rate(click[1h])))
+    * [6h:1h])` counts, per cohort, the hourly eval points in the last
+    * 6h where it ranked among the top-3 click rates (ties pinned by
+    * label order, deterministic on both engines).
+    */
+  private def qTsdbPromqlSubqueryTopk(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "count_over_time(topk(3, sum by (cohort) (rate(click[3600])))" +
+        "[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("n"))
+      .orderBy("cohort", "eval_ts")
+
   /** Alerting on a nested subquery — the "sustained peak rate" rule
     * (`max_over_time(rate(x[1h])[6h:1h]) > T for 2h`): the compiled
     * subquery frame's [range:step] resolution IS the rule's evaluation
@@ -2757,6 +2772,7 @@ object SparkEntry {
     "tsdb_promql_subquery_sprinner" -> (qTsdbPromqlSubquerySprinner _),
     "tsdb_promql_subquery_qinner" -> (qTsdbPromqlSubqueryQinner _),
     "tsdb_promql_subquery_ratio" -> (qTsdbPromqlSubqueryRatio _),
+    "tsdb_promql_subquery_topk" -> (qTsdbPromqlSubqueryTopk _),
     "tsdb_promql_delta" -> (qTsdbPromqlDelta _),
     "tsdb_promql_scalar" -> (qTsdbPromqlScalar _),
     "tsdb_promql_scalar_alone" -> (qTsdbPromqlScalarAlone _),

@@ -1588,6 +1588,10 @@ object PromQL {
     // the rule engine, get None and fail loudly)
     case SubqueryFn(_, body, _, _, _, _) => body match {
       case RangeFn(_, _, _, by, _) if by.nonEmpty => Some(by)
+      // topk/bottomk inners keep the INNER aggregation's grain (the
+      // selection filters rows, it doesn't regroup them)
+      case Agg("topk" | "bottomk", _, _, _, Agg(_, _, _, by, _, Nil),
+          Nil) => Some(by)
       case Agg(_, _, _, by, _, Nil) => Some(by)
       case BinOp(_, Agg(_, _, _, by, _, Nil), _, _, _, _) => Some(by)
       case _ => None
@@ -1825,6 +1829,37 @@ object PromQL {
             (t.slidingOverTimeBy(sel.metric, sel.matchers, s0 - rangeSec,
               e0, ks, stepSec, stepOf(sel, n), sel.offsetSec),
               ks, gaugeVal(n))
+          // selection-aggregated inner: `topk(k, sum by (l)(rate(x[d])))
+          // [R:s]` — "time spent in the top k": at each subquery eval
+          // point the k highest(/lowest)-valued groups survive, so
+          // `count_over_time` over it reads "eval points spent in the
+          // top k" and `max_over_time` the peak while there. One
+          // row_number window at (topk-by, eval point) grain over the
+          // sliding frame — group-sized, never sample-sized. Prometheus
+          // leaves ties unspecified; this engine pins (value, labels)
+          // ordering so results are deterministic and oracle-exact.
+          case Agg(op2, Some(k), None, byTop,
+              Agg("sum", None, None, by, RangeFn(n, _, sel, Nil, _), Nil),
+              Nil)
+              if (op2 == "topk" || op2 == "bottomk") &&
+                (n == "rate" || n == "increase") =>
+            require(byTop.forall(by.contains),
+              s"topk/bottomk by-labels must be a subset of the inner " +
+              s"grouping: $byTop vs $by")
+            val vc = if (n == "rate") "rate_per_sec" else "increase"
+            val frame = t.slidingIncreaseBy(sel.metric, sel.matchers,
+              s0 - rangeSec, e0, by, stepSec, stepOf(sel, n),
+              sel.offsetSec)
+            val ord =
+              if (op2 == "topk") col(vc).desc else col(vc).asc
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy((byTop :+ "eval_ts").map(col): _*)
+              .orderBy(ord +: by.map(l => col(l).asc_nulls_first): _*)
+            (frame
+              .withColumn("__rk",
+                org.apache.spark.sql.functions.row_number().over(w))
+              .where(col("__rk") <= k).drop("__rk"),
+              by, vc)
           // binary-op inner: `(sum by (l)(rate(a[d])) <op> sum by (l)
           // (rate(b[d])))[R:s]` — the peak-error-ratio idiom
           // `max_over_time((sum(rate(err[5m]))/sum(rate(req[5m])))

@@ -2053,6 +2053,52 @@ class PromQLSpec extends SparkSuite {
     assert(ex.getMessage.contains("same labels"), ex.getMessage)
   }
 
+  test("nested subquery topk inner: time-in-top-k equals the manual " +
+      "ranked recomputation with pinned tie order") {
+    val q = "count_over_time(topk(3, sum by (cohort) " +
+      "(rate(click[3600])))[21600:3600])"
+    val got = PromQL.query(t, q, T0, T1)
+      .select("cohort", "eval_ts", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.nonEmpty)
+    val inner = t.slidingIncreaseBy("click", Seq.empty, T0 - 21600, T1,
+        Seq("cohort"), 3600L, 3600L)
+      .select("cohort", "eval_ts", "rate_per_sec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // rank per eval point: value DESC then cohort ASC (the pinned tie
+    // order), keep top 3
+    val surviving = inner.groupBy(_._2).toSeq.flatMap { case (_, pts) =>
+      pts.sortBy(p => (-p._3, p._1)).take(3)
+    }
+    val gridStart = (T0 + 3599) / 3600 * 3600
+    val gridEnd = T1 / 3600 * 3600
+    val expect = (for {
+      tp <- gridStart.to(gridEnd, 3600)
+      (c, pts) <- surviving.groupBy(_._1)
+      hits = pts.count(p => p._2 >= tp - 21600 + 1 && p._2 <= tp)
+      if hits > 0
+    } yield (c, tp) -> hits.toLong).toMap
+    assert(got == expect,
+      s"${got.size} vs ${expect.size}; " +
+        s"diff=${(got.toSet diff expect.toSet).take(3)}")
+    // the top-3 count can never exceed the window's eval-point count
+    assert(got.values.max <= 6)
+    // bottomk compiles and selects the complementary tail
+    val bot = PromQL.query(t,
+        "count_over_time(bottomk(3, sum by (cohort) " +
+          "(rate(click[3600])))[21600:3600])", T0, T1)
+      .select("cohort", "eval_ts", "n").collect()
+    assert(bot.nonEmpty)
+    // topk by-labels must be a subset of the inner grouping
+    val ex = intercept[IllegalArgumentException](
+      PromQL.query(t,
+        "count_over_time(topk by (user_id) (3, sum by (cohort) " +
+          "(rate(click[3600])))[21600:3600])", T0, T1))
+    assert(ex.getMessage.contains("subset"), ex.getMessage)
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q))) == PromQL.parse(q))
+  }
+
   test("rules over nested subqueries: the [range:step] resolution is the " +
       "rule grid; islands escalate per inner labelset; record round-trips") {
     import graft.promql.Rules

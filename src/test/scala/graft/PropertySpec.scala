@@ -295,7 +295,7 @@ class PropertySpec extends SparkSuite {
       case 16 => // nested subqueries: every supported outer × inner combo
         def innerSel() =
           randSelector(true).copy(stepSec = None, atSpec = None)
-        val inner: Expr = rnd.nextInt(5) match {
+        val inner: Expr = rnd.nextInt(6) match {
           case 0 => RangeFn(Seq("rate", "increase")(rnd.nextInt(2)), None,
             innerSel(),
             if (rnd.nextBoolean()) Seq("cohort") else Seq.empty)
@@ -308,6 +308,10 @@ class PropertySpec extends SparkSuite {
           case 3 => BinOp(Seq("/", "*", "+", "-")(rnd.nextInt(4)),
             Agg("sum", None, None, Seq("cohort"),
               RangeFn("rate", None, innerSel(), Seq.empty)),
+            Agg("sum", None, None, Seq("cohort"),
+              RangeFn("rate", None, innerSel(), Seq.empty)))
+          case 4 => Agg(Seq("topk", "bottomk")(rnd.nextInt(2)),
+            Some(1L + rnd.nextInt(5).toLong), None, Seq.empty,
             Agg("sum", None, None, Seq("cohort"),
               RangeFn("rate", None, innerSel(), Seq.empty)))
           case _ => RangeFn(Seq("avg_over_time", "max_over_time",
