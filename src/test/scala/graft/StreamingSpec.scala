@@ -896,6 +896,16 @@ class StreamingSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](RecordStream.compiled(src,
       Rules.RecordingRule("r:x", "rate(click[3600])"), "10 minutes"))
     assert(e.getMessage.contains("canonical moment shape"))
+    // nested-subquery rules are batch-only (Rules.alerts/record serve
+    // them; live evaluation would need windows-over-windows state) —
+    // the streaming twin rejects them loudly, never misserves
+    val e2 = intercept[IllegalArgumentException](
+      graft.streaming.AlertStream.alerts(src,
+        Rules.AlertRule("peak",
+          "max_over_time(rate(click[3600]) by (cohort) " +
+            "[21600:3600]) > 0.004", 0L), "10 minutes"))
+    assert(e2.getMessage.contains("streaming alerts support"),
+      e2.getMessage)
   }
 
   test("streaming RATIO recording rule equals the batch rule on a " +
