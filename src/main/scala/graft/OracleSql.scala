@@ -797,6 +797,50 @@ object OracleSql {
        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** DSIR importance-weight mirror — identical hashed unigram+bigram
+    * cells (md5-u32 % 1024, the sampling-mirror u32), Laplace-smoothed
+    * log-ratio factors quantized to integer micro-nats through the
+    * tie-free floor form, exact BIGINT per-doc sums. Target = lang 'en'.
+    */
+  private val pipelineDsir: String = {
+    val b = 1024
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |         unnest(ws || [ws[i] || ' ' || ws[i+1]
+       |                       for i in range(1, len(ws))]) AS gram
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, lang,
+       |         CAST(list_reduce(list_transform(range(1, 9),
+       |             i -> strpos('0123456789abcdef',
+       |                         substring(md5('dsir' || gram), i, 1)) - 1),
+       |           (a, x) -> a * 16 + x) AS BIGINT) % $b AS b
+       |  FROM g),
+       |rc AS (SELECT b, count(*) AS ct_r FROM c GROUP BY 1),
+       |tc AS (SELECT b, count(*) AS ct_t FROM c WHERE lang = 'en'
+       |       GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(ct_r) FROM rc) AS tot_r,
+       |               (SELECT sum(ct_t) FROM tc) AS tot_t),
+       |f AS (
+       |  SELECT rc.b,
+       |         CAST(floor(ln(
+       |             ((coalesce(tc.ct_t, 0) + 1.0)
+       |                * CAST(tot.tot_r + $b AS DOUBLE)) /
+       |             ((rc.ct_r + 1.0)
+       |                * CAST(tot.tot_t + $b AS DOUBLE))) * 1e6 + 0.5)
+       |           AS BIGINT) AS lr_micro
+       |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_grams,
+       |       CAST(sum(lr_micro) AS BIGINT) AS weight_micro,
+       |       CAST(sum(lr_micro) AS BIGINT) / 1e6 AS weight
+       |FROM c JOIN f USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private val pipelineDomainCap: String = {
     s"""WITH t AS (
        |  ${qualityCountsCte("source")}),
@@ -2832,6 +2876,26 @@ object OracleSql {
        |WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** mad_over_time mirror — median of absolute deviations from the
+    * per-(cohort, bucket) median, both exact quantile_cont; the tie-free
+    * floor-round matches Tsdb.madBy's final quantization byte-for-byte.
+    */
+  private val tsdbPromqlMad =
+    s"""WITH t AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start, value
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1),
+       |m AS (
+       |  SELECT cohort, bucket_start, value,
+       |         quantile_cont(value, 0.5)
+       |           OVER (PARTITION BY cohort, bucket_start) AS med
+       |  FROM t)
+       |SELECT cohort, bucket_start, count(*) AS n,
+       |       floor(quantile_cont(abs(value - med), 0.5) * 1e6 + 0.5) / 1e6
+       |         AS mad_v
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Training-shard mirror: the naive global prefix sum the distributed
     * two-level scan replaces, grouped into 64-sequence shards.
     */
@@ -3025,6 +3089,33 @@ object OracleSql {
        |  FROM documents)
        |SELECT u.doc_id, u.lang, u.source
        |FROM u JOIN r USING (lang)
+       |WHERE u32 < CAST(FLOOR(rate * 4294967296) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Token-budget mixture mirror — temperatureMix's rate formula over
+    * per-source TOKEN totals (ws token counts), 12k-token budget at
+    * alpha 0.5, same u32 filter (salt 'tb').
+    */
+  private val mixTokenBudget =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+       |           AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS n
+       |  FROM t GROUP BY 1),
+       |d AS (SELECT SUM(pow(n, 0.5)) AS denom FROM c),
+       |r AS (
+       |  SELECT source,
+       |         ROUND(LEAST(1.0, 12000 * pow(n, 0.5) / denom / n), 6)
+       |           AS rate
+       |  FROM c, d),
+       |u AS (
+       |  SELECT doc_id, source, n_tokens, ${mdU32("tb")} AS u32
+       |  FROM t)
+       |SELECT u.doc_id, u.source, u.n_tokens
+       |FROM u JOIN r USING (source)
        |WHERE u32 < CAST(FLOOR(rate * 4294967296) AS BIGINT)
        |ORDER BY doc_id""".stripMargin
 
@@ -3355,6 +3446,50 @@ object OracleSql {
        |FROM r WHERE rk <= 3
        |ORDER BY bucket_start, rk""".stripMargin
 
+  /** The group-hash u32 of the 3.x sampling aggregators — identical to
+    * Tsdb.groupU32's `conv(substring(md5('lk' || cohort), 1, 8), 16, 10)`
+    * (single by-label, so no separator appears). */
+  private val limitU32 =
+    """CAST(list_reduce(list_transform(range(1, 9),
+      |      i -> strpos('0123456789abcdef',
+      |                  substring(md5('lk' || cohort), i, 1)) - 1),
+      |    (a, x) -> a * 16 + x) AS BIGINT)""".stripMargin
+
+  /** limitk mirror: the same per-bucket aggregation ranked by the
+    * deterministic group hash instead of the value. */
+  private val tsdbLimitk =
+    s"""WITH agg AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |u AS (SELECT *, $limitU32 AS u32 FROM agg),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY bucket_start
+       |                               ORDER BY u32, cohort) AS rk
+       |  FROM u)
+       |SELECT cohort, bucket_start, rk, n, sum_v
+       |FROM r WHERE rk <= 3
+       |ORDER BY bucket_start, rk""".stripMargin
+
+  /** limit_ratio mirror: the map-side u32 threshold filter. */
+  private val tsdbLimitRatio =
+    s"""WITH agg AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS - ($tsS % 3600) AS bucket_start,
+       |         count(*) AS n,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+       |  FROM events
+       |  WHERE event_type = 'click' AND $tsS BETWEEN $T0 AND $T1
+       |  GROUP BY 1, 2),
+       |u AS (SELECT *, $limitU32 AS u32 FROM agg)
+       |SELECT cohort, bucket_start, n, sum_v FROM u
+       |WHERE u32 < CAST(FLOOR(0.5 * 4294967296) AS BIGINT)
+       |ORDER BY cohort, bucket_start""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtract,
     "q_csv_roundtrip" -> qCsvRoundtrip,
@@ -3394,6 +3529,7 @@ object OracleSql {
     "tsdb_rollup_agg_offset" -> tsdbRollupAggOffset,
     "tsdb_promql_histq" -> tsdbHistogramQuantile,
     "tsdb_quantile_over_time" -> tsdbQuantileOverTime,
+    "tsdb_promql_mad" -> tsdbPromqlMad,
     "tsdb_offset" -> tsdbOffset,
     "tsdb_bottomk" -> tsdbBottomk,
     "tsdb_count_values" -> tsdbCountValues,
@@ -3542,11 +3678,14 @@ object OracleSql {
     "text_quality_filter" -> textQualityFilter,
     "mix_sample" -> mixSample,
     "mix_temperature" -> mixTemperature,
+    "mix_token_budget" -> mixTokenBudget,
     "mix_split" -> mixSplit,
     "pack_sequences" -> packSequences,
     "dedup_passages" -> dedupPassages,
     "corpus_stats" -> corpusStats,
     "tsdb_topk" -> tsdbTopk,
+    "tsdb_limitk" -> tsdbLimitk,
+    "tsdb_limit_ratio" -> tsdbLimitRatio,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_header_decode" -> multimodalHeaderDecode,
     "multimodal_resize" -> multimodalResize,
@@ -3558,5 +3697,6 @@ object OracleSql {
     "pipeline_keep_best" -> pipelineKeepBest,
     "pipeline_domain_cap" -> pipelineDomainCap,
     "pipeline_redact_pii" -> pipelineRedactPii,
-    "pipeline_chunks" -> pipelineChunks)
+    "pipeline_chunks" -> pipelineChunks,
+    "pipeline_dsir" -> pipelineDsir)
 }

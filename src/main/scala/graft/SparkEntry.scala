@@ -80,6 +80,26 @@ object SparkEntry {
       .topKBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, k = 3)
       .orderBy("bucket_start", "rk")
 
+  /** Prometheus 3.x `limitk(3, sum by (cohort) (click[1h]))`: a
+    * value-blind deterministic 3-sample of label groups per bucket,
+    * hash-pinned so the oracle reproduces the exact membership.
+    */
+  private def qTsdbLimitk(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "limitk(3, sum by (cohort) (click[1h]))", T0, T1)
+      .orderBy("bucket_start", "rk")
+
+  /** Prometheus 3.x `limit_ratio(0.5, sum by (cohort) (click[1h]))`:
+    * keep a deterministic ~half of the label groups — the map-side hash
+    * filter (zero rank state), negative r selecting the complement.
+    */
+  private def qTsdbLimitRatio(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "limit_ratio(0.5, sum by (cohort) (click[1h]))", T0, T1)
+      .orderBy("cohort", "bucket_start")
+
   /** PromQL `histogram_quantile(0.9, sum by (cohort, le) (click[1h]))`:
     * per-cohort p90 from query-time cumulative buckets with Prometheus
     * interpolation semantics.
@@ -1132,6 +1152,17 @@ object SparkEntry {
   private def qTsdbQuantileOverTime(s: SparkSession, dir: String): DataFrame =
     Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
       .quantileBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, q = 0.95)
+      .orderBy("cohort", "bucket_start")
+
+  /** PromQL 3.x `mad_over_time(click[1h]) by (cohort)` — exact median
+    * absolute deviation per (cohort, hour), the robust spread statistic
+    * for outlier-tolerant alerting; compiled through the PromQL
+    * front-end onto [[Tsdb.madBy]]'s one-shuffle two-pass plan.
+    */
+  private def qTsdbPromqlMad(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "mad_over_time(click[3600]) by (cohort)", T0, T1)
       .orderBy("cohort", "bucket_start")
 
   /** PromQL `offset` modifier: `sum by (cohort) (click[1h] offset 1d)` —
@@ -2435,6 +2466,21 @@ object SparkEntry {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Token-budget mixture ([[graft.operators.Sampling.tokenBudgetMix]]):
+    * temperature-flattened source proportions measured in TOKENS (the
+    * unit pretraining budgets use), expected kept tokens = 12k at
+    * alpha 0.5, applied through the deterministic u32 doc filter.
+    */
+  private def qMixTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+    Sampling.tokenBudgetMix(docs, "doc_id", "source", "n_tokens",
+        alpha = 0.5, budgetTokens = 12000L)
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing at a 512-token budget: distributed two-level prefix
     * sum (bucketWidth=64 so the sf corpora exercise multiple buckets; the
     * ordered window runs only over the |docs|/64-row bucket table).
@@ -2662,6 +2708,19 @@ object SparkEntry {
         "text", chunkWords = 24, overlapWords = 8)
       .orderBy("doc_id", "chunk_idx")
 
+  /** DSIR importance weights ([[graft.operators.TextAnalysis.dsirWeights]]):
+    * score every document's hashed unigram+bigram bag against the English
+    * subset (`lang = 'en'`) as the target corpus — the data-selection
+    * stage that upsamples target-like text before pretraining. 1024
+    * hash cells, integer micro-nat factors, exact BIGINT per-doc sums.
+    */
+  private def qPipelineDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.dsirWeights(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024, salt = "dsir")
+      .orderBy("doc_id")
+  }
+
   private def qPipelineDomainCap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // empty/whitespace-only docs score NULL (0/0 division) — drop them
@@ -2726,6 +2785,7 @@ object SparkEntry {
     "tsdb_rollup_agg_offset" -> (qTsdbRollupAggOffset _),
     "tsdb_promql_histq" -> (qTsdbPromqlHistq _),
     "tsdb_quantile_over_time" -> (qTsdbQuantileOverTime _),
+    "tsdb_promql_mad" -> (qTsdbPromqlMad _),
     "tsdb_offset" -> (qTsdbOffset _),
     "tsdb_bottomk" -> (qTsdbBottomk _),
     "tsdb_count_values" -> (qTsdbCountValues _),
@@ -2881,11 +2941,14 @@ object SparkEntry {
     "text_quality_filter" -> (qTextQualityFilter _),
     "mix_sample" -> (qMixSample _),
     "mix_temperature" -> (qMixTemperature _),
+    "mix_token_budget" -> (qMixTokenBudget _),
     "mix_split" -> (qMixSplit _),
     "pack_sequences" -> (qPackSequences _),
     "dedup_passages" -> (qDedupPassages _),
     "corpus_stats" -> (qCorpusStats _),
     "tsdb_topk" -> (qTsdbTopk _),
+    "tsdb_limitk" -> (qTsdbLimitk _),
+    "tsdb_limit_ratio" -> (qTsdbLimitRatio _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_header_decode" -> (qMultimodalHeaderDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
@@ -2897,7 +2960,8 @@ object SparkEntry {
     "pipeline_keep_best" -> (qPipelineKeepBest _),
     "pipeline_domain_cap" -> (qPipelineDomainCap _),
     "pipeline_redact_pii" -> (qPipelineRedactPii _),
-    "pipeline_chunks" -> (qPipelineChunks _))
+    "pipeline_chunks" -> (qPipelineChunks _),
+    "pipeline_dsir" -> (qPipelineDsir _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted: `ann_topk_lsh` (approximate by design).

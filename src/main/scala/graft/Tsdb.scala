@@ -779,6 +779,44 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         round(percentile(col("value"), lit(q)), 6).as("q_v"))
   }
 
+  /** PromQL 3.x `mad_over_time(metric[step]) by (labels)`: exact median
+    * absolute deviation — `median(|v − median(v)|)` — of the raw samples
+    * per (label subset, step bucket), the robust spread statistic
+    * Prometheus 3 added for outlier-tolerant alerting. Two passes over
+    * the SAME hash partitioning: a window `percentile(0.5)` attaches the
+    * per-group median, then one hash aggregation takes the median of the
+    * absolute deviations — the groupBy reuses the window's exchange, so
+    * the whole thing is one shuffle at sample grain (group keys, never a
+    * global sort). NULL group labels survive (window/groupBy both treat
+    * NULL as a value). The final value rounds through the tie-free
+    * `floor(x·1e6 + 0.5)/1e6` (the engine's cross-engine rounding form),
+    * so the DuckDB `quantile_cont` mirror is byte-exact.
+    */
+  def madBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val base = queryRange(metric, matchers, start - offsetSec, end - offsetSec)
+      .withColumn("bucket_start",
+        (col("ts") - pmod(col("ts"), lit(stepSec))) + offsetSec)
+      .select(byLabels.map(l => col("labels").getItem(l).as(l)) ++
+        Seq(col("bucket_start"), col("value")): _*)
+    val keys = (byLabels :+ "bucket_start").map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    base
+      .withColumn("med", percentile(col("value"), lit(0.5)).over(w))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        (floor(percentile(abs(col("value") - col("med")), lit(0.5)) * 1e6 +
+          lit(0.5)) / 1e6).as("mad_v"))
+  }
+
   /** `sum by (labels) (increase(metric[step]))` — the composed PromQL
     * counter form: per-SERIES reset-robust increase (positive deltas; a
     * drop contributes the new value, as a restarted counter does), then
@@ -1706,6 +1744,78 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(byLabels.map(col) ++ Seq(col("bucket_start"), col("rk"),
+        col("n"), col("sum_v")): _*)
+  }
+
+  /** The deterministic group hash both 3.x sampling aggregators key on:
+    * md5-u32 of the salted, `|`-joined group label values (absent labels
+    * hash as the empty string). Bit-identical in every engine — the
+    * DuckDB oracles reproduce the exact sample. */
+  private def groupU32(byLabels: Seq[String], salt: String): Column =
+    conv(substring(md5(concat(lit(salt), concat_ws("|",
+      byLabels.map(l => coalesce(col(l), lit(""))): _*))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Prometheus 3.x experimental `limitk(k, sum by (labels)
+    * (metric[step]))`: a k-SAMPLE of label groups per step bucket —
+    * topk's value-blind sibling for "show me any k example series"
+    * dashboards. Prometheus deliberately leaves WHICH k unspecified
+    * (hash-based); this engine pins the sample to the md5-u32 of the
+    * group's label values, so membership is stable across runs,
+    * partitionings, and engines. Same bounded-state shape as
+    * [[topKBy]]: the rank window rides the already-aggregated output,
+    * never sample-grain rows.
+    */
+  def limitKBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      k: Int,
+      offsetSec: Long = 0L,
+      salt: String = "lk"): DataFrame = {
+    require(k > 0, s"limitk k must be > 0: $k")
+    val u = groupU32(byLabels, salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_start")
+      .orderBy(u.asc +: byLabels.map(col): _*)
+    aggregateBy(metric, matchers, start, end, byLabels, stepSec, offsetSec)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(byLabels.map(col) ++ Seq(col("bucket_start"), col("rk"),
+        col("n"), col("sum_v")): _*)
+  }
+
+  /** Prometheus 3.x experimental `limit_ratio(r, sum by (labels)
+    * (metric[step]))`: keep a deterministic ~r fraction of label groups.
+    * A NEGATIVE r keeps exactly the complement of `limit_ratio(1+r)` —
+    * Prometheus's split-traffic idiom (`limit_ratio(0.1, …)` to one
+    * pipeline, `limit_ratio(-0.9, …)` to the other, no group in both).
+    * Pure map-side hash filter over the aggregated groups — zero extra
+    * shuffle, zero rank state, the 100 TB form of group sampling.
+    */
+  def limitRatioBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      ratio: Double,
+      offsetSec: Long = 0L,
+      salt: String = "lk"): DataFrame = {
+    require(ratio >= -1.0 && ratio <= 1.0,
+      s"limit_ratio r must be in [-1, 1]: $ratio")
+    val u = groupU32(byLabels, salt)
+    val space = 4294967296L // 2^32
+    val keep =
+      if (ratio >= 0) u < lit(math.floor(ratio * space).toLong)
+      else u >= lit(math.floor((1.0 + ratio) * space).toLong)
+    aggregateBy(metric, matchers, start, end, byLabels, stepSec, offsetSec)
+      .where(keep)
+      .select(byLabels.map(col) ++ Seq(col("bucket_start"),
         col("n"), col("sum_v")): _*)
   }
 

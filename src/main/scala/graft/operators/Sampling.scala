@@ -86,6 +86,47 @@ object Sampling {
     stratifiedSample(df, idCol, sourceCol, rates, defaultRate = 0.0, salt)
   }
 
+  /** Token-budget mixture — [[temperatureMix]] measured in TOKENS, the
+    * unit LLM pretraining budgets actually use: target proportions
+    * ∝ `tok_s^alpha` over each source's total token count, scaled so the
+    * EXPECTED kept tokens sum to `budgetTokens`:
+    * `rate_s = min(1, budgetTokens · tok_s^alpha / Σ_t tok_t^alpha / tok_s)`,
+    * rounded to 6 decimals (the cross-engine transcendental convention),
+    * applied as a per-DOC deterministic u32 Bernoulli filter — doc
+    * membership is hash-independent of doc length, so kept tokens are
+    * unbiased at rate_s · tok_s per source. The per-source token totals
+    * come from ONE aggregation collected to the driver — bounded by the
+    * source-name cardinality, never the corpus; the filter itself is
+    * map-side, zero shuffle, embarrassingly parallel at 100 TB.
+    */
+  def tokenBudgetMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokensCol: String,
+      alpha: Double,
+      budgetTokens: Long,
+      salt: String = "tb"): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0: $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val totalRows = df.groupBy(sourceCol)
+      .agg(org.apache.spark.sql.functions.sum(col(tokensCol)).as("toks"))
+      .collect()
+    require(totalRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      s"tokenBudgetMix requires non-null $sourceCol and $tokensCol")
+    val totals = totalRows
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val denom = totals.values.toSeq.sorted
+      .map(n => math.pow(n.toDouble, alpha)).sum
+    val rates = totals.map { case (s, n) =>
+      val raw = math.min(1.0,
+        budgetTokens * math.pow(n.toDouble, alpha) / denom / n)
+      s -> BigDecimal(java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP)).toDouble
+    }
+    stratifiedSample(df, idCol, sourceCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** Assign each row to a named split by cumulative weight over the same
     * u32 space (e.g. `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`).
     * The last split absorbs any rounding remainder.

@@ -392,4 +392,84 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select("doc_id", "rank", "tok", "score")
   }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much its hashed n-gram bag resembles a
+    * TARGET corpus rather than the raw pool — the data-selection stage
+    * that upsamples target-domain-like web text before pretraining.
+    *
+    * Model: unigram+bigram bag over lowercased whitespace tokens, feature-
+    * hashed into `buckets` cells via the engine's md5-u32 (bit-identical
+    * in every engine, so the DuckDB oracle reproduces the cells exactly).
+    * Per cell b, with Laplace-smoothed probabilities
+    * `p(b) = (ct_b + 1) / (tot + buckets)` under each corpus, the
+    * log-importance factor is `ln(p_target(b) / p_raw(b))`; a document's
+    * weight is the sum of its grams' factors.
+    *
+    * Cross-engine exactness: each cell's factor is ONE `ln` evaluation,
+    * quantized to integer micro-nats through the tie-free
+    * `floor(x·1e6 + 0.5)` (the tfidf-class transcendental contract); the
+    * per-doc weight is then an exact BIGINT sum of micros — no
+    * order-dependent double accumulation anywhere.
+    *
+    * Scale shape: two cell censuses (hash aggregations whose OUTPUT is
+    * bounded by `buckets`, map-side combined from gram grain), one
+    * broadcast join of the ≤`buckets`-row factor table onto the gram
+    * stream (hot cells cost nothing — the join is map-side), and one
+    * per-doc aggregation whose partials collapse to doc grain inside each
+    * scan partition (a doc's exploded grams never straddle partitions).
+    * Nothing is ever pairwise; linear at any corpus size.
+    *
+    * Returns (doc_id, n_grams, weight_micro, weight) — `weight` is
+    * `weight_micro / 1e6` (one exact-constant IEEE division, identical in
+    * any engine); positive means "more target-like than the pool".
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0: $buckets")
+    val ws = wsTokens(lower(col(textCol)))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", get(ws, i), get(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bucketOf = pmod(
+      conv(substring(md5(concat(lit(salt), col("gram"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(buckets.toLong))
+    def cells(docs: DataFrame): DataFrame = docs.select(
+      col(idCol).as("doc_id"),
+      explode(concat(ws, bigrams)).as("gram"))
+      .select(col("doc_id"), bucketOf.as("b"))
+    val rawCells = cells(raw)
+    val rawCt = rawCells.groupBy("b").agg(count(lit(1)).as("ct_r"))
+    val tgtCt = cells(target).groupBy("b").agg(count(lit(1)).as("ct_t"))
+    val totals = rawCt.agg(sum(col("ct_r")).as("tot_r"))
+      .crossJoin(tgtCt.agg(sum(col("ct_t")).as("tot_t")))
+    // every cell a raw doc touches appears in rawCt by construction, so a
+    // left join covers the factor table; absent target cells smooth to +1
+    val b = lit(buckets.toLong)
+    val factors = rawCt
+      .join(tgtCt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr_micro",
+        floor(log(
+          ((coalesce(col("ct_t"), lit(0L)) + lit(1.0)) *
+            (col("tot_r") + b).cast("double")) /
+          ((col("ct_r") + lit(1.0)) * (col("tot_t") + b).cast("double")))
+          * 1e6 + lit(0.5)).cast("long"))
+      .select("b", "lr_micro")
+    rawCells
+      .join(broadcast(factors), "b")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("lr_micro")).as("weight_micro"))
+      .withColumn("weight", col("weight_micro") / 1e6)
+  }
 }

@@ -60,11 +60,11 @@ import org.apache.spark.sql.functions.{abs => cAbs, ceil => cCeil, coalesce, col
   *            | selector
   * grouping  := 'by' '(' labels ')' | 'without' '(' labels ')'
   * aggOp     := sum|avg|min|max|count|stddev|stdvar|group
-  *            | topk|bottomk|quantile|count_values
+  *            | topk|bottomk|quantile|count_values|limitk|limit_ratio
   * fn        := rate|increase|delta|resets|changes|irate|idelta|absent
   *            | absent_over_time|predict_linear|histogram_quantile|deriv
   *            | (avg|min|max|sum|count|last)_over_time|quantile_over_time
-  *            | (stddev|stdvar)_over_time|present_over_time
+  *            | (stddev|stdvar)_over_time|present_over_time|mad_over_time
   * labelFn   := (label_replace|label_join) '(' expr (',' string)+ ')'
   * selector  := name ('{' matchers '}')? ('[' duration (':' duration)? ']')?
   *              ('offset' duration)?         // [range:step] = subquery
@@ -238,7 +238,12 @@ object PromQL {
         while (i < n && (identChar(input.charAt(i)) ||
           (input.charAt(i) == '.' && i + 1 < n &&
             identChar(input.charAt(i + 1))))) i += 1
-        out += Ident(input.substring(j0, i))
+        // Prometheus 3.x renamed holt_winters; both spellings parse to
+        // the same AST node (render emits the canonical old name)
+        out += Ident(input.substring(j0, i) match {
+          case "double_exponential_smoothing" => "holt_winters"
+          case s => s
+        })
       } else if (c.isDigit ||
           (c == '.' && i + 1 < n && input.charAt(i + 1).isDigit)) {
         val j0 = i
@@ -289,7 +294,8 @@ object PromQL {
 
   private val AggOps =
     Set("sum", "avg", "min", "max", "count", "stddev", "stdvar",
-      "topk", "bottomk", "quantile", "count_values", "group")
+      "topk", "bottomk", "quantile", "count_values", "group",
+      "limitk", "limit_ratio")
   private val OverTime =
     Set("avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
       "count_over_time", "last_over_time")
@@ -299,7 +305,7 @@ object PromQL {
       Set("rate", "increase", "delta", "resets", "changes",
         "absent", "irate", "idelta", "quantile_over_time", "predict_linear",
         "histogram_quantile", "absent_over_time", "deriv",
-        "present_over_time")
+        "present_over_time", "mad_over_time")
   private val LabelFns = Set("label_replace", "label_join",
     "sort_by_label", "sort_by_label_desc")
 
@@ -561,7 +567,7 @@ object PromQL {
         var q: Option[Double] = None
         var valueLabel: Option[String] = None
         name match {
-          case "topk" | "bottomk" =>
+          case "topk" | "bottomk" | "limitk" =>
             next() match {
               case Num(s) => k = Some(s.toLong)
               case t => fail(s"$name needs a leading integer k")
@@ -571,6 +577,14 @@ object PromQL {
             next() match {
               case Num(s) => q = Some(s.toDouble)
               case t => fail("quantile needs a leading number q")
+            }
+            expectSym(",")
+          case "limit_ratio" => // signed: a negative r keeps the complement
+            val neg = peek.contains(Sym("-"))
+            if (neg) next()
+            next() match {
+              case Num(s) => q = Some(if (neg) -s.toDouble else s.toDouble)
+              case t => fail("limit_ratio needs a leading number r")
             }
             expectSym(",")
           case "count_values" =>
@@ -1476,7 +1490,9 @@ object PromQL {
     case RangeFn("stdvar_over_time", _, _, _, _) => "stdvar_v"
     case RangeFn("present_over_time", _, _, _, _) => "present_v"
     case RangeFn("quantile_over_time", _, _, _, _) => "q_v"
+    case RangeFn("mad_over_time", _, _, _, _) => "mad_v"
     case Agg("group", _, _, _, _, _) => "group_v"
+    case Agg("limitk" | "limit_ratio", _, _, _, _, _) => "sum_v"
     case BinOp(op, _, _, _, _, _) if ArithOps(op) => "result"
     case BinOp(op, l, r, _, _, _) if CmpOps(op) =>
       (l, r) match {
@@ -1590,8 +1606,8 @@ object PromQL {
       case RangeFn(_, _, _, by, _) if by.nonEmpty => Some(by)
       // topk/bottomk inners keep the INNER aggregation's grain (the
       // selection filters rows, it doesn't regroup them)
-      case Agg("topk" | "bottomk", _, _, _, Agg(_, _, _, by, _, Nil),
-          Nil) => Some(by)
+      case Agg("topk" | "bottomk" | "limitk" | "limit_ratio", _, _, _,
+          Agg(_, _, _, by, _, Nil), Nil) => Some(by)
       case Agg(_, _, _, by, _, Nil) => Some(by)
       case BinOp(_, Agg(_, _, _, by, _, Nil), _, _, _, _) => Some(by)
       case _ => None
@@ -2407,6 +2423,17 @@ object PromQL {
         t.bottomKBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "bottomk(sum by)"), k.toInt, sel.offsetSec)
 
+      // 3.x sampling aggregators: value-blind deterministic group
+      // samples over the inner sum-by (hash-pinned — see Tsdb.limitKBy)
+      case Agg("limitk", Some(k), _, _,
+          Agg("sum", _, _, by, sel: Selector, _), _) =>
+        t.limitKBy(sel.metric, sel.matchers, start, end, by,
+          stepOf(sel, "limitk(sum by)"), k.toInt, sel.offsetSec)
+      case Agg("limit_ratio", _, Some(r), _,
+          Agg("sum", _, _, by, sel: Selector, _), _) =>
+        t.limitRatioBy(sel.metric, sel.matchers, start, end, by,
+          stepOf(sel, "limit_ratio(sum by)"), r, sel.offsetSec)
+
       // cross-series quantile of per-series rates — `quantile by (l)
       // (0.9, rate(x[step]))`, the SLO family; quantile is monotone so
       // the rate column is the increase quantile over the step
@@ -2508,6 +2535,12 @@ object PromQL {
       case RangeFn("quantile_over_time", Some(q), sel, by, _) =>
         t.quantileBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "quantile_over_time"), q, sel.offsetSec)
+
+      // Prometheus 3.x robust spread: exact median-absolute-deviation of
+      // the raw samples per (group, step bucket)
+      case RangeFn("mad_over_time", _, sel, by, _) =>
+        t.madBy(sel.metric, sel.matchers, start, end, by,
+          stepOf(sel, "mad_over_time"), sel.offsetSec)
 
       case RangeFn("predict_linear", _, sel, by, Some(atSec)) =>
         t.predictLinear(sel.metric, sel.matchers, start, end, by,

@@ -676,6 +676,47 @@ class OperatorSpec extends SparkSuite {
     assert(got(3L) == ((0.0, 0.0, 0.0)))
   }
 
+  test("token-budget mixture: over-budget keeps all; alpha=1 rate is " +
+      "uniform budget/total; deterministic membership") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "b", 10L), (4L, "b", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    // budget >= total tokens → every per-source rate clamps to 1.0
+    assert(operators.Sampling.tokenBudgetMix(d, "doc_id", "source",
+      "n_tokens", alpha = 1.0, budgetTokens = 1000L).count() == 4L)
+    // under-budget: kept docs are a subset, and membership is a pure
+    // function of (salt, doc_id) — identical across invocations
+    def kept() = operators.Sampling.tokenBudgetMix(d, "doc_id", "source",
+        "n_tokens", alpha = 1.0, budgetTokens = 110L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k1 = kept()
+    assert(k1 == kept())
+    assert(k1.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
+  test("dsir weights: target-like docs outscore off-target docs; gram " +
+      "census exact; identical bags score identically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha beta gamma beta", "en"),
+      (3L, "zork quux blarg frotz", "de"), // vocabulary disjoint from target
+      (4L, "alpha beta alpha beta", "de")  // target-like text, raw-only doc
+    ).toDF("doc_id", "text", "lang")
+    val w = operators.TextAnalysis.dsirWeights(
+        docs, docs.where(col("lang") === "en"), "doc_id", "text",
+        buckets = 1024)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // unigram+bigram bag: 4 words + 3 bigrams
+    assert(w.values.forall(_._1 == 7L), w.toString)
+    // identical gram bags ⇒ identical exact integer weights
+    assert(w(1L)._2 == w(4L)._2, w.toString)
+    // the target-vocabulary doc outweighs the disjoint-vocabulary doc
+    assert(w(4L)._2 > w(3L)._2, w.toString)
+  }
+
   test("PII redaction: typed placeholders, per-category counts, no-op " +
       "on clean text") {
     import spark.implicits._

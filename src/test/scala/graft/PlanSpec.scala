@@ -194,6 +194,27 @@ class PlanSpec extends SparkSuite {
     assert(on.contains("HashAggregate"), on.take(3000))
   }
 
+  test("mad_over_time: the groupBy reuses the window's exchange — ONE " +
+      "hash shuffle") {
+    val plan = planOf(SparkEntry.queries("tsdb_promql_mad")(spark, sf0001))
+    // the window percentile partitions by (cohort, bucket_start) and the
+    // deviation aggregation groups by the same keys, so only the window's
+    // exchange appears (plus the orderBy's range exchange)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${plan.take(3000)}")
+  }
+
+  test("dsir plan: cell factors broadcast onto the gram stream, no " +
+      "corpus-sized join shuffle") {
+    val plan = planOf(SparkEntry.queries("pipeline_dsir")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // partial aggregation everywhere (cell censuses + per-doc sums)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan.take(3000))
+  }
+
   test("text_tfidf aggregations are partial (map-side combine)") {
     val plan = planOf(SparkEntry.queries("text_tfidf")(spark, sf0001))
     assert(plan.contains("partial_count"), plan.take(3000))

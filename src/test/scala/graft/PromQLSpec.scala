@@ -130,6 +130,55 @@ class PromQLSpec extends SparkSuite {
       t.quantileBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, 0.5))
   }
 
+  test("limitk / limit_ratio: hash-pinned samples; negative r is the " +
+      "exact complement") {
+    assertSame(
+      PromQL.query(t, "limitk(3, sum by (cohort) (click[1h]))", T0, T1),
+      t.limitKBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, 3))
+    assertSame(
+      PromQL.query(t, "limit_ratio(0.5, sum by (cohort) (click[1h]))",
+        T0, T1),
+      t.limitRatioBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L, 0.5))
+    // limit_ratio(r) ∪ limit_ratio(-(1-r)) partitions the groups:
+    // disjoint, and together they are exactly the unsampled aggregation
+    val a = PromQL.query(t,
+      "limit_ratio(0.4, sum by (cohort) (click[1h]))", T0, T1)
+    val b = PromQL.query(t,
+      "limit_ratio(-0.6, sum by (cohort) (click[1h]))", T0, T1)
+    val all = t.aggregateBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L)
+    assert(a.count() + b.count() == all.count())
+    assert(a.join(b, Seq("cohort", "bucket_start")).count() == 0L)
+  }
+
+  test("mad_over_time compiles to madBy; exact MAD on a hand fixture") {
+    assertSame(
+      PromQL.query(t, "mad_over_time(click[1h]) by (cohort)", T0, T1),
+      t.madBy("click", Seq.empty, T0, T1, Seq("cohort"), 3600L))
+    // one bucket, group a: (1, 2, 10) → median 2, |v−med| = (1, 0, 8),
+    // MAD 1; group b: (1, 3) → interpolated median 2, devs (1, 1), MAD 1
+    import spark.implicits._
+    val rows = Seq(
+      ("m", Map("g" -> "a"), T0 + 10L, 1.0),
+      ("m", Map("g" -> "a"), T0 + 20L, 2.0),
+      ("m", Map("g" -> "a"), T0 + 30L, 10.0),
+      ("m", Map("g" -> "b"), T0 + 10L, 1.0),
+      ("m", Map("g" -> "b"), T0 + 20L, 3.0))
+      .toDF("metric", "labels", "ts", "value")
+    val got = PromQL.query(Tsdb.attach(spark, rows),
+        "mad_over_time(m[1h]) by (g)", T0, T1)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("a", 3L, 1.0), ("b", 2L, 1.0)), got.toString)
+  }
+
+  test("double_exponential_smoothing is the 3.x spelling of holt_winters") {
+    assertSame(
+      PromQL.query(t,
+        "double_exponential_smoothing(click[7200:3600], 0.5, 0.5)",
+        T0, T1),
+      PromQL.query(t, "holt_winters(click[7200:3600], 0.5, 0.5)", T0, T1))
+  }
+
   test("predict_linear and absent") {
     assertSame(
       PromQL.query(t, "predict_linear(click[1h], 1h) by (user_id)", T0, T1),
