@@ -276,6 +276,65 @@ object Similarity {
     path
   }
 
+  /** Incrementally extend a prebuilt IVF index with NEW vectors — the
+    * streaming/append-only maintenance path. Rebuilding via
+    * [[ensureIvfIndex]] re-trains k-means over the WHOLE corpus on every
+    * batch; the standard IVF discipline (train once, add forever) keeps
+    * the trained centroids FIXED and assigns each new vector to its
+    * nearest existing cell — the same euclidean argmin k-means itself
+    * assigns by, computed as `argmax(v·c − ‖c‖²/2)` through the bounded
+    * top-1 aggregator over broadcast centroids. Cost is
+    * O(batch × nClusters) map-side plus one partitioned append write —
+    * independent of the existing corpus size.
+    *
+    * `fullCorpus` must be exactly (indexed corpus ∪ `newRows`); its
+    * fingerprint is stamped after the append so a following
+    * [[ensureIvfIndex]] on the same corpus is a no-op instead of a full
+    * retrain. New ids must be disjoint from indexed ids (duplicates
+    * would surface twice in probes). The SQ8 derived store chains to the
+    * parent fingerprint, so it re-derives (one partition-preserving
+    * pass, no training) on its next ensure. Centroids drift only if the
+    * data distribution drifts — rebuild on a retrain cadence, exactly
+    * like production ANN services.
+    */
+  def appendToIvfIndex(
+      fullCorpus: DataFrame,
+      newRows: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = synchronized {
+    val spark = newRows.sparkSession
+    require(ivfIndexReady(spark, path),
+      s"no complete IVF index at $path — build with ensureIvfIndex first")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .withColumn("chalf", dotSeq(col("centroid"), col("centroid")) / 2.0)
+    val nClusters = cents.count().toInt
+    val fresh = newRows.select(col(idCol).as("nid"),
+        toDoubleArray(col(vecCol)).as("cvec"))
+      .withColumn("cnrm", normSeq(col("cvec")))
+    // nearest-euclidean cell: argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2);
+    // top-1 aggregator, never a window over batch × nClusters rows
+    val assigned = TopK.topKPerGroup(
+      fresh.crossJoin(broadcast(cents))
+        .withColumn("score",
+          dotSeq(col("cvec"), col("centroid")) - col("chalf"))
+        .where(col("score").isNotNull)
+        .select(col("nid"), col("score"), col("cell").cast("long").as("cl")),
+      "nid", "score", "cl", 1)
+      .select(col("nid"), col("cl").cast("int").as("cell"))
+    fresh.join(assigned, "nid")
+      .select("nid", "cvec", "cnrm", "cell")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_fingerprint"), true)
+    try out.write(corpusFingerprint(fullCorpus, idCol, nClusters)
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Probe-only IVF ANN over a prebuilt [[buildIvfIndex]] index: each query
     * ranks the broadcast centroids, probes its `nProbe` nearest cells, and
     * exact-cosine reranks those candidates through the bounded top-k

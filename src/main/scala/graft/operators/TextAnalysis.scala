@@ -393,6 +393,83 @@ object TextAnalysis {
       .select("doc_id", "rank", "tok", "score")
   }
 
+  /** The DSIR feature bag: unigrams + bigrams over lowercased whitespace
+    * tokens, WITH multiplicity. Shared verbatim by the batch weights and
+    * the streaming map-side scorer so their sums are identical integers.
+    */
+  private[graft] def dsirGrams(textCol: Column): Column = {
+    val ws = wsTokens(lower(textCol))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", get(ws, i), get(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(ws, bigrams)
+  }
+
+  /** The DSIR passes do an md5 per GRAM (~100× the doc count) — over a
+    * single-file corpus (exactly how the sf-scale documents parquet
+    * reads) the explode inherits ONE input partition and the hash loop
+    * serializes onto one core. Spread the doc rows first when the input
+    * is under half the default parallelism; a well-partitioned 100 TB
+    * scan pays nothing (the Tsdb.spread guard, tsdb.go has no analogue —
+    * this is pure Spark partitioning hygiene). Exact-integer sums are
+    * partitioning-independent, so results are byte-identical.
+    */
+  private def spreadDocs(docs: DataFrame): DataFrame = {
+    val want = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions * 2 < want) docs.repartition(want)
+    else docs
+  }
+
+  /** md5-u32 feature-hash cell of one gram. */
+  private[graft] def dsirBucket(
+      gram: Column, buckets: Int, salt: String): Column =
+    pmod(
+      conv(substring(md5(concat(lit(salt), gram)), 1, 8), 16, 10)
+        .cast("long"),
+      lit(buckets.toLong))
+
+  /** The calibrated factor table behind [[dsirWeights]] — one row per
+    * hash cell 0..buckets-1 with the integer micro-nat log-importance
+    * factor `floor(ln(p_target(b)/p_raw(b))·1e6 + 0.5)` under
+    * Laplace-smoothed cell distributions. Covers EVERY cell (unobserved
+    * cells get the smoothing-only factor), so a streaming scorer can
+    * look any gram up totally. This is the artifact a production
+    * pipeline recalibrates on a batch cadence and ships to the live
+    * scorer.
+    */
+  def dsirFactors(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0: $buckets")
+    val spark = raw.sparkSession
+    def cellCt(docs: DataFrame, name: String): DataFrame = spreadDocs(docs)
+      .select(explode(dsirGrams(col(textCol))).as("gram"))
+      .select(dsirBucket(col("gram"), buckets, salt).as("b"))
+      .groupBy("b").agg(count(lit(1)).as(name))
+    val rawCt = cellCt(raw, "ct_r")
+    val tgtCt = cellCt(target, "ct_t")
+    val totals = rawCt.agg(sum(col("ct_r")).as("tot_r"))
+      .crossJoin(tgtCt.agg(sum(col("ct_t")).as("tot_t")))
+    val b = lit(buckets.toLong)
+    spark.range(buckets).select(col("id").as("b"))
+      .join(rawCt, Seq("b"), "left_outer")
+      .join(tgtCt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr_micro",
+        floor(log(
+          ((coalesce(col("ct_t"), lit(0L)) + lit(1.0)) *
+            (col("tot_r") + b).cast("double")) /
+          ((coalesce(col("ct_r"), lit(0L)) + lit(1.0)) *
+            (col("tot_t") + b).cast("double")))
+          * 1e6 + lit(0.5)).cast("long"))
+      .select("b", "lr_micro")
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every raw document by how much its hashed n-gram bag resembles a
@@ -431,45 +508,17 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       buckets: Int = 1024,
-      salt: String = "dsir"): DataFrame = {
-    require(buckets > 0, s"buckets must be > 0: $buckets")
-    val ws = wsTokens(lower(col(textCol)))
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(0), size(ws) - 2),
-        i => concat_ws(" ", get(ws, i), get(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val bucketOf = pmod(
-      conv(substring(md5(concat(lit(salt), col("gram"))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(buckets.toLong))
-    def cells(docs: DataFrame): DataFrame = docs.select(
-      col(idCol).as("doc_id"),
-      explode(concat(ws, bigrams)).as("gram"))
-      .select(col("doc_id"), bucketOf.as("b"))
-    val rawCells = cells(raw)
-    val rawCt = rawCells.groupBy("b").agg(count(lit(1)).as("ct_r"))
-    val tgtCt = cells(target).groupBy("b").agg(count(lit(1)).as("ct_t"))
-    val totals = rawCt.agg(sum(col("ct_r")).as("tot_r"))
-      .crossJoin(tgtCt.agg(sum(col("ct_t")).as("tot_t")))
-    // every cell a raw doc touches appears in rawCt by construction, so a
-    // left join covers the factor table; absent target cells smooth to +1
-    val b = lit(buckets.toLong)
-    val factors = rawCt
-      .join(tgtCt, Seq("b"), "left_outer")
-      .crossJoin(broadcast(totals))
-      .withColumn("lr_micro",
-        floor(log(
-          ((coalesce(col("ct_t"), lit(0L)) + lit(1.0)) *
-            (col("tot_r") + b).cast("double")) /
-          ((col("ct_r") + lit(1.0)) * (col("tot_t") + b).cast("double")))
-          * 1e6 + lit(0.5)).cast("long"))
-      .select("b", "lr_micro")
-    rawCells
-      .join(broadcast(factors), "b")
+      salt: String = "dsir"): DataFrame =
+    spreadDocs(raw).select(
+        col(idCol).as("doc_id"),
+        explode(dsirGrams(col(textCol))).as("gram"))
+      .select(col("doc_id"),
+        dsirBucket(col("gram"), buckets, salt).as("b"))
+      .join(broadcast(dsirFactors(raw, target, idCol, textCol, buckets,
+        salt)), "b")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
         sum(col("lr_micro")).as("weight_micro"))
       .withColumn("weight", col("weight_micro") / 1e6)
-  }
 }

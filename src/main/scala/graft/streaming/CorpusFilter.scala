@@ -53,6 +53,49 @@ object CorpusFilter {
       !arrays_overlap(wordShingles(col(textCol), k), typedLit(benchToks.toSeq)))
   }
 
+  /** Streaming DSIR importance scoring: weigh documents AS THEY ARRIVE
+    * against an OFFLINE-calibrated factor table — the production
+    * discipline for distribution-dependent scores on a stream (the cell
+    * distributions need a corpus census no stream can do): recalibrate
+    * [[graft.operators.TextAnalysis.dsirFactors]] on a batch cadence,
+    * ship the ≤`buckets`-row table to the live scorer.
+    *
+    * The whole computation happens INSIDE each row — the shared gram
+    * expression, a map-literal factor lookup, and a codegen'd integer
+    * `aggregate` fold — so it is stateless, append-mode, no join, no
+    * shuffle, no state store, any ingest rate; and because the per-doc
+    * weight is an exact BIGINT sum of the same micro-nat factors, a
+    * replayed corpus scores ROW-IDENTICAL to the batch
+    * `dsirWeights` (StreamingSpec gates it). The factor table covers
+    * every hash cell, so unseen vocabulary lands on the smoothing-only
+    * factor rather than failing the lookup.
+    */
+  def dsirScoreStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      factors: DataFrame,
+      buckets: Int,
+      salt: String = "dsir"): DataFrame = {
+    import graft.operators.TextAnalysis.{dsirBucket, dsirGrams}
+    val rows = factors.select(col("b"), col("lr_micro")).collect()
+    require(rows.length == buckets,
+      s"factor table has ${rows.length} rows, expected one per cell " +
+      s"($buckets) — build it with TextAnalysis.dsirFactors")
+    // dense literal array indexed by cell id: one element_at per gram
+    val byCell = new Array[Long](buckets)
+    rows.foreach(r => byCell(r.getLong(0).toInt) = r.getLong(1))
+    val table = typedLit(byCell.toSeq)
+    val grams = dsirGrams(col(textCol))
+    docs
+      .withColumn("n_grams", size(grams).cast("long"))
+      .withColumn("weight_micro",
+        aggregate(grams, lit(0L),
+          (acc, g) => acc + element_at(table,
+            (dsirBucket(g, buckets, salt) + 1L).cast("int"))))
+      .withColumn("weight", col("weight_micro") / 1e6)
+  }
+
   /** Absolute-threshold quality gate for streams. The batch operator's
     * per-language percent_rank needs a global sort, which streams cannot do;
     * production pipelines stream against a FIXED threshold calibrated

@@ -374,6 +374,52 @@ class OperatorSpec extends SparkSuite {
       s"file-backed append not detected: $after2")
   }
 
+  test("IVF append: new vectors probeable WITHOUT retraining; a " +
+      "following ensure is a no-op") {
+    import spark.implicits._
+    def vec(axis: Int, eps: Double) =
+      Array.tabulate(8)(i =>
+        (if (i == axis) 1.0 else 0.0) + (if (i == 7) eps else 0.0))
+    // train on two separated axes so k=2 centroids land on them
+    val v0 = (0L until 10L).map(i => (i, vec(0, 0.01 * i))) ++
+      (10L until 20L).map(i => (i, vec(3, 0.01 * (i - 10))))
+    val path = tempDir("ivf_append")
+    val c1 = v0.toDF("vec_id", "embedding")
+    Similarity.ensureIvfIndex(c1, "vec_id", "embedding", 2, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def listing(sub: String) = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) b += it.next().getPath.toString
+      b.toSet
+    }
+    val centroidsBefore = listing("centroids")
+    // append axis-3-like vectors: assigned to the axis-3 cell, no k-means
+    val extra = (100L until 105L).map(i => (i, vec(3, 0.0)))
+      .toDF("vec_id", "embedding")
+    val full = (v0 ++ (100L until 105L).map(i => (i, vec(3, 0.0))))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(full, extra, "vec_id", "embedding", path)
+    // the exact-match query now finds the appended ids (k=6: the indexed
+    // id-10 vector is also an exact match and ties at sim 1.0)
+    val q = Seq((999L, vec(3, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity
+      .ivfProbeTopK(spark, path, q, "vec_id", "embedding", 6, nProbe = 1)
+      .select("nid", "sim").collect()
+    val top = got.filter(_.getDouble(1) >= 0.999999).map(_.getLong(0)).toSet
+    assert((100L until 105L).toSet.subsetOf(top),
+      s"appended vectors not served: ${got.mkString(", ")}")
+    // centroids untouched (no retrain), and ensure() on the full corpus
+    // matches the stamped fingerprint — no rebuild
+    assert(listing("centroids") == centroidsBefore)
+    val cellsAfterAppend = listing("cells")
+    Similarity.ensureIvfIndex(full, "vec_id", "embedding", 2, path)
+    assert(listing("cells") == cellsAfterAppend,
+      "ensure retrained after an append that stamped the fingerprint")
+  }
+
   test("clustered corpus: LSH and IVF reach recall >= 0.9 and stay selective") {
     val exact = SparkEntry.queries("ann_clustered_agg")(spark, sf0001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -406,6 +406,34 @@ class StreamingSpec extends SparkSuite {
         s"batch minus stream: ${(expect -- got).take(5)}")
   }
 
+  test("streaming DSIR scoring is row-identical to batch dsirWeights on " +
+      "a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val target = docs.where(col("lang") === "en")
+    val expect = graft.operators.TextAnalysis
+      .dsirWeights(docs, target, "doc_id", "text", buckets = 1024)
+      .select("doc_id", "n_grams", "weight_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val factors = graft.operators.TextAnalysis
+      .dsirFactors(docs, target, "doc_id", "text", buckets = 1024)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+    val q = CorpusFilter.dsirScoreStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", factors, 1024)
+      .select("doc_id", "n_grams", "weight_micro")
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dsir_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty,
+      s"stream minus batch: ${(got -- expect).take(3)}; " +
+        s"batch minus stream: ${(expect -- got).take(3)}")
+  }
+
   test("streaming quality gate equals the batch absolute-threshold filter") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
