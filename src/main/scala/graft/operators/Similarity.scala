@@ -213,7 +213,23 @@ object Similarity {
       emb: DataFrame,
       idCol: String,
       nClusters: Int): String = {
-    val files = emb.inputFiles
+    // the files tier is only sound when the files ARE the corpus: a plan
+    // with any non-file leaf (an in-memory union leg, a Range, a local
+    // relation) has rows inputFiles can't see — fingerprinting the files
+    // alone would stamp/serve an index as fresh while ignoring those
+    // rows (the appendToIvfIndex receipt caught exactly this on a
+    // parquet ∪ in-memory union). Such mixed corpora take the content
+    // scan.
+    val allFileLeaves = {
+      val leaves = emb.queryExecution.analyzed.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        case _ => false
+      }
+    }
+    val files = if (allFileLeaves) emb.inputFiles else Array.empty[String]
     if (files.nonEmpty) {
       val conf = emb.sparkSession.sparkContext.hadoopConfiguration
       val parts = files.sorted.map { f =>

@@ -420,6 +420,43 @@ class OperatorSpec extends SparkSuite {
       "ensure retrained after an append that stamped the fingerprint")
   }
 
+  test("IVF freshness: a mixed file-and-memory corpus takes the content " +
+      "fingerprint, so files-only staleness can't hide appended rows") {
+    import spark.implicits._
+    def vec(axis: Int, eps: Double) =
+      Array.tabulate(8)(i =>
+        (if (i == axis) 1.0 else 0.0) + (if (i == 7) eps else 0.0))
+    val corpusDir = tempDir("ivf_mixed_corpus")
+    val path = tempDir("ivf_mixed_idx")
+    ((0L until 5L).map(i => (i, vec(0, 0.01 * i))) ++
+      (5L until 10L).map(i => (i, vec(3, 0.01 * (i - 5)))))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val fileCorpus = spark.read.parquet(corpusDir)
+    Similarity.ensureIvfIndex(fileCorpus, "vec_id", "embedding", 2, path)
+    val extra = Seq((100L, vec(3, 0.0))).toDF("vec_id", "embedding")
+    val full = fileCorpus.unionByName(extra)
+    Similarity.appendToIvfIndex(full, extra, "vec_id", "embedding", path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def cellFiles() = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) b += it.next().getPath.toString
+      b.toSet
+    }
+    // the mixed full corpus matches the stamped CONTENT fingerprint
+    val f1 = cellFiles()
+    Similarity.ensureIvfIndex(full, "vec_id", "embedding", 2, path)
+    assert(cellFiles() == f1, "fresh mixed corpus was rebuilt needlessly")
+    // the bare FILE corpus no longer matches (the index holds one more
+    // row than the files): ensure must rebuild, never serve it silently
+    Similarity.ensureIvfIndex(fileCorpus, "vec_id", "embedding", 2, path)
+    assert(cellFiles() != f1,
+      "files-tier fingerprint hid the appended in-memory rows")
+  }
+
   test("clustered corpus: LSH and IVF reach recall >= 0.9 and stay selective") {
     val exact = SparkEntry.queries("ann_clustered_agg")(spark, sf0001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
