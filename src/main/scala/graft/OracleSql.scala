@@ -2054,6 +2054,53 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** MAD subquery mirror — `mad_over_time(rate(click[1h]) by (cohort)
+    * [6h:1h])`: the same inner sliding-rate CTE; the outer window-set
+    * median comes from a quantile_cont window over (cohort, outer eval),
+    * the deviation median from quantile_cont in the final aggregation —
+    * the exact engine op order (window percentile → abs → percentile),
+    * tie-free floor-rounded on both sides.
+    */
+  private val tsdbPromqlSubqueryMad = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT cohort, t.t AS eval_ts, rate,
+       |         quantile_cont(rate, 0.5)
+       |           OVER (PARTITION BY cohort, t.t) AS med
+       |  FROM ie JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |    ON ie.ets BETWEEN t.t - $or + 1 AND t.t)
+       |SELECT cohort, eval_ts,
+       |       floor(quantile_cont(abs(rate - med), 0.5) * 1e6 + 0.5) / 1e6
+       |         AS mad_v
+       |FROM w GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Canonical aggregated-inner subquery mirror —
     * `avg_over_time(sum by (cohort) (rate(click[1h]))[6h:2h])`. Inner:
     * the same sliding reset-robust increase per cohort as the
@@ -3569,6 +3616,7 @@ object OracleSql {
     "tsdb_promql_subquery_rate" -> tsdbPromqlSubqueryRate,
     "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
+    "tsdb_promql_subquery_mad" -> tsdbPromqlSubqueryMad,
     "tsdb_promql_subquery_moment" -> tsdbPromqlSubqueryMoment,
     "tsdb_promql_subquery_spread" -> tsdbPromqlSubquerySpread,
     "tsdb_alert_rule_subq" -> tsdbAlertRuleSubq,

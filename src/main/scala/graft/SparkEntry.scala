@@ -515,6 +515,20 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("max_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Robust rate-volatility subquery — `mad_over_time(rate(click[1h])
+    * by (cohort)[6h:1h])`: the exact median absolute deviation of the
+    * sliding hourly rates per 6h lookback — the outlier-tolerant
+    * volatility signal (one spike can't move it, unlike stddev).
+    */
+  private def qTsdbPromqlSubqueryMad(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "mad_over_time(rate(click[3600]) by (cohort) [21600:3600])",
+      T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("mad_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** Gauge-smoothing subquery — `max_over_time(avg_over_time(click[1h])
     * [6h:1h])`: the inner hourly means evaluate sliding on the subquery
     * grid (Tsdb.slidingOverTimeBy), the outer max picks the peak
@@ -2823,6 +2837,7 @@ object SparkEntry {
     "tsdb_promql_subquery_rate" -> (qTsdbPromqlSubqueryRate _),
     "tsdb_promql_subquery_aggsum" -> (qTsdbPromqlSubqueryAggsum _),
     "tsdb_promql_subquery_quant" -> (qTsdbPromqlSubqueryQuant _),
+    "tsdb_promql_subquery_mad" -> (qTsdbPromqlSubqueryMad _),
     "tsdb_promql_subquery_offset" -> (qTsdbPromqlSubqueryOffset _),
     "tsdb_promql_subquery_gauge" -> (qTsdbPromqlSubqueryGauge _),
     "tsdb_promql_subquery_moment" -> (qTsdbPromqlSubqueryMoment _),

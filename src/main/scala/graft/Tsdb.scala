@@ -2868,7 +2868,8 @@ object Tsdb {
       stepSec: Long,
       rangeSec: Long,
       quantile: Option[Double] = None,
-      spread: Boolean = false): org.apache.spark.sql.DataFrame = {
+      spread: Boolean = false,
+      mad: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
     val firstEval =
       floor((col(tsCol) + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
@@ -2904,13 +2905,28 @@ object Tsdb {
         Seq(sum(m).as("__sum_m"),
           sum((m.cast("decimal(19,0)") * m.cast("decimal(19,0)")))
             .as("__sum2_m"))
-      })
-    val out = frame
+      }) ++
+      // mad_over_time: exact median absolute deviation of the window's
+      // inner values — the per-(group, eval) median rides a window
+      // percentile on the SAME partitioning as the groupBy (exchange
+      // reused, the madBy scheme), the deviation median is one more
+      // exact percentile, tie-free floor-rounded
+      (if (!mad) Seq.empty
+      else Seq((floor(percentile(abs(col(valCol) - col("__med")),
+        lit(0.5)) * 1e6 + lit(0.5)) / 1e6).as("mad_v")))
+    val exploded0 = frame
       .withColumn("e0", greatest(firstEval, lit(gridStart)))
       .withColumn("e1", least(lastEval, lit(gridEnd)))
       .where(col("e0") <= col("e1"))
       .withColumn("__out_ts",
         explode(sequence(col("e0"), col("e1"), lit(stepSec))))
+    val exploded = if (!mad) exploded0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col) :+ col("__out_ts"): _*)
+      exploded0.withColumn("__med",
+        percentile(col(valCol), lit(0.5)).over(w))
+    }
+    val out = exploded
       .groupBy(keyCols.map(col) :+ col("__out_ts"): _*)
       .agg(moments.head, moments.tail: _*)
       .withColumnRenamed("__out_ts", "eval_ts")

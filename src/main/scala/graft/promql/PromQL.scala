@@ -701,11 +701,11 @@ object PromQL {
             RangeFns(n2) || AggOps(n2) || MathFns(n2) || LabelFns(n2)) ||
             peek.contains(Sym("("))) {
           if (!OverTime(name) && !SpreadOverTime(name) &&
-              name != "present_over_time" &&
+              name != "present_over_time" && name != "mad_over_time" &&
               !(name == "quantile_over_time" && numArg.isDefined))
             fail(s"nested subqueries are only supported under the " +
               s"sum/avg/min/max/count/last/quantile/stddev/stdvar/" +
-              s"present _over_time family, not $name")
+              s"present/mad _over_time family, not $name")
           // a parenthesized inner is a full expression (the binary-op
           // forms); a bare function head parses as one term
           val body =
@@ -1472,6 +1472,7 @@ object PromQL {
       case "stddev_over_time" => "stddev_v"
       case "stdvar_over_time" => "stdvar_v"
       case "present_over_time" => "present_v"
+      case "mad_over_time" => "mad_v"
       case other => throw new IllegalArgumentException(
         s"unsupported nested-subquery outer function: $other")
     }
@@ -1933,7 +1934,8 @@ object PromQL {
             s"(rate/increase, optionally aggregated), count, quantile, " +
             s"and spread inners; got inner value '$valCol'")
         val frame = Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
-          s0, e0, stepSec, rangeSec, q, spread = spread)
+          s0, e0, stepSec, rangeSec, q, spread = spread,
+          mad = fn == "mad_over_time")
         if (sqOff == 0L) frame
         else frame.withColumn("eval_ts", col("eval_ts") + sqOff)
 

@@ -171,6 +171,21 @@ class PromQLSpec extends SparkSuite {
     assert(got == Seq(("a", 3L, 1.0), ("b", 2L, 1.0)), got.toString)
   }
 
+  test("mad_over_time as a subquery outer: single-point windows have " +
+      "MAD exactly 0; wider windows bound below by 0") {
+    // outer range == step: every lookback window holds exactly one inner
+    // point, so the median IS the value and every deviation is 0
+    val one = PromQL.query(t,
+      "mad_over_time(rate(click[3600]) by (cohort) [3600:3600])", T0, T1)
+      .select("mad_v").collect().map(_.getDouble(0))
+    assert(one.nonEmpty && one.forall(_ == 0.0), one.take(5).mkString(","))
+    val wide = PromQL.query(t,
+      "mad_over_time(rate(click[3600]) by (cohort) [21600:3600])", T0, T1)
+      .select("mad_v").collect().map(_.getDouble(0))
+    assert(wide.nonEmpty && wide.forall(_ >= 0.0))
+    assert(wide.exists(_ > 0.0), "6h windows of varying rates all had MAD 0?")
+  }
+
   test("double_exponential_smoothing is the 3.x spelling of holt_winters") {
     assertSame(
       PromQL.query(t,
