@@ -1006,6 +1006,191 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .drop("__sum_m", "__sum2_m")
   }
 
+  /** Sliding least-squares trend on the subquery eval grid —
+    * `deriv(metric[rangeSec:stepSec])` and
+    * `predict_linear(metric[rangeSec:stepSec], horizonSec)`: at each
+    * eval point E (every `stepSec`) the raw samples in the lookback
+    * window `(E−rangeSec, E]` get one exact simple linear regression.
+    * The [[predictLinear]] integer-cents scheme made sliding: x is
+    * re-origined to the WINDOW start (`ts − (E − rangeSec)` ∈ [1,
+    * rangeSec], so the decimal sums stay small), y is integer cents,
+    * and every Σ accumulates in decimal(20,0)/decimal(38,0) — the
+    * final slope/predicted values are ONE double division of two
+    * exactly-computed integers, the same IEEE op on both engines.
+    * `predicted` extrapolates `horizonSec` past each eval point
+    * (xp = rangeSec + horizonSec, constant). One sample explode + ONE
+    * hash aggregation — the [[slidingIncreaseBy]] plan shape; windows
+    * with < 2 distinct timestamps (den = 0) emit nothing, the
+    * [[predictLinear]] guard.
+    */
+  def slidingPredictLinear(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long,
+      horizonSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val dec = "decimal(20,0)"
+    val (windowed, keys) = overTimeWindowed(metric, matchers, start, end,
+      byLabels, stepSec, rangeSec, offsetSec)
+    val xp = lit(rangeSec + horizonSec).cast(dec)
+    windowed
+      // eval_ts already carries +offset; the window's pre-offset start
+      // is (eval_ts − offset) − rangeSec, so x ∈ [1, rangeSec]
+      .withColumn("x",
+        (col("ts") - (col("eval_ts") - lit(offsetSec) - lit(rangeSec)))
+          .cast(dec))
+      .withColumn("yc",
+        (col("value").cast("decimal(18,2)") * 100).cast(dec))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yc")).as("syc"),
+        sum(col("x") * col("yc")).as("sxyc"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("numc", col("n") * col("sxyc") - col("sx") * col("syc"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .where(col("n") >= 2 && col("den") =!= 0)
+      .withColumn("slope_per_sec",
+        col("numc").cast("double") / col("den").cast("double") / 100.0)
+      .withColumn("predicted",
+        (col("syc") * col("den") +
+          col("numc") * (col("n") * xp - col("sx"))).cast("double") /
+          (col("n") * col("den")).cast("double") / 100.0)
+      .select(byLabels.map(col) ++ Seq(col("eval_ts"),
+        col("n").cast("long").as("n"),
+        col("slope_per_sec"), col("predicted")): _*)
+  }
+
+  /** Sliding `resets` / `changes` on the subquery eval grid —
+    * `resets(metric[rangeSec:stepSec])` counts per-series counter drops
+    * (and `changes` any consecutive-sample value change), summed across
+    * series per (label group, eval point), a value every `stepSec` over
+    * the trailing `rangeSec`. Per-sample lag pairs are computed ONCE per
+    * series (the [[aggregateIncreaseBy]] decimal lag), then each pair
+    * explodes to the eval points whose lookback window covers its ts —
+    * the [[slidingIncreaseBy]] delta-attribution rule, so the whole
+    * sliding counter family shares one windowing convention and one
+    * oracle scheme. Returns both counts; callers project.
+    */
+  def slidingResetsChangesBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val start0 = start - offsetSec
+    val end0 = end - offsetSec
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("ts"), col("value"))
+    val firstEval =
+      floor((col("ts") + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val lastEval =
+      floor((col("ts") + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val gridStart = Math.floorDiv(start0 + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end0, stepSec) * stepSec
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      col("eval_ts")
+    queryRange(metric, matchers, start0 - rangeSec + 1, end0)
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("prev", lag("v", 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("e0", greatest(firstEval, lit(gridStart)))
+      .withColumn("e1", least(lastEval, lit(gridEnd)))
+      .where(col("e0") <= col("e1"))
+      .withColumn("eval_ts",
+        explode(sequence(col("e0"), col("e1"), lit(stepSec))))
+      .withColumn("eval_ts", col("eval_ts") + offsetSec)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        sum(when(col("v") < col("prev"), 1L).otherwise(0L)).as("resets"),
+        sum(when(col("v") =!= col("prev"), 1L).otherwise(0L)).as("changes"))
+  }
+
+  /** Sliding gauge `delta` on the subquery eval grid —
+    * `delta(metric[rangeSec:stepSec])`: last − first sample value in
+    * each trailing window, per label group every `stepSec` (the
+    * [[deltaBy]] struct-ordered endpoints over the [[overTimeWindowed]]
+    * explode; decimal until the final cast).
+    */
+  def slidingDeltaBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val (windowed, keys) = overTimeWindowed(metric, matchers, start, end,
+      byLabels, stepSec, rangeSec, offsetSec)
+    windowed
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        (max(struct(col("ts"), col("v"))).getField("v") -
+          min(struct(col("ts"), col("v"))).getField("v"))
+          .cast("double").as("delta"))
+  }
+
+  /** Sliding `idelta` / `irate` on the subquery eval grid — the
+    * [[instantDeltaBy]] last-two-samples pair evaluated over the
+    * trailing `rangeSec` window every `stepSec`: per series per eval
+    * point, the difference between the two newest samples in the window
+    * (idelta), and the reset-aware rate over their timestamp gap
+    * (irate). Rank window at (sid, eval point) grain over the
+    * [[overTimeWindowed]] explode — state bounded by one window's
+    * sample count; windows holding < 2 samples emit nothing.
+    */
+  def slidingInstantDeltaBy(
+      metric: String,
+      matchers: Seq[LabelMatcher],
+      start: Long,
+      end: Long,
+      byLabels: Seq[String],
+      stepSec: Long,
+      rangeSec: Long,
+      offsetSec: Long = 0L): DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
+    val (windowed, _) = overTimeWindowed(metric, matchers, start, end,
+      byLabels, stepSec, rangeSec, offsetSec)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid"), col("eval_ts"))
+      .orderBy(col("ts").desc, col("v").desc)
+    windowed
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("prev_ts", lead("ts", 1).over(w))
+      .withColumn("prev_v", lead("v", 1).over(w))
+      .where(col("rk") === 1 && col("prev_ts").isNotNull)
+      .withColumn("dt", col("ts") - col("prev_ts"))
+      .withColumn("idelta", (col("v") - col("prev_v")).cast("double"))
+      .withColumn("irate",
+        when(col("dt") > 0, round(
+          when(col("v") >= col("prev_v"), col("v") - col("prev_v"))
+            .otherwise(col("v")).cast("double") /
+            col("dt").cast("double"), 6)))
+      .select((byLabels.map(l => col("labels").getItem(l).as(l)) ++
+        Seq(col("sid"), col("eval_ts"), col("dt"), col("idelta"),
+          col("irate"))): _*)
+  }
+
   /** `avg/min/max/count by (labels) (increase(metric[step]))` — the
     * cross-series MOMENTS of the per-series reset-robust increase
     * ([[aggregateIncreaseBy]] is the `sum by` member of this family;

@@ -89,7 +89,11 @@ object Sampling {
   /** Token-budget mixture — [[temperatureMix]] measured in TOKENS, the
     * unit LLM pretraining budgets actually use: target proportions
     * ∝ `tok_s^alpha` over each source's total token count, scaled so the
-    * EXPECTED kept tokens sum to `budgetTokens`:
+    * EXPECTED kept tokens sum to AT MOST `budgetTokens` — exactly the
+    * budget when no source clamps at rate 1.0; when a small source's
+    * fair share exceeds its size the surplus is NOT redistributed to the
+    * other sources (a single-pass waterfill), so the realized expectation
+    * lands under budget by the clamped sources' shortfall:
     * `rate_s = min(1, budgetTokens · tok_s^alpha / Σ_t tok_t^alpha / tok_s)`,
     * rounded to 6 decimals (the cross-engine transcendental convention),
     * applied as a per-DOC deterministic u32 Bernoulli filter — doc

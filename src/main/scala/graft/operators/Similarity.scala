@@ -338,10 +338,24 @@ object Similarity {
         .select(col("nid"), col("score"), col("cell").cast("long").as("cl")),
       "nid", "score", "cl", 1)
       .select(col("nid"), col("cl").cast("int").as("cell"))
-    fresh.join(assigned, "nid")
+    val joined = fresh.join(assigned, "nid")
       .select("nid", "cvec", "cnrm", "cell")
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .persist()
+    try {
+      // a null/malformed embedding scores NULL against every centroid and
+      // would silently vanish here while the fingerprint still stamped the
+      // FULL corpus — the vector would be permanently unindexed with no
+      // error. Refuse the whole batch instead: the fingerprint stays
+      // unstamped, so the index remains honestly stale.
+      val nNew = fresh.count()
+      val nAssigned = joined.count()
+      require(nAssigned == nNew,
+        s"appendToIvfIndex: only $nAssigned of $nNew new vectors got a " +
+        "cell assignment — null/empty/NaN embeddings cannot be indexed; " +
+        "drop or fix them before appending (fingerprint NOT stamped)")
+      joined.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    } finally joined.unpersist()
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(

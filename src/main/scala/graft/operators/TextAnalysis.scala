@@ -417,8 +417,13 @@ object TextAnalysis {
     */
   private def spreadDocs(docs: DataFrame): DataFrame = {
     val want = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions * 2 < want) docs.repartition(want)
-    else docs
+    // partition count from the internal-row RDD of the already-planned
+    // QueryExecution — `docs.rdd` would append a row-deserializing
+    // conversion and build a second, throwaway RDD lineage per call;
+    // `toRdd` is the cached physical plan's own RDD (no job runs here,
+    // getNumPartitions is driver-side metadata)
+    val have = docs.queryExecution.toRdd.getNumPartitions
+    if (have * 2 < want) docs.repartition(want) else docs
   }
 
   /** md5-u32 feature-hash cell of one gram. */
@@ -454,7 +459,7 @@ object TextAnalysis {
     val rawCt = cellCt(raw, "ct_r")
     val tgtCt = cellCt(target, "ct_t")
     val totals = rawCt.agg(sum(col("ct_r")).as("tot_r"))
-      .crossJoin(tgtCt.agg(sum(col("ct_t")).as("tot_t")))
+      .crossJoin(broadcast(tgtCt.agg(sum(col("ct_t")).as("tot_t"))))
     val b = lit(buckets.toLong)
     spark.range(buckets).select(col("id").as("b"))
       .join(rawCt, Seq("b"), "left_outer")

@@ -238,12 +238,7 @@ object PromQL {
         while (i < n && (identChar(input.charAt(i)) ||
           (input.charAt(i) == '.' && i + 1 < n &&
             identChar(input.charAt(i + 1))))) i += 1
-        // Prometheus 3.x renamed holt_winters; both spellings parse to
-        // the same AST node (render emits the canonical old name)
-        out += Ident(input.substring(j0, i) match {
-          case "double_exponential_smoothing" => "holt_winters"
-          case s => s
-        })
+        out += Ident(input.substring(j0, i))
       } else if (c.isDigit ||
           (c == '.' && i + 1 < n && input.charAt(i + 1).isDigit)) {
         val j0 = i
@@ -329,7 +324,7 @@ object PromQL {
   private val MathFns =
     Set("abs", "ceil", "floor", "sqrt", "sgn", "clamp_min", "clamp_max",
       "clamp", "exp", "ln", "log2", "log10", "round", "sort", "sort_desc",
-      "holt_winters", "scalar", "vector") ++
+      "holt_winters", "double_exponential_smoothing", "scalar", "vector") ++
       TimeFns ++ TrigFns
 
   private final class P(var toks: List[Tok], input: String) {
@@ -625,8 +620,15 @@ object PromQL {
           case _ => agg
         }
 
-      case Some(Ident(name)) if MathFns(name) =>
+      case Some(Ident(name0)) if MathFns(name0) =>
         next(); expectSym("(")
+        // Prometheus 3.x renamed holt_winters; alias HERE — at the
+        // function-application site, where the ident is provably in
+        // function position — not in the lexer, which would also rename
+        // a metric or label literally called double_exponential_smoothing
+        val name =
+          if (name0 == "double_exponential_smoothing") "holt_winters"
+          else name0
         val arg = parseExpr()
         def scalarArg(): Double = next() match {
           case Num(s) =>
@@ -1135,13 +1137,25 @@ object PromQL {
     * `*_over_time` family (the eval grid); anywhere else it would be
     * silently ignored — reject it up front, one traversal, no
     * per-shape guard to forget. */
+  /** Range functions that accept a [range:step] selector directly —
+    * `rate(x[1h:1m])` is a sliding 1h-window rate every minute (the
+    * slidingIncreaseBy plan); likewise the whole counter/trend family.
+    * Prometheus expresses these as range functions over subqueries;
+    * the engine serves them from the same sliding machinery the
+    * nested `*_over_time(...[R:s])` family rides. */
+  private val SlidingRangeFns =
+    Set("rate", "increase", "delta", "idelta", "irate", "resets",
+      "changes", "deriv", "predict_linear")
+
   private def validateSubquerySteps(e: Expr): Unit = e match {
     case RangeFn(fn, _, sel, _, _) =>
       if (sel.stepSec.nonEmpty && !OverTime(fn) && !SpreadOverTime(fn) &&
+          !SlidingRangeFns(fn) &&
           fn != "absent_over_time" && fn != "present_over_time")
         throw new IllegalArgumentException(
           s"a [range:step] subquery step is only supported by the " +
-          s"*_over_time family, not $fn")
+          s"*_over_time family and the sliding counter/trend family " +
+          s"(${SlidingRangeFns.toSeq.sorted.mkString(", ")}), not $fn")
     case s: Selector =>
       if (s.stepSec.nonEmpty)
         throw new IllegalArgumentException(
@@ -1480,6 +1494,11 @@ object PromQL {
     case RangeFn("increase", _, _, _, _) => "increase"
     case RangeFn("delta", _, _, _, _) => "delta"
     case RangeFn("deriv", _, _, _, _) => "slope_per_sec"
+    case RangeFn("predict_linear", _, _, _, _) => "predicted"
+    case RangeFn("resets", _, _, _, _) => "resets"
+    case RangeFn("changes", _, _, _, _) => "changes"
+    case RangeFn("irate", _, _, _, _) => "irate"
+    case RangeFn("idelta", _, _, _, _) => "idelta"
     // the *_over_time family exposes its own moment on the eval grid
     case RangeFn("sum_over_time", _, _, _, _) => "sum_v"
     case RangeFn("avg_over_time", _, _, _, _) => "avg_v"
@@ -1625,7 +1644,10 @@ object PromQL {
     * reads the same pair to generate the missing buckets. First selector
     * wins (the `or` guard already proved a single global aggregation). */
   private[promql] def gridSpecOf(e: Expr): Option[(Long, Long)] = e match {
-    case s: Selector => s.rangeSec.map(st => (st, s.offsetSec))
+    // a [range:step] selector evaluates SLIDING: the output grid is the
+    // pinned step (the range is the lookback window, not the grid)
+    case s: Selector =>
+      s.stepSec.orElse(s.rangeSec).map(st => (st, s.offsetSec))
     // a nested subquery's output grid is the [range:step] resolution,
     // shifted by the construct's own offset (eval_ts = grid + offset)
     case SubqueryFn(_, _, _, stepSec, _, sqOff) => Some((stepSec, sqOff))
@@ -1784,6 +1806,22 @@ object PromQL {
         // use (bucket_start + offset)
         val s0 = start - sqOff
         val e0 = end - sqOff
+        // a [range:step] on a selector INSIDE the subquery body would be
+        // a subquery-in-subquery (two nested sliding resolutions) — the
+        // inner machinery evaluates exactly one; fail fast rather than
+        // silently ignoring the inner step
+        def requireNoSelStep(ex: Expr): Unit = ex match {
+          case RangeFn(_, _, sel2, _, _) =>
+            require(sel2.stepSec.isEmpty,
+              s"nested [range:step] selectors inside a subquery body " +
+              s"are not supported: ${sel2.metric}[..:..] under " +
+              s"${render(body)}[..:..]")
+          case Agg(_, _, _, _, b2, _) => requireNoSelStep(b2)
+          case BinOp(_, l2, r2, _, _, _) =>
+            requireNoSelStep(l2); requireNoSelStep(r2)
+          case _ => ()
+        }
+        requireNoSelStep(body)
         val gaugeVal = Map(
           "sum_over_time" -> "sum_v", "avg_over_time" -> "avg_v",
           "min_over_time" -> "min_v", "max_over_time" -> "max_v",
@@ -2441,6 +2479,9 @@ object PromQL {
       // the rate column is the increase quantile over the step
       case Agg("quantile", _, Some(q), by,
           RangeFn(fn, _, sel, _, _), _) if fn == "rate" || fn == "increase" =>
+        require(sel.stepSec.isEmpty,
+          s"quantile($fn(x[R:s])) is not supported — use the subquery " +
+          s"form quantile by (l)(q, $fn(x[R]))[R:s] instead")
         t.quantileIncreaseBy(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, s"quantile($fn)"), q, sel.offsetSec)
 
@@ -2455,17 +2496,29 @@ object PromQL {
           stepOf(sel, s"$rank(sum by ($fn))"), k.toInt, sel.offsetSec,
           asc = rank == "bottomk")
 
-      // counter family composed with the label aggregation
+      // counter family composed with the label aggregation; a selector
+      // [range:step] pins the SLIDING eval grid (`sum by (l)(rate(
+      // x[1h:1m]))` — a 1h-window rate every minute), the same plan the
+      // nested-subquery family rides
       case Agg("sum", _, _, by,
           RangeFn(fn, _, sel, _, _), _) if fn == "rate" || fn == "increase" =>
-        t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, s"sum by ($fn)"), sel.offsetSec)
+        sel.stepSec match {
+          case Some(s) =>
+            t.slidingIncreaseBy(sel.metric, sel.matchers, start, end, by,
+              s, stepOf(sel, s"sum by ($fn)"), sel.offsetSec)
+          case None =>
+            t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end, by,
+              stepOf(sel, s"sum by ($fn)"), sel.offsetSec)
+        }
       // cross-series moments of the per-series increase: avg(rate(...))
       // and friends — sum stays on the one-shot aggregateIncreaseBy path
       case Agg(op, _, _, by,
           RangeFn(fn, _, sel, _, _), _)
           if Set("avg", "min", "max", "count")(op) &&
             (fn == "rate" || fn == "increase") =>
+        require(sel.stepSec.isEmpty,
+          s"$op($fn(x[R:s])) is not supported — use the subquery form " +
+          s"$op by (l)($fn(x[R]))[R:s] instead")
         val step = stepOf(sel, s"$op by ($fn)")
         val df = t.momentIncreaseBy(sel.metric, sel.matchers, start, end,
           by, step, sel.offsetSec)
@@ -2481,11 +2534,36 @@ object PromQL {
         else df
 
       case Agg("sum", _, _, by, RangeFn("resets", _, sel, _, _), _) =>
-        t.resetsBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "sum by (resets)"), sel.offsetSec)
+        sel.stepSec match {
+          case Some(s) =>
+            t.slidingResetsChangesBy(sel.metric, sel.matchers, start, end,
+                by, s, stepOf(sel, "sum by (resets)"), sel.offsetSec)
+              .drop("changes")
+          case None =>
+            t.resetsBy(sel.metric, sel.matchers, start, end, by,
+              stepOf(sel, "sum by (resets)"), sel.offsetSec)
+        }
       case Agg("sum", _, _, by, RangeFn("changes", _, sel, _, _), _) =>
-        t.changesBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, "sum by (changes)"), sel.offsetSec)
+        sel.stepSec match {
+          case Some(s) =>
+            t.slidingResetsChangesBy(sel.metric, sel.matchers, start, end,
+                by, s, stepOf(sel, "sum by (changes)"), sel.offsetSec)
+              .drop("resets")
+          case None =>
+            t.changesBy(sel.metric, sel.matchers, start, end, by,
+              stepOf(sel, "sum by (changes)"), sel.offsetSec)
+        }
+
+      // BARE sliding resets/changes — `resets(x[1h:1m])`: per-series
+      // (the metric's full label-key universe), a count every stepSec
+      // over the trailing range window
+      case RangeFn(fn @ ("resets" | "changes"), _, sel, by, _)
+          if sel.stepSec.nonEmpty =>
+        val keys = if (by.nonEmpty) by else labelKeys(t, sel.metric)
+        val df = t.slidingResetsChangesBy(sel.metric, sel.matchers,
+          start, end, keys, sel.stepSec.get, stepOf(sel, fn),
+          sel.offsetSec)
+        if (fn == "resets") df.drop("changes") else df.drop("resets")
 
       // BARE rate/increase/delta — the most common PromQL shape. With no
       // trailing `by`, the grouping is the metric's full label-key
@@ -2493,18 +2571,40 @@ object PromQL {
       // returns both `increase` and `rate_per_sec`, callers project.
       case RangeFn(fn, _, sel, by, _) if fn == "rate" || fn == "increase" =>
         val keys = if (by.nonEmpty) by else labelKeys(t, sel.metric)
-        t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end, keys,
-          stepOf(sel, fn), sel.offsetSec)
+        sel.stepSec match {
+          // `rate(x[1h:1m])` — the sliding form: a 1h-window rate
+          // every minute, served by the same slidingIncreaseBy plan
+          // the nested-subquery family uses (grid = the pinned step,
+          // window = the selector range)
+          case Some(s) =>
+            t.slidingIncreaseBy(sel.metric, sel.matchers, start, end,
+              keys, s, stepOf(sel, fn), sel.offsetSec)
+          case None =>
+            t.aggregateIncreaseBy(sel.metric, sel.matchers, start, end,
+              keys, stepOf(sel, fn), sel.offsetSec)
+        }
 
       case RangeFn("delta", _, sel, by, _) =>
         val keys = if (by.nonEmpty) by else labelKeys(t, sel.metric)
-        t.deltaBy(sel.metric, sel.matchers, start, end, keys,
-          stepOf(sel, "delta"), sel.offsetSec)
+        sel.stepSec match {
+          case Some(s) =>
+            t.slidingDeltaBy(sel.metric, sel.matchers, start, end, keys,
+              s, stepOf(sel, "delta"), sel.offsetSec)
+          case None =>
+            t.deltaBy(sel.metric, sel.matchers, start, end, keys,
+              stepOf(sel, "delta"), sel.offsetSec)
+        }
 
       // instant-pair family: per-series last-two-samples delta/rate
       case RangeFn(fn, _, sel, by, _) if fn == "irate" || fn == "idelta" =>
-        t.instantDeltaBy(sel.metric, sel.matchers, start, end, by,
-          stepOf(sel, fn), sel.offsetSec)
+        sel.stepSec match {
+          case Some(s) =>
+            t.slidingInstantDeltaBy(sel.metric, sel.matchers, start, end,
+              by, s, stepOf(sel, fn), sel.offsetSec)
+          case None =>
+            t.instantDeltaBy(sel.metric, sel.matchers, start, end, by,
+              stepOf(sel, fn), sel.offsetSec)
+        }
 
       // the *_over_time family on the sliding eval grid; the grid step
       // defaults to the window (PromQL's default query_range alignment),
@@ -2545,17 +2645,35 @@ object PromQL {
           stepOf(sel, "mad_over_time"), sel.offsetSec)
 
       case RangeFn("predict_linear", _, sel, by, Some(atSec)) =>
-        t.predictLinear(sel.metric, sel.matchers, start, end, by,
-          end + atSec, sel.offsetSec)
+        sel.stepSec match {
+          // `predict_linear(x[6h:1h], 1h)` — a fresh linear fit over
+          // each trailing 6h window, every hour, each extrapolating 1h
+          // past its own eval point
+          case Some(s) =>
+            t.slidingPredictLinear(sel.metric, sel.matchers, start, end,
+              by, s, stepOf(sel, "predict_linear"), atSec, sel.offsetSec)
+          case None =>
+            t.predictLinear(sel.metric, sel.matchers, start, end, by,
+              end + atSec, sel.offsetSec)
+        }
 
       // deriv() is the slope-only projection of the same exact-decimal
       // regression moments — one hash aggregation, per-series when no
       // trailing `by` (the metric's label-key universe, like bare rate)
       case RangeFn("deriv", _, sel, by, _) =>
         val keys = if (by.nonEmpty) by else labelKeys(t, sel.metric)
-        t.predictLinear(sel.metric, sel.matchers, start, end, keys,
-            end, sel.offsetSec)
-          .select(keys.map(col) ++ Seq(col("n"), col("slope_per_sec")): _*)
+        sel.stepSec match {
+          case Some(s) =>
+            t.slidingPredictLinear(sel.metric, sel.matchers, start, end,
+                keys, s, stepOf(sel, "deriv"), 0L, sel.offsetSec)
+              .select(keys.map(col) ++ Seq(col("eval_ts"), col("n"),
+                col("slope_per_sec")): _*)
+          case None =>
+            t.predictLinear(sel.metric, sel.matchers, start, end, keys,
+                end, sel.offsetSec)
+              .select(keys.map(col) ++
+                Seq(col("n"), col("slope_per_sec")): _*)
+        }
 
       case RangeFn("absent", _, sel, _, _) =>
         t.absentRange(sel.metric, sel.matchers,

@@ -82,9 +82,20 @@ object CorpusFilter {
     require(rows.length == buckets,
       s"factor table has ${rows.length} rows, expected one per cell " +
       s"($buckets) — build it with TextAnalysis.dsirFactors")
-    // dense literal array indexed by cell id: one element_at per gram
+    // dense literal array indexed by cell id: one element_at per gram.
+    // Row count alone doesn't prove the table is well-formed — a
+    // duplicate or out-of-range cell id would pass the length check and
+    // then either throw AIOOBE or silently overwrite a factor here.
     val byCell = new Array[Long](buckets)
-    rows.foreach(r => byCell(r.getLong(0).toInt) = r.getLong(1))
+    val seen = new Array[Boolean](buckets)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      require(b >= 0 && b < buckets,
+        s"factor table cell id $b out of range [0, $buckets)")
+      require(!seen(b.toInt), s"factor table has duplicate cell id $b")
+      seen(b.toInt) = true
+      byCell(b.toInt) = r.getLong(1)
+    }
     val table = typedLit(byCell.toSeq)
     val grams = dsirGrams(col(textCol))
     docs

@@ -839,15 +839,40 @@ class PromQLSpec extends SparkSuite {
         T0, T1),
       t.absentOverTime("click", Seq(LabelMatcher.eq("user_id", "7")),
         T0, T1, 3600L, 1800L))
+    // r14: the sliding counter/trend family accepts [range:step] too —
+    // `rate(x[R:s])` is the Prometheus rate-over-subquery shape, served
+    // by the same slidingIncreaseBy plan the nested subqueries ride
+    assertSame(
+      PromQL.query(t, "rate(click[2h:1h]) by (cohort)", T0, T1)
+        .select("cohort", "eval_ts", "rate_per_sec"),
+      t.slidingIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"),
+          stepSec = 3600L, rangeSec = 7200L)
+        .select("cohort", "eval_ts", "rate_per_sec"))
+    assertSame(
+      PromQL.query(t, "sum by (cohort) (rate(click[2h:1h]))", T0, T1)
+        .select("cohort", "eval_ts", "rate_per_sec"),
+      t.slidingIncreaseBy("click", Seq.empty, T0, T1, Seq("cohort"),
+          stepSec = 3600L, rangeSec = 7200L)
+        .select("cohort", "eval_ts", "rate_per_sec"))
+    assertSame(
+      PromQL.query(t, "deriv(click[2h:1h]) by (cohort)", T0, T1),
+      t.slidingPredictLinear("click", Seq.empty, T0, T1, Seq("cohort"),
+          stepSec = 3600L, rangeSec = 7200L, horizonSec = 0L)
+        .select("cohort", "eval_ts", "n", "slope_per_sec"))
     // a subquery step anywhere else is rejected up front, never ignored
     val bad = Seq(
       "sum by (cohort) (click[1h:5m])",
       "click[1h:5m]",
-      "rate(click[1h:5m])",
-      "quantile_over_time(0.5, click[1h:5m]) by (cohort)")
+      "avg by (cohort) (rate(click[1h:5m]))",
+      "quantile_over_time(0.5, click[1h:5m]) by (cohort)",
+      // subquery-in-subquery: a [range:step] selector INSIDE a
+      // subquery body is two nested sliding resolutions — fail fast
+      "max_over_time(rate(click[1h:5m])[6h:1h])")
     bad.foreach { q =>
       val e = intercept[IllegalArgumentException](PromQL.query(t, q, T0, T1))
-      assert(e.getMessage.contains("subquery"), s"no subquery error for: $q")
+      assert(e.getMessage.contains("subquery") ||
+        e.getMessage.contains("not supported"),
+        s"no subquery error for: $q")
     }
   }
 
