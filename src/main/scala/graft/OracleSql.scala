@@ -1946,6 +1946,138 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Sliding-rate mirror — `rate(click[6h:1h]) by (cohort)`: the
+    * subquery_rate scheme with ONE grid (the [range:step] selector form
+    * has no outer aggregation): reset-robust delta sums per cohort over
+    * (E−21600, E] at every 1h grid point E; lag over the engine's
+    * scanned span [T0−21600+1, T1]. */
+  private val tsdbPromqlSubqueryRateOuter = {
+    val r = 21600L; val st = 3600L
+    val lo = (T0 + st - 1) / st * st
+    val hi = T1 / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - r + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d)
+       |SELECT cohort, g.e AS eval_ts,
+       |       floor(CAST(SUM(delta) AS DOUBLE) / $r * 1e6 + 0.5) / 1e6
+       |         AS rate_per_sec
+       |FROM x JOIN generate_series($lo, $hi, $st) AS g(e)
+       |  ON x.ts_s BETWEEN g.e - $r + 1 AND g.e
+       |WHERE delta IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
+  /** Sliding regression mirrors — `deriv(click[6h:1h])` /
+    * `predict_linear(click[6h:1h], 1h)`: the tsdbPredictLinear
+    * HUGEINT least-squares sums per (cohort, window), x re-origined to
+    * each window's start (ts − (E − 21600)), predicted at
+    * xp = 21600 + 3600 past the window origin. */
+  private def slidingRegression(predicted: Boolean): String = {
+    val r = 21600L; val st = 3600L
+    val lo = (T0 + st - 1) / st * st
+    val hi = T1 / st * st
+    val xp = r + 3600L
+    val predCol =
+      if (!predicted) ""
+      else s""",
+         |       CAST(syc*den + numc*(n*CAST($xp AS HUGEINT) - sx)
+         |            AS DOUBLE)
+         |         / CAST(n*den AS DOUBLE) / 100.0 AS predicted"""
+        .stripMargin
+    s"""WITH e AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - r + 1} AND $T1),
+       |w AS (
+       |  SELECT cohort, g.e AS eval_ts,
+       |         CAST(ts_s - (g.e - $r) AS HUGEINT) AS x,
+       |         CAST(v * 100 AS HUGEINT) AS yc
+       |  FROM e JOIN generate_series($lo, $hi, $st) AS g(e)
+       |    ON e.ts_s BETWEEN g.e - $r + 1 AND g.e),
+       |a AS (
+       |  SELECT cohort, eval_ts, CAST(count(*) AS HUGEINT) AS n,
+       |         SUM(x) AS sx, SUM(yc) AS syc,
+       |         SUM(x*yc) AS sxyc, SUM(x*x) AS sxx
+       |  FROM w GROUP BY 1, 2),
+       |b AS (
+       |  SELECT *, n*sxyc - sx*syc AS numc, n*sxx - sx*sx AS den
+       |  FROM a)
+       |SELECT cohort, eval_ts, CAST(n AS BIGINT) AS n,
+       |       CAST(numc AS DOUBLE) / CAST(den AS DOUBLE) / 100.0
+       |         AS slope_per_sec$predCol
+       |FROM b WHERE n >= 2 AND den <> 0
+       |ORDER BY cohort, eval_ts""".stripMargin
+  }
+  private val tsdbPromqlSubqueryDeriv = slidingRegression(false)
+  private val tsdbPromqlSubqueryPredict = slidingRegression(true)
+
+  /** Sliding resets/changes mirrors — the tsdbResets lag chain with the
+    * slidingIncreaseBy delta-attribution rule (a pair belongs to every
+    * window containing its newer sample's ts). */
+  private def slidingResetsChanges(changes: Boolean): String = {
+    val r = 21600L; val st = 3600L
+    val lo = (T0 + st - 1) / st * st
+    val hi = T1 / st * st
+    val (cmp, name) = if (changes) ("<>", "changes") else ("<", "resets")
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - r + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e)
+       |SELECT cohort, g.e AS eval_ts, count(*) AS n_deltas,
+       |       CAST(SUM(CASE WHEN v $cmp prev THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS $name
+       |FROM d JOIN generate_series($lo, $hi, $st) AS g(e)
+       |  ON d.ts_s BETWEEN g.e - $r + 1 AND g.e
+       |WHERE prev IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+  private val tsdbPromqlSubqueryResets = slidingResetsChanges(false)
+  private val tsdbPromqlSubqueryChanges = slidingResetsChanges(true)
+
+  /** Sliding gauge-delta mirror — `delta(click[6h:1h])`: last − first
+    * sample per (cohort, window); the struct-ordered endpoints are
+    * max/min over (ts, v) pairs, the same lexicographic compare Spark's
+    * max(struct(ts, v)) performs. */
+  private val tsdbPromqlSubqueryDelta = {
+    val r = 21600L; val st = 3600L
+    val lo = (T0 + st - 1) / st * st
+    val hi = T1 / st * st
+    s"""WITH e AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - r + 1} AND $T1)
+       |SELECT cohort, g.e AS eval_ts, count(*) AS n,
+       |       CAST((max(struct_pack(t := ts_s, w := v)).w -
+       |             min(struct_pack(t := ts_s, w := v)).w)
+       |            AS DOUBLE) AS delta
+       |FROM e JOIN generate_series($lo, $hi, $st) AS g(e)
+       |  ON e.ts_s BETWEEN g.e - $r + 1 AND g.e
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Gauge-smoothing subquery mirror — `max_over_time(avg_over_time(
     * click[1h]) by (cohort)[6h:1h])`: inner hourly DECIMAL-mean per
     * cohort at every 1h grid point over (E-3600, E], outer max of those
@@ -3614,6 +3746,12 @@ object OracleSql {
     "tsdb_promql_hour" -> tsdbPromqlHour,
     "tsdb_promql_quantile_rate" -> tsdbPromqlQuantileRate,
     "tsdb_promql_subquery_rate" -> tsdbPromqlSubqueryRate,
+    "tsdb_promql_subquery_rate_outer" -> tsdbPromqlSubqueryRateOuter,
+    "tsdb_promql_subquery_deriv" -> tsdbPromqlSubqueryDeriv,
+    "tsdb_promql_subquery_predict" -> tsdbPromqlSubqueryPredict,
+    "tsdb_promql_subquery_resets" -> tsdbPromqlSubqueryResets,
+    "tsdb_promql_subquery_changes" -> tsdbPromqlSubqueryChanges,
+    "tsdb_promql_subquery_delta" -> tsdbPromqlSubqueryDelta,
     "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
     "tsdb_promql_subquery_mad" -> tsdbPromqlSubqueryMad,

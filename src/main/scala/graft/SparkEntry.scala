@@ -529,6 +529,80 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("mad_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Non-`*_over_time` outer on a subquery — `rate(click[6h:1h])`, the
+    * Prometheus rate-over-subquery shape: a 6h-window reset-robust rate
+    * evaluated every hour (Tsdb.slidingIncreaseBy — the [range:step]
+    * selector pins the sliding eval grid directly).
+    */
+  private def qTsdbPromqlSubqueryRateOuter(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "rate(click[21600:3600]) by (cohort)", T0, T1)
+      // tie-free 6-decimal rounding re-derived from the exact increase:
+      // round() (Spark HALF_UP vs DuckDB half-away) diverges on exact-.5
+      // products — one real row at sf0.01 hits it at this window width
+      .select(col("cohort"), col("eval_ts"),
+        (floor(col("increase") / 21600d * 1e6 + 0.5) / 1e6)
+          .as("rate_per_sec"))
+      .orderBy("cohort", "eval_ts")
+
+  /** Sliding trend — `deriv(click[6h:1h])`: an exact least-squares slope
+    * over each trailing 6h window of raw samples, every hour
+    * (Tsdb.slidingPredictLinear, integer-cents regression sums).
+    */
+  private def qTsdbPromqlSubqueryDeriv(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "deriv(click[21600:3600]) by (cohort)", T0, T1)
+      .orderBy("cohort", "eval_ts")
+
+  /** Sliding extrapolation — `predict_linear(click[6h:1h], 1h)`: each
+    * hourly eval point fits its own 6h window and extrapolates one hour
+    * past itself — the "will the disk fill" idiom on a rolling basis.
+    */
+  private def qTsdbPromqlSubqueryPredict(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "predict_linear(click[21600:3600], 3600) by (cohort)", T0, T1)
+      .orderBy("cohort", "eval_ts")
+
+  /** Sliding resets — `sum by (cohort)(resets(click[6h:1h]))`: counter
+    * drops per trailing 6h window, every hour, summed across series
+    * (Tsdb.slidingResetsChangesBy; the slidingIncreaseBy delta-
+    * attribution rule, so the counter family shares one convention).
+    */
+  private def qTsdbPromqlSubqueryResets(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "sum by (cohort) (resets(click[21600:3600]))", T0, T1)
+      .orderBy("cohort", "eval_ts")
+
+  /** Sliding changes — `changes(click[6h:1h]) by (cohort)`: any
+    * consecutive-sample value change per trailing window (the bare
+    * trailing-by spelling exercises the non-Agg dispatch).
+    */
+  private def qTsdbPromqlSubqueryChanges(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "changes(click[21600:3600]) by (cohort)", T0, T1)
+      .orderBy("cohort", "eval_ts")
+
+  /** Sliding gauge delta — `delta(click[6h:1h])`: last − first sample
+    * value per trailing 6h window every hour (struct-ordered endpoints,
+    * decimal until the final cast).
+    */
+  private def qTsdbPromqlSubqueryDelta(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "delta(click[21600:3600]) by (cohort)", T0, T1)
+      .orderBy("cohort", "eval_ts")
+
   /** Gauge-smoothing subquery — `max_over_time(avg_over_time(click[1h])
     * [6h:1h])`: the inner hourly means evaluate sliding on the subquery
     * grid (Tsdb.slidingOverTimeBy), the outer max picks the peak
@@ -2838,6 +2912,12 @@ object SparkEntry {
     "tsdb_promql_subquery_aggsum" -> (qTsdbPromqlSubqueryAggsum _),
     "tsdb_promql_subquery_quant" -> (qTsdbPromqlSubqueryQuant _),
     "tsdb_promql_subquery_mad" -> (qTsdbPromqlSubqueryMad _),
+    "tsdb_promql_subquery_rate_outer" -> (qTsdbPromqlSubqueryRateOuter _),
+    "tsdb_promql_subquery_deriv" -> (qTsdbPromqlSubqueryDeriv _),
+    "tsdb_promql_subquery_predict" -> (qTsdbPromqlSubqueryPredict _),
+    "tsdb_promql_subquery_resets" -> (qTsdbPromqlSubqueryResets _),
+    "tsdb_promql_subquery_changes" -> (qTsdbPromqlSubqueryChanges _),
+    "tsdb_promql_subquery_delta" -> (qTsdbPromqlSubqueryDelta _),
     "tsdb_promql_subquery_offset" -> (qTsdbPromqlSubqueryOffset _),
     "tsdb_promql_subquery_gauge" -> (qTsdbPromqlSubqueryGauge _),
     "tsdb_promql_subquery_moment" -> (qTsdbPromqlSubqueryMoment _),
