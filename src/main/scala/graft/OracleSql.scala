@@ -2095,7 +2095,8 @@ object OracleSql {
        |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         CAST(SUM(v) AS DOUBLE) / count(*) AS avg_v
+       |         floor(CAST(SUM(v) AS DOUBLE) / count(*) * 1e6 + 0.5)
+       |           / 1e6 AS avg_v
        |  FROM e JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON e.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  GROUP BY 1, 2)
@@ -2314,8 +2315,8 @@ object OracleSql {
        |  GROUP BY 1, 2, 3),
        |im AS (
        |  SELECT cohort, ets,
-       |         CAST(SUM(CAST(rate AS DECIMAL(28,10))) AS DOUBLE)
-       |           / count(*) AS avg_v
+       |         floor(CAST(SUM(CAST(rate AS DECIMAL(28,10))) AS DOUBLE)
+       |           / count(*) * 1e6 + 0.5) / 1e6 AS avg_v
        |  FROM ps GROUP BY 1, 2)
        |SELECT cohort, t.t AS eval_ts, max(avg_v) AS max_v
        |FROM im JOIN generate_series($outerLo, $hi, $st) AS t(t)
@@ -2364,6 +2365,45 @@ object OracleSql {
        |         CAST(round(rate * 1e6) AS BIGINT) AS m
        |  FROM ie)
        |SELECT cohort, t.t AS eval_ts,
+       |       floor(sqrt(
+       |         (CAST(SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
+       |            AS DOUBLE) / count(*)
+       |          - (CAST(SUM(m) AS DOUBLE) / count(*))
+       |            * (CAST(SUM(m) AS DOUBLE) / count(*))) / 1e12)
+       |         * 1e6 + 0.5) / 1e6
+       |         AS stddev_v
+       |FROM mm JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON mm.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
+  /** Gauge-spread subquery mirror — `stddev_over_time(avg_over_time(
+    * click[1h]) by (cohort)[6h:1h])`: inner floor-r6-quantized hourly
+    * DECIMAL-means (the engine's quantized gauge avg_v), then the same
+    * integer-micro spread scheme as the rate-spread mirror. */
+  private val tsdbPromqlSubqueryGspread = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         floor(CAST(SUM(v) AS DOUBLE) / count(*) * 1e6 + 0.5)
+       |           / 1e6 AS avg_v
+       |  FROM e JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON e.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT cohort, ets,
+       |         CAST(round(avg_v * 1e6) AS BIGINT) AS m
+       |  FROM ie)
+       |SELECT cohort, t.t AS eval_ts, count(*) AS n,
        |       floor(sqrt(
        |         (CAST(SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
        |            AS DOUBLE) / count(*)
@@ -2651,8 +2691,8 @@ object OracleSql {
        |  GROUP BY 1, 2, 3),
        |im AS (
        |  SELECT cohort, ets,
-       |         CAST(SUM(CAST(rate AS DECIMAL(28,10))) AS DOUBLE)
-       |           / count(*) AS avg_v
+       |         floor(CAST(SUM(CAST(rate AS DECIMAL(28,10))) AS DOUBLE)
+       |           / count(*) * 1e6 + 0.5) / 1e6 AS avg_v
        |  FROM ps GROUP BY 1, 2)
        |SELECT cohort, 'rules' AS job, t.t AS bucket_start,
        |       max(avg_v) AS peak_v
@@ -3752,6 +3792,7 @@ object OracleSql {
     "tsdb_promql_subquery_resets" -> tsdbPromqlSubqueryResets,
     "tsdb_promql_subquery_changes" -> tsdbPromqlSubqueryChanges,
     "tsdb_promql_subquery_delta" -> tsdbPromqlSubqueryDelta,
+    "tsdb_promql_subquery_gspread" -> tsdbPromqlSubqueryGspread,
     "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
     "tsdb_promql_subquery_mad" -> tsdbPromqlSubqueryMad,

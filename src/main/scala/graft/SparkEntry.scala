@@ -661,6 +661,21 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("stddev_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Spread outer over a GAUGE inner — `stddev_over_time(avg_over_time(
+    * click[1h])[6h:1h])`: the volatility of the smoothed hourly mean.
+    * The inner mean is 6-decimal quantized (tie-free floor form), so
+    * the outer integer-micro spread is lossless — the r13 fail-fast for
+    * gauge inners is gone.
+    */
+  private def qTsdbPromqlSubqueryGspread(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "stddev_over_time(avg_over_time(click[3600]) by (cohort) " +
+        "[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("n"), col("stddev_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** Spread-aggregated subquery inner — `max_over_time(stddev by
     * (cohort)(rate(click[1h]))[6h:1h])`: the peak cross-series rate
     * DISPERSION (imbalance detection — how unevenly the cohort's users
@@ -2918,6 +2933,7 @@ object SparkEntry {
     "tsdb_promql_subquery_resets" -> (qTsdbPromqlSubqueryResets _),
     "tsdb_promql_subquery_changes" -> (qTsdbPromqlSubqueryChanges _),
     "tsdb_promql_subquery_delta" -> (qTsdbPromqlSubqueryDelta _),
+    "tsdb_promql_subquery_gspread" -> (qTsdbPromqlSubqueryGspread _),
     "tsdb_promql_subquery_offset" -> (qTsdbPromqlSubqueryOffset _),
     "tsdb_promql_subquery_gauge" -> (qTsdbPromqlSubqueryGauge _),
     "tsdb_promql_subquery_moment" -> (qTsdbPromqlSubqueryMoment _),

@@ -981,8 +981,12 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     val aggs = Seq(
       count(lit(1)).as("n_series"),
       sum(col("v_s").cast("decimal(28,10)")).cast("double").as("sum_v"),
-      (sum(col("v_s").cast("decimal(28,10)")).cast("double") /
-        count(lit(1))).as("avg_v"),
+      // 6-decimal quantized (tie-free floor) like the gauge twin — the
+      // mean of per-series rates re-enters the integer-micro family, so
+      // spread/counter outers over `avg by (l)(rate(...))` inners stay
+      // lossless; min/max/quantile of the round(…,6) rates already are
+      (floor(sum(col("v_s").cast("decimal(28,10)")).cast("double") /
+        count(lit(1)) * 1e6 + 0.5) / 1e6).as("avg_v"),
       min(col("v_s")).as("min_v"),
       max(col("v_s")).as("max_v"),
       sum(col("__m")).as("__sum_m"),
@@ -2202,8 +2206,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     windowed.groupBy(keys: _*).agg(
       count(lit(1)).as("n"),
       sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
-      (sum(col("value").cast("decimal(18,2)")).cast("double") /
-        count(lit(1))).as("avg_v"),
+      // 6-decimal quantized (tie-free floor form) so the subquery value
+      // joins the integer-micro exactness family: spread/counter OUTERS
+      // over an avg_over_time inner are lossless at micro grain, like
+      // the round(…,6) counter rate. The other moments are already
+      // micro-exact (2-decimal sample values / their decimal sums).
+      (floor(sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)) * 1e6 + 0.5) / 1e6).as("avg_v"),
       min("value").as("min_v"),
       max("value").as("max_v"),
       max(struct(col("ts"), col("value"))).getField("value").as("last_v"))

@@ -1955,22 +1955,23 @@ object PromQL {
         // spread outers (stddev/stdvar_over_time) use the integer-micro
         // exactness scheme, which is lossless ONLY over 6-decimal
         // QUANTIZED inner values: the counter family's round(…,6) rate,
-        // the 2-decimal delta-sum increase/sum, integer counts, and the
-        // floor-r6 moment/quantile columns. Unquantized inners (a raw
-        // double avg_v division, raw gauge sample min/max/last) would
-        // silently lose precision — fail fast. The name-keyed set works
-        // because quantized and unquantized inners never share a value
-        // column name EXCEPT avg_v/min_v/max_v — those are quantized
-        // from the moment-aggregated COUNTER path (per-series rates are
-        // round(…,6)) for min/max but not avg, and never quantized from
-        // the gauge path, so both ambiguous families stay excluded.
+        // the 2-decimal delta-sum increase/sum, integer counts, the
+        // floor-r6 moment/quantile columns, and — since the gauge
+        // avg_v legs (slidingOverTimeBy, slidingMomentIncreaseBy)
+        // adopted the tie-free floor-r6 quantization — every gauge
+        // moment too (min/max/last are raw 2-decimal sample values,
+        // sum_v their exact decimal sum). The one remaining unquantized
+        // inner is the binary-op `result` (a raw double division) —
+        // that stays fail-fast.
         val spread = SpreadOverTime(fn)
         if (spread && !Set("rate_per_sec", "increase", "n", "n_series",
-            "stddev_v", "stdvar_v", "q_v").contains(valCol))
+            "stddev_v", "stdvar_v", "q_v", "avg_v", "min_v", "max_v",
+            "last_v", "sum_v").contains(valCol))
           throw new IllegalArgumentException(
             s"stddev/stdvar_over_time subquery outers support counter " +
-            s"(rate/increase, optionally aggregated), count, quantile, " +
-            s"and spread inners; got inner value '$valCol'")
+            s"(rate/increase, optionally aggregated), gauge moment, " +
+            s"count, quantile, and spread inners; got inner value " +
+            s"'$valCol'")
         val frame = Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
           s0, e0, stepSec, rangeSec, q, spread = spread,
           mad = fn == "mad_over_time")

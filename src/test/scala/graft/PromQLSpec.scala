@@ -2295,11 +2295,21 @@ class PromQLSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
       .toMap
     assert(gotP.keySet == exp.keySet && gotP.values.forall(_ == 1.0))
-    // spread outers over unquantized gauge inners stay fail-fast
+    // r14: spread outers over gauge inners WORK now — the gauge avg_v
+    // leg is floor-r6 quantized, so the integer-micro scheme is
+    // lossless over it; a single-point outer window has spread 0
+    val gs = PromQL.query(t,
+      "stddev_over_time(avg_over_time(click[3600]) by (cohort) " +
+        "[3600:3600])", T0, T1)
+      .select("stddev_v").collect().map(_.getDouble(0))
+    assert(gs.nonEmpty && gs.forall(_ == 0.0),
+      "outer range == step must give MAD-style zero spread")
+    // the binary-op `result` inner stays fail-fast (raw double division)
     val ex = intercept[IllegalArgumentException](
       PromQL.query(t,
-        "stddev_over_time(avg_over_time(click[3600])[21600:3600])",
+        "stddev_over_time((sum by (cohort)(rate(click[3600])) / " +
+          "sum by (cohort)(rate(click[3600])))[21600:3600])",
         T0, T1))
-    assert(ex.getMessage.contains("counter"), ex.getMessage)
+    assert(ex.getMessage.contains("inner value"), ex.getMessage)
   }
 }
