@@ -248,9 +248,12 @@ object AlertStream {
         case Some(rs) => alertsRatio(samples, rule, rs, watermark)
         case None => counterShapeOf(rule) match {
           case Some(cs) => alertsCounter(samples, rule, cs, watermark)
-          case None => absentShapeOf(rule) match {
-            case Some(as) => absentAlerts(samples, rule, as, watermark)
-            case None => unsupported(rule)
+          case None => subqShapeOf(rule) match {
+            case Some(ss) => alertsSubquery(samples, rule, ss, watermark)
+            case None => absentShapeOf(rule) match {
+              case Some(as) => absentAlerts(samples, rule, as, watermark)
+              case None => unsupported(rule)
+            }
           }
         }
       }
@@ -731,6 +734,210 @@ object AlertStream {
       else None).flatten
     if (deadlines.nonEmpty) {
       state.update(st)
+      state.setTimeoutTimestamp(math.max(deadlines.min, wmSec + 1) * 1000)
+    } else if (state.exists) state.remove()
+    out.result().iterator
+  }
+
+  // ------------------------------------------------------------------
+  // Nested-subquery alerts — the live twin of the batch
+  // `fn_over_time(rate(x[ir]) by (l)[or:st]) <cmp> thr` rule family
+  // (Rules.alerts via PromQL's SubqueryFn compile; r13 pinned a loud
+  // streaming rejection, lifted here).
+  //
+  // Why it decomposes exactly: the batch inner leg attributes each
+  // per-series reset-adjusted delta (at sample time ts) to every inner
+  // eval point E with ts ∈ (E−ir, E]. Bucketing samples by the SHIFTED
+  // convention (B holds ts ∈ (B, B+st]) makes every delta in bucket B
+  // contribute to exactly the evals {B+st, …, B+ir} — so when st | ir,
+  // inner(E) is the plain sum of the last ir/st closed bucket delta
+  // sums, and the outer window (T−or, T] is the last or/st inner
+  // values. Per-key state: the CounterState open-bucket buffer + carry
+  // map, plus two bounded rings (ir/st bucket sums, or/st inner
+  // values) — O(ir/st + or/st), independent of stream length.
+  // ------------------------------------------------------------------
+
+  /** The streaming-supported subquery rule shape:
+    * `fn_over_time( rate|increase(m[ir]) by (l) [or:st] ) <cmp> thr`
+    * (or the canonical `sum by (l)(rate(m[ir]))` inner spelling), with
+    * st | ir and st | or — the divisibility that makes sliding windows
+    * exact unions of shifted tumbling closes. */
+  private final case class SubqShape(
+      side: CounterState.Side,
+      grouping: Grouping,
+      outer: String,
+      ir: Long,
+      or: Long,
+      st: Long,
+      cmp: String,
+      thr: Double)
+
+  private val SubqOuters = Set("max_over_time", "min_over_time",
+    "sum_over_time", "count_over_time", "avg_over_time", "last_over_time")
+
+  private def subqShapeOf(rule: Rules.AlertRule): Option[SubqShape] =
+    PromQL.parse(rule.expr) match {
+      case PromQL.BinOp(cmp,
+          PromQL.SubqueryFn(fn, body, or, st, None, 0L),
+          PromQL.NumLit(thr), _, false, false)
+          if Cmps(cmp) && SubqOuters(fn) =>
+        val inner = body match {
+          case PromQL.RangeFn(cf, _, sel: PromQL.Selector, by, _)
+              if (cf == "rate" || cf == "increase") && by.nonEmpty &&
+                plain(sel) =>
+            Some((cf, sel, by))
+          case PromQL.Agg("sum", None, None, by,
+              PromQL.RangeFn(cf, _, sel: PromQL.Selector, Nil, _), Nil)
+              if (cf == "rate" || cf == "increase") && by.nonEmpty &&
+                plain(sel) =>
+            Some((cf, sel, by))
+          case _ => None
+        }
+        inner.flatMap { case (cf, sel, by) =>
+          val ir = sel.rangeSec.get
+          if (ir % st == 0 && or % st == 0 && ir >= st && or >= st)
+            Some(SubqShape(
+              CounterState.Side(sel.metric, sel.matchers, "sum", cf),
+              Grouping.of(by, Nil), fn, ir, or, st, cmp, thr))
+          else None
+        }
+      case _ => None
+    }
+
+  /** Ring entries — public for Catalyst's generated (de)serializers.
+    * `present=false` marks an absent bucket/eval (no deltas), kept so
+    * the rings stay CONTIGUOUS and window membership is positional. */
+  final case class BSum(bucket: Long, sum: BigDecimal, present: Boolean)
+  final case class IVal(e: Long, v: Double, present: Boolean)
+  final case class SubqSt(
+      labels: Map[String, String],
+      buf: List[CounterState.Buf],
+      carry: Map[String, CounterState.Carry],
+      nextBucket: Long,
+      bsums: List[BSum],
+      ivals: List[IVal],
+      lastActive: Long,
+      runStart: Long)
+
+  private val EmptySubqSt = SubqSt(Map.empty, Nil, Map.empty,
+    Long.MinValue, Nil, Nil, Long.MinValue, Long.MinValue)
+
+  /** The batch outer moment over the present inner evals of one window
+    * — overTimeOnFrame's op order: decimal-exact sum cast double, the
+    * avg division after, max over (eval_ts, value) structs for last. */
+  private def subqOuter(fn: String, win: Seq[IVal]): Option[Double] = {
+    val present = win.filter(_.present)
+    if (present.isEmpty) None
+    else Some(fn match {
+      case "max_over_time" => present.map(_.v).max
+      case "min_over_time" => present.map(_.v).min
+      case "count_over_time" => present.size.toDouble
+      case "last_over_time" => present.maxBy(_.e).v
+      case "sum_over_time" =>
+        present.map(v => BigDecimal(v.v)).sum.toDouble
+      case "avg_over_time" =>
+        present.map(v => BigDecimal(v.v)).sum.toDouble / present.size
+    })
+  }
+
+  private def alertsSubquery(
+      samples: DataFrame,
+      rule: Rules.AlertRule,
+      s: SubqShape,
+      watermark: String): Dataset[AlertEval] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    CounterState.events(samples, Seq(s.side), s.grouping, s.st,
+        watermark, shiftedBuckets = true)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processSubq(rule, s))
+  }
+
+  private def processSubq(rule: Rules.AlertRule, s: SubqShape)(
+      key: String,
+      events: Iterator[CounterState.Ev],
+      state: GroupState[SubqSt]): Iterator[AlertEval] = {
+    val wmSec = state.getCurrentWatermarkMs() / 1000
+    val st0 = state.getOption.getOrElse(EmptySubqSt)
+    val (cst, closed) = CounterState.advance(
+      CounterState.St(st0.labels, st0.buf, st0.carry,
+        Long.MinValue, Long.MinValue),
+      events, wmSec, nSides = 1, s.st)
+    val closedMap = closed.toMap
+    val irN = (s.ir / s.st).toInt
+    val orN = (s.or / s.st).toInt
+    // every shifted bucket the watermark has passed is closable, data
+    // or not — absent buckets still advance the rings (an outer window
+    // can cover older present inners after a key goes quiet)
+    val maxClosable =
+      if (wmSec == Long.MinValue / 1000 || wmSec <= 0) Long.MinValue
+      else Math.floorDiv(wmSec - s.st, s.st) * s.st
+    var nextB = st0.nextBucket
+    if (nextB == Long.MinValue)
+      nextB = closed.headOption.map(_._1).getOrElse(Long.MinValue)
+    var bsums = st0.bsums
+    var ivals = st0.ivals
+    val evals = List.newBuilder[(Long, Option[Double])]
+    if (nextB != Long.MinValue && maxClosable != Long.MinValue &&
+        nextB <= maxClosable) {
+      val closedKeys = closed.map(_._1) // already time-sorted
+      var b = nextB
+      while (b <= maxClosable) {
+        val ringsDead =
+          !bsums.exists(_.present) && !ivals.exists(_.present)
+        if (ringsDead && !closedMap.contains(b)) {
+          // fast-forward across an absent run: with every ring entry
+          // absent, each dataless bucket is an exact no-op (inner and
+          // outer both absent, nothing emits, the run clock can't
+          // advance) — jump to the next bucket that HAS data
+          closedKeys.dropWhile(_ < b).headOption
+            .filter(_ <= maxClosable) match {
+            case Some(k) => bsums = Nil; ivals = Nil; b = k
+            case None => b = maxClosable + s.st
+          }
+        } else {
+          val agg = closedMap.get(b).flatMap(_(0))
+          bsums = (bsums :+ BSum(b, agg.map(_.sumInc)
+            .getOrElse(BigDecimal(0)), agg.isDefined)).takeRight(irN)
+          val e = b + s.st
+          val presentSum = bsums.filter(_.present)
+          val iv =
+            if (presentSum.isEmpty) IVal(e, 0.0, present = false)
+            else {
+              val inc = presentSum.map(_.sum).sum.toDouble
+              val v =
+                if (s.side.fn == "rate") CounterState.round6(inc / s.ir)
+                else inc
+              IVal(e, v, present = true)
+            }
+          ivals = (ivals :+ iv).takeRight(orN)
+          evals += e -> subqOuter(s.outer, ivals)
+          b += s.st
+        }
+      }
+      nextB = maxClosable + s.st
+    }
+    val out = List.newBuilder[AlertEval]
+    val (la, rs) = emitRuns(rule, s.st, s.cmp, s.thr, cst.labels,
+      evals.result(), out, st0.lastActive, st0.runStart)
+    val stN = SubqSt(cst.labels, cst.buf, cst.carry, nextB, bsums,
+      ivals, la, rs)
+    // keep waking while anything can still emit: open buckets, carry
+    // horizon, LIVE ring entries (an outer window can fire up to or
+    // past the newest present inner), or the run-clock window
+    val ringsLive = bsums.exists(_.present) || ivals.exists(_.present)
+    val deadlines = List(
+      stN.buf.map(_.bucket + s.st).minOption,
+      CounterState.nextCarryDeadline(stN.carry),
+      if (ringsLive && nextB != Long.MinValue) Some(nextB + s.st)
+      else None,
+      if (la != Long.MinValue && wmSec < la + 2 * s.st)
+        Some(la + 2 * s.st)
+      else None).flatten
+    if (deadlines.nonEmpty) {
+      state.update(stN)
       state.setTimeoutTimestamp(math.max(deadlines.min, wmSec + 1) * 1000)
     } else if (state.exists) state.remove()
     out.result().iterator

@@ -91,13 +91,23 @@ object CounterState {
       sides: Seq[Side],
       grouping: Grouping,
       step: Long,
-      watermark: String): Dataset[Ev] = {
+      watermark: String,
+      shiftedBuckets: Boolean = false): Dataset[Ev] = {
     val spark = samples.sparkSession
     import spark.implicits._
     val sidePreds: Seq[Column] = sides.map(s =>
       col("metric") === s.metric &&
         Tsdb.matcherPredicate(col("labels"), s.matchers))
     val anySide = sidePreds.reduce(_ || _)
+    // the tumbling convention buckets [B, B+step) (the batch bucket
+    // grid); the SHIFTED convention buckets (B, B+step] — the sliding
+    // subquery family's windows `(E−range, E]` are exact unions of
+    // shifted buckets, which is what makes the streaming twin of
+    // `fn_over_time(rate(x[ir]) by (l)[or:st])` additive per close
+    val tsec = col("ts").cast("long")
+    val bucketCol =
+      if (shiftedBuckets) (tsec - 1) - pmod(tsec - 1, lit(step))
+      else tsec - pmod(tsec, lit(step))
     samples
       .where(anySide)
       .withWatermark("ts", watermark)
@@ -110,9 +120,8 @@ object CounterState {
           LabelFunctions.normalizeLabels(col("labels"))))
           .cast("string").as("series"),
         col("ts"),
-        col("ts").cast("long").as("tsec"),
-        (col("ts").cast("long") -
-          pmod(col("ts").cast("long"), lit(step))).as("bucket"),
+        tsec.as("tsec"),
+        bucketCol.as("bucket"),
         explode(array(sidePreds.zipWithIndex.map { case (p, i) =>
           when(p, i) }: _*)).as("side"),
         col("value").cast("double").as("value"))

@@ -924,16 +924,25 @@ class StreamingSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](RecordStream.compiled(src,
       Rules.RecordingRule("r:x", "rate(click[3600])"), "10 minutes"))
     assert(e.getMessage.contains("canonical moment shape"))
-    // nested-subquery rules are batch-only (Rules.alerts/record serve
-    // them; live evaluation would need windows-over-windows state) —
-    // the streaming twin rejects them loudly, never misserves
+    // r14: the max/min/sum/count/avg/last subquery outer ALERTS stream
+    // now (AlertStream.alertsSubquery); quantile/spread/mad outers and
+    // non-divisible grids stay batch-only and reject loudly
     val e2 = intercept[IllegalArgumentException](
       graft.streaming.AlertStream.alerts(src,
         Rules.AlertRule("peak",
-          "max_over_time(rate(click[3600]) by (cohort) " +
+          "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
             "[21600:3600]) > 0.004", 0L), "10 minutes"))
     assert(e2.getMessage.contains("streaming alerts support"),
       e2.getMessage)
+    // st must divide ir: rate(click[5000]) on a 3600 subquery grid has
+    // no tumbling decomposition — rejected, never misserved
+    val e3 = intercept[IllegalArgumentException](
+      graft.streaming.AlertStream.alerts(src,
+        Rules.AlertRule("peak",
+          "max_over_time(rate(click[5000]) by (cohort) " +
+            "[21600:3600]) > 0.004", 0L), "10 minutes"))
+    assert(e3.getMessage.contains("streaming alerts support"),
+      e3.getMessage)
   }
 
   test("streaming RATIO recording rule equals the batch rule on a " +
@@ -1059,6 +1068,92 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       q.stop()
       val streamed = spark.table(qn)
+        .select(col("labels").getItem("cohort").as("cohort"),
+          col("bucket_start"), col("value"), col("state"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"[$qn] sizes ${streamed.size} vs ${batch.size}; " +
+          s"stream-only ${(streamed -- batch).take(3)}; " +
+          s"batch-only ${(batch -- streamed).take(3)}")
+    }
+  }
+
+  test("streaming SUBQUERY alerts equal the batch nested-subquery rule " +
+      "on a replayed heterogeneous fixture (shifted-bucket composition)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.AlertStream
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val real = events.select(
+      col("event_type").as("metric"),
+      map(lit("cohort"),
+        pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    // the counter test's adversarial samples: NaN/Inf (cast NULL drops
+    // own + next delta), a decimal-ceiling spike forcing a reset, plus
+    // a sample EXACTLY on the hour grid (ts % 3600 == 0 — the shifted
+    // bucket convention's boundary case: it must land in the window
+    // ENDING at its own timestamp)
+    val weird = Seq(
+      ("click", Map("cohort" -> "3"), T0 + 3 * 3600 + 100L, Double.NaN),
+      ("click", Map("cohort" -> "3"), T0 + 3 * 3600 + 200L,
+        Double.PositiveInfinity),
+      ("click", Map("cohort" -> "3"), T0 + 5 * 3600 + 100L, 9.999e15),
+      ("click", Map("cohort" -> "3"), T0 + 5 * 3600 + 200L, 7.25),
+      ("click", Map("cohort" -> "4"), T0 + 8 * 3600L, 123.75)
+    ).toDF("metric", "labels", "ts", "value")
+    val samples = real.unionByName(weird)
+    // all three outer families over both inner spellings, with a `for`;
+    // each rule carries its inner range ir so the replay can mirror the
+    // batch SCAN span [T0 − or − ir + 1, T1] — the sliding family reads
+    // a full outer+inner lookback before the grid start, and a stream
+    // fed less would miss the earliest windows' deltas
+    val rules = Seq(
+      ("sq_max", 3600L, Rules.AlertRule("sq_max",
+        "max_over_time(rate(click[3600]) by (cohort) " +
+          "[21600:3600]) > 0.004", forSec = 7200L)),
+      ("sq_avg", 3600L, Rules.AlertRule("sq_avg",
+        "avg_over_time(sum by (cohort) (rate(click[3600]))" +
+          "[21600:3600]) > 0.004", forSec = 0L)),
+      ("sq_cnt", 7200L, Rules.AlertRule("sq_cnt",
+        "count_over_time(rate(click[7200]) by (cohort) " +
+          "[21600:3600]) > 4", forSec = 3600L)))
+    rules.foreach { case (qn, ir, rule) =>
+      val data = samples
+        .where(col("ts").between(T0 - 21600 - ir + 1, T1))
+        .collect()
+        .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+          new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+        .toIndexedSeq
+      val batch = Rules.alerts(Tsdb.attach(spark, samples), rule, T0, T1)
+        .select(col("cohort"), col("bucket_start"), col("value"),
+          col("state"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSet
+      assert(batch.nonEmpty, s"[$qn] empty batch fixture")
+      val mem = MemoryStream[(String, Map[String, String],
+        java.sql.Timestamp, Double)]
+      val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+      val q = AlertStream.alerts(src, rule, watermark = "10 minutes")
+        .toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(("click", Map("cohort" -> "zz"),
+        new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+      q.processAllAvailable()
+      mem.addData(("click", Map("cohort" -> "zz"),
+        new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(qn)
+        .where(col("bucket_start").between(T0, T1))
         .select(col("labels").getItem("cohort").as("cohort"),
           col("bucket_start"), col("value"), col("state"))
         .collect()
