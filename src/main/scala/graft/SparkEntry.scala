@@ -2824,6 +2824,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The DSIR deployment path: identical plan to [[qPipelineDsir]] with
+    * the gram-cell hash swapped from the md5-hex chain (the DuckDB
+    * oracle contract) to codegen'd xxhash64 — ~6-10× cheaper per gram,
+    * the dominant cost of the x100 DSIR pass. No DuckDB mirror exists
+    * (no xxhash64 there), so this entry is rows-gated here and
+    * exactness-gated in OperatorSpec/StreamingSpec: the factor table
+    * and weights obey the same invariants, and the streaming scorer
+    * (a structurally different plan — dense-literal lookup instead of
+    * broadcast join) reproduces it row-identically.
+    */
+  private def qPipelineDsirFast(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.dsirWeights(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024, salt = "dsir", hash = "xx")
+      .orderBy("doc_id")
+  }
+
   private def qPipelineDomainCap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // empty/whitespace-only docs score NULL (0/0 division) — drop them
@@ -3072,7 +3089,8 @@ object SparkEntry {
     "pipeline_domain_cap" -> (qPipelineDomainCap _),
     "pipeline_redact_pii" -> (qPipelineRedactPii _),
     "pipeline_chunks" -> (qPipelineChunks _),
-    "pipeline_dsir" -> (qPipelineDsir _))
+    "pipeline_dsir" -> (qPipelineDsir _),
+    "pipeline_dsir_fast" -> (qPipelineDsirFast _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted: `ann_topk_lsh` (approximate by design).

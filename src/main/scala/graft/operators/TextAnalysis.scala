@@ -434,6 +434,28 @@ object TextAnalysis {
         .cast("long"),
       lit(buckets.toLong))
 
+  /** The deployment-grade cell hash: codegen'd xxhash64 instead of the
+    * md5-hex-substring chain — ~6-10× cheaper per gram (the md5 is the
+    * dominant cost of the DSIR passes at x100: 152.5 s, almost all
+    * hashing). Identical plan shape and statistical behavior; NOT
+    * DuckDB-mirrorable (no xxhash64 there), so the md5 form remains the
+    * oracle contract and this one is spec-gated (stream≡batch +
+    * invariants in OperatorSpec/StreamingSpec). */
+  private[graft] def dsirBucketXx(
+      gram: Column, buckets: Int, salt: String): Column =
+    pmod(xxhash64(concat(lit(salt), gram)), lit(buckets.toLong))
+
+  /** Dispatch on the `hash` knob: "md5" (oracle contract) | "xx"
+    * (deployment path). */
+  private[graft] def dsirCell(
+      gram: Column, buckets: Int, salt: String, hash: String): Column =
+    hash match {
+      case "md5" => dsirBucket(gram, buckets, salt)
+      case "xx" => dsirBucketXx(gram, buckets, salt)
+      case other => throw new IllegalArgumentException(
+        s"dsir hash must be 'md5' or 'xx', got '$other'")
+    }
+
   /** The calibrated factor table behind [[dsirWeights]] — one row per
     * hash cell 0..buckets-1 with the integer micro-nat log-importance
     * factor `floor(ln(p_target(b)/p_raw(b))·1e6 + 0.5)` under
@@ -449,12 +471,13 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       buckets: Int = 1024,
-      salt: String = "dsir"): DataFrame = {
+      salt: String = "dsir",
+      hash: String = "md5"): DataFrame = {
     require(buckets > 0, s"buckets must be > 0: $buckets")
     val spark = raw.sparkSession
     def cellCt(docs: DataFrame, name: String): DataFrame = spreadDocs(docs)
       .select(explode(dsirGrams(col(textCol))).as("gram"))
-      .select(dsirBucket(col("gram"), buckets, salt).as("b"))
+      .select(dsirCell(col("gram"), buckets, salt, hash).as("b"))
       .groupBy("b").agg(count(lit(1)).as(name))
     val rawCt = cellCt(raw, "ct_r")
     val tgtCt = cellCt(target, "ct_t")
@@ -513,14 +536,15 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       buckets: Int = 1024,
-      salt: String = "dsir"): DataFrame =
+      salt: String = "dsir",
+      hash: String = "md5"): DataFrame =
     spreadDocs(raw).select(
         col(idCol).as("doc_id"),
         explode(dsirGrams(col(textCol))).as("gram"))
       .select(col("doc_id"),
-        dsirBucket(col("gram"), buckets, salt).as("b"))
+        dsirCell(col("gram"), buckets, salt, hash).as("b"))
       .join(broadcast(dsirFactors(raw, target, idCol, textCol, buckets,
-        salt)), "b")
+        salt, hash)), "b")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

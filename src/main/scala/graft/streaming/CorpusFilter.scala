@@ -76,8 +76,9 @@ object CorpusFilter {
       textCol: String,
       factors: DataFrame,
       buckets: Int,
-      salt: String = "dsir"): DataFrame = {
-    import graft.operators.TextAnalysis.{dsirBucket, dsirGrams}
+      salt: String = "dsir",
+      hash: String = "md5"): DataFrame = {
+    import graft.operators.TextAnalysis.{dsirCell, dsirGrams}
     val rows = factors.select(col("b"), col("lr_micro")).collect()
     require(rows.length == buckets,
       s"factor table has ${rows.length} rows, expected one per cell " +
@@ -103,7 +104,7 @@ object CorpusFilter {
       .withColumn("weight_micro",
         aggregate(grams, lit(0L),
           (acc, g) => acc + element_at(table,
-            (dsirBucket(g, buckets, salt) + 1L).cast("int"))))
+            (dsirCell(g, buckets, salt, hash) + 1L).cast("int"))))
       .withColumn("weight", col("weight_micro") / 1e6)
   }
 

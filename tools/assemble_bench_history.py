@@ -55,12 +55,22 @@ def main():
     with open(hist_path, "w") as f:
         json.dump(hist, f, indent=1)
     # baseline: keyed by dir basename; MERGE over the committed file so a
-    # single-sf refresh keeps the other tags' entries
+    # single-sf refresh keeps the other tags' entries.
+    #
+    # REFRESH RULE (r14): one designated FULL sweep per tag per refresh —
+    # never hand-min-merge two sweeps into a tag (each query keeps its
+    # luckiest run; the next honest sweep then reads 1.3-1.5x phantom
+    # flags). If two logs for the same tag are passed, the LAST one wins
+    # wholesale. Each full refresh stamps __host__ so cross-container
+    # flags are identifiable as weak evidence.
     try:
         with open("bench_baseline.json") as f:
             base = json.load(f)  # keeps _provenance and unrefreshed tags
     except FileNotFoundError:
         base = {}
+    import platform
+
+    host_id = f"{platform.node()}/{len(__import__('os').sched_getaffinity(0))}cpu"
     for r in runs:
         tag = r["sf"].rstrip("/").split("/")[-1]
         # merge WITHIN the tag too: a subset sweep (SPARK_GRAFT_QUERIES)
@@ -68,7 +78,7 @@ def main():
         entries = base.setdefault(tag, {})
         old_probe = entries.get("__probe__")
         new_probe = r.get("probe_sec")
-        old_keys = set(entries) - {"__probe__"}
+        old_keys = set(entries) - {"__probe__", "__host__"}
         full = not old_keys or len(set(r["queries"]) & old_keys) >= \
             0.9 * len(old_keys)
         # A tag's times must all be in ONE host's units or the gate's
@@ -86,6 +96,8 @@ def main():
         # divide out cross-host speed skew (Bench.scala hostRatio)
         if new_probe and (full or not old_probe):
             entries["__probe__"] = round(new_probe, 6)
+        if full:
+            entries["__host__"] = host_id
     with open("bench_baseline.json", "w") as f:
         json.dump(base, f, indent=1)
     for r in runs:
