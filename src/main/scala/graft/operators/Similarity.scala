@@ -520,10 +520,15 @@ object Similarity {
       // the store's code column is named qvec (quantizeInt8's output);
       // rename away from the query side's qvec before the join
       .withColumnRenamed("qvec", "codes")
-      .withColumn("dvec",
-        transform(col("codes"), c => c.cast("double") * col("scale")))
+    // fused double×int8 dot (graft.plans.DotProductByte): the per-vector
+    // scale multiplies the SUMMED dot once, replacing the former
+    // per-candidate transform() that allocated a dequantized double
+    // array per row — that allocation was the measured 1.2× warm-node
+    // cost of the SQ8 probe over the float probe (r13 receipts)
     val sim = round(
-      dotSeq(col("qvec"), col("dvec")) / (col("qnrm") * col("dnrm")), 6)
+      (col("scale") *
+        graft.plans.DotProduct.dotByte(col("qvec"), col("codes"))) /
+        (col("qnrm") * col("dnrm")), 6)
     TopK.topKPerGroup(
       cells.join(broadcast(probes), "cell")
         .where(col("qid") =!= col("nid"))

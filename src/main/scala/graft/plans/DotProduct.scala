@@ -61,6 +61,57 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused dot-product of an `array<double>` query against an
+  * `array<tinyint>` SQ8 code vector: Σ qᵢ·codeᵢ with the byte read
+  * directly as a primitive — NO intermediate dequantized array. The SQ8
+  * probe's former `transform(codes, c => c*scale)` allocated a fresh
+  * double array per (candidate × query) row, which was the measured
+  * 1.2× warm-node cost of the int8 path over float; the caller applies
+  * the per-vector `scale` ONCE to the summed dot instead
+  * (`scale·Σ qᵢ·codeᵢ` vs `Σ qᵢ·(codeᵢ·scale)` — same quantity up to
+  * ulp re-association; the recall and probe-agreement gates are
+  * threshold-based and hold).
+  */
+case class DotProductByte(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot_i8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getByte(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * (double) $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object DotProduct {
   /** Build the expression with inputs cast to array<double> (a no-op when
     * already double; exact widening from float).
@@ -69,5 +120,12 @@ object DotProduct {
     def asDouble(c: Column): Expression =
       Cast(GraftBridge.expression(c), ArrayType(DoubleType))
     GraftBridge.column(DotProduct(asDouble(a), asDouble(b)))
+  }
+
+  /** Fused double×int8 dot: `a` cast to array<double>, `b` consumed as
+    * raw `array<tinyint>` codes — zero per-row allocation. */
+  def dotByte(a: Column, b: Column): Column = {
+    val ad = Cast(GraftBridge.expression(a), ArrayType(DoubleType))
+    GraftBridge.column(DotProductByte(ad, GraftBridge.expression(b)))
   }
 }
