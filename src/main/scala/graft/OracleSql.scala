@@ -2377,6 +2377,146 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Shared inner CTEs of the counter-outer-over-computed-inner mirrors:
+    * the subquery_rate sliding-rate CTE chain (`ie`: cohort, ets, rate),
+    * parameterized only by what follows. */
+  private def subqRateInnerCtes: String = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Counter-outer mirror — `deriv(sum by (cohort)(rate(click[1h]))
+    * [6h:1h])`: HUGEINT least-squares over the inner rates of each
+    * trailing window, x re-origined to the window start, y at exact
+    * integer micros (the inner rate is 6-decimal quantized). */
+  private val tsdbPromqlSubqueryDerivRate = {
+    val or = 21600L; val st = 3600L
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""$subqRateInnerCtes,
+       |w AS (
+       |  SELECT cohort, t.t AS tt,
+       |         CAST(ie.ets - (t.t - $or) AS HUGEINT) AS x,
+       |         CAST(CAST(rate AS DECIMAL(28,10)) * 1000000 AS HUGEINT)
+       |           AS ym
+       |  FROM ie JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |    ON ie.ets BETWEEN t.t - $or + $st AND t.t),
+       |a AS (
+       |  SELECT cohort, tt, CAST(count(*) AS HUGEINT) AS n,
+       |         SUM(x) AS sx, SUM(ym) AS sym,
+       |         SUM(x*ym) AS sxym, SUM(x*x) AS sxx
+       |  FROM w GROUP BY 1, 2),
+       |b AS (
+       |  SELECT *, n*sxym - sx*sym AS numc, n*sxx - sx*sx AS den
+       |  FROM a)
+       |SELECT cohort, tt AS eval_ts, CAST(n AS BIGINT) AS n,
+       |       CAST(numc AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0
+       |         AS slope_per_sec
+       |FROM b WHERE n >= 2 AND den <> 0
+       |ORDER BY cohort, eval_ts""".stripMargin
+  }
+
+  /** Rolling-extrapolation mirror — `predict_linear(avg_over_time(
+    * click[1h])[6h:1h], 1h)`: the same HUGEINT regression over the
+    * floor-r6-quantized hourly means, predicted at xp = or + 3600 past
+    * each window origin. */
+  private val tsdbPromqlSubqueryPredictGauge = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    val xp = or + 3600L
+    s"""WITH e AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         floor(CAST(SUM(v) AS DOUBLE) / count(*) * 1e6 + 0.5)
+       |           / 1e6 AS avg_v
+       |  FROM e JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON e.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT cohort, t.t AS tt,
+       |         CAST(ie.ets - (t.t - $or) AS HUGEINT) AS x,
+       |         CAST(CAST(avg_v AS DECIMAL(28,10)) * 1000000 AS HUGEINT)
+       |           AS ym
+       |  FROM ie JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |    ON ie.ets BETWEEN t.t - $or + $st AND t.t),
+       |a AS (
+       |  SELECT cohort, tt, CAST(count(*) AS HUGEINT) AS n,
+       |         SUM(x) AS sx, SUM(ym) AS sym,
+       |         SUM(x*ym) AS sxym, SUM(x*x) AS sxx
+       |  FROM w GROUP BY 1, 2),
+       |b AS (
+       |  SELECT *, n*sxym - sx*sym AS numc, n*sxx - sx*sx AS den
+       |  FROM a)
+       |SELECT cohort, tt AS eval_ts, CAST(n AS BIGINT) AS n,
+       |       CAST(numc AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0
+       |         AS slope_per_sec,
+       |       CAST(sym*den + numc*(n*CAST($xp AS HUGEINT) - sx)
+       |            AS DOUBLE)
+       |         / CAST(n*den AS DOUBLE) / 1000000.0 AS predicted
+       |FROM b WHERE n >= 2 AND den <> 0
+       |ORDER BY cohort, eval_ts""".stripMargin
+  }
+
+  /** Pairwise counter-outer mirror — `changes(sum by (cohort)(rate(
+    * click[1h]))[6h:1h])`: lag over the inner-eval series per cohort,
+    * a pair is live in a window only when BOTH ends are inside (the
+    * range-vector rule, unlike the raw-sample sliding family). */
+  private val tsdbPromqlSubqueryChangesRate = {
+    val or = 21600L; val st = 3600L
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""$subqRateInnerCtes,
+       |dd AS (
+       |  SELECT cohort, ets, rate,
+       |         lag(ets) OVER (PARTITION BY cohort ORDER BY ets) AS pets,
+       |         lag(rate) OVER (PARTITION BY cohort ORDER BY ets)
+       |           AS prate
+       |  FROM ie)
+       |SELECT cohort, t.t AS eval_ts,
+       |       CAST(SUM(CASE WHEN pets IS NOT NULL AND pets > t.t - $or
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_deltas,
+       |       CAST(SUM(CASE WHEN pets IS NOT NULL AND pets > t.t - $or
+       |                          AND rate <> prate
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS changes
+       |FROM dd JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON dd.ets BETWEEN t.t - $or + $st AND t.t
+       |GROUP BY 1, 2
+       |HAVING SUM(CASE WHEN pets IS NOT NULL AND pets > t.t - $or
+       |                THEN 1 ELSE 0 END) >= 1
+       |ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Gauge-spread subquery mirror — `stddev_over_time(avg_over_time(
     * click[1h]) by (cohort)[6h:1h])`: inner floor-r6-quantized hourly
     * DECIMAL-means (the engine's quantized gauge avg_v), then the same
@@ -3793,6 +3933,9 @@ object OracleSql {
     "tsdb_promql_subquery_changes" -> tsdbPromqlSubqueryChanges,
     "tsdb_promql_subquery_delta" -> tsdbPromqlSubqueryDelta,
     "tsdb_promql_subquery_gspread" -> tsdbPromqlSubqueryGspread,
+    "tsdb_promql_subquery_deriv_rate" -> tsdbPromqlSubqueryDerivRate,
+    "tsdb_promql_subquery_predict_gauge" -> tsdbPromqlSubqueryPredictGauge,
+    "tsdb_promql_subquery_changes_rate" -> tsdbPromqlSubqueryChangesRate,
     "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
     "tsdb_promql_subquery_mad" -> tsdbPromqlSubqueryMad,

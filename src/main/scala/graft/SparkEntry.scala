@@ -603,6 +603,45 @@ object SparkEntry {
       "delta(click[21600:3600]) by (cohort)", T0, T1)
       .orderBy("cohort", "eval_ts")
 
+  /** Counter/trend outer over a COMPUTED inner — `deriv(sum by (cohort)
+    * (rate(click[1h]))[6h:1h])`: the least-squares TREND of the
+    * aggregated hourly rate, refit per trailing 6h window
+    * (Tsdb.counterOverFrame — exact integer-micro regression over the
+    * quantized inner rates).
+    */
+  private def qTsdbPromqlSubqueryDerivRate(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "deriv(sum by (cohort) (rate(click[3600]))[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("n"),
+        col("slope_per_sec"))
+      .orderBy("cohort", "eval_ts")
+
+  /** Rolling extrapolation of a computed signal — `predict_linear(
+    * avg_over_time(click[1h])[6h:1h], 1h)`: each hourly eval fits the
+    * trailing 6h of smoothed means and predicts one hour ahead.
+    */
+  private def qTsdbPromqlSubqueryPredictGauge(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "predict_linear(avg_over_time(click[3600]) by (cohort) " +
+        "[21600:3600], 3600)", T0, T1)
+      .orderBy("cohort", "eval_ts")
+
+  /** Direction-flip counting over a computed inner — `changes(sum by
+    * (cohort)(rate(click[1h]))[21600:3600])`: how many hour-over-hour
+    * rate changes inside each window (the pairwise range-vector rule —
+    * both ends of a pair must be in the window).
+    */
+  private def qTsdbPromqlSubqueryChangesRate(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "changes(sum by (cohort) (rate(click[3600]))[21600:3600])", T0, T1)
+      .orderBy("cohort", "eval_ts")
+
   /** Gauge-smoothing subquery — `max_over_time(avg_over_time(click[1h])
     * [6h:1h])`: the inner hourly means evaluate sliding on the subquery
     * grid (Tsdb.slidingOverTimeBy), the outer max picks the peak
@@ -2951,6 +2990,11 @@ object SparkEntry {
     "tsdb_promql_subquery_changes" -> (qTsdbPromqlSubqueryChanges _),
     "tsdb_promql_subquery_delta" -> (qTsdbPromqlSubqueryDelta _),
     "tsdb_promql_subquery_gspread" -> (qTsdbPromqlSubqueryGspread _),
+    "tsdb_promql_subquery_deriv_rate" -> (qTsdbPromqlSubqueryDerivRate _),
+    "tsdb_promql_subquery_predict_gauge" ->
+      (qTsdbPromqlSubqueryPredictGauge _),
+    "tsdb_promql_subquery_changes_rate" ->
+      (qTsdbPromqlSubqueryChangesRate _),
     "tsdb_promql_subquery_offset" -> (qTsdbPromqlSubqueryOffset _),
     "tsdb_promql_subquery_gauge" -> (qTsdbPromqlSubqueryGauge _),
     "tsdb_promql_subquery_moment" -> (qTsdbPromqlSubqueryMoment _),

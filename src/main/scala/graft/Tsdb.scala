@@ -3146,6 +3146,154 @@ object Tsdb {
     }
   }
 
+  /** Counter/trend functions OVER a computed subquery frame — the outer
+    * half of `rate/increase/delta/idelta/irate/resets/changes/deriv/
+    * predict_linear( <computed-vector>[range:step] )`, consuming the
+    * same (keys, eval_ts, value) frames the `*_over_time` outers do
+    * (slidingIncreaseBy / slidingMomentIncreaseBy / slidingOverTimeBy
+    * output). Semantics: the inner eval points in each outer window
+    * `(T − rangeSec, T]` form the range vector; pairwise functions
+    * (rate/increase/resets/changes/idelta/irate) use consecutive inner
+    * points whose BOTH ends lie in the window (the range-vector rule —
+    * unlike the raw-sample sliding family, whose delta attribution
+    * follows the newer sample only); regression/endpoint functions
+    * (deriv/predict_linear/delta) use all points in the window.
+    *
+    * Exactness: inner values are 6-decimal quantized by construction
+    * (every frame column this accepts — the spread gate's set), so the
+    * decimal(28,10) cast is lossless, deltas/sums are exact decimals,
+    * the regression runs on exact integer micros (the
+    * [[slidingPredictLinear]] scheme at micro grain), and every final
+    * rate-like value rounds through the tie-free floor(x·1e6+0.5)/1e6.
+    * Plan: one lag window at label grain over the inner frame, one
+    * explode to covering outer evals, ONE hash aggregation — label-
+    * grain everywhere, never sample-cardinality.
+    */
+  private[graft] def counterOverFrame(
+      frame: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      start: Long,
+      end: Long,
+      stepSec: Long,
+      rangeSec: Long,
+      fn: String,
+      horizonSec: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
+    val firstEval =
+      floor((col(tsCol) + (stepSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val lastEval =
+      floor((col(tsCol) + (rangeSec - 1)) / lit(stepSec)).cast("long") * stepSec
+    val gridStart = Math.floorDiv(start + stepSec - 1, stepSec) * stepSec
+    val gridEnd = Math.floorDiv(end, stepSec) * stepSec
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol))
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    val lagged = frame
+      .withColumn("__v", col(valCol).cast("decimal(28,10)"))
+      .withColumn("__pv", lag("__v", 1).over(w))
+      .withColumn("__pt", lag(tsCol, 1).over(w))
+      .withColumn("e0", greatest(firstEval, lit(gridStart)))
+      .withColumn("e1", least(lastEval, lit(gridEnd)))
+      .where(col("e0") <= col("e1"))
+      .withColumn("__T",
+        explode(sequence(col("e0"), col("e1"), lit(stepSec))))
+    // a pair is live in window T only when its OLDER end is inside too
+    val pin = col("__pt").isNotNull && col("__pt") > col("__T") - rangeSec
+    val groupCols = keyCols.map(col) :+ col("__T")
+    val out = fn match {
+      case "rate" | "increase" =>
+        val d = when(col("__v") >= col("__pv"), col("__v") - col("__pv"))
+          .otherwise(col("__v"))
+        lagged
+          .groupBy(groupCols: _*)
+          .agg(
+            sum(when(pin, lit(1L)).otherwise(lit(0L))).as("n_deltas"),
+            sum(when(pin, d)).as("__inc"))
+          .where(col("n_deltas") >= 1)
+          .withColumn("increase", col("__inc").cast("double"))
+          .withColumn("rate_per_sec",
+            r6(col("__inc").cast("double") / rangeSec))
+          .drop("__inc")
+      case "resets" | "changes" =>
+        lagged
+          .groupBy(groupCols: _*)
+          .agg(
+            sum(when(pin, lit(1L)).otherwise(lit(0L))).as("n_deltas"),
+            sum(when(pin && col("__v") < col("__pv"), 1L).otherwise(0L))
+              .as("resets"),
+            sum(when(pin && col("__v") =!= col("__pv"), 1L).otherwise(0L))
+              .as("changes"))
+          .where(col("n_deltas") >= 1)
+          .drop(if (fn == "resets") "changes" else "resets")
+      case "delta" =>
+        lagged
+          .groupBy(groupCols: _*)
+          .agg(
+            count(lit(1)).as("n"),
+            (max(struct(col(tsCol), col("__v"))).getField("__v") -
+              min(struct(col(tsCol), col("__v"))).getField("__v"))
+              .cast("double").as("delta"))
+          .where(col("n") >= 2)
+      case "idelta" | "irate" =>
+        // newest in-window pair: max over (ts, dv, dt) structs of live
+        // pairs — null for non-pin rows, max() skips them
+        val pair = when(pin, struct(col(tsCol).as("t"),
+          (col("__v") - col("__pv")).as("dv"),
+          when(col("__v") >= col("__pv"), col("__v") - col("__pv"))
+            .otherwise(col("__v")).as("dc"),
+          (col(tsCol) - col("__pt")).as("dt")))
+        lagged
+          .groupBy(groupCols: _*)
+          .agg(max(pair).as("__p"))
+          .where(col("__p").isNotNull)
+          .withColumn("idelta",
+            col("__p").getField("dv").cast("double"))
+          .withColumn("irate",
+            when(col("__p").getField("dt") > 0,
+              r6(col("__p").getField("dc").cast("double") /
+                col("__p").getField("dt").cast("double"))))
+          .drop("__p")
+      case "deriv" | "predict_linear" =>
+        // exact integer regression at micro grain: the inner values are
+        // 6-decimal quantized, so v·1e6 is an exact integer
+        val dec = "decimal(20,0)"
+        val xp = lit(rangeSec + horizonSec).cast(dec)
+        lagged
+          .withColumn("x",
+            (col(tsCol) - (col("__T") - lit(rangeSec))).cast(dec))
+          // decimal × integral literal stays exact decimal arithmetic —
+          // a double 1e6 literal would silently promote __v to double
+          .withColumn("ym", (col("__v") * lit(1000000L)).cast(dec))
+          .groupBy(groupCols: _*)
+          .agg(
+            count(lit(1)).cast(dec).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("ym")).as("sym"),
+            sum(col("x") * col("ym")).as("sxym"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("numc",
+            col("n") * col("sxym") - col("sx") * col("sym"))
+          .withColumn("den",
+            col("n") * col("sxx") - col("sx") * col("sx"))
+          .where(col("n") >= 2 && col("den") =!= 0)
+          .withColumn("slope_per_sec",
+            col("numc").cast("double") / col("den").cast("double") / 1e6)
+          .withColumn("predicted",
+            (col("sym") * col("den") +
+              col("numc") * (col("n") * xp - col("sx"))).cast("double") /
+              (col("n") * col("den")).cast("double") / 1e6)
+          .select((keyCols.map(col) :+ col("__T") :+
+            col("n").cast("long").as("n") :+ col("slope_per_sec") :+
+            col("predicted")): _*)
+      case other => throw new IllegalArgumentException(
+        s"counterOverFrame does not serve '$other'")
+    }
+    out.withColumnRenamed("__T", "eval_ts")
+  }
+
   /** Equi-join on `keys` where NULL matches NULL — PromQL's labelset
     * identity for vector matching and set ops. A grouping label can be
     * NULL for series that lack it (a `without`-resolved by-list over a

@@ -703,11 +703,14 @@ object PromQL {
             RangeFns(n2) || AggOps(n2) || MathFns(n2) || LabelFns(n2)) ||
             peek.contains(Sym("("))) {
           if (!OverTime(name) && !SpreadOverTime(name) &&
+              !SlidingRangeFns(name) &&
               name != "present_over_time" && name != "mad_over_time" &&
               !(name == "quantile_over_time" && numArg.isDefined))
             fail(s"nested subqueries are only supported under the " +
               s"sum/avg/min/max/count/last/quantile/stddev/stdvar/" +
-              s"present/mad _over_time family, not $name")
+              s"present/mad _over_time family and the counter/trend " +
+              s"family (rate/increase/delta/idelta/irate/resets/" +
+              s"changes/deriv/predict_linear), not $name")
           // a parenthesized inner is a full expression (the binary-op
           // forms); a bare function head parses as one term
           val body =
@@ -734,11 +737,22 @@ object PromQL {
               case t => fail("subquery offset must be a duration")
             }
           }
+          // predict_linear(<vector>[R:s], t): the horizon rides the q
+          // slot (quantile_over_time's lead-arg slot — the two never
+          // coexist on one node)
+          var qArg = numArg
+          if (name == "predict_linear") {
+            expectSym(",")
+            qArg = Some(next() match {
+              case Num(s) => durationSec(s).toDouble
+              case t => fail("predict_linear needs a trailing duration")
+            })
+          }
           expectSym(")")
           if (parseByClause().nonEmpty)
             fail("a nested subquery derives its grouping from the inner " +
               "expression; drop the trailing 'by'")
-          return SubqueryFn(name, body, rangeSec, stepSec, numArg, sqOff)
+          return SubqueryFn(name, body, rangeSec, stepSec, qArg, sqOff)
         }
         val sel = parseSelector()
         var atSec: Option[Long] = None
@@ -865,9 +879,18 @@ object PromQL {
         case _: BinOp => s"(${render(body)})"
         case _ => render(body)
       }
-      s"$fn(${q.map(renderNum(_) + ", ").getOrElse("")}" +
-        s"$b[${rangeSec}s:${stepSec}s]" +
-        s"${if (off != 0) s" offset ${off}s" else ""})"
+      // the q slot is a LEAD arg for quantile_over_time and a TRAILING
+      // horizon for predict_linear — render to the same grammar the
+      // parser accepts (parse∘render == id)
+      val lead =
+        if (fn == "predict_linear") ""
+        else q.map(renderNum(_) + ", ").getOrElse("")
+      val trail =
+        if (fn == "predict_linear")
+          q.map(h => s", ${h.toLong}s").getOrElse("")
+        else ""
+      s"$fn($lead$b[${rangeSec}s:${stepSec}s]" +
+        s"${if (off != 0) s" offset ${off}s" else ""}$trail)"
     case ValueLabel(lbl, inner) =>
       // the inner rendering always leads with the conventional "value"
       // label — swap in the custom one
@@ -1487,6 +1510,15 @@ object PromQL {
       case "stdvar_over_time" => "stdvar_v"
       case "present_over_time" => "present_v"
       case "mad_over_time" => "mad_v"
+      case "rate" => "rate_per_sec"
+      case "increase" => "increase"
+      case "delta" => "delta"
+      case "idelta" => "idelta"
+      case "irate" => "irate"
+      case "resets" => "resets"
+      case "changes" => "changes"
+      case "deriv" => "slope_per_sec"
+      case "predict_linear" => "predicted"
       case other => throw new IllegalArgumentException(
         s"unsupported nested-subquery outer function: $other")
     }
@@ -1972,9 +2004,32 @@ object PromQL {
             s"(rate/increase, optionally aggregated), gauge moment, " +
             s"count, quantile, and spread inners; got inner value " +
             s"'$valCol'")
-        val frame = Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
-          s0, e0, stepSec, rangeSec, q, spread = spread,
-          mad = fn == "mad_over_time")
+        val frame =
+          if (SlidingRangeFns(fn)) {
+            // counter/trend OUTER over the computed frame —
+            // `deriv(sum by (l)(rate(x[5m]))[6h:1h])` (trend of the
+            // aggregated rate), `changes(...)` (direction flips),
+            // `predict_linear(..., t)` (rolling extrapolation of a
+            // computed signal). The binary-op `result` inner is a raw
+            // double division — the only unquantized frame column —
+            // so the exact-decimal pairwise/regression arithmetic
+            // would silently lose precision there: fail fast.
+            require(valCol != "result",
+              s"counter/trend subquery outers need a quantized inner " +
+              s"value column; the binary-op 'result' (a raw double " +
+              s"division) is not — aggregate or round it first")
+            val hz =
+              if (fn == "predict_linear")
+                q.getOrElse(throw new IllegalArgumentException(
+                  "predict_linear(<vector>[R:s], t) needs the horizon " +
+                  "argument")).toLong
+              else 0L
+            Tsdb.counterOverFrame(inner, keys, "eval_ts", valCol,
+              s0, e0, stepSec, rangeSec, fn, hz)
+          } else
+            Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
+              s0, e0, stepSec, rangeSec, q, spread = spread,
+              mad = fn == "mad_over_time")
         if (sqOff == 0L) frame
         else frame.withColumn("eval_ts", col("eval_ts") + sqOff)
 
