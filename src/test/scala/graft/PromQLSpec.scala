@@ -1856,9 +1856,13 @@ class PromQLSpec extends SparkSuite {
       PromQL.query(t, "max_over_time(sum by (cohort) (click[1h])[6h:1h])",
         T0, T1))
     assert(ex.getMessage.contains("rate/increase"), ex.getMessage)
-    // fail-fast: an outer function outside the supported over_time family
+    // r14: the counter/trend outers PARSE over computed inners now
+    // (deriv over a subquery is Tsdb.counterOverFrame); genuinely
+    // unsupported outers still fail fast at parse
+    assert(PromQL.parse("deriv(rate(click[1h])[6h:1h])")
+      .isInstanceOf[PromQL.SubqueryFn])
     val ex2 = intercept[IllegalArgumentException](
-      PromQL.parse("deriv(rate(click[1h])[6h:1h])"))
+      PromQL.parse("histogram_quantile(0.9, rate(click[1h])[6h:1h])"))
     assert(ex2.getMessage.contains("_over_time family"), ex2.getMessage)
   }
 
