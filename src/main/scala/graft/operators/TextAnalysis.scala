@@ -154,13 +154,20 @@ object TextAnalysis {
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = wsTokens(col(textCol))
-    // all occurrences (NOT distinct — repetition is the point)
+    // all occurrences (NOT distinct — repetition is the point).
+    // token array bound once per gram level + zip_with over shifted
+    // slices, never get(ws, i+j) inside a lambda: that re-tokenizes per
+    // element × per gram position (the dsirGrams O(n²) class, worst
+    // here at k=3). Output strings byte-identical; oracles untouched.
     def grams(n: Int): Column =
       if (n == 1) ws
-      else when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", (0 until n).map(j => get(ws, i + lit(j))): _*)))
-        .otherwise(array().cast("array<string>"))
+      else flatten(transform(array(ws), w => {
+        def sl(off: Int): Column = slice(w, lit(off), size(w) - (n - 1))
+        when(size(w) >= n,
+          (2 to n).foldLeft(sl(1)) { (acc, j) =>
+            zip_with(acc, sl(j), (a, b) => concat_ws(" ", a, b))
+          }).otherwise(array().cast("array<string>"))
+      }))
     def dupFrac(g: Column): Column =
       when(size(g) > 0,
         round((size(g) - size(array_distinct(g))).cast("double") /
@@ -397,14 +404,23 @@ object TextAnalysis {
     * tokens, WITH multiplicity. Shared verbatim by the batch weights and
     * the streaming map-side scorer so their sums are identical integers.
     */
-  private[graft] def dsirGrams(textCol: Column): Column = {
-    val ws = wsTokens(lower(textCol))
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(0), size(ws) - 2),
-        i => concat_ws(" ", get(ws, i), get(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    concat(ws, bigrams)
-  }
+  private[graft] def dsirGrams(textCol: Column): Column =
+    // the token array is BOUND ONCE as a lambda variable (the
+    // wordShingles single-element-transform trick) and bigrams come
+    // from zip_with over two shifted slices — NOT transform+get:
+    // `get(ws, i)` inside a lambda re-evaluates the whole tokenization
+    // per ELEMENT (no common-subexpression elimination across lambda
+    // boundaries), which made gram construction O(n²) per document and
+    // was the ACTUAL dominant cost of the x100 DSIR pass (the r13 "md5
+    // dominates" attribution was wrong — md5 and xxhash64 variants were
+    // equally quadratic here). Output strings are byte-identical, so
+    // the oracle contract is untouched.
+    flatten(transform(array(wsTokens(lower(textCol))), w =>
+      concat(w,
+        when(size(w) >= 2,
+          zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>")))))
 
   /** The DSIR passes do an md5 per GRAM (~100× the doc count) — over a
     * single-file corpus (exactly how the sf-scale documents parquet
@@ -456,6 +472,34 @@ object TextAnalysis {
         s"dsir hash must be 'md5' or 'xx', got '$other'")
     }
 
+  /** The xx deployment path's cell array for one document, computed
+    * WITHOUT materializing gram strings: each token is xxhash64'd ONCE
+    * (salted), unigram cells come straight from the token hashes, and a
+    * bigram's cell hashes the two ADJACENT token hashes as a pair of
+    * longs — no `concat_ws` bigram string is ever built. The md5 oracle
+    * path materializes ~2n gram strings per doc and hashes each; this
+    * form does n string hashes + n long-pair hashes, eliminating the
+    * string allocation the bigram leg pays. Same statistical behavior
+    * (uniform cells), same output shape (unigrams ++ bigrams — size
+    * matches [[dsirGrams]] element-for-element).
+    */
+  private[graft] def dsirCellsXx(
+      textCol: Column, buckets: Int, salt: String): Column = {
+    val b = lit(buckets.toLong)
+    // token-hash array bound ONCE (the dsirGrams binding trick), then
+    // unigram cells by pmod and bigram cells by zip_with over shifted
+    // slices — each token hashed exactly once per row, no gram strings
+    flatten(transform(
+      array(transform(wsTokens(lower(textCol)),
+        w => xxhash64(lit(salt), w))),
+      th => concat(
+        transform(th, h => pmod(h, b)),
+        when(size(th) >= 2,
+          zip_with(slice(th, lit(1), size(th) - 1), slice(th, lit(2), size(th) - 1),
+            (a, c) => pmod(xxhash64(a, c), b)))
+          .otherwise(array().cast("array<bigint>")))))
+  }
+
   /** The calibrated factor table behind [[dsirWeights]] — one row per
     * hash cell 0..buckets-1 with the integer micro-nat log-importance
     * factor `floor(ln(p_target(b)/p_raw(b))·1e6 + 0.5)` under
@@ -475,10 +519,20 @@ object TextAnalysis {
       hash: String = "md5"): DataFrame = {
     require(buckets > 0, s"buckets must be > 0: $buckets")
     val spark = raw.sparkSession
-    def cellCt(docs: DataFrame, name: String): DataFrame = spreadDocs(docs)
-      .select(explode(dsirGrams(col(textCol))).as("gram"))
-      .select(dsirCell(col("gram"), buckets, salt, hash).as("b"))
-      .groupBy("b").agg(count(lit(1)).as(name))
+    def cellCt(docs: DataFrame, name: String): DataFrame = {
+      // md5 (oracle contract): materialize gram strings, hash each;
+      // xx (deployment): per-token hashes only, bigram cells from
+      // long pairs — no gram-string allocation (dsirCellsXx)
+      val cellRows =
+        if (hash == "xx")
+          spreadDocs(docs).select(
+            explode(dsirCellsXx(col(textCol), buckets, salt)).as("b"))
+        else
+          spreadDocs(docs)
+            .select(explode(dsirGrams(col(textCol))).as("gram"))
+            .select(dsirCell(col("gram"), buckets, salt, hash).as("b"))
+      cellRows.groupBy("b").agg(count(lit(1)).as(name))
+    }
     val rawCt = cellCt(raw, "ct_r")
     val tgtCt = cellCt(target, "ct_t")
     val totals = rawCt.agg(sum(col("ct_r")).as("tot_r"))
@@ -537,12 +591,18 @@ object TextAnalysis {
       textCol: String,
       buckets: Int = 1024,
       salt: String = "dsir",
-      hash: String = "md5"): DataFrame =
-    spreadDocs(raw).select(
-        col(idCol).as("doc_id"),
-        explode(dsirGrams(col(textCol))).as("gram"))
-      .select(col("doc_id"),
-        dsirCell(col("gram"), buckets, salt, hash).as("b"))
+      hash: String = "md5"): DataFrame = {
+    val cellRows =
+      if (hash == "xx")
+        spreadDocs(raw).select(col(idCol).as("doc_id"),
+          explode(dsirCellsXx(col(textCol), buckets, salt)).as("b"))
+      else
+        spreadDocs(raw).select(
+            col(idCol).as("doc_id"),
+            explode(dsirGrams(col(textCol))).as("gram"))
+          .select(col("doc_id"),
+            dsirCell(col("gram"), buckets, salt, hash).as("b"))
+    cellRows
       .join(broadcast(dsirFactors(raw, target, idCol, textCol, buckets,
         salt, hash)), "b")
       .groupBy("doc_id")
@@ -550,4 +610,5 @@ object TextAnalysis {
         count(lit(1)).as("n_grams"),
         sum(col("lr_micro")).as("weight_micro"))
       .withColumn("weight", col("weight_micro") / 1e6)
+  }
 }

@@ -78,7 +78,7 @@ object CorpusFilter {
       buckets: Int,
       salt: String = "dsir",
       hash: String = "md5"): DataFrame = {
-    import graft.operators.TextAnalysis.{dsirCell, dsirGrams}
+    import graft.operators.TextAnalysis.{dsirCell, dsirCellsXx, dsirGrams}
     val rows = factors.select(col("b"), col("lr_micro")).collect()
     require(rows.length == buckets,
       s"factor table has ${rows.length} rows, expected one per cell " +
@@ -98,13 +98,26 @@ object CorpusFilter {
       byCell(b.toInt) = r.getLong(1)
     }
     val table = typedLit(byCell.toSeq)
-    val grams = dsirGrams(col(textCol))
+    // md5: fold over gram strings, hashing each; xx: fold over the
+    // string-free per-doc cell array (dsirCellsXx — token hashes once,
+    // bigram cells from long pairs), mirroring the batch operator's
+    // hash-dispatched plan
+    val (nGrams, weightMicro) =
+      if (hash == "xx") {
+        val cells = dsirCellsXx(col(textCol), buckets, salt)
+        (size(cells).cast("long"),
+          aggregate(cells, lit(0L),
+            (acc, b) => acc + element_at(table, (b + 1L).cast("int"))))
+      } else {
+        val grams = dsirGrams(col(textCol))
+        (size(grams).cast("long"),
+          aggregate(grams, lit(0L),
+            (acc, g) => acc + element_at(table,
+              (dsirCell(g, buckets, salt, hash) + 1L).cast("int"))))
+      }
     docs
-      .withColumn("n_grams", size(grams).cast("long"))
-      .withColumn("weight_micro",
-        aggregate(grams, lit(0L),
-          (acc, g) => acc + element_at(table,
-            (dsirCell(g, buckets, salt, hash) + 1L).cast("int"))))
+      .withColumn("n_grams", nGrams)
+      .withColumn("weight_micro", weightMicro)
       .withColumn("weight", col("weight_micro") / 1e6)
   }
 

@@ -833,21 +833,26 @@ class OperatorSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast.map { case (k, v) => k -> v._2 } == viaStream,
       s"fast=$fast viaStream=$viaStream")
-    // and the knob must actually be wired: the two hashes place the
-    // same grams in different CELLS (weights can legitimately coincide
-    // on a collision-free fixture — the factor depends on the cell's
-    // counts, not its id — so compare cell ids, not weights)
-    val grams = Seq("alpha", "beta", "gamma", "alpha beta")
-      .toDF("gram")
-    val cells = grams.select(
-        operators.TextAnalysis.dsirCell(col("gram"), 1024, "dsir", "md5")
-          .as("c_md5"),
-        operators.TextAnalysis.dsirCell(col("gram"), 1024, "dsir", "xx")
-          .as("c_xx"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(cells.exists { case (a, b) => a != b },
-      s"xx cells identical to md5 cells for all grams — knob not wired: " +
-        cells.mkString(","))
+    // and the knob must actually be wired: the xx path's string-free
+    // cell array (dsirCellsXx — token hashes + long-pair bigram cells)
+    // places SOME gram in a different cell than the md5 gram-string
+    // chain (weights can legitimately coincide on a collision-free
+    // fixture — the factor depends on the cell's counts, not its id —
+    // so compare cell ids, not weights); and its size matches the gram
+    // count element-for-element
+    val one = Seq("alpha beta gamma").toDF("text")
+    val row = one.select(
+        operators.TextAnalysis.dsirCellsXx(col("text"), 1024, "dsir")
+          .as("cx"),
+        transform(operators.TextAnalysis.dsirGrams(col("text")),
+          g => operators.TextAnalysis.dsirCell(g, 1024, "dsir", "md5"))
+          .as("cm"))
+      .head()
+    val cx = row.getSeq[Long](0)
+    val cm = row.getSeq[Long](1)
+    assert(cx.size == 5 && cm.size == 5, s"$cx vs $cm") // 3 uni + 2 bi
+    assert(cx != cm,
+      s"xx cells identical to md5 cells — knob not wired: $cx")
   }
 
   test("PII redaction: typed placeholders, per-category counts, no-op " +
