@@ -52,11 +52,17 @@ object TextFunctions {
     * normalized text — a Karp-Rabin-style fingerprint computed with exact
     * integer arithmetic, so it is engine-portable bit-for-bit.
     */
-  def polyFingerprint(text: Column): Column = {
-    val n = normalizedText(text)
-    val codes = transform(sequence(lit(1), length(n)), i => ascii(n.substr(i, lit(1))))
-    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
-  }
+  def polyFingerprint(text: Column): Column =
+    // the normalized text is BOUND ONCE as a lambda variable (the
+    // wordShingles trick): `n.substr(i, 1)` inside the per-character
+    // lambda would otherwise re-run the normalize regex chain per
+    // CHARACTER (no CSE across lambda boundaries) — O(len²) regex work
+    // per row. Same exact fold, bit-identical output.
+    get(transform(array(normalizedText(text)), n =>
+      aggregate(
+        transform(sequence(lit(1), length(n)),
+          i => ascii(n.substr(i, lit(1)))),
+        lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)), lit(0))
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * rolling polynomial hash of every k-char gram of the normalized text,

@@ -52,11 +52,20 @@ object Multimodal {
     val t = col(textCol)
     val codes = flatten(transform(array(t), s =>
       transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))))))
+    // materialize codes and hist as ATTRIBUTES between projections: the
+    // 16 per-bin filters each reference `codes`, and the 16 output
+    // columns each reference `hist` — as inline expression trees those
+    // re-evaluated the whole chain 16×16 ≈ 256 times per row (the
+    // get-in-lambda recompute class); as column attributes each level
+    // evaluates exactly once
     val hist = transform(sequence(lit(0), lit(15)),
-      b => size(filter(codes, c => floor(c / 16).cast("int") === b)))
-    docs.select(
-      (col(idCol).as("doc_id") +:
-        (0 until 16).map(b => get(hist, lit(b)).as(s"h$b"))): _*)
+      b => size(filter(col("__codes"), c => floor(c / 16).cast("int") === b)))
+    docs
+      .withColumn("__codes", codes)
+      .withColumn("__hist", hist)
+      .select(
+        (col(idCol).as("doc_id") +:
+          (0 until 16).map(b => get(col("__hist"), lit(b)).as(s"h$b"))): _*)
   }
 
   /** Case class for the batch-decoded metadata rows. */
