@@ -757,30 +757,27 @@ object AlertStream {
   // values) — O(ir/st + or/st), independent of stream length.
   // ------------------------------------------------------------------
 
-  /** The streaming-supported subquery rule shape:
-    * `fn_over_time( rate|increase(m[ir]) by (l) [or:st] ) <cmp> thr`
-    * (or the canonical `sum by (l)(rate(m[ir]))` inner spelling), with
-    * st | ir and st | or — the divisibility that makes sliding windows
-    * exact unions of shifted tumbling closes. */
-  private final case class SubqShape(
+  /** The streaming-supported subquery CORE:
+    * `fn_over_time( rate|increase(m[ir]) by (l) [or:st] )` (or the
+    * canonical `sum by (l)(rate(m[ir]))` inner spelling), with st | ir
+    * and st | or — the divisibility that makes sliding windows exact
+    * unions of shifted tumbling closes. Shared by the alert twin here
+    * and [[RecordStream]]'s subquery recording twin. */
+  private[streaming] final case class SubqCore(
       side: CounterState.Side,
       grouping: Grouping,
       outer: String,
       ir: Long,
       or: Long,
-      st: Long,
-      cmp: String,
-      thr: Double)
+      st: Long)
 
   private val SubqOuters = Set("max_over_time", "min_over_time",
     "sum_over_time", "count_over_time", "avg_over_time", "last_over_time")
 
-  private def subqShapeOf(rule: Rules.AlertRule): Option[SubqShape] =
-    PromQL.parse(rule.expr) match {
-      case PromQL.BinOp(cmp,
-          PromQL.SubqueryFn(fn, body, or, st, None, 0L),
-          PromQL.NumLit(thr), _, false, false)
-          if Cmps(cmp) && SubqOuters(fn) =>
+  private[streaming] def subqCoreOf(e: PromQL.Expr): Option[SubqCore] =
+    e match {
+      case PromQL.SubqueryFn(fn, body, or, st, None, 0L)
+          if SubqOuters(fn) =>
         val inner = body match {
           case PromQL.RangeFn(cf, _, sel: PromQL.Selector, by, _)
               if (cf == "rate" || cf == "increase") && by.nonEmpty &&
@@ -796,11 +793,22 @@ object AlertStream {
         inner.flatMap { case (cf, sel, by) =>
           val ir = sel.rangeSec.get
           if (ir % st == 0 && or % st == 0 && ir >= st && or >= st)
-            Some(SubqShape(
+            Some(SubqCore(
               CounterState.Side(sel.metric, sel.matchers, "sum", cf),
-              Grouping.of(by, Nil), fn, ir, or, st, cmp, thr))
+              Grouping.of(by, Nil), fn, ir, or, st))
           else None
         }
+      case _ => None
+    }
+
+  private final case class SubqShape(core: SubqCore, cmp: String,
+      thr: Double)
+
+  private def subqShapeOf(rule: Rules.AlertRule): Option[SubqShape] =
+    PromQL.parse(rule.expr) match {
+      case PromQL.BinOp(cmp, sq: PromQL.SubqueryFn,
+          PromQL.NumLit(thr), _, false, false) if Cmps(cmp) =>
+        subqCoreOf(sq).map(SubqShape(_, cmp, thr))
       case _ => None
     }
 
@@ -819,13 +827,14 @@ object AlertStream {
       lastActive: Long,
       runStart: Long)
 
-  private val EmptySubqSt = SubqSt(Map.empty, Nil, Map.empty,
+  private[streaming] val EmptySubqSt = SubqSt(Map.empty, Nil, Map.empty,
     Long.MinValue, Nil, Nil, Long.MinValue, Long.MinValue)
 
   /** The batch outer moment over the present inner evals of one window
     * — overTimeOnFrame's op order: decimal-exact sum cast double, the
     * avg division after, max over (eval_ts, value) structs for last. */
-  private def subqOuter(fn: String, win: Seq[IVal]): Option[Double] = {
+  private[streaming] def subqOuter(
+      fn: String, win: Seq[IVal]): Option[Double] = {
     val present = win.filter(_.present)
     if (present.isEmpty) None
     else Some(fn match {
@@ -847,20 +856,28 @@ object AlertStream {
       watermark: String): Dataset[AlertEval] = {
     val spark = samples.sparkSession
     import spark.implicits._
-    CounterState.events(samples, Seq(s.side), s.grouping, s.st,
-        watermark, shiftedBuckets = true)
+    CounterState.events(samples, Seq(s.core.side), s.core.grouping,
+        s.core.st, watermark, shiftedBuckets = true)
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         processSubq(rule, s))
   }
 
-  private def processSubq(rule: Rules.AlertRule, s: SubqShape)(
-      key: String,
+  /** One ring-advance step of the subquery machinery, shared by the
+    * alert and recording twins: buffer/close shifted buckets
+    * (CounterState), synthesize EVERY closable bucket (absent ones
+    * advance the rings — an outer window can cover older present
+    * inners after a key goes quiet; a long absent run fast-forwards
+    * once the rings are dead), compute the inner value per eval and
+    * the outer moment per window. Returns the advanced state (run
+    * clock untouched — the caller's) and the closed outer evals in
+    * time order. */
+  private[streaming] def subqAdvance(
+      s: SubqCore,
+      st0: SubqSt,
       events: Iterator[CounterState.Ev],
-      state: GroupState[SubqSt]): Iterator[AlertEval] = {
-    val wmSec = state.getCurrentWatermarkMs() / 1000
-    val st0 = state.getOption.getOrElse(EmptySubqSt)
+      wmSec: Long): (SubqSt, List[(Long, Option[Double])]) = {
     val (cst, closed) = CounterState.advance(
       CounterState.St(st0.labels, st0.buf, st0.carry,
         Long.MinValue, Long.MinValue),
@@ -868,9 +885,6 @@ object AlertStream {
     val closedMap = closed.toMap
     val irN = (s.ir / s.st).toInt
     val orN = (s.or / s.st).toInt
-    // every shifted bucket the watermark has passed is closable, data
-    // or not — absent buckets still advance the rings (an outer window
-    // can cover older present inners after a key goes quiet)
     val maxClosable =
       if (wmSec == Long.MinValue / 1000 || wmSec <= 0) Long.MinValue
       else Math.floorDiv(wmSec - s.st, s.st) * s.st
@@ -919,23 +933,38 @@ object AlertStream {
       }
       nextB = maxClosable + s.st
     }
-    val out = List.newBuilder[AlertEval]
-    val (la, rs) = emitRuns(rule, s.st, s.cmp, s.thr, cst.labels,
-      evals.result(), out, st0.lastActive, st0.runStart)
-    val stN = SubqSt(cst.labels, cst.buf, cst.carry, nextB, bsums,
-      ivals, la, rs)
-    // keep waking while anything can still emit: open buckets, carry
-    // horizon, LIVE ring entries (an outer window can fire up to or
-    // past the newest present inner), or the run-clock window
-    val ringsLive = bsums.exists(_.present) || ivals.exists(_.present)
-    val deadlines = List(
-      stN.buf.map(_.bucket + s.st).minOption,
-      CounterState.nextCarryDeadline(stN.carry),
-      if (ringsLive && nextB != Long.MinValue) Some(nextB + s.st)
-      else None,
-      if (la != Long.MinValue && wmSec < la + 2 * s.st)
-        Some(la + 2 * s.st)
+    (SubqSt(cst.labels, cst.buf, cst.carry, nextB, bsums, ivals,
+      st0.lastActive, st0.runStart), evals.result())
+  }
+
+  /** The non-run-clock deadlines of the subquery state: open buckets,
+    * carry horizon, and LIVE ring entries (an outer window can fire up
+    * to `or` past the newest present inner). */
+  private[streaming] def subqDeadlines(
+      s: SubqCore, st: SubqSt): List[Long] =
+    List(
+      st.buf.map(_.bucket + s.st).minOption,
+      CounterState.nextCarryDeadline(st.carry),
+      if ((st.bsums.exists(_.present) || st.ivals.exists(_.present)) &&
+          st.nextBucket != Long.MinValue)
+        Some(st.nextBucket + s.st)
       else None).flatten
+
+  private def processSubq(rule: Rules.AlertRule, s: SubqShape)(
+      key: String,
+      events: Iterator[CounterState.Ev],
+      state: GroupState[SubqSt]): Iterator[AlertEval] = {
+    val wmSec = state.getCurrentWatermarkMs() / 1000
+    val st0 = state.getOption.getOrElse(EmptySubqSt)
+    val (adv, evals) = subqAdvance(s.core, st0, events, wmSec)
+    val out = List.newBuilder[AlertEval]
+    val (la, rs) = emitRuns(rule, s.core.st, s.cmp, s.thr, adv.labels,
+      evals, out, st0.lastActive, st0.runStart)
+    val stN = adv.copy(lastActive = la, runStart = rs)
+    val deadlines = subqDeadlines(s.core, stN) ++
+      (if (la != Long.MinValue && wmSec < la + 2 * s.core.st)
+        List(la + 2 * s.core.st)
+      else Nil)
     if (deadlines.nonEmpty) {
       state.update(stN)
       state.setTimeoutTimestamp(math.max(deadlines.min, wmSec + 1) * 1000)

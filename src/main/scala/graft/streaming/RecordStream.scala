@@ -101,9 +101,55 @@ object RecordStream {
       case Some(rs) => compiledRatio(samples, rule, rs, watermark)
       case None => counterShapeOf(rule) match {
         case Some(cs) => compiledCounter(samples, rule, cs, watermark)
-        case None => compiledCanonical(samples, rule, watermark)
+        case None =>
+          AlertStream.subqCoreOf(PromQL.parse(rule.expr)) match {
+            case Some(core) =>
+              compiledSubquery(samples, rule, core, watermark)
+            case None => compiledCanonical(samples, rule, watermark)
+          }
       }
     }
+  }
+
+  /** Nested-subquery recording — the live twin of a
+    * `fn_over_time(rate(m[ir]) by (l)[or:st])` recording rule
+    * (peak-of-rate family): rides [[AlertStream.subqAdvance]]'s
+    * shifted-bucket ring machinery and reshapes each closed outer eval
+    * into a sample of the rule's output metric. */
+  private def compiledSubquery(
+      samples: DataFrame,
+      rule: Rules.RecordingRule,
+      core: AlertStream.SubqCore,
+      watermark: String): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    CounterState.events(samples, Seq(core.side), core.grouping, core.st,
+        watermark, shiftedBuckets = true)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processSubq(rule, core))
+      .toDF()
+  }
+
+  private def processSubq(
+      rule: Rules.RecordingRule, core: AlertStream.SubqCore)(
+      key: String,
+      events: Iterator[CounterState.Ev],
+      state: GroupState[AlertStream.SubqSt]): Iterator[Rec] = {
+    val wmSec = state.getCurrentWatermarkMs() / 1000
+    val st0 = state.getOption.getOrElse(AlertStream.EmptySubqSt)
+    val (adv, evals) = AlertStream.subqAdvance(core, st0, events, wmSec)
+    val out = evals.flatMap { case (t, vOpt) =>
+      vOpt.map(v => Rec(rule.name,
+        adv.labels ++ rule.staticLabels, t, v))
+    }
+    val deadlines = AlertStream.subqDeadlines(core, adv)
+    if (deadlines.nonEmpty) {
+      state.update(adv)
+      state.setTimeoutTimestamp(math.max(deadlines.min, wmSec + 1) * 1000)
+    } else if (state.exists) state.remove()
+    out.iterator
   }
 
   /** The counter recording families — `<moment> by (l)

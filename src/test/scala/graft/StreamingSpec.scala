@@ -1267,6 +1267,64 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming SUBQUERY recording rule equals the batch rule on a " +
+      "replayed fixture (peak-of-rate, shifted-bucket rings)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.RecordStream
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val samples = events.select(
+      col("event_type").as("metric"),
+      map(lit("cohort"),
+        pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
+      col("ts_s").as("ts"),
+      col("value"))
+    // feed the batch SCAN span [T0 - or - ir + 1, T1] like the
+    // subquery-alert parity test — the sliding family reads a full
+    // outer+inner lookback before the grid start
+    val data = samples
+      .where(col("ts").between(T0 - 21600 - 3600 + 1, T1))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+      .toIndexedSeq
+    val rule = Rules.RecordingRule("cohort:click:peak_rate_6h",
+      "max_over_time(rate(click[3600]) by (cohort) [21600:3600])",
+      Map("job" -> "rules"))
+    val batch = Rules.record(Tsdb.attach(spark, samples), rule, T0, T1)
+      .collect()
+      .map(r => (r.getMap[String, String](1).toMap, r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty)
+    val mem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+    val q = RecordStream.compiled(src, rule, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("subq_rec_eq")
+      .outputMode("append").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "zz"),
+      new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "zz"),
+      new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("subq_rec_eq")
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (r.getMap[String, String](r.fieldIndex("labels")).toMap,
+        r.getLong(r.fieldIndex("ts")),
+        r.getDouble(r.fieldIndex("value")))).toSet
+    assert(got.nonEmpty && got == batch,
+      s"sizes ${got.size} vs ${batch.size}; " +
+        s"stream-only ${(got -- batch).take(3)}; " +
+        s"batch-only ${(batch -- got).take(3)}")
+  }
+
   test("without()-grouped rules: streaming alert, counter alert and " +
       "recording rule each row-equal to the batch twin on a " +
       "heterogeneous-label fixture") {
