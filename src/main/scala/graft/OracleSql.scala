@@ -2699,6 +2699,62 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Ratio-spread subquery mirror — `stddev_over_time((sum(rate(click))
+    * / sum(rate(view)))[6h:1h])`: the two-leg ratio CTE chain, then the
+    * integer-micro spread over the round(…,6)-quantized ratios (the
+    * engine's ratio contract makes the "/" inner micro-lossless). */
+  private val tsdbPromqlSubqueryRspread = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    def rateCte(metric: String, p: String) =
+      s"""${p}e AS (
+         |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+         |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+         |  FROM events
+         |  WHERE event_type = '$metric'
+         |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+         |${p}d AS (
+         |  SELECT *, lag(v) OVER (PARTITION BY user_id
+         |                         ORDER BY ts_s, v) AS prev
+         |  FROM ${p}e),
+         |${p}x AS (
+         |  SELECT cohort, ts_s,
+         |         CASE WHEN prev IS NULL THEN NULL
+         |              WHEN v >= prev THEN v - prev
+         |              ELSE v END AS delta
+         |  FROM ${p}d),
+         |${p}ie AS (
+         |  SELECT cohort, g.e AS ets,
+         |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+         |  FROM ${p}x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+         |    ON ${p}x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+         |  WHERE delta IS NOT NULL
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${rateCte("click", "a")},
+       |${rateCte("view", "b")},
+       |j AS (
+       |  SELECT aie.cohort, aie.ets,
+       |         CAST(round(round(CASE WHEN bie.rate = 0
+       |                    THEN aie.rate * CAST('Infinity' AS DOUBLE)
+       |                    ELSE aie.rate / bie.rate END, 6) * 1e6)
+       |              AS BIGINT) AS m
+       |  FROM aie JOIN bie
+       |    ON aie.cohort = bie.cohort AND aie.ets = bie.ets)
+       |SELECT cohort, t.t AS eval_ts, count(*) AS n,
+       |       floor(sqrt(
+       |         (CAST(SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
+       |            AS DOUBLE) / count(*)
+       |          - (CAST(SUM(m) AS DOUBLE) / count(*))
+       |            * (CAST(SUM(m) AS DOUBLE) / count(*))) / 1e12)
+       |         * 1e6 + 0.5) / 1e6
+       |         AS stddev_v
+       |FROM j JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON j.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Top-k-inner subquery mirror — `count_over_time(topk(3, sum by
     * (cohort)(rate(click[1h])))[6h:1h])`: the cohort-grain sliding-rate
     * CTE, ranked per eval point (value DESC, cohort ASC — the engine's
@@ -3936,6 +3992,7 @@ object OracleSql {
     "tsdb_promql_subquery_deriv_rate" -> tsdbPromqlSubqueryDerivRate,
     "tsdb_promql_subquery_predict_gauge" -> tsdbPromqlSubqueryPredictGauge,
     "tsdb_promql_subquery_changes_rate" -> tsdbPromqlSubqueryChangesRate,
+    "tsdb_promql_subquery_rspread" -> tsdbPromqlSubqueryRspread,
     "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
     "tsdb_promql_subquery_mad" -> tsdbPromqlSubqueryMad,

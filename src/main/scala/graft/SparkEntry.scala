@@ -758,6 +758,21 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("max_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Error-ratio VOLATILITY — `stddev_over_time((sum(rate(click))/
+    * sum(rate(view)))[6h:1h])`: the spread of the sliding click/view
+    * ratio per 6h lookback. Enabled r14: the "/" inner is round(…,6)
+    * by the engine's ratio contract, so it joins the integer-micro
+    * exactness family (the other arithmetic ops stay excluded).
+    */
+  private def qTsdbPromqlSubqueryRspread(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "stddev_over_time((sum by (cohort) (rate(click[3600])) / " +
+        "sum by (cohort) (rate(view[3600])))[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("n"), col("stddev_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** Selection-aggregated subquery inner — "time spent in the top k":
     * `count_over_time(topk(3, sum by (cohort)(rate(click[1h])))
     * [6h:1h])` counts, per cohort, the hourly eval points in the last
@@ -2995,6 +3010,7 @@ object SparkEntry {
       (qTsdbPromqlSubqueryPredictGauge _),
     "tsdb_promql_subquery_changes_rate" ->
       (qTsdbPromqlSubqueryChangesRate _),
+    "tsdb_promql_subquery_rspread" -> (qTsdbPromqlSubqueryRspread _),
     "tsdb_promql_subquery_offset" -> (qTsdbPromqlSubqueryOffset _),
     "tsdb_promql_subquery_gauge" -> (qTsdbPromqlSubqueryGauge _),
     "tsdb_promql_subquery_moment" -> (qTsdbPromqlSubqueryMoment _),

@@ -1971,12 +1971,18 @@ object PromQL {
                   e0, byA, stepSec, stepOf(sel, n2), sel.offsetSec)
                 .select((byA.map(col) :+ col("eval_ts") :+
                   col(vc).as(out)): _*)
+            // "/" results are round(…,6) by the engine's ratio contract
+            // — 6-decimal QUANTIZED, so they join the integer-micro
+            // exactness family (spread/counter outers allowed); the
+            // raw single-IEEE-op +,-,*,%,^ results stay named `result`
+            // and stay excluded from those outers
+            val rc = if (op == "/") "ratio6" else "result"
             val joined = Tsdb.nullSafeEquiJoin(
                 leg(selA, nA, "__va"), leg(selB, nB, "__vb"),
                 byA :+ "eval_ts")
-              .withColumn("result", arith(op)(col("__va"), col("__vb")))
+              .withColumn(rc, arith(op)(col("__va"), col("__vb")))
               .drop("__va", "__vb")
-            (joined, byA, "result")
+            (joined, byA, rc)
           case other => throw new IllegalArgumentException(
             "nested subqueries support rate/increase or *_over_time " +
             "inner vectors (optionally aggregated: `sum by (l) " +
@@ -1998,7 +2004,7 @@ object PromQL {
         val spread = SpreadOverTime(fn)
         if (spread && !Set("rate_per_sec", "increase", "n", "n_series",
             "stddev_v", "stdvar_v", "q_v", "avg_v", "min_v", "max_v",
-            "last_v", "sum_v").contains(valCol))
+            "last_v", "sum_v", "ratio6").contains(valCol))
           throw new IllegalArgumentException(
             s"stddev/stdvar_over_time subquery outers support counter " +
             s"(rate/increase, optionally aggregated), gauge moment, " +

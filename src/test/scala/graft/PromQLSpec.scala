@@ -2308,10 +2308,16 @@ class PromQLSpec extends SparkSuite {
       .select("stddev_v").collect().map(_.getDouble(0))
     assert(gs.nonEmpty && gs.forall(_ == 0.0),
       "outer range == step must give MAD-style zero spread")
-    // the binary-op `result` inner stays fail-fast (raw double division)
+    // r14 late: the "/" ratio inner is round(…,6)-quantized (the ratio
+    // contract) and spread outers accept it now; the RAW single-IEEE-op
+    // arithmetic inners (+,-,*) stay fail-fast
+    assert(PromQL.query(t,
+      "stddev_over_time((sum by (cohort)(rate(click[3600])) / " +
+        "sum by (cohort)(rate(click[3600])))[21600:3600])",
+      T0, T1).columns.contains("stddev_v"))
     val ex = intercept[IllegalArgumentException](
       PromQL.query(t,
-        "stddev_over_time((sum by (cohort)(rate(click[3600])) / " +
+        "stddev_over_time((sum by (cohort)(rate(click[3600])) + " +
           "sum by (cohort)(rate(click[3600])))[21600:3600])",
         T0, T1))
     assert(ex.getMessage.contains("inner value"), ex.getMessage)
