@@ -113,12 +113,21 @@ object TextFunctions {
   /** Predicted language: argmax of marker counts, first-wins on ties in the
     * order of [[LangMarkers]]; `und` if every score is zero.
     */
-  def langId(text: Column): Column = {
-    val toks = wsTokens(lower(text))
-    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(toks, m) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s > 0 && s === best, lit(lang)).otherwise(acc)
-    }
-  }
+  def langId(text: Column): Column =
+    // the token array and the five marker scores are each BOUND ONCE
+    // (the wordShingles single-element-transform trick, nested): the
+    // previous inline tree evaluated every score inside `best` AND in
+    // each when-branch, and every score re-tokenized — ~30 filter-folds
+    // and tokenizations per row. Same argmax, first-wins tie order,
+    // `und` when all zero; values identical.
+    get(transform(array(wsTokens(lower(text))), toks =>
+      get(transform(array(array(LangMarkers.map { case (_, m) =>
+          langScore(toks, m) }: _*)), sc => {
+        val best = array_max(sc)
+        LangMarkers.zipWithIndex.foldRight(lit("und")) {
+          case (((lang, _), i), acc) =>
+            when(get(sc, lit(i)) > 0 && get(sc, lit(i)) === best,
+              lit(lang)).otherwise(acc)
+        }
+      }), lit(0))), lit(0))
 }

@@ -27,28 +27,37 @@ object TextAnalysis {
       textCol: String,
       keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
-    val toks = wsTokens(t)
+    // tokenization, the punctuation regex, and the stopword fold are
+    // materialized as ATTRIBUTES between projections: the ratios appear
+    // in both their output column and the composite score, so as inline
+    // trees each expensive sub-expression evaluated 2-3× per row (the
+    // HOF-recompute class at projection level). Values identical.
     val nChars = length(t)
-    val nWords = size(toks)
-    val punct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
-    val stops = langScore(toks, LangMarkers.head._2) // english markers
-    val meanWordLen = (length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
-    val punctRatio = punct.cast("double") / nChars
-    val stopRatio = stops.cast("double") / nWords
+    val nWords = size(col("__q_toks"))
+    val meanWordLen =
+      (length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
+    val punctRatio = col("__q_punct").cast("double") / nChars
+    val stopRatio = col("__q_stops").cast("double") / nWords
     // composite: reward moderate length + low punctuation + some stopwords
     val score =
       least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 +
         (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
         least(stopRatio * 5.0, lit(1.0)) * 0.2
-    docs.select(
-      col(idCol).as("doc_id") +:
-        keep.map(col) :+
-        nChars.as("n_chars") :+
-        nWords.as("n_words") :+
-        round(meanWordLen, 6).as("mean_word_len") :+
-        round(punctRatio, 6).as("punct_ratio") :+
-        round(stopRatio, 6).as("stopword_ratio") :+
-        round(score, 6).as("quality"): _*)
+    docs
+      .withColumn("__q_toks", wsTokens(t))
+      .withColumn("__q_punct",
+        length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
+      .withColumn("__q_stops",
+        langScore(col("__q_toks"), LangMarkers.head._2)) // english markers
+      .select(
+        col(idCol).as("doc_id") +:
+          keep.map(col) :+
+          nChars.as("n_chars") :+
+          nWords.as("n_words") :+
+          round(meanWordLen, 6).as("mean_word_len") :+
+          round(punctRatio, 6).as("punct_ratio") :+
+          round(stopRatio, 6).as("stopword_ratio") :+
+          round(score, 6).as("quality"): _*)
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */
@@ -61,16 +70,20 @@ object TextAnalysis {
   /** Winnowing fingerprint summary per doc: count + min/max/sum of the
     * distinct window-minimum gram hashes (exact integers).
     */
-  def winnowSummary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fps = winnowFingerprints(col(textCol))
-    docs.select(
-      col(idCol).as("doc_id"),
-      size(fps).as("n_fp"),
-      array_min(fps).as("fp_min"),
-      array_max(fps).as("fp_max"),
-      when(size(fps) > 0,
-        aggregate(fps, lit(0L), (a, x) => a + x)).as("fp_sum"))
-  }
+  def winnowSummary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // the fingerprint array (rolling k-gram hashes + window minima — the
+    // most expensive text expression here) is materialized ONCE as an
+    // attribute; the five inline references previously recomputed it
+    // five times per row
+    docs
+      .withColumn("__fps", winnowFingerprints(col(textCol)))
+      .select(
+        col(idCol).as("doc_id"),
+        size(col("__fps")).as("n_fp"),
+        array_min(col("__fps")).as("fp_min"),
+        array_max(col("__fps")).as("fp_max"),
+        when(size(col("__fps")) > 0,
+          aggregate(col("__fps"), lit(0L), (a, x) => a + x)).as("fp_sum"))
 
   /** Fingerprints: md5 of normalized text + portable rolling polynomial
     * hash (base 31 mod 1e9+7) — see TextFunctions for the exact fold.
