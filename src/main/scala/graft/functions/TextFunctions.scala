@@ -53,16 +53,14 @@ object TextFunctions {
     * integer arithmetic, so it is engine-portable bit-for-bit.
     */
   def polyFingerprint(text: Column): Column =
-    // the normalized text is BOUND ONCE as a lambda variable (the
-    // wordShingles trick): `n.substr(i, 1)` inside the per-character
-    // lambda would otherwise re-run the normalize regex chain per
-    // CHARACTER (no CSE across lambda boundaries) — O(len²) regex work
-    // per row. Same exact fold, bit-identical output.
-    get(transform(array(normalizedText(text)), n =>
-      aggregate(
-        transform(sequence(lit(1), length(n)),
-          i => ascii(n.substr(i, lit(1)))),
-        lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)), lit(0))
+    // split("", limit 0) yields the char array in ONE pass — the former
+    // substr(i, 1) loop scanned from the string start per CODEPOINT
+    // (UTF8 boundary walk), an inherent O(len²) that binding the string
+    // can't fix (the r14 long-doc probe read 227× growth for 20×
+    // length). Same exact fold, bit-identical output.
+    aggregate(
+      transform(split(normalizedText(text), "", 0), c => ascii(c)),
+      lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * rolling polynomial hash of every k-char gram of the normalized text,
@@ -74,9 +72,10 @@ object TextFunctions {
     */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
     val M = 1000000007L
-    val codes = flatten(transform(array(normalizedText(text)), n =>
-      transform(sequence(lit(1), length(n)),
-        i => ascii(n.substr(i, lit(1))).cast("long"))))
+    // one-pass char split (see polyFingerprint): the former substr
+    // loop was O(len²) in the codepoint walk
+    val codes = transform(split(normalizedText(text), "", 0),
+      c => ascii(c).cast("long"))
     val grams = flatten(transform(array(codes), cs =>
       when(size(cs) >= k,
         transform(sequence(lit(1), size(cs) - k + 1),
