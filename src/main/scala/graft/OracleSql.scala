@@ -2853,6 +2853,53 @@ object OracleSql {
        |FROM stx ORDER BY cohort, bucket_start""".stripMargin
   }
 
+  /** Sliding-selector alert mirror — `rate(click[6h:1h]) by (cohort) >
+    * 0.004 for 2h`: the subquery-alert scheme without the outer
+    * aggregation (each eval IS the sliding rate), threshold + the
+    * gaps-and-islands for-clock at the step grid. */
+  private val tsdbAlertRuleSlide = {
+    val ir = 21600L; val st = 3600L
+    val lo = (T0 + st - 1) / st * st
+    val hi = T1 / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |act AS (
+       |  SELECT cohort, g.e AS bucket_start,
+       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS value
+       |  FROM x JOIN generate_series($lo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2
+       |  HAVING round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) > 0.004),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY cohort ORDER BY bucket_start) AS rn
+       |  FROM act),
+       |stx AS (
+       |  SELECT *, min(bucket_start) OVER (
+       |    PARTITION BY cohort, bucket_start - rn * $st) AS s0
+       |  FROM r)
+       |SELECT 'cohort_rate_high' AS alertname, cohort, bucket_start,
+       |       value,
+       |       CASE WHEN bucket_start - s0 >= 7200 THEN 'firing'
+       |            ELSE 'pending' END AS state
+       |FROM stx ORDER BY cohort, bucket_start""".stripMargin
+  }
+
   /** Subquery recording-rule mirror — the tsdbPromqlSubqueryMoment
     * series materialized under its rule name with the static job label,
     * read back through the engine (metric/labels round-trip through the
@@ -3999,6 +4046,7 @@ object OracleSql {
     "tsdb_promql_subquery_moment" -> tsdbPromqlSubqueryMoment,
     "tsdb_promql_subquery_spread" -> tsdbPromqlSubquerySpread,
     "tsdb_alert_rule_subq" -> tsdbAlertRuleSubq,
+    "tsdb_alert_rule_slide" -> tsdbAlertRuleSlide,
     "tsdb_recording_rule_subq" -> tsdbRecordingRuleSubq,
     "tsdb_promql_subquery_sprinner" -> tsdbPromqlSubquerySprinner,
     "tsdb_promql_subquery_qinner" -> tsdbPromqlSubqueryQinner,

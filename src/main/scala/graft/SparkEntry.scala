@@ -803,6 +803,21 @@ object SparkEntry {
       .select("alertname", "cohort", "bucket_start", "value", "state")
       .orderBy("cohort", "bucket_start")
 
+  /** Sliding-selector ALERT rule — `rate(click[6h:1h]) by (cohort) >
+    * 0.004 for 2h`: the r14 sliding form as a first-class rule (the
+    * trailing-by grouping is the rule's static label schema; the
+    * [range:step] step is the rule's evaluation grid, also live via
+    * AlertStream's single-entry-window rings).
+    */
+  private def qTsdbAlertRuleSlide(s: SparkSession, dir: String): DataFrame =
+    graft.promql.Rules.alerts(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      graft.promql.Rules.AlertRule("cohort_rate_high",
+        "rate(click[21600:3600]) by (cohort) > 0.004", forSec = 7200L),
+      T0, T1)
+      .select("alertname", "cohort", "bucket_start", "value", "state")
+      .orderBy("cohort", "bucket_start")
+
   /** Recording a nested subquery — materialize the peak-of-mean-rate
     * series (`max_over_time(avg by (cohort)(rate(click[1h]))[6h:1h])`)
     * as a new metric, then read it back through the engine: the
@@ -3016,6 +3031,7 @@ object SparkEntry {
     "tsdb_promql_subquery_moment" -> (qTsdbPromqlSubqueryMoment _),
     "tsdb_promql_subquery_spread" -> (qTsdbPromqlSubquerySpread _),
     "tsdb_alert_rule_subq" -> (qTsdbAlertRuleSubq _),
+    "tsdb_alert_rule_slide" -> (qTsdbAlertRuleSlide _),
     "tsdb_recording_rule_subq" -> (qTsdbRecordingRuleSubq _),
     "tsdb_promql_subquery_sprinner" -> (qTsdbPromqlSubquerySprinner _),
     "tsdb_promql_subquery_qinner" -> (qTsdbPromqlSubqueryQinner _),

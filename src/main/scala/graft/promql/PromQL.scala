@@ -1667,6 +1667,10 @@ object PromQL {
     case LabelFn("sort_by_label" | "sort_by_label_desc", arg, _) =>
       groupingOf(arg)
     case MathFn(_, arg, _, _) => groupingOf(arg)
+    // the trailing-by extension aggregates a range function to the
+    // by-grain, so its label schema IS the by-list — static, rule-safe
+    // (`rate(x[6h:1h]) by (cohort) > thr` as a live/batch alert)
+    case RangeFn(_, _, _, by, _) if by.nonEmpty => Some(by)
     case _ => None
   }
 

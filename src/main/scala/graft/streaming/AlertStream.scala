@@ -774,6 +774,12 @@ object AlertStream {
   private val SubqOuters = Set("max_over_time", "min_over_time",
     "sum_over_time", "count_over_time", "avg_over_time", "last_over_time")
 
+  /** A sliding selector the ring machinery can evaluate — like
+    * [[plain]] but a [range:step] step IS the point. */
+  private def slidingSel(sel: PromQL.Selector): Boolean =
+    sel.rangeSec.isDefined && sel.stepSec.isDefined &&
+      sel.offsetSec == 0 && sel.atSpec.isEmpty
+
   private[streaming] def subqCoreOf(e: PromQL.Expr): Option[SubqCore] =
     e match {
       case PromQL.SubqueryFn(fn, body, or, st, None, 0L)
@@ -798,6 +804,29 @@ object AlertStream {
               Grouping.of(by, Nil), fn, ir, or, st))
           else None
         }
+      // the sliding-SELECTOR form — `rate(m[ir:st]) by (l)` (or the
+      // canonical sum-by spelling): every eval IS the inner leg, i.e.
+      // the same rings with a single-entry outer window
+      // (or = st, outer = last_over_time ⇒ outer(T) ≡ inner(T))
+      case PromQL.RangeFn(cf, _, sel: PromQL.Selector, by, _)
+          if (cf == "rate" || cf == "increase") && by.nonEmpty &&
+            slidingSel(sel) =>
+        val ir = sel.rangeSec.get; val st = sel.stepSec.get
+        if (ir % st == 0 && ir >= st)
+          Some(SubqCore(
+            CounterState.Side(sel.metric, sel.matchers, "sum", cf),
+            Grouping.of(by, Nil), "last_over_time", ir, st, st))
+        else None
+      case PromQL.Agg("sum", None, None, by,
+          PromQL.RangeFn(cf, _, sel: PromQL.Selector, Nil, _), Nil)
+          if (cf == "rate" || cf == "increase") && by.nonEmpty &&
+            slidingSel(sel) =>
+        val ir = sel.rangeSec.get; val st = sel.stepSec.get
+        if (ir % st == 0 && ir >= st)
+          Some(SubqCore(
+            CounterState.Side(sel.metric, sel.matchers, "sum", cf),
+            Grouping.of(by, Nil), "last_over_time", ir, st, st))
+        else None
       case _ => None
     }
 
@@ -806,9 +835,9 @@ object AlertStream {
 
   private def subqShapeOf(rule: Rules.AlertRule): Option[SubqShape] =
     PromQL.parse(rule.expr) match {
-      case PromQL.BinOp(cmp, sq: PromQL.SubqueryFn,
-          PromQL.NumLit(thr), _, false, false) if Cmps(cmp) =>
-        subqCoreOf(sq).map(SubqShape(_, cmp, thr))
+      case PromQL.BinOp(cmp, lhs, PromQL.NumLit(thr), _, false, false)
+          if Cmps(cmp) =>
+        subqCoreOf(lhs).map(SubqShape(_, cmp, thr))
       case _ => None
     }
 

@@ -1109,23 +1109,29 @@ class StreamingSpec extends SparkSuite {
     ).toDF("metric", "labels", "ts", "value")
     val samples = real.unionByName(weird)
     // all three outer families over both inner spellings, with a `for`;
-    // each rule carries its inner range ir so the replay can mirror the
-    // batch SCAN span [T0 − or − ir + 1, T1] — the sliding family reads
-    // a full outer+inner lookback before the grid start, and a stream
-    // fed less would miss the earliest windows' deltas
+    // each rule carries its batch scan LOOKBACK (or + ir for subquery
+    // forms, ir alone for the sliding-selector form) so the replay
+    // feeds EXACTLY the batch scan span [T0 − lookback + 1, T1]: fed
+    // less, the stream misses the earliest windows' deltas; fed MORE,
+    // the carry hands it a prev the batch lag never saw
     val rules = Seq(
-      ("sq_max", 3600L, Rules.AlertRule("sq_max",
+      ("sq_max", 25200L, Rules.AlertRule("sq_max",
         "max_over_time(rate(click[3600]) by (cohort) " +
           "[21600:3600]) > 0.004", forSec = 7200L)),
-      ("sq_avg", 3600L, Rules.AlertRule("sq_avg",
+      ("sq_avg", 25200L, Rules.AlertRule("sq_avg",
         "avg_over_time(sum by (cohort) (rate(click[3600]))" +
           "[21600:3600]) > 0.004", forSec = 0L)),
-      ("sq_cnt", 7200L, Rules.AlertRule("sq_cnt",
+      ("sq_cnt", 28800L, Rules.AlertRule("sq_cnt",
         "count_over_time(rate(click[7200]) by (cohort) " +
-          "[21600:3600]) > 4", forSec = 3600L)))
-    rules.foreach { case (qn, ir, rule) =>
+          "[21600:3600]) > 4", forSec = 3600L)),
+      // r14 late: the sliding-SELECTOR alert form — rate(m[ir:st]) is
+      // the inner leg alone (single-entry outer window in the rings)
+      ("sq_slide", 21600L, Rules.AlertRule("sq_slide",
+        "rate(click[21600:3600]) by (cohort) > 0.004",
+        forSec = 7200L)))
+    rules.foreach { case (qn, lookback, rule) =>
       val data = samples
-        .where(col("ts").between(T0 - 21600 - ir + 1, T1))
+        .where(col("ts").between(T0 - lookback + 1, T1))
         .collect()
         .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
           new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
