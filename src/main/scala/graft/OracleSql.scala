@@ -1935,7 +1935,7 @@ object OracleSql {
        |  FROM d),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2135,7 +2135,7 @@ object OracleSql {
        |  FROM d),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2175,7 +2175,7 @@ object OracleSql {
        |  FROM d),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2217,7 +2217,7 @@ object OracleSql {
        |  FROM d),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2265,7 +2265,7 @@ object OracleSql {
        |  FROM d),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2308,7 +2308,7 @@ object OracleSql {
        |  FROM d),
        |ps AS (
        |  SELECT user_id, cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2355,7 +2355,7 @@ object OracleSql {
        |  FROM d),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2402,7 +2402,7 @@ object OracleSql {
        |  FROM d),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2584,7 +2584,7 @@ object OracleSql {
        |  FROM d),
        |ps AS (
        |  SELECT user_id, cohort, g.e AS ets,
-       |         CAST(round(round(CAST(SUM(delta) AS DOUBLE) / $ir, 6)
+       |         CAST(round(floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6
        |           * 1e6) AS BIGINT) AS m
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
@@ -2632,7 +2632,7 @@ object OracleSql {
        |  FROM d),
        |ps AS (
        |  SELECT user_id, cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2679,7 +2679,7 @@ object OracleSql {
          |  FROM ${p}d),
          |${p}ie AS (
          |  SELECT cohort, g.e AS ets,
-         |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+         |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
          |  FROM ${p}x JOIN generate_series($innerLo, $hi, $st) AS g(e)
          |    ON ${p}x.ts_s BETWEEN g.e - $ir + 1 AND g.e
          |  WHERE delta IS NOT NULL
@@ -2727,7 +2727,7 @@ object OracleSql {
          |  FROM ${p}d),
          |${p}ie AS (
          |  SELECT cohort, g.e AS ets,
-         |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+         |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
          |  FROM ${p}x JOIN generate_series($innerLo, $hi, $st) AS g(e)
          |    ON ${p}x.ts_s BETWEEN g.e - $ir + 1 AND g.e
          |  WHERE delta IS NOT NULL
@@ -2782,7 +2782,7 @@ object OracleSql {
        |  FROM d),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2827,7 +2827,7 @@ object OracleSql {
        |  FROM d),
        |ie AS (
        |  SELECT cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
@@ -2879,12 +2879,12 @@ object OracleSql {
        |  FROM d),
        |act AS (
        |  SELECT cohort, g.e AS bucket_start,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS value
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS value
        |  FROM x JOIN generate_series($lo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL
        |  GROUP BY 1, 2
-       |  HAVING round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) > 0.004),
+       |  HAVING floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 > 0.004),
        |r AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY cohort ORDER BY bucket_start) AS rn
@@ -2927,7 +2927,7 @@ object OracleSql {
        |  FROM d),
        |ps AS (
        |  SELECT user_id, cohort, g.e AS ets,
-       |         round(CAST(SUM(delta) AS DOUBLE) / $ir, 6) AS rate
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
        |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
        |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
        |  WHERE delta IS NOT NULL

@@ -909,8 +909,13 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       .agg(
         count(lit(1)).as("n"),
         sum(col("delta")).cast("double").as("increase"),
-        round(sum(col("delta")).cast("double") / rangeSec, 6)
-          .as("rate_per_sec"))
+        // tie-free 6-decimal quantization (floor(x*1e6+0.5)/1e6): the
+        // same IEEE op sequence in Spark, DuckDB, and the streaming
+        // twin — Spark round() is BigDecimal HALF_UP while DuckDB
+        // round() is float half-away, and they diverge on exact-.5
+        // products (one real sf0.01 row at the 6h window width)
+        (floor(sum(col("delta")).cast("double") / rangeSec * 1e6 + 0.5)
+          / 1e6).as("rate_per_sec"))
   }
 
   /** Sliding cross-series MOMENTS of the per-series counter rate on the
@@ -954,7 +959,10 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     val keys = byLabels.map(l => col("labels").getItem(l).as(l)) :+
       col("eval_ts")
     val perSeriesVal =
-      if (rate) round(sum(col("delta")).cast("double") / rangeSec, 6)
+      // the slidingIncreaseBy tie-free floor quantization — one
+      // cross-engine rounding contract for the whole sliding family
+      if (rate)
+        floor(sum(col("delta")).cast("double") / rangeSec * 1e6 + 0.5) / 1e6
       else sum(col("delta")).cast("double")
     val perSeries = queryRange(metric, matchers, start0 - rangeSec + 1, end0)
       .withColumn("v", col("value").cast("decimal(18,2)"))

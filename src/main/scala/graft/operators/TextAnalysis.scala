@@ -463,24 +463,22 @@ object TextAnalysis {
         .cast("long"),
       lit(buckets.toLong))
 
-  /** The deployment-grade cell hash: codegen'd xxhash64 instead of the
-    * md5-hex-substring chain — ~6-10× cheaper per gram (the md5 is the
-    * dominant cost of the DSIR passes at x100: 152.5 s, almost all
-    * hashing). Identical plan shape and statistical behavior; NOT
-    * DuckDB-mirrorable (no xxhash64 there), so the md5 form remains the
-    * oracle contract and this one is spec-gated (stream≡batch +
-    * invariants in OperatorSpec/StreamingSpec). */
-  private[graft] def dsirBucketXx(
-      gram: Column, buckets: Int, salt: String): Column =
-    pmod(xxhash64(concat(lit(salt), gram)), lit(buckets.toLong))
-
-  /** Dispatch on the `hash` knob: "md5" (oracle contract) | "xx"
-    * (deployment path). */
+  /** Per-GRAM cell dispatch on the `hash` knob. Only "md5" (the oracle
+    * contract) has a gram-string cell definition; the "xx" deployment
+    * path's ONLY cell scheme is [[dsirCellsXx]] (token hashes once,
+    * bigram cells from long pairs — a DIFFERENT function of the gram
+    * than any salted gram-string hash would be), so asking for a
+    * per-gram xx cell is a contract error, not a fallback: a caller
+    * mixing a gram-wise xx hash with a dsirCellsXx-built factor table
+    * would silently score against the wrong cells. */
   private[graft] def dsirCell(
       gram: Column, buckets: Int, salt: String, hash: String): Column =
     hash match {
       case "md5" => dsirBucket(gram, buckets, salt)
-      case "xx" => dsirBucketXx(gram, buckets, salt)
+      case "xx" => throw new IllegalArgumentException(
+        "the xx deployment path has no per-gram cell form — build the " +
+        "per-doc cell array with dsirCellsXx (its bigram cells hash " +
+        "token-hash PAIRS, not gram strings)")
       case other => throw new IllegalArgumentException(
         s"dsir hash must be 'md5' or 'xx', got '$other'")
     }

@@ -1170,6 +1170,15 @@ object PromQL {
     Set("rate", "increase", "delta", "idelta", "irate", "resets",
       "changes", "deriv", "predict_linear")
 
+  /** Range functions whose trailing-by form AGGREGATES to the by-grain
+    * (one row per (by-labels, grid point)) — the only ones whose label
+    * schema is static enough for [[groupingOf]] to report. irate/idelta
+    * are excluded: their frames keep per-sid grain. */
+  private val ByGrainRangeFns =
+    (SlidingRangeFns -- Set("irate", "idelta")) ++ OverTime ++
+      SpreadOverTime ++
+      Set("quantile_over_time", "mad_over_time", "present_over_time")
+
   private def validateSubquerySteps(e: Expr): Unit = e match {
     case RangeFn(fn, _, sel, _, _) =>
       if (sel.stepSec.nonEmpty && !OverTime(fn) && !SpreadOverTime(fn) &&
@@ -1669,8 +1678,14 @@ object PromQL {
     case MathFn(_, arg, _, _) => groupingOf(arg)
     // the trailing-by extension aggregates a range function to the
     // by-grain, so its label schema IS the by-list — static, rule-safe
-    // (`rate(x[6h:1h]) by (cohort) > thr` as a live/batch alert)
-    case RangeFn(_, _, _, by, _) if by.nonEmpty => Some(by)
+    // (`rate(x[6h:1h]) by (cohort) > thr` as a live/batch alert).
+    // ONLY the aggregating functions qualify: irate/idelta frames
+    // (instantDeltaBy / slidingInstantDeltaBy) stay at per-sid grain
+    // with multiple rows per (by-labels, grid point), which would break
+    // the rules path's one-row-per-bucket islands window — they return
+    // None and the rule engine rejects them loudly.
+    case RangeFn(fn, _, _, by, _)
+        if by.nonEmpty && ByGrainRangeFns(fn) => Some(by)
     case _ => None
   }
 

@@ -951,7 +951,7 @@ object AlertStream {
             else {
               val inc = presentSum.map(_.sum).sum.toDouble
               val v =
-                if (s.side.fn == "rate") CounterState.round6(inc / s.ir)
+                if (s.side.fn == "rate") CounterState.floorR6(inc / s.ir)
                 else inc
               IVal(e, v, present = true)
             }

@@ -151,6 +151,16 @@ object CounterState {
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** The SLIDING family's tie-free 6-decimal quantization —
+    * `floor(x*1e6 + 0.5)/1e6` in the exact IEEE op order
+    * [[graft.Tsdb.slidingIncreaseBy]] and the DuckDB mirrors share
+    * (Spark round() is BigDecimal HALF_UP, DuckDB round() is float
+    * half-away; they diverge on exact-.5 products). Specials pass
+    * through like [[round6]]. */
+  def floorR6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else math.floor(x * 1e6 + 0.5) / 1e6
+
   /** Spark's Percentile.getPercentile on pre-sorted doubles: position
     * (n-1)*q, linear interpolation in Spark's exact operation order
     * `(hi - pos) * lower + (pos - lo) * higher` (NOT lo + frac*(hi-lo),

@@ -853,6 +853,13 @@ class OperatorSpec extends SparkSuite {
     assert(cx.size == 5 && cm.size == 5, s"$cx vs $cm") // 3 uni + 2 bi
     assert(cx != cm,
       s"xx cells identical to md5 cells — knob not wired: $cx")
+    // the xx path has exactly ONE cell definition (dsirCellsXx): asking
+    // for a per-gram xx cell is a contract error, rejected at plan-build
+    // time — a gram-wise xx hash mixed with a dsirCellsXx factor table
+    // would silently score against the wrong cells
+    val e = intercept[IllegalArgumentException](
+      operators.TextAnalysis.dsirCell(col("text"), 1024, "dsir", "xx"))
+    assert(e.getMessage.contains("dsirCellsXx"))
   }
 
   test("PII redaction: typed placeholders, per-category counts, no-op " +

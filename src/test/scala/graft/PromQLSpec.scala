@@ -1705,6 +1705,15 @@ class PromQLSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](Rules.alerts(tt,
       Rules.AlertRule("r", "m[3600]", 0L), base, base + 3600))
     assert(e.getMessage.contains("aggregated vector"))
+    // irate/idelta trailing-by frames stay at per-sid grain (multiple
+    // rows per (by-labels, grid point)) — the rules path must reject
+    // them, not run the one-row-per-bucket islands window over them
+    for (fn <- Seq("irate", "idelta")) {
+      val e2 = intercept[IllegalArgumentException](Rules.alerts(tt,
+        Rules.AlertRule("r", s"$fn(m[3600]) by (site) > 0.1", 0L),
+        base, base + 3600))
+      assert(e2.getMessage.contains("aggregated vector"), fn)
+    }
   }
 
   test("recording rules: materialize, re-attach, read back equal") {
