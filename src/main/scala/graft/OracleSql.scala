@@ -1905,6 +1905,46 @@ object OracleSql {
        |FROM s
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Depth-2 subquery mirror — `max_over_time(rate(click[2h:30m]) by
+    * (cohort) [6h:2h])`: with aligned grids (30m | 2h) the inner's
+    * pinned step is value-inert under the engine's raw-window sliding
+    * convention, so the mirror is the subquery_rate CTE chain at
+    * ir=7200, or=21600, st=7200 — inner floor-r6 rate per cohort at
+    * every 2h point over (E−2h, E], outer max over (T−6h, T]. */
+  private val tsdbPromqlSubsub = {
+    val ir = 7200L; val or = 21600L; val st = 7200L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2)
+       |SELECT cohort, t.t AS eval_ts, max(rate) AS max_v
+       |FROM ie JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON ie.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Nested-subquery mirror — `max_over_time(rate(click[1h]) by (cohort)
     * [6h:1h])`. Inner: sliding reset-robust increase per cohort at every
     * 1h grid point E over window [E-3600+1, E] (lag computed over the
@@ -4029,6 +4069,7 @@ object OracleSql {
     "tsdb_promql_hour" -> tsdbPromqlHour,
     "tsdb_promql_quantile_rate" -> tsdbPromqlQuantileRate,
     "tsdb_promql_subquery_rate" -> tsdbPromqlSubqueryRate,
+    "tsdb_promql_subsub" -> tsdbPromqlSubsub,
     "tsdb_promql_subquery_rate_outer" -> tsdbPromqlSubqueryRateOuter,
     "tsdb_promql_subquery_deriv" -> tsdbPromqlSubqueryDeriv,
     "tsdb_promql_subquery_predict" -> tsdbPromqlSubqueryPredict,

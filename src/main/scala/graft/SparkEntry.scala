@@ -486,6 +486,24 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("max_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Subquery-IN-subquery (depth 2) — `max_over_time(
+    * rate(click[2h:30m]) by (cohort) [6h:2h])`: the inner sliding rate
+    * carries its own pinned 30m grid, the outer subquery resamples it
+    * every 2h and maxes over 6h lookback windows. Exact composition:
+    * the engine's sliding value at T depends only on the raw samples in
+    * (T−range, T], so with aligned grids (30m | 2h) the plan evaluates
+    * the inner window directly on the outer grid — one decimal lag +
+    * one grid-explode aggregation + the overTimeOnFrame outer, same
+    * shape as the depth-1 family. Misaligned grids fail fast.
+    */
+  private def qTsdbPromqlSubsub(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "max_over_time(rate(click[7200:1800]) by (cohort) [21600:7200])",
+      T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("max_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** The canonical Prometheus spelling of an aggregated subquery inner —
     * `avg_over_time(sum by (cohort) (rate(click[1h]))[6h:2h])`: the Agg
     * normalizes onto the same sliding-increase plan (summing per-series
@@ -3010,6 +3028,7 @@ object SparkEntry {
     "tsdb_promql_hour" -> (qTsdbPromqlHour _),
     "tsdb_promql_quantile_rate" -> (qTsdbPromqlQuantileRate _),
     "tsdb_promql_subquery_rate" -> (qTsdbPromqlSubqueryRate _),
+    "tsdb_promql_subsub" -> (qTsdbPromqlSubsub _),
     "tsdb_promql_subquery_aggsum" -> (qTsdbPromqlSubqueryAggsum _),
     "tsdb_promql_subquery_quant" -> (qTsdbPromqlSubqueryQuant _),
     "tsdb_promql_subquery_mad" -> (qTsdbPromqlSubqueryMad _),

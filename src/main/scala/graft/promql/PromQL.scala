@@ -1857,22 +1857,35 @@ object PromQL {
         // use (bucket_start + offset)
         val s0 = start - sqOff
         val e0 = end - sqOff
-        // a [range:step] on a selector INSIDE the subquery body would be
-        // a subquery-in-subquery (two nested sliding resolutions) — the
-        // inner machinery evaluates exactly one; fail fast rather than
-        // silently ignoring the inner step
-        def requireNoSelStep(ex: Expr): Unit = ex match {
+        // a [range:step] on a selector INSIDE the subquery body is a
+        // subquery-in-subquery (depth 2): `max_over_time(
+        // rate(x[30m:5m])[3h:30m])`. Under this engine's documented
+        // sliding convention the inner value at eval time T depends only
+        // on the raw samples in (T−range, T] — the pinned inner step
+        // only decides WHERE the inner evaluates — so resampling the
+        // inner at the outer subquery's grid is EXACT whenever every
+        // outer grid point lies on the inner grid (innerStep | outerStep):
+        // the compiled plan below evaluates the inner sliding window
+        // directly on the outer grid (the body cases read only the
+        // selector's range, never its step). Misaligned grids would ask
+        // for inner values at timestamps the inner never emits — fail
+        // fast. Depth ≥ 3 (a SubqueryFn inside the body) still lands in
+        // the body match's loud catch-all.
+        def checkSelStep(ex: Expr): Unit = ex match {
           case RangeFn(_, _, sel2, _, _) =>
-            require(sel2.stepSec.isEmpty,
-              s"nested [range:step] selectors inside a subquery body " +
-              s"are not supported: ${sel2.metric}[..:..] under " +
-              s"${render(body)}[..:..]")
-          case Agg(_, _, _, _, b2, _) => requireNoSelStep(b2)
+            sel2.stepSec.foreach { ist =>
+              require(stepSec % ist == 0,
+                s"subquery-in-subquery needs aligned grids: the inner " +
+                s"step ${ist}s must divide the outer subquery step " +
+                s"${stepSec}s (${sel2.metric}[..:${ist}] under " +
+                s"[..:${stepSec}])")
+            }
+          case Agg(_, _, _, _, b2, _) => checkSelStep(b2)
           case BinOp(_, l2, r2, _, _, _) =>
-            requireNoSelStep(l2); requireNoSelStep(r2)
+            checkSelStep(l2); checkSelStep(r2)
           case _ => ()
         }
-        requireNoSelStep(body)
+        checkSelStep(body)
         val gaugeVal = Map(
           "sum_over_time" -> "sum_v", "avg_over_time" -> "avg_v",
           "min_over_time" -> "min_v", "max_over_time" -> "max_v",

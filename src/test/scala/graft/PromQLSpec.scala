@@ -1875,6 +1875,37 @@ class PromQLSpec extends SparkSuite {
     assert(ex2.getMessage.contains("_over_time family"), ex2.getMessage)
   }
 
+  test("subquery-in-subquery: depth-2 [R:s] nesting composes exactly " +
+      "under aligned grids; misaligned and depth-3 fail fast") {
+    // resampling theorem: the engine's sliding value at T depends only
+    // on the raw samples in (T-range, T], so with 1800 | 7200 the
+    // depth-2 query equals the depth-1 spelling whose inner grid IS the
+    // outer sampling grid
+    val q2 = "max_over_time(rate(click[7200:1800]) by (cohort) " +
+      "[21600:7200])"
+    val q1 = "max_over_time(rate(click[7200]) by (cohort) [21600:7200])"
+    def rows(q: String) = PromQL.query(t, q, T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val got = rows(q2)
+    assert(got.nonEmpty)
+    assert(got == rows(q1))
+    // parse-render round trip keeps the inner step
+    assert(PromQL.parse(PromQL.render(PromQL.parse(q2))) == PromQL.parse(q2))
+    // misaligned grids (2100 does not divide 7200) fail fast
+    val ex = intercept[IllegalArgumentException](
+      PromQL.query(t, "max_over_time(rate(click[7200:2100]) by (cohort) " +
+        "[21600:7200])", T0, T1))
+    assert(ex.getMessage.contains("aligned grids"), ex.getMessage)
+    // depth-3 (a SubqueryFn inside the body) still rejects loudly
+    val ex3 = intercept[IllegalArgumentException](
+      PromQL.query(t, "max_over_time(max_over_time(rate(click[3600])" +
+        "[7200:3600])[21600:7200])", T0, T1))
+    assert(ex3.getMessage.contains("nested subqueries support"),
+      ex3.getMessage)
+  }
+
   test("nested subquery quantile outer: quantile_over_time(q, rate[R:s]) " +
       "equals the independent percentile over the inner grid") {
     val q = "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
