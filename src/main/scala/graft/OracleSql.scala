@@ -1905,6 +1905,96 @@ object OracleSql {
        |FROM s
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Shared CTE chain for the counterOverFrame pairwise mirrors: the
+    * subquery_rate inner (`ie`: cohort, ets, floor-r6 rate on the 1h
+    * grid over the or-extended span) plus its per-cohort lag (`lg`).
+    * Pairwise outers join `lg` to the outer grid on the NEWER end and
+    * pin pairs whose OLDER end is in the window too (pt > T − or),
+    * mirroring Tsdb.counterOverFrame's range-vector rule; the decimal
+    * casts reproduce the engine's lossless decimal(28,10) delta
+    * arithmetic over the 6-decimal-quantized inner values. */
+  private def counterOverFramePair(select: String, having: String): String = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2),
+       |lg AS (
+       |  SELECT cohort, ets,
+       |         CAST(rate AS DECIMAL(28,10)) AS cv,
+       |         lag(CAST(rate AS DECIMAL(28,10)))
+       |           OVER (PARTITION BY cohort ORDER BY ets) AS pv,
+       |         lag(ets) OVER (PARTITION BY cohort ORDER BY ets) AS pt
+       |  FROM ie),
+       |j AS (
+       |  SELECT lg.*, t.t AS eval_ts,
+       |         (pt IS NOT NULL AND pt > t.t - $or) AS pin
+       |  FROM lg JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |    ON lg.ets BETWEEN t.t - $or + 1 AND t.t)
+       |$select
+       |$having
+       |ORDER BY cohort, eval_ts""".stripMargin
+  }
+
+  /** `increase(sum by (cohort)(rate(click[1h]))[6h:1h])` — pairwise
+    * reset-adjusted delta sum over pinned pairs; increase is the exact
+    * decimal sum cast double, rate_per_sec its floor-r6 per-second
+    * form (the engine's counterOverFrame rate/increase leg). */
+  private val tsdbPromqlSubqueryIncrRate = counterOverFramePair(
+    s"""SELECT cohort, eval_ts,
+       |  SUM(CASE WHEN pin THEN 1 ELSE 0 END) AS n_deltas,
+       |  CAST(SUM(CASE WHEN pin THEN
+       |    CASE WHEN cv >= pv THEN cv - pv ELSE cv END END)
+       |    AS DOUBLE) AS increase,
+       |  floor(CAST(SUM(CASE WHEN pin THEN
+       |    CASE WHEN cv >= pv THEN cv - pv ELSE cv END END)
+       |    AS DOUBLE) / 21600 * 1e6 + 0.5) / 1e6 AS rate_per_sec
+       |FROM j GROUP BY 1, 2""".stripMargin,
+    "HAVING SUM(CASE WHEN pin THEN 1 ELSE 0 END) >= 1")
+
+  /** `irate(sum by (cohort)(rate(click[1h]))[6h:1h])` — the newest
+    * pinned pair per (cohort, window): idelta the raw decimal
+    * difference, irate the reset-adjusted difference over the pair's
+    * timestamp gap, floor-r6 (counterOverFrame's max-struct leg; ties
+    * impossible at one inner row per (cohort, ets)). */
+  private val tsdbPromqlSubqueryIrateRate = counterOverFramePair(
+    s"""SELECT cohort, eval_ts,
+       |  CAST(dv AS DOUBLE) AS idelta,
+       |  CASE WHEN dt > 0
+       |       THEN floor(CAST(dc AS DOUBLE) / CAST(dt AS DOUBLE)
+       |         * 1e6 + 0.5) / 1e6 END AS irate
+       |FROM (
+       |  SELECT cohort, eval_ts, cv - pv AS dv,
+       |         CASE WHEN cv >= pv THEN cv - pv ELSE cv END AS dc,
+       |         ets - pt AS dt,
+       |         row_number() OVER (PARTITION BY cohort, eval_ts
+       |                            ORDER BY ets DESC) AS rk
+       |  FROM j WHERE pin)
+       |WHERE rk = 1""".stripMargin,
+    "")
+
   /** Depth-2 subquery mirror — `max_over_time(rate(click[2h:30m]) by
     * (cohort) [6h:2h])`: with aligned grids (30m | 2h) the inner's
     * pinned step is value-inert under the engine's raw-window sliding
@@ -4070,6 +4160,8 @@ object OracleSql {
     "tsdb_promql_quantile_rate" -> tsdbPromqlQuantileRate,
     "tsdb_promql_subquery_rate" -> tsdbPromqlSubqueryRate,
     "tsdb_promql_subsub" -> tsdbPromqlSubsub,
+    "tsdb_promql_subquery_incr_rate" -> tsdbPromqlSubqueryIncrRate,
+    "tsdb_promql_subquery_irate_rate" -> tsdbPromqlSubqueryIrateRate,
     "tsdb_promql_subquery_rate_outer" -> tsdbPromqlSubqueryRateOuter,
     "tsdb_promql_subquery_deriv" -> tsdbPromqlSubqueryDeriv,
     "tsdb_promql_subquery_predict" -> tsdbPromqlSubqueryPredict,

@@ -660,6 +660,39 @@ object SparkEntry {
       "changes(sum by (cohort) (rate(click[3600]))[21600:3600])", T0, T1)
       .orderBy("cohort", "eval_ts")
 
+  /** Pairwise counter outer over a COMPUTED inner — `increase(sum by
+    * (cohort)(rate(click[1h]))[6h:1h])`: the reset-adjusted rise of the
+    * aggregated hourly rate inside each trailing 6h window, counting
+    * only consecutive-inner-point pairs whose BOTH ends lie in the
+    * window (the range-vector pin rule — unlike the raw-sample sliding
+    * family's newer-end attribution). Exercises counterOverFrame's
+    * rate/increase leg, which is user-reachable but was oracle-uncovered
+    * until r15.
+    */
+  private def qTsdbPromqlSubqueryIncrRate(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "increase(sum by (cohort) (rate(click[3600]))[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("n_deltas"),
+        col("increase"), col("rate_per_sec"))
+      .orderBy("cohort", "eval_ts")
+
+  /** Instant-pair outer over a COMPUTED inner — `irate(sum by (cohort)
+    * (rate(click[1h]))[6h:1h])`: the newest live inner-point pair per
+    * window (max over (ts, …) structs — ties impossible at one row per
+    * (group, inner eval)), idelta the raw difference, irate the
+    * reset-adjusted difference over the pair's timestamp gap, floor-r6.
+    * Exercises counterOverFrame's idelta/irate max-struct leg.
+    */
+  private def qTsdbPromqlSubqueryIrateRate(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "irate(sum by (cohort) (rate(click[3600]))[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("idelta"), col("irate"))
+      .orderBy("cohort", "eval_ts")
+
   /** Gauge-smoothing subquery — `max_over_time(avg_over_time(click[1h])
     * [6h:1h])`: the inner hourly means evaluate sliding on the subquery
     * grid (Tsdb.slidingOverTimeBy), the outer max picks the peak
@@ -3040,6 +3073,8 @@ object SparkEntry {
     "tsdb_promql_subquery_delta" -> (qTsdbPromqlSubqueryDelta _),
     "tsdb_promql_subquery_gspread" -> (qTsdbPromqlSubqueryGspread _),
     "tsdb_promql_subquery_deriv_rate" -> (qTsdbPromqlSubqueryDerivRate _),
+    "tsdb_promql_subquery_incr_rate" -> (qTsdbPromqlSubqueryIncrRate _),
+    "tsdb_promql_subquery_irate_rate" -> (qTsdbPromqlSubqueryIrateRate _),
     "tsdb_promql_subquery_predict_gauge" ->
       (qTsdbPromqlSubqueryPredictGauge _),
     "tsdb_promql_subquery_changes_rate" ->
