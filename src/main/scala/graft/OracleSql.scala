@@ -2885,6 +2885,62 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Difference-spread subquery mirror — `stddev_over_time((sum(rate(
+    * click)) - sum(rate(view)))[6h:1h])`: the two-leg CTE chain, the
+    * difference quantized through the tie-free floor-r6 (the engine's
+    * r15 `result6` contract for +,-,* subquery inners), then the
+    * integer-micro spread. */
+  private val tsdbPromqlSubqueryDspread = {
+    val ir = 3600L; val or = 21600L; val st = 3600L
+    val innerLo = (T0 - or + st - 1) / st * st
+    val hi = T1 / st * st
+    val outerLo = (T0 + st - 1) / st * st
+    def rateCte(metric: String, p: String) =
+      s"""${p}e AS (
+         |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+         |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+         |  FROM events
+         |  WHERE event_type = '$metric'
+         |    AND $tsS BETWEEN ${T0 - or - ir + 1} AND $T1),
+         |${p}d AS (
+         |  SELECT *, lag(v) OVER (PARTITION BY user_id
+         |                         ORDER BY ts_s, v) AS prev
+         |  FROM ${p}e),
+         |${p}x AS (
+         |  SELECT cohort, ts_s,
+         |         CASE WHEN prev IS NULL THEN NULL
+         |              WHEN v >= prev THEN v - prev
+         |              ELSE v END AS delta
+         |  FROM ${p}d),
+         |${p}ie AS (
+         |  SELECT cohort, g.e AS ets,
+         |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
+         |  FROM ${p}x JOIN generate_series($innerLo, $hi, $st) AS g(e)
+         |    ON ${p}x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+         |  WHERE delta IS NOT NULL
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${rateCte("click", "a")},
+       |${rateCte("view", "b")},
+       |j AS (
+       |  SELECT aie.cohort, aie.ets,
+       |         CAST(round(
+       |           (floor((aie.rate - bie.rate) * 1e6 + 0.5) / 1e6) * 1e6)
+       |              AS BIGINT) AS m
+       |  FROM aie JOIN bie
+       |    ON aie.cohort = bie.cohort AND aie.ets = bie.ets)
+       |SELECT cohort, t.t AS eval_ts, count(*) AS n,
+       |       floor(sqrt(
+       |         (CAST(SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
+       |            AS DOUBLE) / count(*)
+       |          - (CAST(SUM(m) AS DOUBLE) / count(*))
+       |            * (CAST(SUM(m) AS DOUBLE) / count(*))) / 1e12)
+       |         * 1e6 + 0.5) / 1e6
+       |         AS stddev_v
+       |FROM j JOIN generate_series($outerLo, $hi, $st) AS t(t)
+       |  ON j.ets BETWEEN t.t - $or + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Top-k-inner subquery mirror — `count_over_time(topk(3, sum by
     * (cohort)(rate(click[1h])))[6h:1h])`: the cohort-grain sliding-rate
     * CTE, ranked per eval point (value DESC, cohort ASC — the engine's
@@ -4173,6 +4229,7 @@ object OracleSql {
     "tsdb_promql_subquery_predict_gauge" -> tsdbPromqlSubqueryPredictGauge,
     "tsdb_promql_subquery_changes_rate" -> tsdbPromqlSubqueryChangesRate,
     "tsdb_promql_subquery_rspread" -> tsdbPromqlSubqueryRspread,
+    "tsdb_promql_subquery_dspread" -> tsdbPromqlSubqueryDspread,
     "tsdb_promql_subquery_aggsum" -> tsdbPromqlSubqueryAggsum,
     "tsdb_promql_subquery_quant" -> tsdbPromqlSubqueryQuant,
     "tsdb_promql_subquery_mad" -> tsdbPromqlSubqueryMad,

@@ -824,6 +824,22 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("n"), col("stddev_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Difference-signal VOLATILITY — `stddev_over_time((sum by (c)
+    * (rate(click[1h])) - sum by (c)(rate(view[1h])))[6h:1h])`: the
+    * spread of the click-minus-view rate gap per 6h lookback. Enabled
+    * r15: the +,-,* subquery inners quantize through the tie-free
+    * floor-r6 (column `result6`), joining the integer-micro exactness
+    * family the "/" ratio inner entered in r14.
+    */
+  private def qTsdbPromqlSubqueryDspread(
+      s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "stddev_over_time((sum by (cohort) (rate(click[3600])) - " +
+        "sum by (cohort) (rate(view[3600])))[21600:3600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("n"), col("stddev_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** Selection-aggregated subquery inner — "time spent in the top k":
     * `count_over_time(topk(3, sum by (cohort)(rate(click[1h])))
     * [6h:1h])` counts, per cohort, the hourly eval points in the last
@@ -3080,6 +3096,7 @@ object SparkEntry {
     "tsdb_promql_subquery_changes_rate" ->
       (qTsdbPromqlSubqueryChangesRate _),
     "tsdb_promql_subquery_rspread" -> (qTsdbPromqlSubqueryRspread _),
+    "tsdb_promql_subquery_dspread" -> (qTsdbPromqlSubqueryDspread _),
     "tsdb_promql_subquery_offset" -> (qTsdbPromqlSubqueryOffset _),
     "tsdb_promql_subquery_gauge" -> (qTsdbPromqlSubqueryGauge _),
     "tsdb_promql_subquery_moment" -> (qTsdbPromqlSubqueryMoment _),

@@ -2003,16 +2003,30 @@ object PromQL {
                   e0, byA, stepSec, stepOf(sel, n2), sel.offsetSec)
                 .select((byA.map(col) :+ col("eval_ts") :+
                   col(vc).as(out)): _*)
-            // "/" results are round(…,6) by the engine's ratio contract
-            // — 6-decimal QUANTIZED, so they join the integer-micro
-            // exactness family (spread/counter outers allowed); the
-            // raw single-IEEE-op +,-,*,%,^ results stay named `result`
-            // and stay excluded from those outers
-            val rc = if (op == "/") "ratio6" else "result"
+            // the subquery-frame quantization contract (r14/r15): "/"
+            // results are round(…,6) by the engine's ratio contract
+            // (`ratio6`); + - * results are single IEEE ops over the
+            // floor-r6-quantized legs, quantized HERE through the same
+            // tie-free floor(x·1e6+0.5)/1e6 (`result6`) — both are
+            // 6-decimal QUANTIZED, so they join the integer-micro
+            // exactness family (spread/counter outers allowed). The
+            // %,^,atan2 results quantize through engine round() (which
+            // diverges from DuckDB round() on exact-.5 products), so
+            // they stay named `result` and stay excluded.
+            val rc = op match {
+              case "/" => "ratio6"
+              case "+" | "-" | "*" => "result6"
+              case _ => "result"
+            }
+            val vExpr = op match {
+              case "+" | "-" | "*" =>
+                cFloor(arith(op)(col("__va"), col("__vb")) * 1e6 + 0.5) / 1e6
+              case _ => arith(op)(col("__va"), col("__vb"))
+            }
             val joined = Tsdb.nullSafeEquiJoin(
                 leg(selA, nA, "__va"), leg(selB, nB, "__vb"),
                 byA :+ "eval_ts")
-              .withColumn(rc, arith(op)(col("__va"), col("__vb")))
+              .withColumn(rc, vExpr)
               .drop("__va", "__vb")
             (joined, byA, rc)
           case other => throw new IllegalArgumentException(
@@ -2036,12 +2050,12 @@ object PromQL {
         val spread = SpreadOverTime(fn)
         if (spread && !Set("rate_per_sec", "increase", "n", "n_series",
             "stddev_v", "stdvar_v", "q_v", "avg_v", "min_v", "max_v",
-            "last_v", "sum_v", "ratio6").contains(valCol))
+            "last_v", "sum_v", "ratio6", "result6").contains(valCol))
           throw new IllegalArgumentException(
             s"stddev/stdvar_over_time subquery outers support counter " +
             s"(rate/increase, optionally aggregated), gauge moment, " +
-            s"count, quantile, and spread inners; got inner value " +
-            s"'$valCol'")
+            s"count, quantile, spread, and quantized binary-op " +
+            s"(+ - * /) inners; got inner value '$valCol'")
         val frame =
           if (SlidingRangeFns(fn)) {
             // counter/trend OUTER over the computed frame —

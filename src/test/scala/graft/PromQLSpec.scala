@@ -2349,15 +2349,25 @@ class PromQLSpec extends SparkSuite {
     assert(gs.nonEmpty && gs.forall(_ == 0.0),
       "outer range == step must give MAD-style zero spread")
     // r14 late: the "/" ratio inner is round(…,6)-quantized (the ratio
-    // contract) and spread outers accept it now; the RAW single-IEEE-op
-    // arithmetic inners (+,-,*) stay fail-fast
+    // contract) and spread outers accept it now
     assert(PromQL.query(t,
       "stddev_over_time((sum by (cohort)(rate(click[3600])) / " +
         "sum by (cohort)(rate(click[3600])))[21600:3600])",
       T0, T1).columns.contains("stddev_v"))
+    // r15: the +,-,* inners quantize through the tie-free floor-r6
+    // (`result6`) and join the spread family too — x - x has spread 0,
+    // x + x exactly doubles the rate's spread at the micro grain
+    // (2v quantizes losslessly: v is already 6-decimal)
+    val gd = PromQL.query(t,
+      "stddev_over_time((sum by (cohort)(rate(click[3600])) - " +
+        "sum by (cohort)(rate(click[3600])))[21600:3600])",
+      T0, T1).select("stddev_v").collect().map(_.getDouble(0))
+    assert(gd.nonEmpty && gd.forall(_ == 0.0), "x - x must have 0 spread")
+    // the %/^ results quantize through engine round() (tie-divergent
+    // cross-engine) and stay fail-fast
     val ex = intercept[IllegalArgumentException](
       PromQL.query(t,
-        "stddev_over_time((sum by (cohort)(rate(click[3600])) + " +
+        "stddev_over_time((sum by (cohort)(rate(click[3600])) % " +
           "sum by (cohort)(rate(click[3600])))[21600:3600])",
         T0, T1))
     assert(ex.getMessage.contains("inner value"), ex.getMessage)
