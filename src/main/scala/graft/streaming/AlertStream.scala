@@ -769,10 +769,16 @@ object AlertStream {
       outer: String,
       ir: Long,
       or: Long,
-      st: Long)
+      st: Long,
+      q: Option[Double] = None)
 
   private val SubqOuters = Set("max_over_time", "min_over_time",
-    "sum_over_time", "count_over_time", "avg_over_time", "last_over_time")
+    "sum_over_time", "count_over_time", "avg_over_time", "last_over_time",
+    // r15: the outer ring holds the full or/st inner-value window, so
+    // exact quantile/spread/mad are in-state compute — op order mirrors
+    // Tsdb.overTimeOnFrame 1:1 (see subqOuter)
+    "quantile_over_time", "stddev_over_time", "stdvar_over_time",
+    "mad_over_time")
 
   /** A sliding selector the ring machinery can evaluate — like
     * [[plain]] but a [range:step] step IS the point. */
@@ -782,8 +788,12 @@ object AlertStream {
 
   private[streaming] def subqCoreOf(e: PromQL.Expr): Option[SubqCore] =
     e match {
-      case PromQL.SubqueryFn(fn, body, or, st, None, 0L)
-          if SubqOuters(fn) =>
+      // quantile_over_time carries its q in the SubqueryFn q slot;
+      // every other supported outer must have it empty
+      case PromQL.SubqueryFn(fn, body, or, st, qv, 0L)
+          if SubqOuters(fn) &&
+            (if (fn == "quantile_over_time") qv.isDefined
+             else qv.isEmpty) =>
         val inner = body match {
           case PromQL.RangeFn(cf, _, sel: PromQL.Selector, by, _)
               if (cf == "rate" || cf == "increase") && by.nonEmpty &&
@@ -801,7 +811,7 @@ object AlertStream {
           if (ir % st == 0 && or % st == 0 && ir >= st && or >= st)
             Some(SubqCore(
               CounterState.Side(sel.metric, sel.matchers, "sum", cf),
-              Grouping.of(by, Nil), fn, ir, or, st))
+              Grouping.of(by, Nil), fn, ir, or, st, qv))
           else None
         }
       // the sliding-SELECTOR form — `rate(m[ir:st]) by (l)` (or the
@@ -861,9 +871,14 @@ object AlertStream {
 
   /** The batch outer moment over the present inner evals of one window
     * — overTimeOnFrame's op order: decimal-exact sum cast double, the
-    * avg division after, max over (eval_ts, value) structs for last. */
+    * avg division after, max over (eval_ts, value) structs for last;
+    * quantile is Spark's exact Percentile interpolation then round(…,6);
+    * spread is the integer-micro scheme (inner values are floor-r6
+    * quantized, so v·1e6 rounds to an exact micro) with tie-free
+    * floor-r6 on the stdvar/stddev; mad is the exact median of absolute
+    * deviations from the window median, floor-r6. */
   private[streaming] def subqOuter(
-      fn: String, win: Seq[IVal]): Option[Double] = {
+      fn: String, q: Option[Double], win: Seq[IVal]): Option[Double] = {
     val present = win.filter(_.present)
     if (present.isEmpty) None
     else Some(fn match {
@@ -875,6 +890,24 @@ object AlertStream {
         present.map(v => BigDecimal(v.v)).sum.toDouble
       case "avg_over_time" =>
         present.map(v => BigDecimal(v.v)).sum.toDouble / present.size
+      case "quantile_over_time" =>
+        CounterState.round6(CounterState.percentileCont(
+          present.map(_.v).sorted.toIndexedSeq, q.get))
+      case "stddev_over_time" | "stdvar_over_time" =>
+        // Tsdb.overTimeOnFrame's micro-spread double op order
+        val ms = present.map(v => math.round(v.v * 1e6))
+        val n = ms.size.toDouble
+        val meanM = ms.sum.toDouble / n
+        val stdvar =
+          (ms.map(m => BigInt(m) * BigInt(m)).sum.toDouble / n -
+            meanM * meanM) / 1e12
+        CounterState.floorR6(
+          if (fn == "stdvar_over_time") stdvar else math.sqrt(stdvar))
+      case "mad_over_time" =>
+        val sorted = present.map(_.v).sorted.toIndexedSeq
+        val med = CounterState.percentileCont(sorted, 0.5)
+        CounterState.floorR6(CounterState.percentileCont(
+          present.map(v => math.abs(v.v - med)).sorted.toIndexedSeq, 0.5))
     })
   }
 
@@ -956,7 +989,7 @@ object AlertStream {
               IVal(e, v, present = true)
             }
           ivals = (ivals :+ iv).takeRight(orN)
-          evals += e -> subqOuter(s.outer, ivals)
+          evals += e -> subqOuter(s.outer, s.q, ivals)
           b += s.st
         }
       }

@@ -1128,7 +1128,19 @@ class StreamingSpec extends SparkSuite {
       // the inner leg alone (single-entry outer window in the rings)
       ("sq_slide", 21600L, Rules.AlertRule("sq_slide",
         "rate(click[21600:3600]) by (cohort) > 0.004",
-        forSec = 7200L)))
+        forSec = 7200L)),
+      // r15: quantile/spread/mad outers — the or/st inner-value ring is
+      // the full outer window, so the exact percentile / integer-micro
+      // spread / MAD are in-state compute (op order ≡ overTimeOnFrame)
+      ("sq_quant", 25200L, Rules.AlertRule("sq_quant",
+        "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
+          "[21600:3600]) > 0.004", forSec = 3600L)),
+      ("sq_sdev", 25200L, Rules.AlertRule("sq_sdev",
+        "stddev_over_time(rate(click[3600]) by (cohort) " +
+          "[21600:3600]) > 0.00001", forSec = 3600L)),
+      ("sq_mad", 25200L, Rules.AlertRule("sq_mad",
+        "mad_over_time(rate(click[3600]) by (cohort) " +
+          "[21600:3600]) > 0.00001", forSec = 0L)))
     rules.foreach { case (qn, lookback, rule) =>
       val data = samples
         .where(col("ts").between(T0 - lookback + 1, T1))
@@ -1296,39 +1308,47 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
         new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
       .toIndexedSeq
-    val rule = Rules.RecordingRule("cohort:click:peak_rate_6h",
-      "max_over_time(rate(click[3600]) by (cohort) [21600:3600])",
-      Map("job" -> "rules"))
-    val batch = Rules.record(Tsdb.attach(spark, samples), rule, T0, T1)
-      .collect()
-      .map(r => (r.getMap[String, String](1).toMap, r.getLong(2),
-        r.getDouble(3))).toSet
-    assert(batch.nonEmpty)
-    val mem = MemoryStream[(String, Map[String, String],
-      java.sql.Timestamp, Double)]
-    val src = mem.toDF().toDF("metric", "labels", "ts", "value")
-    val q = RecordStream.compiled(src, rule, watermark = "10 minutes")
-      .writeStream.format("memory").queryName("subq_rec_eq")
-      .outputMode("append").start()
-    mem.addData(data: _*)
-    q.processAllAvailable()
-    mem.addData(("click", Map("cohort" -> "zz"),
-      new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
-    q.processAllAvailable()
-    mem.addData(("click", Map("cohort" -> "zz"),
-      new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
-    q.processAllAvailable()
-    q.stop()
-    val got = spark.table("subq_rec_eq")
-      .where(col("ts").between(T0, T1))
-      .collect()
-      .map(r => (r.getMap[String, String](r.fieldIndex("labels")).toMap,
-        r.getLong(r.fieldIndex("ts")),
-        r.getDouble(r.fieldIndex("value")))).toSet
-    assert(got.nonEmpty && got == batch,
-      s"sizes ${got.size} vs ${batch.size}; " +
-        s"stream-only ${(got -- batch).take(3)}; " +
-        s"batch-only ${(batch -- got).take(3)}")
+    val rules = Seq(
+      ("subq_rec_eq", Rules.RecordingRule("cohort:click:peak_rate_6h",
+        "max_over_time(rate(click[3600]) by (cohort) [21600:3600])",
+        Map("job" -> "rules"))),
+      // r15: quantile outer recording — exact percentile over the
+      // or/st inner-value ring, round6 like the batch q_v
+      ("subq_rec_q", Rules.RecordingRule("cohort:click:p90_rate_6h",
+        "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
+          "[21600:3600])")))
+    rules.foreach { case (qn, rule) =>
+      val batch = Rules.record(Tsdb.attach(spark, samples), rule, T0, T1)
+        .collect()
+        .map(r => (r.getMap[String, String](1).toMap, r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(batch.nonEmpty, s"[$qn] empty batch fixture")
+      val mem = MemoryStream[(String, Map[String, String],
+        java.sql.Timestamp, Double)]
+      val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+      val q = RecordStream.compiled(src, rule, watermark = "10 minutes")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(("click", Map("cohort" -> "zz"),
+        new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+      q.processAllAvailable()
+      mem.addData(("click", Map("cohort" -> "zz"),
+        new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(qn)
+        .where(col("ts").between(T0, T1))
+        .collect()
+        .map(r => (r.getMap[String, String](r.fieldIndex("labels")).toMap,
+          r.getLong(r.fieldIndex("ts")),
+          r.getDouble(r.fieldIndex("value")))).toSet
+      assert(got.nonEmpty && got == batch,
+        s"[$qn] sizes ${got.size} vs ${batch.size}; " +
+          s"stream-only ${(got -- batch).take(3)}; " +
+          s"batch-only ${(batch -- got).take(3)}")
+    }
   }
 
   test("without()-grouped rules: streaming alert, counter alert and " +
