@@ -763,14 +763,29 @@ object AlertStream {
     * and st | or — the divisibility that makes sliding windows exact
     * unions of shifted tumbling closes. Shared by the alert twin here
     * and [[RecordStream]]'s subquery recording twin. */
-  private[streaming] final case class SubqCore(
+  /** `bw` is the shifted-bucket width the rings advance by — gcd(ir, st),
+    * so a NON-divisible inner window (st ∤ ir) still decomposes exactly:
+    * every eval point E (a multiple of st) and window edge E−ir are
+    * multiples of bw, so inner(E) is the sum of the last ir/bw closed
+    * bucket sums. When st | ir, bw == st (the r14 machinery unchanged).
+    * State per key: O(ir/bw + or/st) — bounded by [[MaxInnerRing]]. */
+  private[graft] final case class SubqCore(
       side: CounterState.Side,
       grouping: Grouping,
       outer: String,
       ir: Long,
       or: Long,
       st: Long,
+      bw: Long,
       q: Option[Double] = None)
+
+  /** Cap on the inner bucket ring (ir/gcd(ir, st)): a pathological grid
+    * like rate(m[3601])[6h:1h] has gcd 1 and would hold 3601 bucket
+    * sums per key — reject those loudly instead of ballooning state. */
+  private[streaming] val MaxInnerRing = 4096L
+
+  private def gcd(a: Long, b: Long): Long =
+    if (b == 0) a else gcd(b, a % b)
 
   private val SubqOuters = Set("max_over_time", "min_over_time",
     "sum_over_time", "count_over_time", "avg_over_time", "last_over_time",
@@ -786,7 +801,7 @@ object AlertStream {
     sel.rangeSec.isDefined && sel.stepSec.isDefined &&
       sel.offsetSec == 0 && sel.atSpec.isEmpty
 
-  private[streaming] def subqCoreOf(e: PromQL.Expr): Option[SubqCore] =
+  private[graft] def subqCoreOf(e: PromQL.Expr): Option[SubqCore] =
     e match {
       // quantile_over_time carries its q in the SubqueryFn q slot;
       // every other supported outer must have it empty
@@ -794,24 +809,33 @@ object AlertStream {
           if SubqOuters(fn) &&
             (if (fn == "quantile_over_time") qv.isDefined
              else qv.isEmpty) =>
+        // a SLIDING-selector inner (rate(m[ir:ist]) — depth-2 nesting)
+        // is accepted when its pinned grid covers the outer sampling
+        // grid (ist | st): the inner step is value-inert under the
+        // engine's raw-window convention (the batch depth-2 rule), so
+        // the rings evaluate the inner window directly on the st grid
         val inner = body match {
           case PromQL.RangeFn(cf, _, sel: PromQL.Selector, by, _)
               if (cf == "rate" || cf == "increase") && by.nonEmpty &&
-                plain(sel) =>
+                (plain(sel) ||
+                  (slidingSel(sel) && st % sel.stepSec.get == 0)) =>
             Some((cf, sel, by))
           case PromQL.Agg("sum", None, None, by,
               PromQL.RangeFn(cf, _, sel: PromQL.Selector, Nil, _), Nil)
               if (cf == "rate" || cf == "increase") && by.nonEmpty &&
-                plain(sel) =>
+                (plain(sel) ||
+                  (slidingSel(sel) && st % sel.stepSec.get == 0)) =>
             Some((cf, sel, by))
           case _ => None
         }
         inner.flatMap { case (cf, sel, by) =>
           val ir = sel.rangeSec.get
-          if (ir % st == 0 && or % st == 0 && ir >= st && or >= st)
+          val bw = gcd(ir, st)
+          if (or % st == 0 && or >= st && ir >= bw &&
+              ir / bw <= MaxInnerRing)
             Some(SubqCore(
               CounterState.Side(sel.metric, sel.matchers, "sum", cf),
-              Grouping.of(by, Nil), fn, ir, or, st, qv))
+              Grouping.of(by, Nil), fn, ir, or, st, bw, qv))
           else None
         }
       // the sliding-SELECTOR form — `rate(m[ir:st]) by (l)` (or the
@@ -822,20 +846,22 @@ object AlertStream {
           if (cf == "rate" || cf == "increase") && by.nonEmpty &&
             slidingSel(sel) =>
         val ir = sel.rangeSec.get; val st = sel.stepSec.get
-        if (ir % st == 0 && ir >= st)
+        val bw = gcd(ir, st)
+        if (ir >= bw && ir / bw <= MaxInnerRing)
           Some(SubqCore(
             CounterState.Side(sel.metric, sel.matchers, "sum", cf),
-            Grouping.of(by, Nil), "last_over_time", ir, st, st))
+            Grouping.of(by, Nil), "last_over_time", ir, st, st, bw))
         else None
       case PromQL.Agg("sum", None, None, by,
           PromQL.RangeFn(cf, _, sel: PromQL.Selector, Nil, _), Nil)
           if (cf == "rate" || cf == "increase") && by.nonEmpty &&
             slidingSel(sel) =>
         val ir = sel.rangeSec.get; val st = sel.stepSec.get
-        if (ir % st == 0 && ir >= st)
+        val bw = gcd(ir, st)
+        if (ir >= bw && ir / bw <= MaxInnerRing)
           Some(SubqCore(
             CounterState.Side(sel.metric, sel.matchers, "sum", cf),
-            Grouping.of(by, Nil), "last_over_time", ir, st, st))
+            Grouping.of(by, Nil), "last_over_time", ir, st, st, bw))
         else None
       case _ => None
     }
@@ -919,7 +945,7 @@ object AlertStream {
     val spark = samples.sparkSession
     import spark.implicits._
     CounterState.events(samples, Seq(s.core.side), s.core.grouping,
-        s.core.st, watermark, shiftedBuckets = true)
+        s.core.bw, watermark, shiftedBuckets = true)
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
@@ -943,13 +969,13 @@ object AlertStream {
     val (cst, closed) = CounterState.advance(
       CounterState.St(st0.labels, st0.buf, st0.carry,
         Long.MinValue, Long.MinValue),
-      events, wmSec, nSides = 1, s.st)
+      events, wmSec, nSides = 1, s.bw)
     val closedMap = closed.toMap
-    val irN = (s.ir / s.st).toInt
+    val irN = (s.ir / s.bw).toInt
     val orN = (s.or / s.st).toInt
     val maxClosable =
       if (wmSec == Long.MinValue / 1000 || wmSec <= 0) Long.MinValue
-      else Math.floorDiv(wmSec - s.st, s.st) * s.st
+      else Math.floorDiv(wmSec - s.bw, s.bw) * s.bw
     var nextB = st0.nextBucket
     if (nextB == Long.MinValue)
       nextB = closed.headOption.map(_._1).getOrElse(Long.MinValue)
@@ -971,29 +997,35 @@ object AlertStream {
           closedKeys.dropWhile(_ < b).headOption
             .filter(_ <= maxClosable) match {
             case Some(k) => bsums = Nil; ivals = Nil; b = k
-            case None => b = maxClosable + s.st
+            case None => b = maxClosable + s.bw
           }
         } else {
           val agg = closedMap.get(b).flatMap(_(0))
           bsums = (bsums :+ BSum(b, agg.map(_.sumInc)
             .getOrElse(BigDecimal(0)), agg.isDefined)).takeRight(irN)
-          val e = b + s.st
-          val presentSum = bsums.filter(_.present)
-          val iv =
-            if (presentSum.isEmpty) IVal(e, 0.0, present = false)
-            else {
-              val inc = presentSum.map(_.sum).sum.toDouble
-              val v =
-                if (s.side.fn == "rate") CounterState.floorR6(inc / s.ir)
-                else inc
-              IVal(e, v, present = true)
-            }
-          ivals = (ivals :+ iv).takeRight(orN)
-          evals += e -> subqOuter(s.outer, s.q, ivals)
-          b += s.st
+          val e = b + s.bw
+          // evals live on the st grid; with bw < st (a non-divisible
+          // ir) the in-between bucket closes only advance the inner
+          // ring. Buckets are absolute-aligned, st % bw == 0, so every
+          // st multiple IS a bucket close.
+          if (Math.floorMod(e, s.st) == 0L) {
+            val presentSum = bsums.filter(_.present)
+            val iv =
+              if (presentSum.isEmpty) IVal(e, 0.0, present = false)
+              else {
+                val inc = presentSum.map(_.sum).sum.toDouble
+                val v =
+                  if (s.side.fn == "rate") CounterState.floorR6(inc / s.ir)
+                  else inc
+                IVal(e, v, present = true)
+              }
+            ivals = (ivals :+ iv).takeRight(orN)
+            evals += e -> subqOuter(s.outer, s.q, ivals)
+          }
+          b += s.bw
         }
       }
-      nextB = maxClosable + s.st
+      nextB = maxClosable + s.bw
     }
     (SubqSt(cst.labels, cst.buf, cst.carry, nextB, bsums, ivals,
       st0.lastActive, st0.runStart), evals.result())
@@ -1005,11 +1037,11 @@ object AlertStream {
   private[streaming] def subqDeadlines(
       s: SubqCore, st: SubqSt): List[Long] =
     List(
-      st.buf.map(_.bucket + s.st).minOption,
+      st.buf.map(_.bucket + s.bw).minOption,
       CounterState.nextCarryDeadline(st.carry),
       if ((st.bsums.exists(_.present) || st.ivals.exists(_.present)) &&
           st.nextBucket != Long.MinValue)
-        Some(st.nextBucket + s.st)
+        Some(st.nextBucket + s.bw)
       else None).flatten
 
   private def processSubq(rule: Rules.AlertRule, s: SubqShape)(

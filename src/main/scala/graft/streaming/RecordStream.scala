@@ -123,7 +123,7 @@ object RecordStream {
       watermark: String): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
-    CounterState.events(samples, Seq(core.side), core.grouping, core.st,
+    CounterState.events(samples, Seq(core.side), core.grouping, core.bw,
         watermark, shiftedBuckets = true)
       .groupByKey(_.key)
       .flatMapGroupsWithState(

@@ -924,22 +924,22 @@ class StreamingSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](RecordStream.compiled(src,
       Rules.RecordingRule("r:x", "rate(click[3600])"), "10 minutes"))
     assert(e.getMessage.contains("canonical moment shape"))
-    // r14: the max/min/sum/count/avg/last subquery outer ALERTS stream
-    // now (AlertStream.alertsSubquery); quantile/spread/mad outers and
-    // non-divisible grids stay batch-only and reject loudly
-    val e2 = intercept[IllegalArgumentException](
-      graft.streaming.AlertStream.alerts(src,
-        Rules.AlertRule("peak",
-          "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
-            "[21600:3600]) > 0.004", 0L), "10 minutes"))
-    assert(e2.getMessage.contains("streaming alerts support"),
-      e2.getMessage)
-    // st must divide ir: rate(click[5000]) on a 3600 subquery grid has
-    // no tumbling decomposition — rejected, never misserved
+    // r15: quantile outers and non-divisible grids STREAM now (the
+    // gcd-bucket rings); what still rejects is the pathological grid
+    // whose gcd-bucket ring would balloon state — rate(m[7201]) on a
+    // 3600 grid has gcd 1 ⇒ 7201 bucket sums per key > MaxInnerRing
+    import graft.streaming.AlertStream
+    import graft.promql.PromQL
+    assert(AlertStream.subqCoreOf(PromQL.parse(
+      "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
+        "[21600:3600])")).exists(c => c.bw == 3600L && c.q.contains(0.9)))
+    assert(AlertStream.subqCoreOf(PromQL.parse(
+      "max_over_time(rate(click[5000]) by (cohort) [21600:3600])"))
+      .exists(c => c.bw == 200L && c.ir == 5000L))
     val e3 = intercept[IllegalArgumentException](
-      graft.streaming.AlertStream.alerts(src,
+      AlertStream.alerts(src,
         Rules.AlertRule("peak",
-          "max_over_time(rate(click[5000]) by (cohort) " +
+          "max_over_time(rate(click[7201]) by (cohort) " +
             "[21600:3600]) > 0.004", 0L), "10 minutes"))
     assert(e3.getMessage.contains("streaming alerts support"),
       e3.getMessage)
@@ -1140,7 +1140,18 @@ class StreamingSpec extends SparkSuite {
           "[21600:3600]) > 0.00001", forSec = 3600L)),
       ("sq_mad", 25200L, Rules.AlertRule("sq_mad",
         "mad_over_time(rate(click[3600]) by (cohort) " +
-          "[21600:3600]) > 0.00001", forSec = 0L)))
+          "[21600:3600]) > 0.00001", forSec = 0L)),
+      // r15: NON-DIVISIBLE inner window (3600 ∤ 5000) — the rings
+      // advance by gcd(5000, 3600) = 200 s shifted buckets, evals stay
+      // on the 3600 grid (state 25 bucket sums + 6 ivals per key)
+      ("sq_ndiv", 26600L, Rules.AlertRule("sq_ndiv",
+        "max_over_time(rate(click[5000]) by (cohort) " +
+          "[21600:3600]) > 0.004", forSec = 3600L)),
+      // r15: depth-2 sliding inner — rate(m[ir:ist]) resampled on the
+      // outer grid (ist value-inert, ist | st), the batch subsub rule
+      ("sq_subsub", 28800L, Rules.AlertRule("sq_subsub",
+        "max_over_time(rate(click[7200:1800]) by (cohort) " +
+          "[21600:7200]) > 0.004", forSec = 0L)))
     rules.foreach { case (qn, lookback, rule) =>
       val data = samples
         .where(col("ts").between(T0 - lookback + 1, T1))
