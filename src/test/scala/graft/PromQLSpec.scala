@@ -865,9 +865,10 @@ class PromQLSpec extends SparkSuite {
       "click[1h:5m]",
       "avg by (cohort) (rate(click[1h:5m]))",
       "quantile_over_time(0.5, click[1h:5m]) by (cohort)",
-      // subquery-in-subquery: a [range:step] selector INSIDE a
-      // subquery body is two nested sliding resolutions — fail fast
-      "max_over_time(rate(click[1h:5m])[6h:1h])")
+      // subquery-in-subquery with MISALIGNED grids (420 ∤ 3600): the
+      // aligned depth-2 form works since r15, the misaligned one is
+      // two incompatible sliding resolutions — fail fast
+      "max_over_time(rate(click[1h:7m])[6h:1h])")
     bad.foreach { q =>
       val e = intercept[IllegalArgumentException](PromQL.query(t, q, T0, T1))
       assert(e.getMessage.contains("subquery") ||
