@@ -1310,25 +1310,33 @@ class StreamingSpec extends SparkSuite {
         pmod(col("user_id"), lit(10)).cast("string")).as("labels"),
       col("ts_s").as("ts"),
       col("value"))
-    // feed the batch SCAN span [T0 - or - ir + 1, T1] like the
-    // subquery-alert parity test — the sliding family reads a full
-    // outer+inner lookback before the grid start
-    val data = samples
-      .where(col("ts").between(T0 - 21600 - 3600 + 1, T1))
-      .collect()
-      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
-        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
-      .toIndexedSeq
+    // feed each rule the batch SCAN span [T0 - lookback + 1, T1] like
+    // the subquery-alert parity test — the sliding family reads a full
+    // outer+inner lookback before the grid start (ir alone for the
+    // sliding-selector form)
     val rules = Seq(
-      ("subq_rec_eq", Rules.RecordingRule("cohort:click:peak_rate_6h",
-        "max_over_time(rate(click[3600]) by (cohort) [21600:3600])",
-        Map("job" -> "rules"))),
+      ("subq_rec_eq", 25200L,
+        Rules.RecordingRule("cohort:click:peak_rate_6h",
+          "max_over_time(rate(click[3600]) by (cohort) [21600:3600])",
+          Map("job" -> "rules"))),
       // r15: quantile outer recording — exact percentile over the
       // or/st inner-value ring, round6 like the batch q_v
-      ("subq_rec_q", Rules.RecordingRule("cohort:click:p90_rate_6h",
-        "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
-          "[21600:3600])")))
-    rules.foreach { case (qn, rule) =>
+      ("subq_rec_q", 25200L,
+        Rules.RecordingRule("cohort:click:p90_rate_6h",
+          "quantile_over_time(0.9, rate(click[3600]) by (cohort) " +
+            "[21600:3600])")),
+      // r15: the sliding-SELECTOR recording form — rate(m[ir:st]) as a
+      // recorded metric (single-entry outer window in the rings)
+      ("subq_rec_slide", 21600L,
+        Rules.RecordingRule("cohort:click:rate_6h_slide",
+          "rate(click[21600:3600]) by (cohort)")))
+    rules.foreach { case (qn, lookback, rule) =>
+      val data = samples
+        .where(col("ts").between(T0 - lookback + 1, T1))
+        .collect()
+        .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+          new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+        .toIndexedSeq
       val batch = Rules.record(Tsdb.attach(spark, samples), rule, T0, T1)
         .collect()
         .map(r => (r.getMap[String, String](1).toMap, r.getLong(2),
