@@ -73,6 +73,16 @@ def main():
     host_id = f"{platform.node()}/{len(__import__('os').sched_getaffinity(0))}cpu"
     for r in runs:
         tag = r["sf"].rstrip("/").split("/")[-1]
+        # r15 probe hygiene: a sweep whose mid-sweep probes exceeded
+        # 1.5x the reference stamps itself UNRELIABLE — its timings are
+        # degraded-window data and MUST NOT become the regression gate.
+        # It still lands in the history file above (receipts), just not
+        # in the baseline.
+        if r.get("reliability") == "UNRELIABLE":
+            print(f"{r['sf']}: reliability=UNRELIABLE "
+                  f"(probe_max {r.get('probe_max')}) — history only, "
+                  "baseline NOT refreshed")
+            continue
         # merge WITHIN the tag too: a subset sweep (SPARK_GRAFT_QUERIES)
         # refreshes only the queries it ran, keeping the rest gated
         entries = base.setdefault(tag, {})
