@@ -224,6 +224,53 @@ object SparkEntry {
       .withColumn("labels", map_concat(col("labels"), map(lit("le"), le)))
   }
 
+  /** CUMULATIVE classic-histogram bucket counters synthesized from the
+    * events: one `click` series per (user, le) whose value at each of
+    * that user's event timestamps is the RUNNING COUNT of observations
+    * ≤ le — real Prometheus `_bucket` semantics (each bucket series a
+    * monotone counter, "+Inf" counting everything). ~7× sample
+    * expansion; the running count uses a RANGE frame so same-ts ties
+    * get one well-defined value on both engines.
+    */
+  private def eventsAsSamplesHistCum(
+      s: SparkSession, dir: String): DataFrame = {
+    val bounds = HistBuckets.map(b =>
+      if (b == b.floor) b.toLong.toString else b.toString) :+ "+Inf"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("metric"), col("labels").getItem("user_id"),
+        col("le"))
+      .orderBy(col("ts"))
+      .rangeBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    eventsAsSamplesCohort(s, dir)
+      .select(col("metric"), col("labels"), col("ts"), col("value"),
+        explode(array(bounds.map(lit): _*)).as("le"))
+      .withColumn("hit",
+        when(col("le") === "+Inf", 1L)
+          .otherwise(when(col("value") <= col("le").cast("double"), 1L)
+            .otherwise(0L)))
+      .select(col("metric"),
+        map_concat(col("labels"), map(lit("le"), col("le"))).as("labels"),
+        col("ts"),
+        sum(col("hit")).over(w).cast("double").as("value"))
+  }
+
+  /** THE canonical Prometheus SLO query — `histogram_quantile(0.9,
+    * sum by (cohort, le) (rate(click[1h])))` over cumulative bucket
+    * counters: per-(cohort, le) reset-robust rates, then the
+    * bucketQuantile interpolation across the le axis per (cohort, grid
+    * point) — running-max monotone repair, linear interpolation inside
+    * the crossing bucket, highest finite bound when the rank lands in
+    * +Inf (Tsdb.histQuantileOnFrame).
+    */
+  private def qTsdbPromqlHistqRate(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesHistCum(s, dir)),
+      "histogram_quantile(0.9, sum by (cohort, le) (rate(click[3600])))",
+      T0, T1)
+      .orderBy("cohort", "bucket_start")
+
   /** `histogram_quantile(0.9, click[1h]) by (cohort)` through the string
     * front-end with NO caller-supplied bounds: the cumulative bucket
     * bounds resolve from the metric's `le` label domain on the series
@@ -3040,6 +3087,7 @@ object SparkEntry {
     "tsdb_promql_predict_offset" -> (qTsdbPromqlPredictOffset _),
     "tsdb_rollup_agg_offset" -> (qTsdbRollupAggOffset _),
     "tsdb_promql_histq" -> (qTsdbPromqlHistq _),
+    "tsdb_promql_histq_rate" -> (qTsdbPromqlHistqRate _),
     "tsdb_quantile_over_time" -> (qTsdbQuantileOverTime _),
     "tsdb_promql_mad" -> (qTsdbPromqlMad _),
     "tsdb_offset" -> (qTsdbOffset _),

@@ -3052,6 +3052,55 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
 object Tsdb {
   val MetricLabel: String = graft.functions.LabelFunctions.MetricLabel
 
+  /** Prometheus `bucketQuantile` over an ALREADY-AGGREGATED cumulative
+    * bucket frame `(keyCols…, leCol (string bounds, "+Inf" overflow),
+    * tsCol, valCol)` — the interpolation half of the CANONICAL
+    * classic-histogram query `histogram_quantile(phi, sum by (le, l…)
+    * (rate(bucket[d])))`. Semantics match promql/quantile.go: a running
+    * max along the le axis repairs non-monotone cumulative values (the
+    * ensureMonotonic fix), `total` is the largest (the +Inf bucket's)
+    * value, the rank `phi·total` interpolates linearly inside the first
+    * crossing bucket (lower bound 0 for the first finite bucket), and a
+    * rank landing in +Inf returns the highest finite bound. All
+    * arithmetic is fixed-order IEEE doubles over the engine's quantized
+    * rates, so DuckDB mirrors are bit-exact. The windows ride one
+    * partitioning (keyCols, tsCol) over groups × |buckets| aggregated
+    * rows — never sample grain.
+    */
+  private[graft] def histQuantileOnFrame(
+      frame: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      leCol: String,
+      tsCol: String,
+      valCol: String,
+      phi: Double): org.apache.spark.sql.DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1): $phi")
+    val part = keyCols.map(col) :+ col(tsCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(part: _*).orderBy("le_d")
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(part: _*)
+    val lo = coalesce(col("prev_le"), lit(0.0))
+    frame
+      .withColumn("le_d",
+        when(col(leCol) === "+Inf", lit(Double.PositiveInfinity))
+          .otherwise(col(leCol).cast("double")))
+      .withColumn("vm", max(col(valCol).cast("double")).over(wRun))
+      .withColumn("prev_v", coalesce(lag("vm", 1).over(w), lit(0.0)))
+      .withColumn("prev_le", lag("le_d", 1).over(w))
+      .withColumn("total", max(col("vm")).over(wAll))
+      .withColumn("target", lit(phi) * col("total"))
+      .where(col("vm") >= col("target") && col("prev_v") < col("target"))
+      .withColumn("q",
+        when(col("le_d") === lit(Double.PositiveInfinity), col("prev_le"))
+          .otherwise(lo + (col("le_d") - lo) *
+            (col("target") - col("prev_v")) / (col("vm") - col("prev_v"))))
+      .select(part ++ Seq(col("total"), col("q")): _*)
+  }
+
   /** Sliding-window moment aggregation over an ALREADY-COMPUTED grid
     * frame `(keyCols…, tsCol, valCol)` — the OUTER leg of a nested
     * subquery: the same eval-grid explode [[graft.Tsdb.overTimeBy]]

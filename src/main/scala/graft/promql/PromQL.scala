@@ -128,6 +128,19 @@ object PromQL {
       q: Option[Double] = None,
       offsetSec: Long = 0L) extends Expr
 
+  /** Prometheus's CANONICAL classic-histogram quantile —
+    * `histogram_quantile(phi, sum by (le, l…)(rate(bucket[d])))`: the
+    * body aggregates CUMULATIVE bucket-counter rates at (le, labels)
+    * grain (the `le` label carries each bucket's upper bound, "+Inf"
+    * for the overflow bucket), and the quantile interpolates across the
+    * le axis per (labels, grid point) — Prometheus bucketQuantile
+    * semantics (promql/quantile.go): linear interpolation inside the
+    * crossing bucket, lower bound 0 for the first finite bucket, the
+    * highest finite le when the rank lands in +Inf. Distinct from the
+    * engine's raw-observation dialect (`RangeFn("histogram_quantile")`,
+    * which buckets raw samples at query time). */
+  final case class HistQuantileAgg(phi: Double, body: Expr) extends Expr
+
   /** An aggregation operator with optional parameter (k for topk/bottomk,
     * q for quantile, value-label for count_values). `without` holds the
     * complement clause; it resolves to `by` at compile time against the
@@ -699,6 +712,16 @@ object PromQL {
         // `max_over_time((sum(rate(a)) / sum(rate(b)))[1h:5m])` — the
         // binary-op inner needs the parens (as in Prometheus), and a
         // plain selector never starts with one
+        // Prometheus's canonical classic-histogram form — an AGGREGATED
+        // vector argument with no [R:s]: `histogram_quantile(0.9,
+        // sum by (le, cohort)(rate(bucket[5m])))`; shape-validated at
+        // compile (sum-by including `le` over rate/increase)
+        if (name == "histogram_quantile" &&
+            nestedHead.exists(n2 => AggOps(n2))) {
+          val body = parseTerm()
+          expectSym(")")
+          return HistQuantileAgg(numArg.get, body)
+        }
         if (nestedHead.exists(n2 =>
             RangeFns(n2) || AggOps(n2) || MathFns(n2) || LabelFns(n2)) ||
             peek.contains(Sym("("))) {
@@ -891,6 +914,8 @@ object PromQL {
         else ""
       s"$fn($lead$b[${rangeSec}s:${stepSec}s]" +
         s"${if (off != 0) s" offset ${off}s" else ""}$trail)"
+    case HistQuantileAgg(phi, body) =>
+      s"histogram_quantile(${renderNum(phi)}, ${render(body)})"
     case ValueLabel(lbl, inner) =>
       // the inner rendering always leads with the conventional "value"
       // label — swap in the custom one
@@ -1195,6 +1220,7 @@ object PromQL {
           "*_over_time family, not a bare selector or aggregation body")
     case Agg(_, _, _, _, body, _) => validateSubquerySteps(body)
     case SubqueryFn(_, body, _, _, _, _) => validateSubquerySteps(body)
+    case HistQuantileAgg(_, body) => validateSubquerySteps(body)
     case BinOp(_, l, r, _, _, _) =>
       validateSubquerySteps(l); validateSubquerySteps(r)
     case IgnoringOp(_, l, r, _, _, _, _) =>
@@ -1258,6 +1284,8 @@ object PromQL {
       }
     case sq @ SubqueryFn(_, body, _, _, _, _) =>
       sq.copy(body = resolveWithout(t, body))
+    case hq @ HistQuantileAgg(_, body) =>
+      hq.copy(body = resolveWithout(t, body))
     // two aggregated sides sharing one `without` clause (the ratio /
     // ratio-of-rates families): resolve against the UNION of both
     // metrics' key universes, so the sides group — and the vector match
@@ -1554,6 +1582,7 @@ object PromQL {
     case RangeFn("mad_over_time", _, _, _, _) => "mad_v"
     case Agg("group", _, _, _, _, _) => "group_v"
     case Agg("limitk" | "limit_ratio", _, _, _, _, _) => "sum_v"
+    case _: HistQuantileAgg => "q"
     case BinOp(op, _, _, _, _, _) if ArithOps(op) => "result"
     case BinOp(op, l, r, _, _, _) if CmpOps(op) =>
       (l, r) match {
@@ -1676,6 +1705,10 @@ object PromQL {
     case LabelFn("sort_by_label" | "sort_by_label_desc", arg, _) =>
       groupingOf(arg)
     case MathFn(_, arg, _, _) => groupingOf(arg)
+    // the quantile collapses the le axis: the output grain is the
+    // body's by-list minus `le` — static, rule-safe
+    case HistQuantileAgg(_, Agg(_, _, _, by, _, _)) =>
+      Some(by.filterNot(_ == "le"))
     // the trailing-by extension aggregates a range function to the
     // by-grain, so its label schema IS the by-list — static, rule-safe
     // (`rate(x[6h:1h]) by (cohort) > thr` as a live/batch alert).
@@ -1702,6 +1735,7 @@ object PromQL {
     // a nested subquery's output grid is the [range:step] resolution,
     // shifted by the construct's own offset (eval_ts = grid + offset)
     case SubqueryFn(_, _, _, stepSec, _, sqOff) => Some((stepSec, sqOff))
+    case HistQuantileAgg(_, body) => gridSpecOf(body)
     case Agg(_, _, _, _, body, _) => gridSpecOf(body)
     case RangeFn(_, _, sel, _, _) => gridSpecOf(sel)
     case LabelFn(_, inner, _) => gridSpecOf(inner)
@@ -2799,6 +2833,29 @@ object PromQL {
         val bounds = if (buckets.nonEmpty) buckets else leBounds(t, sel.metric)
         t.histogramQuantile(sel.metric, sel.matchers, start, end, by,
           stepOf(sel, "histogram_quantile"), phi, bounds, sel.offsetSec)
+
+      // Prometheus's CANONICAL classic-histogram quantile —
+      // `histogram_quantile(0.9, sum by (le, cohort)(rate(bucket[5m])))`:
+      // the body is the by-grain rate/increase of CUMULATIVE bucket
+      // counters (the `le` label carries each bucket's upper bound);
+      // the bucketQuantile interpolation then runs per (labels ∖ le,
+      // grid point) over the tiny aggregated frame — a window over
+      // groups × |buckets| rows, never sample grain.
+      case HistQuantileAgg(phi, Agg("sum", None, None, by,
+          RangeFn(fn, _, sel, Nil, _), Nil))
+          if fn == "rate" || fn == "increase" =>
+        require(by.contains("le"),
+          "histogram_quantile over an aggregation needs `le` in the " +
+          s"by-list (the bucket-bound label), got: by " +
+          s"(${by.mkString(", ")})")
+        val frame = t.aggregateIncreaseBy(sel.metric, sel.matchers,
+          start, end, by, stepOf(sel, fn), sel.offsetSec)
+        val vc = if (fn == "rate") "rate_per_sec" else "increase"
+        Tsdb.histQuantileOnFrame(frame, by.filterNot(_ == "le"), "le",
+          "bucket_start", vc, phi)
+      case hq: HistQuantileAgg => throw new IllegalArgumentException(
+        "histogram_quantile over an aggregation supports `sum by " +
+        "(le, l…)(rate|increase(bucket[d]))`, got: " + render(hq))
 
       // one-to-many matching: A op on (l) group_left B — the right side
       // aggregates at the on-label grain, the result keeps A's labels.

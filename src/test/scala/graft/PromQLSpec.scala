@@ -877,6 +877,36 @@ class PromQLSpec extends SparkSuite {
     }
   }
 
+  test("canonical classic-histogram quantile: parse, grouping, " +
+      "rejections") {
+    val q = "histogram_quantile(0.9, sum by (cohort, le) " +
+      "(rate(click[3600])))"
+    val ast = PromQL.parse(q)
+    assert(ast.isInstanceOf[PromQL.HistQuantileAgg])
+    // parse-render round trip
+    assert(PromQL.parse(PromQL.render(ast)) == ast)
+    // the quantile collapses the le axis: rule-safe grouping = by ∖ le
+    // (proved end-to-end — the rules path derives its label schema
+    // from groupingOf and would throw on None or mis-shape)
+    locally {
+      import graft.promql.Rules
+      val al = Rules.alerts(t,
+        Rules.AlertRule("histq", s"$q > 50", forSec = 0L), T0, T1)
+      assert(al.columns.toSeq ==
+        Seq("alertname", "cohort", "bucket_start", "value", "state"))
+    }
+    // a by-list without `le` is a contract error, caught at compile
+    val e1 = intercept[IllegalArgumentException](
+      PromQL.query(t, "histogram_quantile(0.9, sum by (cohort) " +
+        "(rate(click[3600])))", T0, T1))
+    assert(e1.getMessage.contains("`le`"), e1.getMessage)
+    // non-sum aggregated bodies reject loudly
+    val e2 = intercept[IllegalArgumentException](
+      PromQL.query(t, "histogram_quantile(0.9, avg by (cohort, le) " +
+        "(rate(click[3600])))", T0, T1))
+    assert(e2.getMessage.contains("sum by"), e2.getMessage)
+  }
+
   test("README example strings parse (dotted mandodb metric names)") {
     Seq(
       """topk(3, sum by (dc) (cpu.busy[5m]))""",
