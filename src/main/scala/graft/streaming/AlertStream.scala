@@ -241,23 +241,157 @@ object AlertStream {
   def alerts(
       samples: DataFrame,
       rule: Rules.AlertRule,
-      watermark: String): Dataset[AlertEval] =
-    shapeOf(rule) match {
-      case Some(s) => alertsCanonical(samples, rule, s, watermark)
-      case None => ratioShapeOf(rule) match {
-        case Some(rs) => alertsRatio(samples, rule, rs, watermark)
-        case None => counterShapeOf(rule) match {
-          case Some(cs) => alertsCounter(samples, rule, cs, watermark)
-          case None => subqShapeOf(rule) match {
-            case Some(ss) => alertsSubquery(samples, rule, ss, watermark)
-            case None => absentShapeOf(rule) match {
-              case Some(as) => absentAlerts(samples, rule, as, watermark)
-              case None => unsupported(rule)
+      watermark: String,
+      histBuckets: Seq[String] = Nil): Dataset[AlertEval] =
+    histShapeOf(rule, histBuckets) match {
+      case Some(hs) => alertsHist(samples, rule, hs, watermark)
+      case None => shapeOf(rule) match {
+        case Some(s) => alertsCanonical(samples, rule, s, watermark)
+        case None => ratioShapeOf(rule) match {
+          case Some(rs) => alertsRatio(samples, rule, rs, watermark)
+          case None => counterShapeOf(rule) match {
+            case Some(cs) => alertsCounter(samples, rule, cs, watermark)
+            case None => subqShapeOf(rule) match {
+              case Some(ss) => alertsSubquery(samples, rule, ss, watermark)
+              case None => absentShapeOf(rule) match {
+                case Some(as) => absentAlerts(samples, rule, as, watermark)
+                case None => unsupported(rule)
+              }
             }
           }
         }
       }
     }
+
+  // ------------------------------------------------------------------
+  // The live SLO alert — `histogram_quantile(phi, sum by (le, l…)
+  // (rate(bucket[step]))) <cmp> thr`: each `le` bound is one
+  // [[CounterState.Side]] (matcher le="bound"), so one stateful
+  // operator keyed at the (by ∖ le) grain carries every bucket
+  // series' counter state, and each closed bucket hands the
+  // per-bound cumulative rates to an in-state bucketQuantile — the
+  // exact double op order of [[graft.Tsdb.histQuantileOnFrame]].
+  // The bucket-bound universe must be given up front (`histBuckets`)
+  // — a stream cannot scan the le label domain.
+  // ------------------------------------------------------------------
+
+  private final case class HistShape(
+      sides: Seq[CounterState.Side],
+      bounds: IndexedSeq[Double],
+      grouping: Grouping,
+      phi: Double,
+      step: Long,
+      cmp: String,
+      thr: Double)
+
+  private def histShapeOf(
+      rule: Rules.AlertRule,
+      leBounds: Seq[String]): Option[HistShape] =
+    PromQL.parse(rule.expr) match {
+      case PromQL.BinOp(cmp, PromQL.HistQuantileAgg(phi,
+          PromQL.Agg("sum", None, None, by,
+            PromQL.RangeFn(fn, _, sel: PromQL.Selector, Nil, _), Nil)),
+          PromQL.NumLit(thr), _, false, false)
+          if Cmps(cmp) && (fn == "rate" || fn == "increase") &&
+            by.contains("le") && plain(sel) =>
+        require(leBounds.nonEmpty,
+          "a live histogram_quantile alert needs the bucket-bound " +
+          "universe up front: pass histBuckets = Seq(\"5\", …, " +
+          "\"+Inf\") to AlertStream.alerts (a stream cannot scan the " +
+          "le label domain)")
+        val bs = leBounds.map(b =>
+          if (b == "+Inf") Double.PositiveInfinity else b.toDouble)
+        require(bs == bs.sorted,
+          s"histBuckets must be ascending: $leBounds")
+        val sides = leBounds.map(b => CounterState.Side(sel.metric,
+          sel.matchers :+ graft.model.LabelMatcher.eq("le", b), "sum", fn))
+        Some(HistShape(sides, bs.toIndexedSeq,
+          Grouping.of(by.filterNot(_ == "le"), Nil), phi,
+          sel.rangeSec.get, cmp, thr))
+      case _ => None
+    }
+
+  /** Prometheus bucketQuantile over one closed bucket's per-bound
+    * values, in [[graft.Tsdb.histQuantileOnFrame]]'s exact double op
+    * order: absent bounds are skipped (the batch frame has no row for
+    * them), a running max repairs non-monotone cumulatives, the rank
+    * `phi·total` interpolates inside the first crossing bucket, and a
+    * rank landing in +Inf returns the highest finite PRESENT bound
+    * (None when +Inf is the only present bucket — the batch q is NULL
+    * there and a NULL compare drops the row). */
+  private[streaming] def bucketQuantile(
+      bounds: IndexedSeq[Double],
+      vals: IndexedSeq[Option[Double]],
+      phi: Double): Option[Double] = {
+    val present = bounds.zip(vals).collect { case (b, Some(v)) => (b, v) }
+    if (present.isEmpty) return None
+    var run = Double.NegativeInfinity
+    val mono = present.map { case (b, v) =>
+      run = math.max(run, v); (b, run) }
+    val total = mono.last._2
+    val target = phi * total
+    var prevV = 0.0
+    var prevLe: Option[Double] = None
+    for ((le, vm) <- mono) {
+      if (vm >= target && prevV < target) {
+        return if (le.isPosInfinity) prevLe
+        else {
+          val lo = prevLe.getOrElse(0.0)
+          Some(lo + (le - lo) * (target - prevV) / (vm - prevV))
+        }
+      }
+      prevV = vm; prevLe = Some(le)
+    }
+    None
+  }
+
+  private def histValue(
+      s: HistShape,
+      sides: Vector[Option[CounterState.SideAgg]]): Option[Double] =
+    bucketQuantile(s.bounds,
+      s.bounds.indices.map(i => sides(i).map(a =>
+        CounterState.moment(s.sides(i), s.step, a))).toIndexedSeq,
+      s.phi)
+
+  private def alertsHist(
+      samples: DataFrame,
+      rule: Rules.AlertRule,
+      s: HistShape,
+      watermark: String): Dataset[AlertEval] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    CounterState.events(samples, s.sides, s.grouping, s.step, watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processHist(rule, s))
+  }
+
+  private def processHist(rule: Rules.AlertRule, s: HistShape)(
+      key: String,
+      events: Iterator[CounterState.Ev],
+      state: GroupState[CounterState.St]): Iterator[AlertEval] = {
+    val wmSec = state.getCurrentWatermarkMs() / 1000
+    val (st0, closed) = CounterState.advance(
+      state.getOption.getOrElse(CounterState.EmptySt), events, wmSec,
+      s.sides.size, s.step)
+    val out = List.newBuilder[AlertEval]
+    val (la, rs) = emitRuns(rule, s.step, s.cmp, s.thr, st0.labels,
+      closed.map { case (b, sides) => b -> histValue(s, sides) },
+      out, st0.lastActive, st0.runStart)
+    val st = st0.copy(lastActive = la, runStart = rs)
+    val deadlines = List(
+      st.buf.map(_.bucket + s.step).minOption,
+      CounterState.nextCarryDeadline(st.carry),
+      if (la != Long.MinValue && wmSec < la + 2 * s.step)
+        Some(la + 2 * s.step)
+      else None).flatten
+    if (deadlines.nonEmpty) {
+      state.update(st)
+      state.setTimeoutTimestamp(math.max(deadlines.min, wmSec + 1) * 1000)
+    } else if (state.exists) state.remove()
+    out.result().iterator
+  }
 
   /** The absence-alert shape: `absent(metric{matchers}[step]) by
     * (labels)` — the heartbeat-lost rule. The trailing `by` picks the

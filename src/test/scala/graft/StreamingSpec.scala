@@ -1195,6 +1195,85 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming histogram_quantile alert equals the batch rule on a " +
+      "replayed cumulative bucket-counter fixture (per-bound sides)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.promql.Rules
+    import graft.streaming.AlertStream
+    val T0 = 1704412800L
+    val T1 = 1705017599L
+    val bounds = Seq("5", "10", "25", "50", "100", "250", "+Inf")
+    // cumulative classic-histogram bucket counters: one click series
+    // per (user, le), value = running count of that user's
+    // observations <= le (RANGE frame: ties get one value)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("user_id"), col("le"))
+      .orderBy(col("ts_s"))
+      .rangeBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val samples = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id"), col("ts_s"),
+        col("value"), explode(array(bounds.map(lit): _*)).as("le"))
+      .withColumn("hit",
+        when(col("le") === "+Inf", 1L)
+          .otherwise(when(col("value") <= col("le").cast("double"), 1L)
+            .otherwise(0L)))
+      .select(col("event_type").as("metric"),
+        map(lit("user_id"), col("user_id").cast("string"),
+          lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"),
+          lit("le"), col("le")).as("labels"),
+        col("ts_s").as("ts"),
+        sum(col("hit")).over(w).cast("double").as("value"))
+    val rule = Rules.AlertRule("slo_p90",
+      "histogram_quantile(0.9, sum by (cohort, le) " +
+        "(rate(click[3600]))) > 50", forSec = 3600L)
+    val batch = Rules.alerts(Tsdb.attach(spark, samples), rule, T0, T1)
+      .select(col("cohort"), col("bucket_start"), col("value"),
+        col("state"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(batch.nonEmpty, "empty batch fixture")
+    val data = samples
+      .where(col("ts").between(T0, T1))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        new java.sql.Timestamp(r.getLong(2) * 1000), r.getDouble(3)))
+      .toIndexedSeq
+    val mem = MemoryStream[(String, Map[String, String],
+      java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("metric", "labels", "ts", "value")
+    val q = AlertStream.alerts(src, rule, watermark = "10 minutes",
+        histBuckets = bounds)
+      .toDF().writeStream.format("memory").queryName("histq_alert")
+      .outputMode("append").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "zz"),
+      new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    mem.addData(("click", Map("cohort" -> "zz"),
+      new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("histq_alert")
+      .where(col("bucket_start").between(T0, T1))
+      .select(col("labels").getItem("cohort").as("cohort"),
+        col("bucket_start"), col("value"), col("state"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"sizes ${streamed.size} vs ${batch.size}; " +
+        s"stream-only ${(streamed -- batch).take(3)}; " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+    // bounds are mandatory for the live form
+    val e = intercept[IllegalArgumentException](
+      AlertStream.alerts(src, rule, "10 minutes"))
+    assert(e.getMessage.contains("histBuckets"), e.getMessage)
+  }
+
   test("CounterState.close: reset-adjust, cross-bucket carry, NaN and " +
       "decimal-overflow samples drop deltas, horizon purge") {
     import graft.streaming.CounterState
