@@ -895,6 +895,15 @@ class PromQLSpec extends SparkSuite {
       assert(al.columns.toSeq ==
         Seq("alertname", "cohort", "bucket_start", "value", "state"))
     }
+    // recording rules compose: the recorded samples carry the by ∖ le
+    // grain and the q value
+    locally {
+      import graft.promql.Rules
+      val rec = Rules.record(t,
+        Rules.RecordingRule("cohort:click:p90", q, Map("job" -> "slo")),
+        T0, T1)
+      assert(rec.columns.toSeq == Seq("metric", "labels", "ts", "value"))
+    }
     // a by-list without `le` is a contract error, caught at compile
     val e1 = intercept[IllegalArgumentException](
       PromQL.query(t, "histogram_quantile(0.9, sum by (cohort) " +
