@@ -275,39 +275,49 @@ object AlertStream {
   // — a stream cannot scan the le label domain.
   // ------------------------------------------------------------------
 
-  private final case class HistShape(
+  /** The histogram core shared by the alert and recording twins: one
+    * CounterState side per le bound, grouping at the (by ∖ le) grain. */
+  private[streaming] final case class HistCore(
       sides: Seq[CounterState.Side],
       bounds: IndexedSeq[Double],
       grouping: Grouping,
       phi: Double,
-      step: Long,
-      cmp: String,
+      step: Long)
+
+  private final case class HistShape(core: HistCore, cmp: String,
       thr: Double)
 
-  private def histShapeOf(
-      rule: Rules.AlertRule,
-      leBounds: Seq[String]): Option[HistShape] =
-    PromQL.parse(rule.expr) match {
-      case PromQL.BinOp(cmp, PromQL.HistQuantileAgg(phi,
+  private[streaming] def histCoreOf(
+      e: PromQL.Expr, leBounds: Seq[String]): Option[HistCore] =
+    e match {
+      case PromQL.HistQuantileAgg(phi,
           PromQL.Agg("sum", None, None, by,
-            PromQL.RangeFn(fn, _, sel: PromQL.Selector, Nil, _), Nil)),
-          PromQL.NumLit(thr), _, false, false)
-          if Cmps(cmp) && (fn == "rate" || fn == "increase") &&
+            PromQL.RangeFn(fn, _, sel: PromQL.Selector, Nil, _), Nil))
+          if (fn == "rate" || fn == "increase") &&
             by.contains("le") && plain(sel) =>
         require(leBounds.nonEmpty,
-          "a live histogram_quantile alert needs the bucket-bound " +
+          "a live histogram_quantile rule needs the bucket-bound " +
           "universe up front: pass histBuckets = Seq(\"5\", …, " +
-          "\"+Inf\") to AlertStream.alerts (a stream cannot scan the " +
-          "le label domain)")
+          "\"+Inf\") (a stream cannot scan the le label domain)")
         val bs = leBounds.map(b =>
           if (b == "+Inf") Double.PositiveInfinity else b.toDouble)
         require(bs == bs.sorted,
           s"histBuckets must be ascending: $leBounds")
         val sides = leBounds.map(b => CounterState.Side(sel.metric,
           sel.matchers :+ graft.model.LabelMatcher.eq("le", b), "sum", fn))
-        Some(HistShape(sides, bs.toIndexedSeq,
+        Some(HistCore(sides, bs.toIndexedSeq,
           Grouping.of(by.filterNot(_ == "le"), Nil), phi,
-          sel.rangeSec.get, cmp, thr))
+          sel.rangeSec.get))
+      case _ => None
+    }
+
+  private def histShapeOf(
+      rule: Rules.AlertRule,
+      leBounds: Seq[String]): Option[HistShape] =
+    PromQL.parse(rule.expr) match {
+      case PromQL.BinOp(cmp, hq: PromQL.HistQuantileAgg,
+          PromQL.NumLit(thr), _, false, false) if Cmps(cmp) =>
+        histCoreOf(hq, leBounds).map(HistShape(_, cmp, thr))
       case _ => None
     }
 
@@ -345,8 +355,8 @@ object AlertStream {
     None
   }
 
-  private def histValue(
-      s: HistShape,
+  private[streaming] def histValue(
+      s: HistCore,
       sides: Vector[Option[CounterState.SideAgg]]): Option[Double] =
     bucketQuantile(s.bounds,
       s.bounds.indices.map(i => sides(i).map(a =>
@@ -360,7 +370,8 @@ object AlertStream {
       watermark: String): Dataset[AlertEval] = {
     val spark = samples.sparkSession
     import spark.implicits._
-    CounterState.events(samples, s.sides, s.grouping, s.step, watermark)
+    CounterState.events(samples, s.core.sides, s.core.grouping,
+        s.core.step, watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
@@ -374,17 +385,17 @@ object AlertStream {
     val wmSec = state.getCurrentWatermarkMs() / 1000
     val (st0, closed) = CounterState.advance(
       state.getOption.getOrElse(CounterState.EmptySt), events, wmSec,
-      s.sides.size, s.step)
+      s.core.sides.size, s.core.step)
     val out = List.newBuilder[AlertEval]
-    val (la, rs) = emitRuns(rule, s.step, s.cmp, s.thr, st0.labels,
-      closed.map { case (b, sides) => b -> histValue(s, sides) },
+    val (la, rs) = emitRuns(rule, s.core.step, s.cmp, s.thr, st0.labels,
+      closed.map { case (b, sides) => b -> histValue(s.core, sides) },
       out, st0.lastActive, st0.runStart)
     val st = st0.copy(lastActive = la, runStart = rs)
     val deadlines = List(
-      st.buf.map(_.bucket + s.step).minOption,
+      st.buf.map(_.bucket + s.core.step).minOption,
       CounterState.nextCarryDeadline(st.carry),
-      if (la != Long.MinValue && wmSec < la + 2 * s.step)
-        Some(la + 2 * s.step)
+      if (la != Long.MinValue && wmSec < la + 2 * s.core.step)
+        Some(la + 2 * s.core.step)
       else None).flatten
     if (deadlines.nonEmpty) {
       state.update(st)

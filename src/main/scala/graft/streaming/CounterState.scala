@@ -83,9 +83,15 @@ object CounterState {
   /** Project a streaming samples frame into keyed counter events.
     * `sides` may overlap (the `errors{code="500"} / errors` idiom): a
     * row contributes to every side whose selector it matches, via an
-    * exploded side array like [[AlertStream]]'s ratio path. The
-    * watermark is applied BEFORE the selector filter's row drop so the
-    * caller's `withWatermark` column survives into the Dataset. */
+    * exploded side array like [[AlertStream]]'s ratio path.
+    *
+    * Watermark placement: the EventTimeWatermark node sits ABOVE the
+    * side filter, so ONLY rows matching some side advance the global
+    * watermark — a stream carrying unrelated metrics never closes this
+    * rule's buckets by itself. Test replays (and heartbeat events) must
+    * therefore match a side; the histogram path's per-`le` sides make
+    * this bite (a flush event without an `le` label is filtered before
+    * the watermark node and closes nothing). */
   def events(
       samples: DataFrame,
       sides: Seq[Side],

@@ -94,21 +94,72 @@ object RecordStream {
   def compiled(
       samples: DataFrame,
       rule: Rules.RecordingRule,
-      watermark: String): DataFrame = {
+      watermark: String,
+      histBuckets: Seq[String] = Nil): DataFrame = {
     require(rule.name.matches("[a-zA-Z_:][a-zA-Z0-9_:]*"),
       s"invalid metric name for a recording rule: ${rule.name}")
+    val ast = PromQL.parse(rule.expr)
+    AlertStream.histCoreOf(ast, histBuckets) match {
+      case Some(hc) => return compiledHist(samples, rule, hc, watermark)
+      case None => ()
+    }
     ratioShapeOf(rule) match {
       case Some(rs) => compiledRatio(samples, rule, rs, watermark)
       case None => counterShapeOf(rule) match {
         case Some(cs) => compiledCounter(samples, rule, cs, watermark)
         case None =>
-          AlertStream.subqCoreOf(PromQL.parse(rule.expr)) match {
+          AlertStream.subqCoreOf(ast) match {
             case Some(core) =>
               compiledSubquery(samples, rule, core, watermark)
             case None => compiledCanonical(samples, rule, watermark)
           }
       }
     }
+  }
+
+  /** Live SLO recording — `record: svc:latency:p90` from
+    * `histogram_quantile(phi, sum by (le, l…)(rate(bucket[step])))`:
+    * the alert twin's per-bound sides + in-state bucketQuantile
+    * ([[AlertStream.histCoreOf]]/[[AlertStream.histValue]]), each
+    * closed bucket emitting one sample of the recorded metric. The
+    * bucket-bound universe arrives via `histBuckets`. */
+  private def compiledHist(
+      samples: DataFrame,
+      rule: Rules.RecordingRule,
+      core: AlertStream.HistCore,
+      watermark: String): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    CounterState.events(samples, core.sides, core.grouping, core.step,
+        watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processHist(rule, core))
+      .toDF()
+  }
+
+  private def processHist(
+      rule: Rules.RecordingRule, core: AlertStream.HistCore)(
+      key: String,
+      events: Iterator[CounterState.Ev],
+      state: GroupState[CounterState.St]): Iterator[Rec] = {
+    val wmSec = state.getCurrentWatermarkMs() / 1000
+    val (st, closed) = CounterState.advance(
+      state.getOption.getOrElse(CounterState.EmptySt), events, wmSec,
+      core.sides.size, core.step)
+    val out = closed.flatMap { case (b, sides) =>
+      AlertStream.histValue(core, sides).map(v =>
+        Rec(rule.name, st.labels ++ rule.staticLabels, b, v))
+    }
+    val deadlines = List(
+      st.buf.map(_.bucket + core.step).minOption,
+      CounterState.nextCarryDeadline(st.carry)).flatten
+    if (deadlines.nonEmpty) {
+      state.update(st)
+      state.setTimeoutTimestamp(math.max(deadlines.min, wmSec + 1) * 1000)
+    } else if (state.exists) state.remove()
+    out.iterator
   }
 
   /** Nested-subquery recording — the live twin of a

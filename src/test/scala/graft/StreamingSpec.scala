@@ -1250,10 +1250,14 @@ class StreamingSpec extends SparkSuite {
       .outputMode("append").start()
     mem.addData(data: _*)
     q.processAllAvailable()
-    mem.addData(("click", Map("cohort" -> "zz"),
+    // flush events must MATCH a side (le label present): the per-bound
+    // selectors filter before the watermark node, so a non-matching
+    // event would never advance the watermark and the last buckets
+    // would never close
+    mem.addData(("click", Map("cohort" -> "zz", "le" -> "+Inf"),
       new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
     q.processAllAvailable()
-    mem.addData(("click", Map("cohort" -> "zz"),
+    mem.addData(("click", Map("cohort" -> "zz", "le" -> "+Inf"),
       new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
     q.processAllAvailable()
     q.stop()
@@ -1272,6 +1276,47 @@ class StreamingSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       AlertStream.alerts(src, rule, "10 minutes"))
     assert(e.getMessage.contains("histBuckets"), e.getMessage)
+    // the RECORDING twin: p90 of the latency histogram as a live
+    // recorded metric, row-equal to Rules.record on the same replay
+    locally {
+      import graft.streaming.RecordStream
+      val rrule = Rules.RecordingRule("cohort:click:p90",
+        "histogram_quantile(0.9, sum by (cohort, le) " +
+          "(rate(click[3600])))", Map("job" -> "slo"))
+      val batchR = Rules.record(Tsdb.attach(spark, samples), rrule,
+          T0, T1)
+        .where(col("value").isNotNull)
+        .collect()
+        .map(r => (r.getMap[String, String](1).toMap, r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(batchR.nonEmpty)
+      val mem2 = MemoryStream[(String, Map[String, String],
+        java.sql.Timestamp, Double)]
+      val src2 = mem2.toDF().toDF("metric", "labels", "ts", "value")
+      val q2 = RecordStream.compiled(src2, rrule, "10 minutes",
+          histBuckets = bounds)
+        .writeStream.format("memory").queryName("histq_rec")
+        .outputMode("append").start()
+      mem2.addData(data: _*)
+      q2.processAllAvailable()
+      mem2.addData(("click", Map("cohort" -> "zz", "le" -> "+Inf"),
+        new java.sql.Timestamp((T1 + 100L * 86400) * 1000), 0.0))
+      q2.processAllAvailable()
+      mem2.addData(("click", Map("cohort" -> "zz", "le" -> "+Inf"),
+        new java.sql.Timestamp((T1 + 200L * 86400) * 1000), 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val gotR = spark.table("histq_rec")
+        .where(col("ts").between(T0, T1))
+        .collect()
+        .map(r => (r.getMap[String, String](r.fieldIndex("labels")).toMap,
+          r.getLong(r.fieldIndex("ts")),
+          r.getDouble(r.fieldIndex("value")))).toSet
+      assert(gotR.nonEmpty && gotR == batchR,
+        s"sizes ${gotR.size} vs ${batchR.size}; " +
+          s"stream-only ${(gotR -- batchR).take(3)}; " +
+          s"batch-only ${(batchR -- gotR).take(3)}")
+    }
   }
 
   test("CounterState.close: reset-adjust, cross-bucket carry, NaN and " +
