@@ -256,6 +256,32 @@ object SparkEntry {
         sum(col("hit")).over(w).cast("double").as("value"))
   }
 
+  /** Build-once parquet materialization of [[eventsAsSamplesHistCum]],
+    * keyed by the source corpus's [[corpusStamp]] (the tieredTsdb
+    * idiom): the ~7× cumulative window is a FIXTURE-synthesis cost, not
+    * engine work — at x100 it dominated the timed query 157 s vs the
+    * engine's ~10 s — so it amortizes like the rollup/IVF stores and
+    * the timed query measures the rate + interpolation plan. Doubles
+    * and map labels round-trip parquet exactly, so the oracle contract
+    * is unchanged. */
+  private def histCumFixture(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val d = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"spark-warehouse/graft_index/" +
+        s"histcum_${d}_${corpusStamp(dir, "events")}"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(path, "_ready")
+      if (!hfs.exists(marker)) {
+        val base = new org.apache.hadoop.fs.Path(path)
+        if (hfs.exists(base)) hfs.delete(base, true) // half-built leftover
+        eventsAsSamplesHistCum(s, dir)
+          .write.mode("overwrite").parquet(path + "/samples")
+        hfs.create(marker, true).close()
+      }
+      s.read.parquet(path + "/samples")
+    }
+
   /** THE canonical Prometheus SLO query — `histogram_quantile(0.9,
     * sum by (cohort, le) (rate(click[1h])))` over cumulative bucket
     * counters: per-(cohort, le) reset-robust rates, then the
@@ -266,7 +292,7 @@ object SparkEntry {
     */
   private def qTsdbPromqlHistqRate(s: SparkSession, dir: String): DataFrame =
     graft.promql.PromQL.query(
-      Tsdb.attach(s, eventsAsSamplesHistCum(s, dir)),
+      Tsdb.attach(s, histCumFixture(s, dir)),
       "histogram_quantile(0.9, sum by (cohort, le) (rate(click[3600])))",
       T0, T1)
       .orderBy("cohort", "bucket_start")
@@ -2630,6 +2656,8 @@ object SparkEntry {
       selected.forall(names => prefixes.exists(p => names.exists(_.startsWith(p))))
     if (wanted("tsdb_rollup", "tsdb_ratio_rollup", "tsdb_range_chunks"))
       tieredTsdb(s, dir) // rollup + gorilla-chunk tiers, built once per dir
+    if (wanted("tsdb_promql_histq_rate"))
+      histCumFixture(s, dir).count() // cumulative bucket counters, once
     if (wanted("ann_topk", "dedup_embedding")) {
       val emb = Tables.embeddings(s, dir)
       val k = cachedClusters("emb", dir, 16)(emb.count())
