@@ -3966,6 +3966,84 @@ object OracleSql {
        |FROM t2 WHERE vm >= target AND prev_v < target
        |ORDER BY cohort, bucket_start""".stripMargin
 
+  /** Canonical SLO alert mirror — `histogram_quantile(0.9, sum by
+    * (cohort, le)(rate(click[1h]))) > 50 for 2h`: the histq_rate CTE
+    * chain, thresholded, then the gaps-and-islands for-clock on the 1h
+    * grid (the alert_rule_slide scheme). */
+  private val tsdbAlertRuleHistq =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, value
+       |  FROM events WHERE event_type = 'click'),
+       |b(le) AS (VALUES ('5'), ('10'), ('25'), ('50'), ('100'), ('250'),
+       |          ('+Inf')),
+       |x AS (
+       |  SELECT e.user_id, e.cohort, e.ts_s, b.le,
+       |         CASE WHEN b.le = '+Inf' OR e.value <= CAST(b.le AS DOUBLE)
+       |              THEN 1 ELSE 0 END AS hit
+       |  FROM e CROSS JOIN b),
+       |c AS (
+       |  SELECT user_id, cohort, le, ts_s,
+       |         CAST(SUM(hit) OVER (PARTITION BY user_id, le ORDER BY ts_s
+       |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS DECIMAL(18,2)) AS v
+       |  FROM x),
+       |f AS (SELECT * FROM c WHERE ts_s BETWEEN $T0 AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id, le
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM f),
+       |dd AS (
+       |  SELECT cohort, le, ts_s - (ts_s % 3600) AS bucket_start,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |agg AS (
+       |  SELECT cohort, le, bucket_start,
+       |         round(CAST(SUM(delta) AS DOUBLE) / 3600, 6) AS rate
+       |  FROM dd WHERE delta IS NOT NULL GROUP BY 1, 2, 3),
+       |m AS (
+       |  SELECT cohort, bucket_start,
+       |         CASE WHEN le = '+Inf' THEN CAST('Infinity' AS DOUBLE)
+       |              ELSE CAST(le AS DOUBLE) END AS le_d,
+       |         rate
+       |  FROM agg),
+       |mm AS (
+       |  SELECT *, max(rate) OVER (PARTITION BY cohort, bucket_start
+       |             ORDER BY le_d ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND CURRENT ROW) AS vm
+       |  FROM m),
+       |ww AS (
+       |  SELECT cohort, bucket_start, le_d, vm,
+       |         COALESCE(lag(vm) OVER (PARTITION BY cohort, bucket_start
+       |                                ORDER BY le_d), 0.0) AS prev_v,
+       |         lag(le_d) OVER (PARTITION BY cohort, bucket_start
+       |                         ORDER BY le_d) AS prev_le,
+       |         max(vm) OVER (PARTITION BY cohort, bucket_start) AS total
+       |  FROM mm),
+       |t2 AS (SELECT *, CAST(0.9 AS DOUBLE) * total AS target FROM ww),
+       |qq AS (
+       |  SELECT cohort, bucket_start,
+       |         CASE WHEN le_d = CAST('Infinity' AS DOUBLE) THEN prev_le
+       |              ELSE COALESCE(prev_le, 0.0) +
+       |                   (le_d - COALESCE(prev_le, 0.0)) *
+       |                   (target - prev_v) / (vm - prev_v) END AS value
+       |  FROM t2 WHERE vm >= target AND prev_v < target),
+       |act AS (SELECT * FROM qq WHERE value > 50),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY cohort ORDER BY bucket_start) AS rn
+       |  FROM act),
+       |stx AS (
+       |  SELECT *, min(bucket_start) OVER (
+       |    PARTITION BY cohort, bucket_start - rn * 3600) AS s0
+       |  FROM r)
+       |SELECT 'slo_p90_high' AS alertname, cohort, bucket_start, value,
+       |       CASE WHEN bucket_start - s0 >= 7200 THEN 'firing'
+       |            ELSE 'pending' END AS state
+       |FROM stx ORDER BY cohort, bucket_start""".stripMargin
+
   /** predict_linear mirror: regression moments in exact HUGEINT (matching
     * the Spark plan's decimal(38,0)); the only floating-point steps are the
     * final casts and divisions, identical in both engines.
@@ -4246,6 +4324,7 @@ object OracleSql {
     "tsdb_rollup_agg_offset" -> tsdbRollupAggOffset,
     "tsdb_promql_histq" -> tsdbHistogramQuantile,
     "tsdb_promql_histq_rate" -> tsdbPromqlHistqRate,
+    "tsdb_alert_rule_histq" -> tsdbAlertRuleHistq,
     "tsdb_quantile_over_time" -> tsdbQuantileOverTime,
     "tsdb_promql_mad" -> tsdbPromqlMad,
     "tsdb_offset" -> tsdbOffset,

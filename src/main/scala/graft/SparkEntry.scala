@@ -958,6 +958,22 @@ object SparkEntry {
       .select("alertname", "cohort", "bucket_start", "value", "state")
       .orderBy("cohort", "bucket_start")
 
+  /** The canonical SLO alert END-TO-END through the rules engine —
+    * `histogram_quantile(0.9, sum by (cohort, le)(rate(click[1h])))
+    * > 50 for 2h`: the bucketQuantile chain feeding the islands
+    * for-clock on the 1h grid (pending escalates to firing after two
+    * consecutive active evals).
+    */
+  private def qTsdbAlertRuleHistq(s: SparkSession, dir: String): DataFrame =
+    graft.promql.Rules.alerts(
+      Tsdb.attach(s, histCumFixture(s, dir)),
+      graft.promql.Rules.AlertRule("slo_p90_high",
+        "histogram_quantile(0.9, sum by (cohort, le) " +
+          "(rate(click[3600]))) > 50", forSec = 7200L),
+      T0, T1)
+      .select("alertname", "cohort", "bucket_start", "value", "state")
+      .orderBy("cohort", "bucket_start")
+
   /** Recording a nested subquery — materialize the peak-of-mean-rate
     * series (`max_over_time(avg by (cohort)(rate(click[1h]))[6h:1h])`)
     * as a new metric, then read it back through the engine: the
@@ -3179,6 +3195,7 @@ object SparkEntry {
     "tsdb_promql_subquery_spread" -> (qTsdbPromqlSubquerySpread _),
     "tsdb_alert_rule_subq" -> (qTsdbAlertRuleSubq _),
     "tsdb_alert_rule_slide" -> (qTsdbAlertRuleSlide _),
+    "tsdb_alert_rule_histq" -> (qTsdbAlertRuleHistq _),
     "tsdb_recording_rule_subq" -> (qTsdbRecordingRuleSubq _),
     "tsdb_promql_subquery_sprinner" -> (qTsdbPromqlSubquerySprinner _),
     "tsdb_promql_subquery_qinner" -> (qTsdbPromqlSubqueryQinner _),
