@@ -73,16 +73,23 @@ def main():
     host_id = f"{platform.node()}/{len(__import__('os').sched_getaffinity(0))}cpu"
     for r in runs:
         tag = r["sf"].rstrip("/").split("/")[-1]
-        # r15 probe hygiene: a sweep whose mid-sweep probes exceeded
-        # 1.5x the reference stamps itself UNRELIABLE — its timings are
-        # degraded-window data and MUST NOT become the regression gate.
+        # r15 probe hygiene: UNRELIABLE now means the probe band widened
+        # DURING the sweep (max/min > 1.4 — a stall window; timings are
+        # mutually inconsistent) and MUST NOT become the regression gate.
         # It still lands in the history file above (receipts), just not
-        # in the baseline.
+        # in the baseline. "ok_scaled_host" (stable probes on a host
+        # uniformly slower/faster than the baseline host) IS refreshable:
+        # a full refresh replaces __probe__ with the new host's probe, so
+        # the gate's normalization stays self-consistent.
         if r.get("reliability") == "UNRELIABLE":
             print(f"{r['sf']}: reliability=UNRELIABLE "
-                  f"(probe_max {r.get('probe_max')}) — history only, "
-                  "baseline NOT refreshed")
+                  f"(probe band [{r.get('probe_min')}, {r.get('probe_max')}])"
+                  " — history only, baseline NOT refreshed")
             continue
+        if r.get("reliability") == "ok_scaled_host":
+            print(f"{r['sf']}: stable sweep on a scaled host "
+                  f"(host_ratio {r.get('host_ratio')}) — refreshing with "
+                  "the new __probe__")
         # merge WITHIN the tag too: a subset sweep (SPARK_GRAFT_QUERIES)
         # refreshes only the queries it ran, keeping the rest gated
         entries = base.setdefault(tag, {})
