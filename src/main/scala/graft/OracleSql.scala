@@ -841,6 +841,63 @@ object OracleSql {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** CCNet perplexity mirror: per-language self-trained hashed-bigram LM
+    * (cells via the md5-u32 chain, salts 'lmu'/'lmb'), add-one smoothing
+    * over 16384 cells, per-event micro-nat factors re-derived inline
+    * (equal to the Spark factor-table values — a factor is a pure
+    * function of the cell count), exact BIGINT h_micro sums, floor-r6
+    * perplexity, tercile buckets via percent_rank. Reference = pool, so
+    * the prefix join is INNER (every scoring event contributed to its
+    * own cell census).
+    */
+  private val pipelinePerplexity: String = {
+    val b = 1 << 14
+    def md5u32(expr: String) =
+      s"""CAST(list_reduce(list_transform(range(1, 9),
+         |             i -> strpos('0123456789abcdef',
+         |                         substring(md5($expr), i, 1)) - 1),
+         |           (a, x) -> a * 16 + x) AS BIGINT) % $b""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |e0 AS (
+       |  SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM d),
+       |e AS (
+       |  SELECT doc_id, lang, ws[i] AS pfx, ws[i] || ' ' || ws[i+1] AS big
+       |  FROM e0),
+       |c AS (
+       |  SELECT doc_id, lang,
+       |         ${md5u32("'lmu' || pfx")} AS bu,
+       |         ${md5u32("'lmb' || big")} AS bb
+       |  FROM e),
+       |uc AS (SELECT lang, bu, count(*) AS ct_u FROM c GROUP BY 1, 2),
+       |bc AS (SELECT lang, bb, count(*) AS ct_b FROM c GROUP BY 1, 2),
+       |s AS (
+       |  SELECT doc_id, lang, count(*) AS n_events,
+       |         CAST(sum(
+       |             CAST(floor(ln(uc.ct_u + CAST($b AS DOUBLE)) * 1e6
+       |               + 0.5) AS BIGINT)
+       |             - coalesce(CAST(floor(ln(bc.ct_b + 1.0) * 1e6 + 0.5)
+       |               AS BIGINT), 0)) AS BIGINT) AS h_micro
+       |  FROM c JOIN uc USING (lang, bu) LEFT JOIN bc USING (lang, bb)
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT doc_id, lang, n_events, h_micro,
+       |         floor(exp((h_micro / 1e6) / n_events) * 1e6 + 0.5) / 1e6
+       |           AS ppl
+       |  FROM s),
+       |r AS (
+       |  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY ppl)
+       |           AS pr
+       |  FROM p)
+       |SELECT doc_id, lang, n_events, h_micro, ppl,
+       |       CASE WHEN pr <= 1.0/3 THEN 'head'
+       |            WHEN pr <= 2.0/3 THEN 'middle' ELSE 'tail' END
+       |         AS ppl_bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   private val pipelineDomainCap: String = {
     s"""WITH t AS (
        |  ${qualityCountsCte("source")}),
@@ -3386,6 +3443,33 @@ object OracleSql {
        |       (max(struct_pack(t := ts_s, v := value))).v AS last_v
        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** ts_of_* mirror: the same windowed join as tsdbOverTime; arg-max by
+    * lexicographic struct compare (value first, ts second — ties to the
+    * larger ts, Prometheus's latest-wins), negated value for the min
+    * variant. struct_pack field ORDER is the comparison order.
+    */
+  private val tsdbTsOf =
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         CAST(user_id AS BIGINT) AS user_id,
+       |         $tsS AS ts_s, value
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - 7200 + 1} AND $T1),
+       |grid AS (SELECT unnest(range($T0, $T1 + 1, 3600)) AS eval_ts),
+       |j AS (
+       |  SELECT cohort, user_id, eval_ts, ts_s, value
+       |  FROM ev JOIN grid
+       |    ON ev.ts_s <= grid.eval_ts AND ev.ts_s > grid.eval_ts - 7200)
+       |SELECT cohort, user_id, eval_ts,
+       |       count(*) AS n,
+       |       CAST((max(struct_pack(v := value, t := ts_s))).t AS DOUBLE)
+       |         AS ts_of_max_v,
+       |       CAST((max(struct_pack(v := -value, t := ts_s))).t AS DOUBLE)
+       |         AS ts_of_min_v,
+       |       CAST(max(ts_s) AS DOUBLE) AS ts_of_last_v
+       |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** stddev/stdvar mirror: identical integer-cents lift, BIGINT moment
     * sums (CAST kills the HUGEINT trap), and the same double op order as
     * the Spark side, round(…,6)-absorbed.
@@ -4331,6 +4415,7 @@ object OracleSql {
     "tsdb_bottomk" -> tsdbBottomk,
     "tsdb_count_values" -> tsdbCountValues,
     "tsdb_over_time" -> tsdbOverTime,
+    "tsdb_ts_of" -> tsdbTsOf,
     "tsdb_promql_stdvar_over_time" -> tsdbPromqlStdvarOverTime,
     "tsdb_promql_present_over_time" -> tsdbPromqlPresentOverTime,
     "tsdb_promql_overtime_threshold" -> tsdbPromqlOverTimeThreshold,
@@ -4512,5 +4597,6 @@ object OracleSql {
     "pipeline_domain_cap" -> pipelineDomainCap,
     "pipeline_redact_pii" -> pipelineRedactPii,
     "pipeline_chunks" -> pipelineChunks,
-    "pipeline_dsir" -> pipelineDsir)
+    "pipeline_dsir" -> pipelineDsir,
+    "pipeline_perplexity" -> pipelinePerplexity)
 }

@@ -1546,6 +1546,24 @@ object SparkEntry {
         col("min_v"), col("max_v"), col("last_v"))
       .orderBy("cohort", "user_id", "eval_ts")
 
+  /** Prometheus 3.x experimental `ts_of_{max,min,last}_over_time` on the
+    * per-series `click[2h]` windows (1h eval grid): the epoch timestamp
+    * of each window's max / min / last sample, value ties to the LATEST
+    * sample (Prometheus's chronological >=/<= scan ≡ max over a
+    * value-first struct; the min variant negates the value). All three
+    * from the same single hash aggregation as the moment family
+    * ([[graft.Tsdb.overTimeBy]] `tsOf`); the string front-end serves
+    * each variant individually (PromQLSpec).
+    */
+  private def qTsdbTsOf(s: SparkSession, dir: String): DataFrame =
+    Tsdb.attach(s, eventsAsSamplesCohort(s, dir))
+      .overTimeBy("click", Seq.empty, T0, T1, Seq("cohort", "user_id"),
+        stepSec = 3600L, rangeSec = 7200L, tsOf = true)
+      .select(col("cohort"), col("user_id").cast("long").as("user_id"),
+        col("eval_ts"), col("n"), col("ts_of_max_v"), col("ts_of_min_v"),
+        col("ts_of_last_v"))
+      .orderBy("cohort", "user_id", "eval_ts")
+
   /** PromQL `stddev by (cohort) (click[1h])` — population stddev/stdvar
     * from exact integer-cents moments, one hash aggregation.
     */
@@ -3068,6 +3086,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM perplexity filter
+    * ([[graft.operators.TextAnalysis.lmPerplexity]]): per-document
+    * cross-entropy under a per-language hashed-bigram reference LM
+    * (self-trained on the pool — the testdata ships no curated reference;
+    * production passes e.g. per-language Wikipedia), bucketed at the
+    * within-language perplexity terciles (head/middle/tail — the split
+    * CCNet keeps or drops by). 16384 hash cells, integer micro-nat
+    * factors, exact BIGINT per-doc sums, floor-r6-quantized perplexity.
+    */
+  private def qPipelinePerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.lmPerplexity(docs, docs, "doc_id", "text", "lang")
+      .orderBy("doc_id")
+  }
+
   private def qPipelineDomainCap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // empty/whitespace-only docs score NULL (0/0 division) — drop them
@@ -3138,6 +3171,7 @@ object SparkEntry {
     "tsdb_bottomk" -> (qTsdbBottomk _),
     "tsdb_count_values" -> (qTsdbCountValues _),
     "tsdb_over_time" -> (qTsdbOverTime _),
+    "tsdb_ts_of" -> (qTsdbTsOf _),
     "tsdb_stddev" -> (qTsdbStddev _),
     "tsdb_promql_stdvar_over_time" -> (qTsdbPromqlStdvarOverTime _),
     "tsdb_promql_present_over_time" -> (qTsdbPromqlPresentOverTime _),
@@ -3330,7 +3364,8 @@ object SparkEntry {
     "pipeline_redact_pii" -> (qPipelineRedactPii _),
     "pipeline_chunks" -> (qPipelineChunks _),
     "pipeline_dsir" -> (qPipelineDsir _),
-    "pipeline_dsir_fast" -> (qPipelineDsirFast _))
+    "pipeline_dsir_fast" -> (qPipelineDsirFast _),
+    "pipeline_perplexity" -> (qPipelinePerplexity _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted: `ann_topk_lsh` (approximate by design).

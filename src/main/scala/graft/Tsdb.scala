@@ -2235,7 +2235,8 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       stepSec: Long,
       rangeSec: Long,
       offsetSec: Long = 0L,
-      spread: Boolean = false): DataFrame = {
+      spread: Boolean = false,
+      tsOf: Boolean = false): DataFrame = {
     require(rangeSec > 0 && stepSec > 0, "rangeSec and stepSec must be > 0")
     require(offsetSec >= 0, s"offset must be >= 0: $offsetSec")
     val (windowed, keys) = overTimeWindowed(metric, matchers, start, end,
@@ -2250,7 +2251,20 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
       // last sample in the window; ties on ts break to the larger value.
       // max over an orderable struct — the same lexicographic compare
       // DuckDB's max(struct_pack(...)) performs, so oracles mirror 1:1
-      max(struct(col("ts"), col("value"))).getField("value").as("last_v"))
+      max(struct(col("ts"), col("value"))).getField("value").as("last_v")) ++
+      // Prometheus 3.x experimental ts_of_* family: the epoch-seconds
+      // timestamp (double, like Prometheus) of the window's max / min /
+      // last sample. Value ties break to the LATEST sample (Prometheus
+      // scans chronologically keeping >= / <=) — exactly max over a
+      // value-first struct; min-with-latest-tie is max over the NEGATED
+      // value (exact for doubles). Opt-in so the moment-only plans keep
+      // their aggregation buffers unchanged.
+      (if (!tsOf) Seq.empty else Seq(
+        max(struct(col("value").as("v"), col("ts").as("t")))
+          .getField("t").cast("double").as("ts_of_max_v"),
+        max(struct((-col("value")).as("v"), col("ts").as("t")))
+          .getField("t").cast("double").as("ts_of_min_v"),
+        max(col("ts")).cast("double").as("ts_of_last_v")))
     if (!spread)
       windowed.groupBy((col("sid") +: keys): _*)
         .agg(baseAggs.head, baseAggs.tail: _*)

@@ -622,4 +622,165 @@ object TextAnalysis {
         sum(col("lr_micro")).as("weight_micro"))
       .withColumn("weight", col("weight_micro") / 1e6)
   }
+
+  /** Per-document bigram LM events: one `(pfx, big)` struct per adjacent
+    * token pair — `pfx` the conditioning (left) token, `big` the
+    * space-joined bigram string. The token array is bound ONCE (the
+    * wordShingles single-element-transform trick) and the pairs come from
+    * `zip_with` over two shifted slices, so construction is linear in
+    * document length (the dsirGrams recompute-class rule). Docs with
+    * fewer than two tokens produce no events.
+    */
+  private[graft] def lmEvents(textCol: Column): Column =
+    flatten(transform(array(wsTokens(lower(textCol))), w =>
+      when(size(w) >= 2,
+        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("pfx"), concat_ws(" ", a, b).as("big"))))
+        .otherwise(array().cast("array<struct<pfx:string,big:string>>"))))
+
+  /** Per-language hashed-bigram language-model factor tables — the
+    * calibrated artifact behind [[lmPerplexity]] (CCNet-style perplexity
+    * filtering, Wenzek et al. 2020: score web text by the perplexity of a
+    * reference-corpus language model, one model per language; CCNet uses
+    * per-language Wikipedia KenLMs).
+    *
+    * Model: add-one-smoothed bigram LM over a feature-hashed vocabulary
+    * of `buckets` cells (md5-u32, the engine's cross-engine hash
+    * contract — DuckDB reproduces the cells bit-exactly). With
+    * `C_pfx(l, a)` the reference count of events whose conditioning token
+    * hashes to cell `a` in language `l`, and `C_big(l, g)` the count of
+    * events whose bigram string hashes to cell `g`:
+    * `p(next | pfx) = (C_big + 1) / (C_pfx + buckets)`. Both legs are
+    * quantized to integer micro-nats via the tie-free
+    * `floor(ln(·)·1e6 + 0.5)` (the DSIR/tfidf transcendental contract),
+    * so per-document cross-entropies are exact BIGINT sums. Feature
+    * hashing makes the model approximate (colliding grams pool counts —
+    * deterministically, identically in every engine); a pathological
+    * collision can put `C_big + 1 > C_pfx + buckets`, so perplexity is
+    * not bounded below by 1 in theory (never observed at default sizes).
+    *
+    * Returns `(uniF, bigF)`: `uniF` covers EVERY (lang, cell) — an
+    * unobserved prefix gets the smoothing-only `ln(buckets)` — so scoring
+    * joins are total; `bigF` holds observed bigram cells only (an
+    * unmatched bigram contributes `ln(0 + 1) = 0` micros via coalesce).
+    * Scale: both tables are ≤ |langs|·buckets rows REGARDLESS of corpus
+    * size (cell-grain hash aggregations, map-side combined from event
+    * grain) — always broadcast-size, and the artifact a production
+    * pipeline recalibrates on a batch cadence.
+    */
+  def lmFactors(
+      reference: DataFrame,
+      textCol: String,
+      langCol: String,
+      buckets: Int = 1 << 14,
+      salt: String = "lm"): (DataFrame, DataFrame) = {
+    require(buckets > 0, s"buckets must be > 0: $buckets")
+    val spark = reference.sparkSession
+    val ev = spreadDocs(reference).select(
+        col(langCol).as("lang"), explode(lmEvents(col(textCol))).as("e"))
+      .select(col("lang"),
+        dsirBucket(col("e.pfx"), buckets, salt + "u").as("bu"),
+        dsirBucket(col("e.big"), buckets, salt + "b").as("bb"))
+    val uniCt = ev.groupBy("lang", "bu").agg(count(lit(1)).as("ct_u"))
+    val bigCt = ev.groupBy("lang", "bb").agg(count(lit(1)).as("ct_b"))
+    val langs = reference.select(col(langCol).as("lang")).distinct()
+    val uniF = spark.range(buckets).select(col("id").as("bu"))
+      .crossJoin(broadcast(langs))
+      .join(uniCt, Seq("lang", "bu"), "left_outer")
+      .withColumn("lp_u_micro",
+        floor(log(coalesce(col("ct_u"), lit(0L)) + lit(buckets.toDouble))
+          * 1e6 + lit(0.5)).cast("long"))
+      .select("lang", "bu", "lp_u_micro")
+    val bigF = bigCt
+      .withColumn("lp_b_micro",
+        floor(log(col("ct_b") + lit(1.0)) * 1e6 + lit(0.5)).cast("long"))
+      .select("lang", "bb", "lp_b_micro")
+    (uniF, bigF)
+  }
+
+  /** CCNet-style LM perplexity scoring + head/middle/tail bucketing
+    * (Wenzek et al. 2020): each document's per-token cross-entropy under
+    * ITS language's reference bigram LM ([[lmFactors]]), then the CCNet
+    * cut at the within-language perplexity terciles — `head` (most
+    * reference-like third) / `middle` / `tail`, the split CCNet keeps or
+    * drops by when composing pretraining corpora.
+    *
+    * Cross-engine exactness: `h_micro` (the document's total
+    * cross-entropy) is an exact BIGINT sum of micro-nat factor
+    * differences; `ppl = exp((h_micro/1e6)/n_events)` is two
+    * fixed-order IEEE divisions and one `exp`, quantized through the
+    * tie-free floor-r6 so a 1-ULP cross-engine `exp` difference cannot
+    * surface. The tercile buckets compare `percent_rank` (an exact small
+    * rational) against 1/3 and 2/3 over the quantized `ppl` ordering —
+    * deterministic and engine-independent.
+    *
+    * Scale shape: factor build = two cell censuses whose OUTPUT is
+    * bounded by |langs|·buckets (map-side combined); scoring = one
+    * broadcast join of each factor table onto the event stream and ONE
+    * per-doc hash aggregation (a doc's exploded events collapse to doc
+    * grain inside its scan partition); bucketing = one window shuffle at
+    * DOC grain (not event grain). Nothing is pairwise; linear at any
+    * corpus size. Docs with < 2 tokens have no events and are absent
+    * from the output (no model probability is defined for them).
+    *
+    * The registered query self-trains (reference = the pool itself, per
+    * language) because the testdata ships no curated reference corpus;
+    * in production pass the curated slice (e.g. per-language Wikipedia)
+    * as `reference`.
+    */
+  def lmPerplexity(
+      docs: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      buckets: Int = 1 << 14,
+      salt: String = "lm"): DataFrame = {
+    val (uniF, bigF) = lmFactors(reference, textCol, langCol, buckets, salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("ppl")
+    lmScores(docs, uniF, bigF, idCol, textCol, langCol, buckets, salt)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("ppl_bucket",
+        when(col("pr") <= 1.0 / 3, "head")
+          .when(col("pr") <= 2.0 / 3, "middle")
+          .otherwise("tail"))
+      .drop("pr")
+  }
+
+  /** The scoring half of [[lmPerplexity]] against ALREADY-BUILT factor
+    * tables — the shape a production pipeline runs live: recalibrate
+    * [[lmFactors]] on a batch cadence, score documents against the
+    * shipped tables (batch here; in-row streaming twin in
+    * `streaming.CorpusFilter.lmScoreStream`). Returns one row per doc
+    * with ≥ 2 tokens: (doc_id, lang, n_events, h_micro, ppl); docs whose
+    * language has no reference slice are dropped (the uni join is inner —
+    * no model exists for them).
+    */
+  def lmScores(
+      docs: DataFrame,
+      uniF: DataFrame,
+      bigF: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      buckets: Int,
+      salt: String = "lm"): DataFrame = {
+    val ev = spreadDocs(docs).select(
+        col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(lmEvents(col(textCol))).as("e"))
+      .select(col("doc_id"), col("lang"),
+        dsirBucket(col("e.pfx"), buckets, salt + "u").as("bu"),
+        dsirBucket(col("e.big"), buckets, salt + "b").as("bb"))
+    ev
+      .join(broadcast(uniF), Seq("lang", "bu"))
+      .join(broadcast(bigF), Seq("lang", "bb"), "left_outer")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("lp_u_micro") - coalesce(col("lp_b_micro"), lit(0L)))
+          .as("h_micro"))
+      .withColumn("ppl",
+        floor(exp((col("h_micro") / 1e6) / col("n_events")) * 1e6
+          + lit(0.5)) / 1e6)
+  }
 }

@@ -308,8 +308,14 @@ object PromQL {
     Set("avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
       "count_over_time", "last_over_time")
   private val SpreadOverTime = Set("stddev_over_time", "stdvar_over_time")
+  /** Prometheus 3.x experimental `ts_of_*` family (feature-flagged
+    * there, stable here): the timestamp of each window's max/min/last
+    * sample. Kept OUT of [[OverTime]] so the subquery/rules dispatch
+    * points reject them loudly instead of mis-shaping their frames. */
+  private val TsOfFns =
+    Set("ts_of_max_over_time", "ts_of_min_over_time", "ts_of_last_over_time")
   private val RangeFns =
-    OverTime ++ SpreadOverTime ++
+    OverTime ++ SpreadOverTime ++ TsOfFns ++
       Set("rate", "increase", "delta", "resets", "changes",
         "absent", "irate", "idelta", "quantile_over_time", "predict_linear",
         "histogram_quantile", "absent_over_time", "deriv",
@@ -325,8 +331,8 @@ object PromQL {
     * is the calendar field of each row's `bucket_start` (this engine's
     * grid timestamp), UTC — the business-hours-alerting family. */
   private val TimeFns =
-    Set("hour", "minute", "day_of_week", "day_of_month", "days_in_month",
-      "month", "year", "timestamp")
+    Set("hour", "minute", "day_of_week", "day_of_month", "day_of_year",
+      "days_in_month", "month", "year", "timestamp")
   /** Prometheus's pointwise trig family (values are radians; `deg`/`rad`
     * convert). Double-only transcendentals: the compiled column rounds to
     * 6 decimals so JVM libm vs the oracle's C libm ulp drift can't break
@@ -2444,6 +2450,8 @@ object PromQL {
             f.month(f.to_date(f.from_unixtime(b))).cast("double")
           case "year" =>
             f.year(f.to_date(f.from_unixtime(b))).cast("double")
+          case "day_of_year" =>
+            f.dayofyear(f.to_date(f.from_unixtime(b))).cast("double")
           case "days_in_month" =>
             f.dayofmonth(f.last_day(f.to_date(f.from_unixtime(b))))
               .cast("double")
@@ -2765,6 +2773,21 @@ object PromQL {
             sel.offsetSec, spread = true)
           .select((by.map(col) ++ Seq(col("eval_ts"), col("n"),
             col("stdvar_v"), col("stddev_v"))): _*)
+
+      // Prometheus 3.x experimental ts_of_* family: the epoch-seconds
+      // timestamp (as a double, matching Prometheus) of the max / min /
+      // last sample in each window. Value ties break to the LATEST
+      // sample (Prometheus scans chronologically keeping >= / <=) —
+      // max over a value-first orderable struct, negated value for the
+      // min variant. Same single hash aggregation as the moment family
+      // (overTimeBy's opt-in tsOf aggs); [range:step] subquery steps
+      // and rules integration reject loudly (TsOfFns ∉ OverTime).
+      case RangeFn(fn, _, sel, by, _) if TsOfFns(fn) =>
+        t.overTimeBy(sel.metric, sel.matchers, start, end, by,
+            sel.stepSec.getOrElse(stepOf(sel, fn)), stepOf(sel, fn),
+            sel.offsetSec, tsOf = true)
+          .select((by.map(col) ++ Seq(col("eval_ts"),
+            col(fn.stripSuffix("_over_time") + "_v"))): _*)
 
       // present_over_time: 1.0 for every (series-group, eval point)
       // holding at least one sample — every overTimeBy output row

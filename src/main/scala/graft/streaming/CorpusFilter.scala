@@ -121,6 +121,91 @@ object CorpusFilter {
       .withColumn("weight", col("weight_micro") / 1e6)
   }
 
+  /** Streaming CCNet perplexity scorer: score live documents against
+    * SHIPPED per-language bigram-LM factor tables
+    * ([[graft.operators.TextAnalysis.lmFactors]], recalibrated on a
+    * batch cadence). The whole computation happens INSIDE each row —
+    * per-language dense factor arrays as a map literal, the shared
+    * lmEvents expression bound ONCE per row (the attribute-
+    * materialization rule: size() and the fold would otherwise each
+    * re-tokenize), and a codegen'd integer `aggregate` fold — so it is
+    * stateless, append-mode, no join, no shuffle, no state store, any
+    * ingest rate. Exact BIGINT `h_micro` sums make a replayed corpus
+    * ROW-IDENTICAL to batch [[graft.operators.TextAnalysis.lmScores]]
+    * (StreamingSpec gates it). The percent_rank tercile bucketing is
+    * inherently batch (a global sort); streams gate on a FIXED
+    * perplexity threshold calibrated offline, like
+    * [[qualityFilterStream]]. Docs with an unmodeled language or fewer
+    * than two tokens are dropped, mirroring the batch inner-join/
+    * no-events semantics.
+    */
+  def lmScoreStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      uniF: DataFrame,
+      bigF: DataFrame,
+      buckets: Int,
+      salt: String = "lm"): DataFrame = {
+    import graft.operators.TextAnalysis.{dsirBucket, lmEvents}
+    val uniRows = uniF.select("lang", "bu", "lp_u_micro").collect()
+    val bigRows = bigF.select("lang", "bb", "lp_b_micro").collect()
+    val langs = uniRows.map(_.getString(0)).distinct.toSeq
+    // dense per-language arrays; validate totality/uniqueness like
+    // dsirScoreStream (a duplicate or out-of-range cell id would pass a
+    // row-count check and then silently overwrite a factor)
+    val uByLang = langs.map { l =>
+      val arr = new Array[Long](buckets)
+      val seen = new Array[Boolean](buckets)
+      uniRows.filter(_.getString(0) == l).foreach { r =>
+        val b = r.getLong(1)
+        require(b >= 0 && b < buckets,
+          s"uni factor cell id $b out of range [0, $buckets)")
+        require(!seen(b.toInt), s"duplicate uni factor cell $b for $l")
+        seen(b.toInt) = true
+        arr(b.toInt) = r.getLong(2)
+      }
+      require(seen.forall(identity),
+        s"uni factor table incomplete for lang $l — build it with " +
+        "TextAnalysis.lmFactors (it covers every cell)")
+      l -> arr.toSeq
+    }.toMap
+    val bByLang = langs.map { l =>
+      // default 0 micros = ln(0 + 1): the batch left-join coalesce
+      val arr = new Array[Long](buckets)
+      bigRows.filter(_.getString(0) == l).foreach { r =>
+        val b = r.getLong(1)
+        require(b >= 0 && b < buckets,
+          s"bigram factor cell id $b out of range [0, $buckets)")
+        arr(b.toInt) = r.getLong(2)
+      }
+      l -> arr.toSeq
+    }.toMap
+    val uLit = typedLit(uByLang)
+    val bLit = typedLit(bByLang)
+    docs
+      .where(col(langCol).isInCollection(langs))
+      .withColumn("__ev", lmEvents(col(textCol)))
+      .where(size(col("__ev")) >= 1)
+      .withColumn("__u", element_at(uLit, col(langCol)))
+      .withColumn("__b", element_at(bLit, col(langCol)))
+      .withColumn("n_events", size(col("__ev")).cast("long"))
+      .withColumn("h_micro", aggregate(col("__ev"), lit(0L), (acc, e) =>
+        acc +
+          element_at(col("__u"),
+            (dsirBucket(e.getField("pfx"), buckets, salt + "u") + 1L)
+              .cast("int")) -
+          element_at(col("__b"),
+            (dsirBucket(e.getField("big"), buckets, salt + "b") + 1L)
+              .cast("int"))))
+      .withColumn("ppl",
+        floor(exp((col("h_micro") / 1e6) / col("n_events")) * 1e6
+          + lit(0.5)) / 1e6)
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        col("n_events"), col("h_micro"), col("ppl"))
+  }
+
   /** Absolute-threshold quality gate for streams. The batch operator's
     * per-language percent_rank needs a global sort, which streams cannot do;
     * production pipelines stream against a FIXED threshold calibrated

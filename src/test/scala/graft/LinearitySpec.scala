@@ -62,7 +62,12 @@ class LinearitySpec extends SparkSuite {
         buckets = 256).count()),
       "dsir_xx" -> (c => TextAnalysis.dsirWeights(c,
         c.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
-        buckets = 256, hash = "xx").count()))
+        buckets = 256, hash = "xx").count()),
+      "lm_ppl" -> (c => {
+        val d = c.withColumn("lang", lit("xx"))
+        TextAnalysis.lmPerplexity(d, d, "doc_id", "text", "lang",
+          buckets = 4096).count(); ()
+      }))
     // JIT/codegen warmup on the short corpus before anything is timed
     ops.foreach { case (_, f) => f(short) }
     val growth = ops.map { case (name, f) =>

@@ -862,6 +862,49 @@ class OperatorSpec extends SparkSuite {
     assert(e.getMessage.contains("dsirCellsXx"))
   }
 
+  test("lm perplexity: OOV docs score highest within their language; " +
+      "n_events = tokens - 1; sub-2-token docs absent; terciles are " +
+      "within-language") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the rug", "en"),
+      (2L, "the cat sat on the rug and the dog sat on the mat", "en"),
+      (3L, "the dog sat on the mat and the cat sat on the rug", "en"),
+      // vocabulary fully disjoint from the other English docs: every
+      // bigram occurs once (its own reference contribution), so its
+      // per-event cross-entropy is the corpus maximum
+      (4L, "zork quux blarg frotz glorp snarf wibble plugh", "en"),
+      (5L, "solo", "en"), // 1 token: no bigram events, no output row
+      (6L, "und der hund sass auf der matte", "de"),
+      (7L, "und die katze sass auf der matte", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = operators.TextAnalysis.lmPerplexity(
+        docs, docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(5L), out.keySet.toString)
+    assert(out(1L).getLong(2) == 12L, out(1L).toString) // 13 tokens
+    assert(out(4L).getLong(2) == 7L, out(4L).toString) // 8 tokens
+    def ppl(id: Long) = out(id).getDouble(4)
+    assert(Seq(1L, 2L, 3L).forall(id => ppl(id) < ppl(4L)),
+      out.values.map(r => (r.getLong(0), r.getDouble(4))).toString)
+    // …and the OOV doc lands in the within-language tail
+    assert(out(4L).getString(5) == "tail", out(4L).toString)
+    // German docs are ranked within their own language only: two docs
+    // with distinct perplexities split head / tail
+    assert(Set(out(6L).getString(5), out(7L).getString(5)) ==
+      Set("head", "tail"), (out(6L), out(7L)).toString)
+    // exact-integer anchor: h_micro is a BIGINT sum of micro-nat
+    // factors, so identical texts (same lang) must tie exactly
+    val twin = Seq(
+      (10L, "alpha beta gamma alpha beta", "en"),
+      (11L, "alpha beta gamma alpha beta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val tw = operators.TextAnalysis.lmPerplexity(
+        twin, twin, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(tw(10L) == tw(11L), tw.toString)
+  }
+
   test("PII redaction: typed placeholders, per-category counts, no-op " +
       "on clean text") {
     import spark.implicits._

@@ -171,6 +171,52 @@ class PromQLSpec extends SparkSuite {
     assert(got == Seq(("a", 3L, 1.0), ("b", 2L, 1.0)), got.toString)
   }
 
+  test("ts_of_* family: front-end matches the direct tsOf aggregation; " +
+      "value ties break to the latest sample; subquery steps reject") {
+    // the front-end's default grid step is the range itself (PromQL's
+    // query_range alignment) — mirror it in the direct call
+    val direct = t.overTimeBy("click", Seq.empty, T0, T1,
+      Seq("cohort", "user_id"), 7200L, 7200L, tsOf = true)
+    for ((fn, vcol) <- Seq(
+        "ts_of_max_over_time" -> "ts_of_max_v",
+        "ts_of_min_over_time" -> "ts_of_min_v",
+        "ts_of_last_over_time" -> "ts_of_last_v")) {
+      val q = PromQL.query(t,
+        s"$fn(click[7200]) by (cohort, user_id)", T0, T1)
+      assert(q.columns.contains(vcol), q.columns.toSeq.toString)
+      assert(q.count() == direct.count())
+      assert(q.join(direct, Seq("cohort", "user_id", "eval_ts"))
+        .where(q(vcol) =!= direct(vcol)).isEmpty)
+      // round-trip
+      val s = s"$fn(click[7200]) by (cohort, user_id)"
+      assert(PromQL.parse(PromQL.render(PromQL.parse(s))) == PromQL.parse(s))
+    }
+    // tie semantics on a hand fixture: max value 5.0 at ts T0+10 AND
+    // T0+30 → latest wins (Prometheus scans chronologically with >=);
+    // min value 1.0 at T0+20 and T0+40 → latest wins too
+    import spark.implicits._
+    val rows = Seq(
+      ("m", Map("g" -> "a"), T0 + 10L, 5.0),
+      ("m", Map("g" -> "a"), T0 + 20L, 1.0),
+      ("m", Map("g" -> "a"), T0 + 30L, 5.0),
+      ("m", Map("g" -> "a"), T0 + 40L, 1.0))
+      .toDF("metric", "labels", "ts", "value")
+    val tt = Tsdb.attach(spark, rows)
+    val mx = PromQL.query(tt, "ts_of_max_over_time(m[1h]) by (g)", T0, T1)
+      .select("ts_of_max_v").head().getDouble(0)
+    val mn = PromQL.query(tt, "ts_of_min_over_time(m[1h]) by (g)", T0, T1)
+      .select("ts_of_min_v").head().getDouble(0)
+    val lst = PromQL.query(tt, "ts_of_last_over_time(m[1h]) by (g)", T0, T1)
+      .select("ts_of_last_v").head().getDouble(0)
+    assert(mx == (T0 + 30L).toDouble, mx.toString)
+    assert(mn == (T0 + 40L).toDouble, mn.toString)
+    assert(lst == (T0 + 40L).toDouble, lst.toString)
+    // [range:step] subquery steps reject loudly (TsOfFns ∉ OverTime)
+    val e = intercept[IllegalArgumentException](
+      PromQL.query(t, "ts_of_max_over_time(click[7200:3600])", T0, T1))
+    assert(e.getMessage.contains("over_time"), e.getMessage)
+  }
+
   test("mad_over_time as a subquery outer: single-point windows have " +
       "MAD exactly 0; wider windows bound below by 0") {
     // outer range == step: every lookback window holds exactly one inner
@@ -1163,6 +1209,8 @@ class PromQLSpec extends SparkSuite {
       // java DayOfWeek: Monday=1..Sunday=7; Prometheus: Sunday=0
       "day_of_week" -> (_.getDayOfWeek.getValue % 7),
       "day_of_month" -> (_.getDayOfMonth),
+      "day_of_year" -> (_.getDayOfYear),
+      "days_in_month" -> (z => z.toLocalDate.lengthOfMonth),
       "month" -> (_.getMonthValue),
       "year" -> (_.getYear))
     fields.foreach { case (fn, f) =>

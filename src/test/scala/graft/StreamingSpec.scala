@@ -434,6 +434,38 @@ class StreamingSpec extends SparkSuite {
         s"batch minus stream: ${(expect -- got).take(3)}")
   }
 
+  test("streaming LM perplexity scoring is row-identical to batch " +
+      "lmScores on a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val (uniF, bigF) = graft.operators.TextAnalysis
+      .lmFactors(docs, "text", "lang", buckets = 2048)
+    val expect = graft.operators.TextAnalysis
+      .lmScores(docs, uniF, bigF, "doc_id", "text", "lang", buckets = 2048)
+      .select("doc_id", "lang", "n_events", "h_micro", "ppl")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(docs.select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq: _*)
+    val q = graft.streaming.CorpusFilter.lmScoreStream(
+        mem.toDF().toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", uniF, bigF, buckets = 2048)
+      .writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lm_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expect && got.nonEmpty,
+      s"stream minus batch: ${(got -- expect).take(3)}; " +
+        s"batch minus stream: ${(expect -- got).take(3)}")
+  }
+
   test("streaming quality gate equals the batch absolute-threshold filter") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")

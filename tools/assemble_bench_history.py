@@ -101,12 +101,21 @@ def main():
         # A tag's times must all be in ONE host's units or the gate's
         # single hostRatio mis-scales the unrefreshed ones. A full
         # refresh replaces everything including __probe__; a SUBSET run
-        # is converted into the baseline host's units via the probe
-        # ratio (t_base ≈ t_run * probe_base/probe_run) and the old
-        # probe is kept.
+        # is converted into the baseline host's units — preferably via
+        # the MEDIAN per-query ratio against the existing entries (the
+        # probe proved non-representative across containers: 2.5x probe
+        # skew at ~1.0x query speed, r15), falling back to the probe
+        # ratio when too few common stable queries exist.
         scale = 1.0
-        if not full and old_probe and new_probe:
-            scale = old_probe / new_probe
+        if not full:
+            ratios = sorted(
+                entries[k] / v for k, v in r["queries"].items()
+                if k in entries and not k.startswith("__")
+                and v > 0.3 and entries[k] > 0.3)
+            if len(ratios) >= 8:
+                scale = ratios[len(ratios) // 2]
+            elif old_probe and new_probe:
+                scale = old_probe / new_probe
         entries.update(
             {k: round(v * scale, 6) for k, v in r["queries"].items()})
         # host-calibration probe rides along so the regression gate can
