@@ -586,6 +586,27 @@ object OracleSql {
        |FROM p WHERE cs >= 0.45
        |ORDER BY id1, id2""".stripMargin
 
+  /** Semantic-decontam mirror: the shared sequential-fold cosine, the
+    * threshold compared on the ROUNDED similarity (membership exact
+    * cross-engine), arg-max via lexicographic struct_pack (sim first —
+    * ties to the larger eval id, the engine's struct contract). */
+  private val textDecontamSemantic =
+    s"""$embNorm,
+       |p AS (
+       |  SELECT a.vec_id AS doc_id, b.vec_id AS eval_id,
+       |         round(list_reduce(
+       |           list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]),
+       |           (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS sim
+       |  FROM n a JOIN n b
+       |    ON a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0),
+       |f AS (SELECT * FROM p WHERE sim >= 0.35)
+       |SELECT doc_id, count(*) AS n_eval_hits,
+       |       (max(struct_pack(sim := sim, eval_id := eval_id))).sim
+       |         AS best_sim,
+       |       (max(struct_pack(sim := sim, eval_id := eval_id))).eval_id
+       |         AS best_eval_id
+       |FROM f GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** SQ8 quantization roundtrip mirror — per-element op order matches
     * the engine exactly (abs-max fold → /127 → floor(x/scale + 0.5) →
     * q*scale), the cosine is the sequential list_reduce fold shared by
@@ -4573,6 +4594,7 @@ object OracleSql {
     "text_winnow" -> textWinnow,
     "text_decontam" -> textDecontam,
     "text_decontam_bloom" -> textDecontam,
+    "text_decontam_semantic" -> textDecontamSemantic,
     "text_repetition" -> textRepetition,
     "text_quality_filter" -> textQualityFilter,
     "mix_sample" -> mixSample,

@@ -2763,6 +2763,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Semantic decontamination ([[graft.operators.Similarity
+    * .semanticDecontam]]): flag corpus embeddings within cosine 0.35 of
+    * ANY eval-set embedding (vec_id % 20 — the same eval split as
+    * text_decontam) — catches paraphrased eval items that share no word
+    * 4-gram. Eval side broadcasts; the corpus never shuffles.
+    */
+  private def qTextDecontamSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    operators.Similarity.semanticDecontam(
+        emb.where(col("vec_id") % 20 =!= 0),
+        emb.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", threshold = 0.35)
+      .orderBy("doc_id")
+  }
+
   /** The huge-benchmark scale twin of text_decontam: Bloom prefilter
     * map-side (no false negatives), exact verify via a shuffle join —
     * neither corpus nor benchmark broadcasts; row-identical output
@@ -3339,6 +3354,7 @@ object SparkEntry {
     "text_winnow" -> (qTextWinnow _),
     "text_decontam" -> (qTextDecontam _),
     "text_decontam_bloom" -> (qTextDecontamBloom _),
+    "text_decontam_semantic" -> (qTextDecontamSemantic _),
     "text_repetition" -> (qTextRepetition _),
     "text_quality_filter" -> (qTextQualityFilter _),
     "mix_sample" -> (qMixSample _),

@@ -48,6 +48,50 @@ object Similarity {
       .select("qid", "rank", "nid", "sim")
   }
 
+  /** Semantic decontamination — the embedding-space sibling of the
+    * n-gram `TextAnalysis.decontaminate`: flag corpus vectors whose
+    * cosine similarity against ANY benchmark/eval vector reaches
+    * `threshold`. A paraphrased eval item shares no word 4-gram with its
+    * source but still sits next to it in embedding space, so n-gram
+    * decontamination alone misses it. Returns one row per FLAGGED corpus
+    * id: the hit count, the best similarity, and its eval id (similarity
+    * ties break to the larger eval id — max over an orderable struct,
+    * the engine's struct_pack oracle contract; the 6-decimal cosine
+    * rounding is the shared embedding contract, and the threshold
+    * compares the ROUNDED value so membership is cross-engine exact).
+    *
+    * Scale shape: benchmark/eval sets are small by nature, so the eval
+    * side BROADCASTS and the 100 TB corpus side is one map-side scoring
+    * pass (the corpus never shuffles); the per-doc aggregation collapses
+    * map-side to flagged-doc grain. If the eval set ever outgrows
+    * broadcast, block both sides through the IVF cell index instead
+    * (the [[graft.operators.Dedup.embeddingPairsIvf]] scheme).
+    */
+  def semanticDecontam(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val cand = corpus.select(col(idCol).as("doc_id"),
+        toDoubleArray(col(vecCol)).as("cvec"))
+      .withColumn("cnrm", normSeq(col("cvec")))
+    val ev = evalSet.select(col(idCol).as("eval_id"),
+        toDoubleArray(col(vecCol)).as("evec"))
+      .withColumn("enrm", normSeq(col("evec")))
+    val sim = round(
+      dotSeq(col("cvec"), col("evec")) / (col("cnrm") * col("enrm")), 6)
+    cand.crossJoin(broadcast(ev))
+      .withColumn("sim", sim)
+      .where(col("sim") >= threshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("sim"), col("eval_id"))).as("m"))
+      .select(col("doc_id"), col("n_eval_hits"),
+        col("m").getField("sim").as("best_sim"),
+        col("m").getField("eval_id").as("best_eval_id"))
+  }
+
   /** [[bruteForceTopK]] through the bounded [[TopKAggregator]] instead of a
     * window: identical rows, but the shuffle carries O(queries × k) state
     * instead of every scored pair — the exact-search form that survives

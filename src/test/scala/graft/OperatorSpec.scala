@@ -862,6 +862,33 @@ class OperatorSpec extends SparkSuite {
     assert(e.getMessage.contains("dsirCellsXx"))
   }
 
+  test("semantic decontam: near-eval vectors flagged with best match, " +
+      "orthogonal vectors pass; similarity ties take the larger eval id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),  // identical to eval 100 AND 101 (tie)
+      (2L, Seq(0.9, 0.1, 0.0)),  // near eval 100/101
+      (3L, Seq(0.0, 0.0, 1.0))   // orthogonal to every eval vector
+    ).toDF("vec_id", "embedding")
+    val evalSet = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),
+      (101L, Seq(2.0, 0.0, 0.0)), // same direction, different norm
+      (102L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = operators.Similarity.semanticDecontam(
+        corpus, evalSet, "vec_id", "embedding", threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    // doc 1 matches both same-direction eval vectors at cosine 1.0 —
+    // the tie goes to the larger eval id (struct order)
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1.0 && got(1L)._3 == 101L,
+      got.toString)
+    // doc 2: two hits, best is the (rounded) 0.9/|v| cosine
+    assert(got(2L)._1 == 2L && got(2L)._3 == 101L, got.toString)
+  }
+
   test("lm perplexity: OOV docs score highest within their language; " +
       "n_events = tokens - 1; sub-2-token docs absent; terciles are " +
       "within-language") {
