@@ -2113,6 +2113,58 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
   }
 
+  /** Depth-3 mirror — `avg_over_time(max_over_time(sum by (cohort)
+    * (rate(click[1h]))[6h:1h])[1d:6h])`. Three levels: the sliding
+    * cohort rate at the 1h grid (floor-r6, the sliding contract), the
+    * six-hourly peak via a window join at the 6h grid over the extended
+    * span [T0−1d, T1], and the daily average of those peaks at the 6h
+    * grid — DECIMAL(28,10) accumulation mirroring overTimeOnFrame's
+    * exact sum before the single double division.
+    */
+  private val tsdbPromqlSub3 = {
+    val ir = 3600L; val r2 = 21600L; val st2 = 3600L
+    val r3 = 86400L; val st3 = 21600L
+    val innerLo = (T0 - r3 - r2 + st2 - 1) / st2 * st2
+    val hi2 = T1 / st2 * st2
+    val midLo = (T0 - r3 + st3 - 1) / st3 * st3
+    val hi3 = T1 / st3 * st3
+    val topLo = (T0 + st3 - 1) / st3 * st3
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(user_id % 10 AS VARCHAR) AS cohort,
+       |         $tsS AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND $tsS BETWEEN ${T0 - r3 - r2 - ir + 1} AND $T1),
+       |d AS (
+       |  SELECT *, lag(v) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_s, v) AS prev
+       |  FROM e),
+       |x AS (
+       |  SELECT cohort, ts_s,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              WHEN v >= prev THEN v - prev
+       |              ELSE v END AS delta
+       |  FROM d),
+       |ie AS (
+       |  SELECT cohort, g.e AS ets,
+       |         floor(CAST(SUM(delta) AS DOUBLE) / $ir * 1e6 + 0.5) / 1e6 AS rate
+       |  FROM x JOIN generate_series($innerLo, $hi2, $st2) AS g(e)
+       |    ON x.ts_s BETWEEN g.e - $ir + 1 AND g.e
+       |  WHERE delta IS NOT NULL
+       |  GROUP BY 1, 2),
+       |mid AS (
+       |  SELECT cohort, g2.m AS mts, max(rate) AS mx
+       |  FROM ie JOIN generate_series($midLo, $hi3, $st3) AS g2(m)
+       |    ON ie.ets BETWEEN g2.m - $r2 + 1 AND g2.m
+       |  GROUP BY 1, 2)
+       |SELECT cohort, t.t AS eval_ts, count(*) AS n,
+       |       CAST(SUM(CAST(mx AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+       |         AS avg_v
+       |FROM mid JOIN generate_series($topLo, $hi3, $st3) AS t(t)
+       |  ON mid.mts BETWEEN t.t - $r3 + 1 AND t.t
+       |GROUP BY 1, 2 ORDER BY cohort, eval_ts""".stripMargin
+  }
+
   /** Nested-subquery mirror — `max_over_time(rate(click[1h]) by (cohort)
     * [6h:1h])`. Inner: sliding reset-robust increase per cohort at every
     * 1h grid point E over window [E-3600+1, E] (lag computed over the
@@ -4471,6 +4523,7 @@ object OracleSql {
     "tsdb_promql_quantile_rate" -> tsdbPromqlQuantileRate,
     "tsdb_promql_subquery_rate" -> tsdbPromqlSubqueryRate,
     "tsdb_promql_subsub" -> tsdbPromqlSubsub,
+    "tsdb_promql_sub3" -> tsdbPromqlSub3,
     "tsdb_promql_subquery_incr_rate" -> tsdbPromqlSubqueryIncrRate,
     "tsdb_promql_subquery_irate_rate" -> tsdbPromqlSubqueryIrateRate,
     "tsdb_promql_subquery_rate_outer" -> tsdbPromqlSubqueryRateOuter,

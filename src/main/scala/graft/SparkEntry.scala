@@ -577,6 +577,23 @@ object SparkEntry {
       .select(col("cohort"), col("eval_ts"), col("max_v"))
       .orderBy("cohort", "eval_ts")
 
+  /** Depth-3 nested subquery through the string front-end —
+    * `avg_over_time(max_over_time(sum by (cohort)(rate(click[1h]))
+    * [6h:1h])[1d:6h])`: the daily average (6h grid) of the six-hourly
+    * peak cohort rate. The recursive evaluator re-aims only the nested
+    * construct's OUTPUT grid (exact under the raw-window convention —
+    * PromQLSpec pins the window-tiling identity); the plan is one
+    * sliding aggregation plus two frame-window aggregations, all at
+    * label grain.
+    */
+  private def qTsdbPromqlSub3(s: SparkSession, dir: String): DataFrame =
+    graft.promql.PromQL.query(
+      Tsdb.attach(s, eventsAsSamplesCohort(s, dir)),
+      "avg_over_time(max_over_time(sum by (cohort)(rate(click[3600]))" +
+        "[21600:3600])[86400:21600])", T0, T1)
+      .select(col("cohort"), col("eval_ts"), col("n"), col("avg_v"))
+      .orderBy("cohort", "eval_ts")
+
   /** The canonical Prometheus spelling of an aggregated subquery inner —
     * `avg_over_time(sum by (cohort) (rate(click[1h]))[6h:2h])`: the Agg
     * normalizes onto the same sliding-increase plan (summing per-series
@@ -3219,6 +3236,7 @@ object SparkEntry {
     "tsdb_promql_quantile_rate" -> (qTsdbPromqlQuantileRate _),
     "tsdb_promql_subquery_rate" -> (qTsdbPromqlSubqueryRate _),
     "tsdb_promql_subsub" -> (qTsdbPromqlSubsub _),
+    "tsdb_promql_sub3" -> (qTsdbPromqlSub3 _),
     "tsdb_promql_subquery_aggsum" -> (qTsdbPromqlSubqueryAggsum _),
     "tsdb_promql_subquery_quant" -> (qTsdbPromqlSubqueryQuant _),
     "tsdb_promql_subquery_mad" -> (qTsdbPromqlSubqueryMad _),

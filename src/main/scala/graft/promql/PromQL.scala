@@ -1890,13 +1890,28 @@ object PromQL {
       // grid-explode aggregation over the inner points
       // (Tsdb.overTimeOnFrame). Two shuffles total, both at label-group
       // grain — never sample-cardinality beyond the first aggregation.
-      case SubqueryFn(fn, body, rangeSec, stepSec, q, sqOff) =>
+      case sqTop: SubqueryFn =>
+        // Recursive subquery evaluator (any depth): `outGrid` is the
+        // grid the construct's value is emitted on — the node's own
+        // step at the top level, the ENCLOSING subquery's step when the
+        // node is a nested body. Re-aiming only the OUTPUT grid is
+        // exact at any depth: a subquery construct's value at time τ
+        // depends solely on its inner points in (τ − R, τ] on the
+        // inner's own absolute grid, and the outer window merely
+        // collects those points — no divisibility constraint arises
+        // from the recursion itself (the depth-2 selector-step
+        // optimization below keeps its own `ist | ost` check because it
+        // ELIDES the inner grid instead of materializing it).
+        def subq(node: SubqueryFn, start1: Long, end1: Long,
+            outGrid: Long):
+            (org.apache.spark.sql.DataFrame, Seq[String], String) = {
+        val SubqueryFn(fn, body, rangeSec, stepSec, q, sqOff) = node
         // `offset d` on the subquery: the whole construct evaluates d
         // back (inner grid AND outer windows), timestamps shift forward
         // to the query grid — the same convention the selector offsets
         // use (bucket_start + offset)
-        val s0 = start - sqOff
-        val e0 = end - sqOff
+        val s0 = start1 - sqOff
+        val e0 = end1 - sqOff
         // a [range:step] on a selector INSIDE the subquery body is a
         // subquery-in-subquery (depth 2): `max_over_time(
         // rate(x[30m:5m])[3h:30m])`. Under this engine's documented
@@ -1909,8 +1924,8 @@ object PromQL {
         // directly on the outer grid (the body cases read only the
         // selector's range, never its step). Misaligned grids would ask
         // for inner values at timestamps the inner never emits — fail
-        // fast. Depth ≥ 3 (a SubqueryFn inside the body) still lands in
-        // the body match's loud catch-all.
+        // fast. A SubqueryFn inside the body (depth ≥ 3) is served by
+        // the `case sq2: SubqueryFn` recursion below instead.
         def checkSelStep(ex: Expr): Unit = ex match {
           case RangeFn(_, _, sel2, _, _) =>
             sel2.stepSec.foreach { ist =>
@@ -2069,11 +2084,33 @@ object PromQL {
               .withColumn(rc, vExpr)
               .drop("__va", "__vb")
             (joined, byA, rc)
+          // depth-3+ nesting: the body is ITSELF a subquery construct —
+          // `avg_over_time(max_over_time(rate(x[1h])[6h:1h])[1d:6h])`,
+          // the daily average of six-hourly peak rates. The nested
+          // construct evaluates recursively ON THIS node's step grid
+          // (exact — see subq's scaladoc); its value column feeds the
+          // outer window like any computed inner. Only the plain
+          // moment/quantile outers accept a nested-subquery inner:
+          // the nested avg_v/q_v legs are raw double divisions (not
+          // floor-r6 quantized), so the integer-micro exactness
+          // schemes the spread/mad/counter outers rely on do not
+          // apply — those stay fail-fast here.
+          case sq2: SubqueryFn =>
+            require(gaugeVal.contains(fn) ||
+                (fn == "quantile_over_time" && q.isDefined),
+              s"a nested-subquery INNER supports only the sum/avg/min/" +
+              s"max/count/last/quantile _over_time outer family " +
+              s"(spread, mad, and counter/trend outers need a " +
+              s"quantized inner value column); got outer $fn")
+            val (f2, k2, v2) = subq(sq2, s0 - rangeSec, e0, stepSec)
+            (f2.select((k2.map(col) :+ col("eval_ts") :+ col(v2)): _*),
+              k2, v2)
           case other => throw new IllegalArgumentException(
             "nested subqueries support rate/increase or *_over_time " +
             "inner vectors (optionally aggregated: `sum by (l) " +
             "(rate(x[d]))` or the trailing-by extension, moments, " +
-            "quantile, or a two-sided sum-rate binary op), " +
+            "quantile, a two-sided sum-rate binary op, or a nested " +
+            "subquery construct), " +
             s"got: ${render(other)}")
         }
         // spread outers (stddev/stdvar_over_time) use the integer-micro
@@ -2117,13 +2154,17 @@ object PromQL {
                   "argument")).toLong
               else 0L
             Tsdb.counterOverFrame(inner, keys, "eval_ts", valCol,
-              s0, e0, stepSec, rangeSec, fn, hz)
+              s0, e0, outGrid, rangeSec, fn, hz)
           } else
             Tsdb.overTimeOnFrame(inner, keys, "eval_ts", valCol,
-              s0, e0, stepSec, rangeSec, q, spread = spread,
+              s0, e0, outGrid, rangeSec, q, spread = spread,
               mad = fn == "mad_over_time")
-        if (sqOff == 0L) frame
-        else frame.withColumn("eval_ts", col("eval_ts") + sqOff)
+        val shifted =
+          if (sqOff == 0L) frame
+          else frame.withColumn("eval_ts", col("eval_ts") + sqOff)
+        (shifted, keys, valueColOf(node))
+        }
+        subq(sqTop, start, end, sqTop.stepSec)._1
 
       // scalar arithmetic / threshold filters recurse on their vector
       // side, so they sit ABOVE the rollup catch-all and compose with

@@ -1964,7 +1964,9 @@ class PromQLSpec extends SparkSuite {
   }
 
   test("subquery-in-subquery: depth-2 [R:s] nesting composes exactly " +
-      "under aligned grids; misaligned and depth-3 fail fast") {
+      "under aligned grids; depth-3 recursion matches the window-" +
+      "tiling identity; misaligned grids and unquantized outers fail " +
+      "fast") {
     // resampling theorem: the engine's sliding value at T depends only
     // on the raw samples in (T-range, T], so with 1800 | 7200 the
     // depth-2 query equals the depth-1 spelling whose inner grid IS the
@@ -1986,11 +1988,36 @@ class PromQLSpec extends SparkSuite {
       PromQL.query(t, "max_over_time(rate(click[7200:2100]) by (cohort) " +
         "[21600:7200])", T0, T1))
     assert(ex.getMessage.contains("aligned grids"), ex.getMessage)
-    // depth-3 (a SubqueryFn inside the body) still rejects loudly
+    // depth-3 (a SubqueryFn inside the body) evaluates recursively —
+    // and the window-tiling identity pins its exactness independently:
+    // with st3 = R2 (= 7200) the outer's per-τ inner windows
+    // (τ−7200, τ] tile (T−21600, T] exactly, so max-of-max over the
+    // nested construct equals max over the UNION window of the raw
+    // inner grid — a single overTimeOnFrame at range 21600
+    val q3 = PromQL.query(t,
+      "max_over_time(max_over_time(sum by (cohort)(rate(click[3600]))" +
+        "[7200:3600])[21600:7200])", T0, T1)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(q3.nonEmpty)
+    val inner3 = t.slidingIncreaseBy("click", Seq.empty,
+        T0 - 21600 - 7200, T1, Seq("cohort"), 3600L, 3600L)
+      .select(col("cohort"), col("eval_ts"), col("rate_per_sec"))
+    val union3 = Tsdb.overTimeOnFrame(inner3, Seq("cohort"), "eval_ts",
+        "rate_per_sec", T0, T1, 7200L, 21600L)
+      .select("cohort", "eval_ts", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(q3 == union3,
+      s"depth-3 minus union: ${(q3 -- union3).take(3)}; " +
+        s"union minus depth-3: ${(union3 -- q3).take(3)}")
+    // spread/counter outers over a nested-subquery inner fail fast
+    // (the nested legs are not floor-r6 quantized)
     val ex3 = intercept[IllegalArgumentException](
-      PromQL.query(t, "max_over_time(max_over_time(rate(click[3600])" +
-        "[7200:3600])[21600:7200])", T0, T1))
-    assert(ex3.getMessage.contains("nested subqueries support"),
+      PromQL.query(t, "stddev_over_time(max_over_time(sum by (cohort)" +
+        "(rate(click[3600]))[7200:3600])[21600:7200])", T0, T1))
+    assert(ex3.getMessage.contains("nested-subquery INNER"),
       ex3.getMessage)
   }
 
