@@ -598,7 +598,8 @@ object OracleSql {
        |           list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]),
        |           (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS sim
        |  FROM n a JOIN n b
-       |    ON a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0),
+       |    ON NOT (a.vec_id % 20 = 0 AND a.vec_id < 2000)
+       |   AND b.vec_id % 20 = 0 AND b.vec_id < 2000),
        |f AS (SELECT * FROM p WHERE sim >= 0.35)
        |SELECT doc_id, count(*) AS n_eval_hits,
        |       (max(struct_pack(sim := sim, eval_id := eval_id))).sim

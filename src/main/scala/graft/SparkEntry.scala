@@ -2782,15 +2782,19 @@ object SparkEntry {
 
   /** Semantic decontamination ([[graft.operators.Similarity
     * .semanticDecontam]]): flag corpus embeddings within cosine 0.35 of
-    * ANY eval-set embedding (vec_id % 20 — the same eval split as
-    * text_decontam) — catches paraphrased eval items that share no word
-    * 4-gram. Eval side broadcasts; the corpus never shuffles.
+    * ANY eval-set embedding — catches paraphrased eval items that share
+    * no word 4-gram. The eval set is FIXED-SIZE (vec_id % 20 inside the
+    * id range < 2000: ≤ 100 vectors at every scale factor — a benchmark
+    * suite is a fixed artifact, it does not grow with the training
+    * corpus; the first registration let it scale with the corpus and the
+    * x100 sweep read 152 s of quadratic pair work). Eval side
+    * broadcasts; the corpus side stays one linear map-side pass.
     */
   private def qTextDecontamSemantic(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    val isEval = col("vec_id") % 20 === 0 && col("vec_id") < 2000
     operators.Similarity.semanticDecontam(
-        emb.where(col("vec_id") % 20 =!= 0),
-        emb.where(col("vec_id") % 20 === 0),
+        emb.where(!isEval), emb.where(isEval),
         "vec_id", "embedding", threshold = 0.35)
       .orderBy("doc_id")
   }
