@@ -937,6 +937,55 @@ object OracleSql {
        |WHERE rank <= 8 ORDER BY source, rank""".stripMargin
   }
 
+  /** BPE encoder mirror — an INDEPENDENT implementation of the Sennrich
+    * apply: a recursive CTE steps through the injected merge table
+    * (__BPE_MERGES__ / __BPE_K__, substituted at oracle-dump time) and
+    * each step re-segments via a left-to-right non-overlapping
+    * list_reduce fold over singleton-wrapped tokens. Only DISTINCT words
+    * are encoded (≤ vocabulary rows × K steps), then joined back onto
+    * word instances; the md5 fingerprint aggregates tokens in strict
+    * (word-position, token-position) document order with the 0x1f
+    * separator — matching the engine's concat_ws("\\u001f") byte-exactly.
+    */
+  private val textBpeTokens =
+    s"""WITH RECURSIVE mt AS (
+       |  SELECT unnest(range(1, __BPE_K__ + 1)) AS k,
+       |         unnest(__BPE_MERGES__) AS mg),
+       |d AS (
+       |  SELECT doc_id,
+       |         regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT doc_id, unnest(ws) AS word,
+       |         unnest(range(1, len(ws) + 1)) AS wi
+       |  FROM d),
+       |w AS (SELECT * FROM w0 WHERE word <> ''),
+       |dw AS (SELECT DISTINCT word FROM w),
+       |rec AS (
+       |  SELECT word, string_split(word, '') AS toks, 0 AS k FROM dw
+       |  UNION ALL
+       |  SELECT r.word,
+       |         CASE WHEN len(r.toks) <= 1 THEN r.toks ELSE
+       |           list_reduce(list_transform(r.toks, t -> [t]),
+       |             (acc, x) ->
+       |               CASE WHEN len(acc) > 0 AND acc[-1] = mt.mg.a
+       |                         AND x[1] = mt.mg.b
+       |                    THEN list_append(acc[:-2], mt.mg.a || mt.mg.b)
+       |                    ELSE list_concat(acc, x) END)
+       |         END AS toks,
+       |         r.k + 1 AS k
+       |  FROM rec r JOIN mt ON mt.k = r.k + 1),
+       |f AS (SELECT word, toks FROM rec WHERE k = __BPE_K__),
+       |x AS (
+       |  SELECT w.doc_id, w.wi, unnest(f.toks) AS tok,
+       |         unnest(range(1, len(f.toks) + 1)) AS ti
+       |  FROM w JOIN f USING (word))
+       |SELECT doc_id,
+       |       count(DISTINCT wi) AS n_words,
+       |       count(*) AS n_bpe_tokens,
+       |       md5(string_agg(tok, chr(31) ORDER BY wi, ti)) AS tokens_md5
+       |FROM x GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   private val textTokens =
     s"""SELECT doc_id,
        |       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
@@ -4649,6 +4698,7 @@ object OracleSql {
     "text_decontam" -> textDecontam,
     "text_decontam_bloom" -> textDecontam,
     "text_decontam_semantic" -> textDecontamSemantic,
+    "text_bpe_tokens" -> textBpeTokens,
     "text_repetition" -> textRepetition,
     "text_quality_filter" -> textQualityFilter,
     "mix_sample" -> mixSample,

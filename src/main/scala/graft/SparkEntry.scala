@@ -2799,6 +2799,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenization end-to-end ([[graft.operators.TextAnalysis
+    * .bpeTrain]] + [[graft.plans.BpeEncode]]): train a 64-merge table
+    * from the corpus word census (deterministic — total-ordered pair
+    * selection) and segment every document with it, emitting per-doc
+    * word/token counts and an order-sensitive md5 fingerprint of the
+    * full token sequence. The oracle receives the SAME merge table
+    * (substituted at oracle-dump time via __BPE_MERGES__/__BPE_K__ —
+    * the __CLUSTERED_EMB__ precedent) and re-applies it through an
+    * INDEPENDENT recursive-CTE fold in DuckDB, so a hash match proves
+    * the segmentation byte-for-byte, not just token counts.
+    */
+  private def qTextBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 64)
+    TextAnalysis.bpeTokens(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** The huge-benchmark scale twin of text_decontam: Bloom prefilter
     * map-side (no false negatives), exact verify via a shuffle join —
     * neither corpus nor benchmark broadcasts; row-identical output
@@ -3377,6 +3395,7 @@ object SparkEntry {
     "text_decontam" -> (qTextDecontam _),
     "text_decontam_bloom" -> (qTextDecontamBloom _),
     "text_decontam_semantic" -> (qTextDecontamSemantic _),
+    "text_bpe_tokens" -> (qTextBpeTokens _),
     "text_repetition" -> (qTextRepetition _),
     "text_quality_filter" -> (qTextQualityFilter _),
     "mix_sample" -> (qMixSample _),

@@ -52,9 +52,22 @@ object Verify {
       graft.sources.ClusteredEmbeddings.fixturePath(sfDir,
         graft.sources.Tables.embeddings(spark, sfDir).count() *
           graft.sources.ClusteredEmbeddings.Factor)).getAbsolutePath
+    // BPE merge-table substitution: the text_bpe_tokens oracle re-applies
+    // the SAME deterministic merge table the Spark query trains (pure
+    // function of the corpus), but through an independent recursive-CTE
+    // fold — the oracle can't train, so the artifact is injected here as
+    // a DuckDB struct-list literal (single quotes doubled).
+    val bpeMerges = graft.operators.TextAnalysis.bpeTrain(
+      graft.sources.Tables.documents(spark, sfDir), "text", numMerges = 64)
+    def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+    val bpeMergesSql = bpeMerges
+      .map { case (a, b) => s"{'a': ${sq(a)}, 'b': ${sq(b)}}" }
+      .mkString("[", ", ", "]")
     val json = SparkEntry.oracleSql
       .map { case (k, v0) =>
         val v = v0.replace("__CLUSTERED_EMB__", clusteredPath)
+          .replace("__BPE_MERGES__", bpeMergesSql)
+          .replace("__BPE_K__", bpeMerges.length.toString)
         s"${q(k)}: ${q(v)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1,0 +1,113 @@
+package graft.functions
+
+/** Byte-pair encoding (Sennrich et al. 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units") over codepoint symbols — the
+  * tokenizer-training stage of a real LLM data pipeline: learn the merge
+  * table from a corpus word census, then segment text with it.
+  *
+  * Scale split (mirrors how production BPE trainers actually run): the
+  * CORPUS-scale work is one word-count hash aggregation (map-side
+  * combined, output bounded by the vocabulary — Heaps' law, not corpus
+  * size); training itself iterates over that bounded census in memory,
+  * exactly like the single-node trainers every real pipeline uses. The
+  * encoder is a pure per-row function (`plans.BpeEncode` keeps it inside
+  * the scan stage).
+  *
+  * Determinism: the best pair each round orders by (count desc, pair
+  * lexicographic asc) — total order, no ties possible — and training
+  * stops early when no adjacent pair occurs at least twice. Symbols are
+  * UNICODE CODEPOINTS (surrogate pairs stay whole), matching DuckDB's
+  * `string_split(word, '')` so the oracle mirror segments identically.
+  *
+  * Apply semantics (encoder AND trainer's re-segmentation): each merge
+  * (a, b) → ab is applied in training order, exhaustively, left-to-right
+  * and non-overlapping within a word — the original Sennrich apply, and
+  * byte-identical to the oracle's list_reduce fold.
+  */
+object Bpe {
+
+  /** Split a word into codepoint symbols (surrogate-pair safe). */
+  def codepoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** One merge pass: replace adjacent (a, b) with a+b, left-to-right,
+    * non-overlapping ("aaa" + (a,a) → [aa, a]). */
+  def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Train up to `numMerges` merges from a (word, count) census. Empty
+    * words are ignored. Deterministic; stops early when the best pair
+    * count drops below 2 (a singleton merge generalizes to nothing). */
+  def train(
+      wordCounts: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
+    var vocab: Vector[(Array[String], Long)] = wordCounts.iterator
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (codepoints(w), c) }
+      .toVector
+    val merges = Vector.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // total order (no ties representable): count desc, then pair asc
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (c < 2) done = true
+        else {
+          merges += ((a, b))
+          vocab = vocab.map { case (syms, cnt) =>
+            (applyMerge(syms, a, b), cnt)
+          }
+          k += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode one word: every merge in training order, each exhaustively
+    * (stops early once a single symbol remains). */
+  def encodeWord(
+      word: String, merges: Array[(String, String)]): Array[String] = {
+    var syms = codepoints(word)
+    var k = 0
+    while (k < merges.length && syms.length > 1) {
+      syms = applyMerge(syms, merges(k)._1, merges(k)._2)
+      k += 1
+    }
+    syms
+  }
+}

@@ -623,6 +623,53 @@ object TextAnalysis {
       .withColumn("weight", col("weight_micro") / 1e6)
   }
 
+  /** Train a BPE merge table from the corpus ([[graft.functions.Bpe]],
+    * Sennrich et al. 2016). The CORPUS-scale work is ONE word-count hash
+    * aggregation over lowercased whitespace tokens (map-side combined;
+    * its output is bounded by the VOCABULARY — Heaps' law — not the
+    * corpus size); the census is then collected and trained in memory,
+    * exactly the artifact-sized single-node pass every production BPE
+    * trainer runs. Deterministic: the census is sorted, and the trainer's
+    * best-pair order (count desc, pair asc) admits no ties.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    val census = spreadDocs(docs)
+      .select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    graft.functions.Bpe.train(census, numMerges)
+  }
+
+  /** Segment every document with a FIXED BPE merge table
+    * ([[graft.plans.BpeEncode]] — the shipped-tokenizer inference shape)
+    * and emit the per-doc accounting the packing/budget stages consume:
+    * word count, BPE token count, and an order-sensitive md5 fingerprint
+    * of the full token sequence (tokens joined by the 0x1f unit
+    * separator) — the column the DuckDB mirror reproduces byte-exactly,
+    * proving the segmentation itself, not just its length. Docs with no
+    * words are absent (nothing to segment). Entirely map-side.
+    */
+  def bpeTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs
+      .withColumn("__t",
+        graft.plans.BpeEncode.encode(lower(col(textCol)), merges))
+      .where(size(col("__t")) > 0)
+      .select(col(idCol).as("doc_id"),
+        size(filter(wsTokens(lower(col(textCol))), w => w =!= ""))
+          .cast("long").as("n_words"),
+        size(col("__t")).cast("long").as("n_bpe_tokens"),
+        md5(concat_ws("\u001f", col("__t")).cast("binary"))
+          .as("tokens_md5"))
+
   /** Per-document bigram LM events: one `(pfx, big)` struct per adjacent
     * token pair — `pfx` the conditioning (left) token, `big` the
     * space-joined bigram string. The token array is bound ONCE (the

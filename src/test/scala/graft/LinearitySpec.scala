@@ -67,6 +67,10 @@ class LinearitySpec extends SparkSuite {
         val d = c.withColumn("lang", lit("xx"))
         TextAnalysis.lmPerplexity(d, d, "doc_id", "text", "lang",
           buckets = 4096).count(); ()
+      }),
+      "bpe" -> (c => {
+        val merges = TextAnalysis.bpeTrain(c.limit(50), "text", 32)
+        force(TextAnalysis.bpeTokens(c, "doc_id", "text", merges))
       }))
     // JIT/codegen warmup on the short corpus before anything is timed
     ops.foreach { case (_, f) => f(short) }

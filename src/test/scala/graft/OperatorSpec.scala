@@ -862,6 +862,45 @@ class OperatorSpec extends SparkSuite {
     assert(e.getMessage.contains("dsirCellsXx"))
   }
 
+  test("bpe: trainer reproduces the hand-computed Sennrich merges; " +
+      "encoder applies them left-to-right non-overlapping; expression " +
+      "matches the reference encoder") {
+    import graft.functions.Bpe
+    // census: low x5, lower x2, newest x6, widest x3. Pair counts round 1:
+    // (e,s)=9 (newest+widest) ties (s,t)=9 -> lexicographic (e,s) wins;
+    // round 2: (es,t)=9; round 3: (l,o)=7 ties (o,w)=7 -> (l,o).
+    val census = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val merges = Bpe.train(census, numMerges = 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")),
+      merges.toString)
+    // encode an UNSEEN word with the learned merges
+    assert(Bpe.encodeWord("lowest", merges.toArray).toSeq ==
+      Seq("lo", "w", "est"))
+    // left-to-right non-overlap: "aaa" under (a,a) -> [aa, a]
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "a"))
+    // early stop: a census where no pair repeats trains zero merges
+    assert(Bpe.train(Seq(("ab", 1L), ("cd", 1L)), 10).isEmpty)
+    // surrogate-pair codepoints stay whole
+    assert(Bpe.codepoints("a𝄞b").toSeq ==
+      Seq("a", "𝄞", "b"))
+    // the native expression flattens per-word encodings in doc order and
+    // matches the reference encoder word-for-word
+    import spark.implicits._
+    val docs = Seq((1L, "the lowest newest low"), (2L, " "), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.plans.BpeEncode.encode(lower(col("text")), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val expect = "the lowest newest low".split(" ")
+      .flatMap(w => Bpe.encodeWord(w, merges.toArray)).toSeq
+    assert(got(1L) == expect, got(1L).toString)
+    assert(got(2L).isEmpty && got(3L).isEmpty, got.toString)
+    // trainer determinism: same census, same merges, any input order
+    assert(Bpe.train(census.reverse, 3) == merges)
+  }
+
   test("semantic decontam: near-eval vectors flagged with best match, " +
       "orthogonal vectors pass; similarity ties take the larger eval id") {
     import spark.implicits._
