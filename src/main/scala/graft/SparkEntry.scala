@@ -3180,8 +3180,11 @@ object SparkEntry {
     val comp = Dedup.connectedComponents(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
         hashTokens = true, maxDocFreq = Some(5L)))
+    // q feeds the representative pick AND the final output — materialize
+    // the (narrow) scored corpus once instead of re-scoring per reference
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .select("doc_id", "n_words", "quality")
+      .localCheckpoint()
     val reps = comp.join(q, "doc_id")
       .groupBy("component")
       .agg(max_by(col("doc_id"),

@@ -605,7 +605,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         else pruned.select("sid", "ts", "value")
           .join(dimHint(seriesMeta.select("sid", "labels")), "sid")
       withLabels
-        .where(matcherPredicate(col("labels"), all))
+        .where(factMatcherPredicate(withLabels, all))
         .select("sid", "labels", "ts", "value")
     }
   }
@@ -635,7 +635,7 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
         .select("sid", "labels", "ts", "value")
     } else
       pruned
-        .where(matcherPredicate(col("labels"), matchers))
+        .where(factMatcherPredicate(pruned, matchers))
         .select("sid", "labels", "ts", "value")
   }
 
@@ -3061,6 +3061,28 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * so streaming consumers can build it without a Tsdb instance. */
   def matcherPredicate(labels: Column, matchers: Seq[LabelMatcher]): Column =
     Tsdb.matcherPredicate(labels, matchers)
+
+  /** Matcher predicate for a fact frame that carries the normalized
+    * `metric` column: `labels[__name__] == metric` by construction
+    * ([[graft.functions.LabelFunctions.foldMetric]] under LAST_WIN —
+    * the last-folded entry always wins, NULL included), so `__name__`
+    * matchers evaluate against the plain string column. On the attached
+    * in-memory head the label map is a chain of higher-order functions
+    * (map_filter/map_concat — CodegenFallback, interpreted, and excluded
+    * from codegen subexpression elimination), which a scan-stage Filter
+    * re-evaluated once per conjunct per row; the plain column form also
+    * pushes the metric equality into the parquet scan
+    * (PushedFilters: EqualTo(event_type, …) via the alias chain), so
+    * non-matching rows never build a label map at all. Value-identical.
+    */
+  private def factMatcherPredicate(
+      df: DataFrame, matchers: Seq[LabelMatcher]): Column =
+    if (df.columns.contains("metric"))
+      Tsdb.matcherPredicateWith(
+        n => if (n == Tsdb.MetricLabel) col("metric")
+             else col("labels").getItem(n),
+        matchers)
+    else Tsdb.matcherPredicate(col("labels"), matchers)
 }
 
 object Tsdb {
@@ -3409,8 +3431,18 @@ object Tsdb {
     * Semantics identical for newline-free label values (anchored regex).
     */
   def matcherPredicate(labels: Column, matchers: Seq[LabelMatcher]): Column =
+    matcherPredicateWith(labels.getItem(_), matchers)
+
+  /** [[matcherPredicate]] with a caller-chosen label-value resolver, so
+    * layouts that carry a label's value as a PLAIN COLUMN can evaluate
+    * its matchers against that column instead of a map lookup — see
+    * [[Tsdb.factMatcherPredicate]] for the `metric`/`__name__` case.
+    */
+  private[graft] def matcherPredicateWith(
+      resolve: String => Column,
+      matchers: Seq[LabelMatcher]): Column =
     matchers.foldLeft(lit(true)) { (acc, m) =>
-      val v = labels.getItem(m.name)
+      val v = resolve(m.name)
       val pos =
         if (m.isRegex) v.isNotNull && regexFastPath(v, m.value)
         else v.isNotNull && v === m.value

@@ -58,29 +58,52 @@ object Bpe {
 
   /** Train up to `numMerges` merges from a (word, count) census. Empty
     * words are ignored. Deterministic; stops early when the best pair
-    * count drops below 2 (a singleton merge generalizes to nothing). */
+    * count drops below 2 (a singleton merge generalizes to nothing).
+    *
+    * Pair counts are maintained INCREMENTALLY (the standard BPE-trainer
+    * optimization): a merge only changes the pair multisets of words
+    * that contain the merged pair, so each round subtracts those words'
+    * old pairs, re-segments them, and adds the new pairs — O(affected
+    * words) hash updates instead of a full-census recount per round.
+    * The counts map after every round is identical to a from-scratch
+    * recount (subtract-all/add-all per changed word makes no assumption
+    * about overlap semantics), so the selected merge sequence — and the
+    * early-stop point — are byte-identical to the recounting form
+    * (OperatorSpec pins the Sennrich example, tie ordering and
+    * input-order independence).
+    */
   def train(
       wordCounts: Seq[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
-    var vocab: Vector[(Array[String], Long)] = wordCounts.iterator
+    var vocab: Array[(Array[String], Long)] = wordCounts.iterator
       .filter(_._1.nonEmpty)
       .map { case (w, c) => (codepoints(w), c) }
-      .toVector
+      .toArray
+    val counts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def add(syms: Array[String], c: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val n = counts.getOrElse(p, 0L) + c
+        if (n == 0L) counts.remove(p) else counts(p) = n
+        i += 1
+      }
+    }
+    def containsPair(syms: Array[String], a: String, b: String): Boolean = {
+      var i = 0
+      while (i < syms.length - 1) {
+        if (syms(i) == a && syms(i + 1) == b) return true
+        i += 1
+      }
+      false
+    }
+    vocab.foreach { case (syms, c) => add(syms, c) }
     val merges = Vector.newBuilder[(String, String)]
     var k = 0
     var done = false
     while (k < numMerges && !done) {
-      val counts =
-        scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts(p) = counts.getOrElse(p, 0L) + c
-          i += 1
-        }
-      }
       if (counts.isEmpty) done = true
       else {
         // total order (no ties representable): count desc, then pair asc
@@ -88,8 +111,16 @@ object Bpe {
         if (c < 2) done = true
         else {
           merges += ((a, b))
-          vocab = vocab.map { case (syms, cnt) =>
-            (applyMerge(syms, a, b), cnt)
+          var j = 0
+          while (j < vocab.length) {
+            val (syms, cnt) = vocab(j)
+            if (containsPair(syms, a, b)) {
+              add(syms, -cnt)
+              val ns = applyMerge(syms, a, b)
+              add(ns, cnt)
+              vocab(j) = (ns, cnt)
+            }
+            j += 1
           }
           k += 1
         }

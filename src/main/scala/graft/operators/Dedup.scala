@@ -31,9 +31,12 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "n_copies")
 
-  /** Distinct word k-shingle sets per doc. */
+  /** Distinct word k-shingle sets per doc. Input spread before the
+    * shingling (the per-row cost center of every consumer): a
+    * single-split scan otherwise serializes it on one core.
+    */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(
+    Spread(docs).select(
       col(idCol).as("doc_id"),
       wordShingles(col(textCol), k).as("shingles"))
 
@@ -52,8 +55,16 @@ object Dedup {
       threshold: Double,
       hashTokens: Boolean = false,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    // localCheckpoint: `sets` feeds the df census, the anti-join, AND both
+    // sides of the token self-join — as a lazy plan Catalyst duplicates
+    // the whole shingling subtree per reference (the sf0.1 physical plan
+    // read the corpus 8 times and re-shingled it per copy; broadcast
+    // joins leave no exchange to reuse). One materialization of the
+    // per-doc shingle sets (corpus-linear, spills to disk) bounds the
+    // shingling at exactly one pass at any scale.
     val sets = shingleSets(docs, idCol, textCol, k)
       .withColumn("n", size(col("shingles")))
+      .localCheckpoint()
     val tokKey: Column => Column =
       if (hashTokens) xxhash64(_) else identity
     val exAll = sets
@@ -80,8 +91,12 @@ object Dedup {
           .withColumn("n",
             count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     }
-    val a = ex.as("a")
-    val b = ex.as("b")
+    // the inverted index feeds both sides of the self-join: materialize it
+    // once (posting-list-linear) instead of recomputing the
+    // explode + census + anti-join + window chain per side
+    val exCk = ex.localCheckpoint()
+    val a = exCk.as("a")
+    val b = exCk.as("b")
     a.join(b, col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(
@@ -126,10 +141,19 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       maxBucket: Int = 0): DataFrame = {
+    // localCheckpoint: `sets` feeds the banding AND the verification
+    // dimension (2×), and `banded` feeds both self-join sides plus the
+    // occupancy census — as lazy plans Catalyst duplicates the whole
+    // scan → shingle → 128-hash-signature subtree per reference (the
+    // sf0.1 physical plan computed the signature 20 times over 44 scans;
+    // broadcast joins leave no exchange to reuse). Each materialization
+    // is corpus-linear; the signature pass now runs exactly once.
     val sets = shingleSets(docs, idCol, textCol, k)
       .where(size(col("shingles")) > 0)
       .withColumn("n", size(col("shingles")))
+      .localCheckpoint()
     val banded = bandedBuckets(sets, numHashes, bands, maxBucket)
+      .localCheckpoint()
     val a = banded.as("a")
     val b = banded.as("b")
     val cands = a
@@ -162,14 +186,18 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minHashSignatures(sets, numHashes)
-    val banded = sigs.select(
+    val banded0 = sigs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    if (maxBucket <= 0) banded
+    if (maxBucket <= 0) banded0
     else {
+      // the census and the thinning join both consume the assignment
+      // table — materialize the (narrow, corpus × bands) table once
+      // instead of running the signature pass per consumer
+      val banded = banded0.localCheckpoint()
       val heavy = banded.groupBy("band", "bucket")
         .agg(count(lit(1)).as("occ"))
         .where(col("occ") > maxBucket)
@@ -195,13 +223,18 @@ object Dedup {
       cands: DataFrame, // (id1, id2)
       sets: DataFrame, // (doc_id, shingles, n)
       threshold: Double): DataFrame = {
-    val candIds = cands.select(col("id1").as("doc_id"))
-      .union(cands.select(col("id2").as("doc_id")))
+    // cands is referenced three times (candIds + the two attach joins) —
+    // materialize the (output-sized) pair set once so the candidate
+    // generation join does not re-run per reference
+    val candsCk = cands.localCheckpoint()
+    val candIds = candsCk.select(col("id1").as("doc_id"))
+      .union(candsCk.select(col("id2").as("doc_id")))
       .distinct()
     val dim = sets.select(col("doc_id"), col("shingles"), col("n"))
       .join(candIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val common = size(array_intersect(col("s1"), col("s2")))
-    cands
+    candsCk
       .join(dim.select(col("doc_id").as("id1"),
         col("shingles").as("s1"), col("n").as("n1")), "id1")
       .join(dim.select(col("doc_id").as("id2"),
@@ -237,9 +270,12 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
+    // sets feeds the banding AND the verification dimension — one
+    // materialized shingling/signature pass (see minHashPairs)
     val sets = shingleSets(docs, idCol, textCol, k)
       .where(size(col("shingles")) > 0)
       .withColumn("n", size(col("shingles")))
+      .localCheckpoint()
     val banded = bandedBuckets(sets, numHashes, bands, maxBucket = 0)
     // one hub per cell via a whole-partition window min — ONE exchange of
     // the assignment table, never a self-join
@@ -267,7 +303,7 @@ object Dedup {
     val votes = (0 until SimHashBits).map(j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"v$j"))
-    docs
+    Spread(docs)
       .select(col(idCol).as("doc_id"),
         explode(wsTokens(col(textCol))).as("tok"))
       .groupBy("doc_id")
@@ -302,13 +338,16 @@ object Dedup {
     val bandCols = (0 until nBands).map(b =>
       shiftrightunsigned(col("sh"), b * bandBits)
         .bitwiseAND(lit((1L << bandBits) - 1)))
-    val banded = hashed.select(
+    val banded0 = hashed.select(
       col("doc_id"), col("sh"),
       posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    if (maxBucket <= 0) banded
+    if (maxBucket <= 0) banded0
     else {
+      // census + thinning join both consume the assignment table — one
+      // materialized tokenize/simhash pass (see bandedBuckets)
+      val banded = banded0.localCheckpoint()
       val heavy = banded.groupBy("band", "bucket")
         .agg(count(lit(1)).as("occ"))
         .where(col("occ") > maxBucket)
@@ -340,7 +379,10 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 0): DataFrame = {
+    // both self-join sides consume the band table — one materialized
+    // tokenize/simhash pass instead of one per side (see minHashPairs)
     val banded = simHashBands(docs, idCol, textCol, maxHamming, maxBucket)
+      .localCheckpoint()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -580,13 +622,14 @@ object Dedup {
       chunkWords: Int,
       maxDf: Int): DataFrame = {
     require(chunkWords > 0 && maxDf > 1, "chunkWords > 0, maxDf > 1")
+    val docsS = Spread(docs)
     val ws = wsTokens(col(textCol))
     val nch = ceil(size(ws) / lit(chunkWords.toDouble)).cast("long")
     val chunks = transform(
       sequence(lit(0L), nch - 1),
       i => concat_ws(" ",
         slice(ws, (i * chunkWords + 1).cast("int"), lit(chunkWords))))
-    val exploded = docs
+    val exploded = docsS
       .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("idx", "passage")))
     val dfCensus = exploded
       .groupBy("passage")
@@ -602,7 +645,7 @@ object Dedup {
             array_sort(collect_list(struct(col("idx"), col("passage")))),
             s => s.getField("passage"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
-    docs
+    docsS
       .select(col(idCol).as("doc_id"), nch.as("n_passages"))
       .join(reassembled, Seq("doc_id"), "left")
       .select(
@@ -667,7 +710,8 @@ object Dedup {
     // precompute each vector's norm ONCE (identical double value to
     // recomputing it per pair, so oracle-exactness is preserved), then the
     // per-pair work is a single native dot product.
-    val v = emb.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("vec"))
+    val v = Spread(emb)
+      .select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("vec"))
       .withColumn("nrm", normSeq(col("vec")))
     val a = v.as("a")
     val b = v.as("b")

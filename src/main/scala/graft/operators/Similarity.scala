@@ -805,7 +805,12 @@ object Similarity {
     def banded(df: DataFrame, id: String, vec: String, nrm: String,
         pb: Int): DataFrame = {
       val probes = 1 << pb
-      df.select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(vec))
+      // spread before the per-vector work: a single-split scan otherwise
+      // serializes projection + explode + the bucket join (the corpus
+      // side streams through the broadcast join in the SAME stage, so a
+      // 1-partition scan ran the whole candidate generation one-core)
+      Spread(df)
+        .select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(vec))
         .withColumn(nrm, normSeq(col(vec)))
         .withColumn("proj",
           graft.plans.PlaneProjections.project(col(vec), planes))

@@ -75,7 +75,7 @@ object TextAnalysis {
     // most expensive text expression here) is materialized ONCE as an
     // attribute; the five inline references previously recomputed it
     // five times per row
-    docs
+    spreadDocs(docs)
       .withColumn("__fps", winnowFingerprints(col(textCol)))
       .select(
         col(idCol).as("doc_id"),
@@ -113,10 +113,10 @@ object TextAnalysis {
       textCol: String,
       k: Int): DataFrame = {
     import graft.functions.TextFunctions.wordShingles
-    val benchToks = bench
+    val benchToks = spreadDocs(bench)
       .select(explode(wordShingles(col(textCol), k)).as("tok"))
       .distinct()
-    train
+    spreadDocs(train)
       .select(col(idCol).as("doc_id"),
         explode(wordShingles(col(textCol), k)).as("tok"))
       .join(broadcast(benchToks), "tok")
@@ -146,12 +146,16 @@ object TextAnalysis {
       expectedBenchShingles: Option[Long] = None): DataFrame = {
     import graft.functions.TextFunctions.wordShingles
     import graft.plans.BloomShingles
-    val benchToks = bench
+    // benchToks drives three consumers (the sizing count, the Bloom build
+    // aggregation, and the exact verify join) — materialize the distinct
+    // shingle set once instead of re-shingling the benchmark per consumer
+    val benchToks = spreadDocs(bench)
       .select(explode(wordShingles(col(textCol), k)).as("tok"))
       .distinct()
+      .localCheckpoint()
     val n = expectedBenchShingles.getOrElse(benchToks.count())
     val (bits, numHashes) = BloomShingles.build(benchToks, "tok", n, fpp)
-    train
+    spreadDocs(train)
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), k).as("toks"))
       .where(BloomShingles.anyContain(col("toks"), bits, numHashes))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -186,7 +190,7 @@ object TextAnalysis {
         round((size(g) - size(array_distinct(g))).cast("double") /
           size(g).cast("double"), 6))
         .otherwise(lit(0.0))
-    docs.select(
+    spreadDocs(docs).select(
       col(idCol).as("doc_id"),
       size(ws).as("n_words"),
       dupFrac(grams(1)).as("dup_word_frac"),
@@ -219,7 +223,7 @@ object TextAnalysis {
     val redacted = PiiPatterns.foldLeft(t) { case (c, (_, pat, tok)) =>
       regexp_replace(c, pat, tok)
     }
-    docs.select(
+    spreadDocs(docs).select(
       (col(idCol).as("doc_id") +:
         PiiPatterns.map { case (name, pat, _) =>
           regexp_count(t, lit(pat)).as(s"n_$name")
@@ -245,7 +249,7 @@ object TextAnalysis {
       overlapWords < chunkWords,
       s"need 0 <= overlapWords < chunkWords: $overlapWords / $chunkWords")
     val stride = chunkWords - overlapWords
-    val d = docs.where(trim(col(textCol)) =!= "")
+    val d = spreadDocs(docs).where(trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("ws"))
       .withColumn("n", size(col("ws")).cast("long"))
       .withColumn("nch",
@@ -444,16 +448,7 @@ object TextAnalysis {
     * this is pure Spark partitioning hygiene). Exact-integer sums are
     * partitioning-independent, so results are byte-identical.
     */
-  private def spreadDocs(docs: DataFrame): DataFrame = {
-    val want = docs.sparkSession.sparkContext.defaultParallelism
-    // partition count from the internal-row RDD of the already-planned
-    // QueryExecution — `docs.rdd` would append a row-deserializing
-    // conversion and build a second, throwaway RDD lineage per call;
-    // `toRdd` is the cached physical plan's own RDD (no job runs here,
-    // getNumPartitions is driver-side metadata)
-    val have = docs.queryExecution.toRdd.getNumPartitions
-    if (have * 2 < want) docs.repartition(want) else docs
-  }
+  private def spreadDocs(docs: DataFrame): DataFrame = Spread(docs)
 
   /** md5-u32 feature-hash cell of one gram. */
   private[graft] def dsirBucket(
@@ -659,7 +654,7 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    docs
+    spreadDocs(docs)
       .withColumn("__t",
         graft.plans.BpeEncode.encode(lower(col(textCol)), merges))
       .where(size(col("__t")) > 0)

@@ -118,13 +118,24 @@ class PlanSpec extends SparkSuite {
       plan.take(3000))
   }
 
-  test("minhash verification has no corpus-dimension broadcast") {
+  test("minhash: native scan-stage signatures, materialize-once pipeline") {
+    // signatures are computed by the native expression in the scan stage
+    // (no explode+groupBy shuffle to assemble them) — asserted at the
+    // operator level because the full query now localCheckpoints the
+    // signature pass (r15: the lazy plan re-ran it 20× over 44 scans)
+    val sigPlan = planOf(graft.operators.Dedup.minHashSignatures(
+      graft.operators.Dedup.shingleSets(
+        graft.sources.Tables.documents(spark, sf0001), "doc_id", "text", 3),
+      128))
+    assert(sigPlan.contains("graft_minhash_sig"), sigPlan.take(3000))
+    assert(!sigPlan.contains("Exchange hashpartitioning"), sigPlan.take(3000))
+    // the final verification plan consumes only the checkpointed
+    // (candidate-reduced, semi-joined) relations: a corpus re-scan here
+    // would mean the shared subtrees are being recomputed per reference
+    // again (the r15 finding), and any corpus-dimension broadcast would
+    // have to be fed by one
     val plan = planOf(SparkEntry.queries("dedup_minhash_lsh")(spark, sf0001))
-    // the dimension reduction is a shuffled semi-join…
-    assert(plan.contains("LeftSemi"), plan.take(3000))
-    // …and signatures are computed by the native expression in the scan
-    // stage (no explode+groupBy shuffle to assemble them)
-    assert(plan.contains("graft_minhash_sig"), plan.take(3000))
+    assert(!plan.contains("Scan parquet"), plan.take(3000))
   }
 
   test("multiprobe LSH plan is map-side up to one aggregation shuffle") {
