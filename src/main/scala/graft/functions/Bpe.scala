@@ -82,45 +82,60 @@ object Bpe {
       .toArray
     val counts =
       scala.collection.mutable.HashMap.empty[(String, String), Long]
-    def add(syms: Array[String], c: Long): Unit = {
+    // pair -> indices of census words currently containing it (presence
+    // postings): a merge round then touches ONLY the affected words --
+    // the previous full-vocabulary scan per round was the x10 trainer
+    // bottleneck (64 rounds x 637k words). Postings are sets (a word
+    // counts once however many times it contains the pair); iteration
+    // order is pinned by sorting the snapshot, though the result is
+    // order-independent anyway (each word's update is independent).
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def add(idx: Int, syms: Array[String], c: Long): Unit = {
       var i = 0
       while (i < syms.length - 1) {
         val p = (syms(i), syms(i + 1))
         val n = counts.getOrElse(p, 0L) + c
         if (n == 0L) counts.remove(p) else counts(p) = n
+        if (c > 0)
+          where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += idx
+        else where.get(p).foreach { s =>
+          s -= idx
+          if (s.isEmpty) where.remove(p)
+        }
         i += 1
       }
     }
-    def containsPair(syms: Array[String], a: String, b: String): Boolean = {
-      var i = 0
-      while (i < syms.length - 1) {
-        if (syms(i) == a && syms(i + 1) == b) return true
-        i += 1
-      }
-      false
+    var j0 = 0
+    while (j0 < vocab.length) {
+      add(j0, vocab(j0)._1, vocab(j0)._2)
+      j0 += 1
     }
-    vocab.foreach { case (syms, c) => add(syms, c) }
     val merges = Vector.newBuilder[(String, String)]
     var k = 0
     var done = false
     while (k < numMerges && !done) {
       if (counts.isEmpty) done = true
       else {
-        // total order (no ties representable): count desc, then pair asc
+        // total order (no ties representable): count desc, then pair asc.
+        // A linear minBy per round is fine: the DISTINCT-pair map is
+        // alphabet-bounded (codepoint pairs + one new symbol's pair
+        // types per merge), not vocabulary-sized.
         val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
         if (c < 2) done = true
         else {
           merges += ((a, b))
-          var j = 0
-          while (j < vocab.length) {
+          val affected = where.get((a, b))
+            .map(_.toArray.sorted).getOrElse(Array.empty[Int])
+          var i = 0
+          while (i < affected.length) {
+            val j = affected(i)
             val (syms, cnt) = vocab(j)
-            if (containsPair(syms, a, b)) {
-              add(syms, -cnt)
-              val ns = applyMerge(syms, a, b)
-              add(ns, cnt)
-              vocab(j) = (ns, cnt)
-            }
-            j += 1
+            add(j, syms, -cnt)
+            val ns = applyMerge(syms, a, b)
+            add(j, ns, cnt)
+            vocab(j) = (ns, cnt)
+            i += 1
           }
           k += 1
         }

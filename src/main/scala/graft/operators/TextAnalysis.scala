@@ -631,14 +631,18 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String,
       numMerges: Int): Seq[(String, String)] = {
-    val census = spreadDocs(docs)
+    graft.functions.Bpe.train(bpeCensusForProfile(docs, textCol), numMerges)
+  }
+
+  /** The word census behind [[bpeTrain]], exposed for stage profiling. */
+  private[graft] def bpeCensusForProfile(
+      docs: DataFrame, textCol: String): Seq[(String, Long)] =
+    spreadDocs(docs)
       .select(explode(wsTokens(lower(col(textCol)))).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1).toSeq
-    graft.functions.Bpe.train(census, numMerges)
-  }
 
   /** Segment every document with a FIXED BPE merge table
     * ([[graft.plans.BpeEncode]] — the shipped-tokenizer inference shape)
