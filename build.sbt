@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console RAW: the bench driver
+// tails `sbt "runMain graft.Bench"` for the one-line JSON contract, and
+// the default LoggedOutput strategy prefixes every line with "[info] ",
+// which has kept that line unparseable since round 1.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -148,11 +148,20 @@ object Bench {
     // (baseline recorded on the builder host); min-of-2 discards run
     // noise, this discards host noise.
     def probeOnce(): Double = {
+      // comparable heap state per probe: mid-sweep probes used to read
+      // 1.4-1.6x the start probe purely from accumulated query garbage
+      // (every r15 sweep self-stamped UNRELIABLE on that band), which is
+      // JVM state, not the host-speed signal the probe exists to measure
+      System.gc()
       val t0 = System.nanoTime()
       spark.range(0, 1L << 28, 1, 32)
         .selectExpr("sum(pmod(xxhash64(id), 1000000)) s").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // warm the probe's own codegen/JIT before the first timed probe so
+    // start-of-sweep probes measure the same steady state the mid-sweep
+    // probes do (measurement hygiene only — queries are not affected)
+    probeOnce(); probeOnce()
     val probeSec = math.min(probeOnce(), probeOnce())
     System.err.println(f"[bench-probe] $probeSec%.3f s")
     // baseline for this sf tag, parsed BEFORE the sweep so the probe

@@ -2089,10 +2089,13 @@ object OracleSql {
   /** `increase(sum by (cohort)(rate(click[1h]))[6h:1h])` — pairwise
     * reset-adjusted delta sum over pinned pairs; increase is the exact
     * decimal sum cast double, rate_per_sec its floor-r6 per-second
-    * form (the engine's counterOverFrame rate/increase leg). */
+    * form (the engine's counterOverFrame rate/increase leg). Integer
+    * outputs MUST be cast BIGINT: DuckDB SUM(int) is HUGEINT, which
+    * pandas renders as float64 ("7.0" vs the engine's "7") and the
+    * driver's canonical hash diverges on it (the r15 gate failure). */
   private val tsdbPromqlSubqueryIncrRate = counterOverFramePair(
     s"""SELECT cohort, eval_ts,
-       |  SUM(CASE WHEN pin THEN 1 ELSE 0 END) AS n_deltas,
+       |  CAST(SUM(CASE WHEN pin THEN 1 ELSE 0 END) AS BIGINT) AS n_deltas,
        |  CAST(SUM(CASE WHEN pin THEN
        |    CASE WHEN cv >= pv THEN cv - pv ELSE cv END END)
        |    AS DOUBLE) AS increase,

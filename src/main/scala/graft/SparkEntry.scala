@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{LabelMatcher, TsdbConf}
-import graft.operators.{Dedup, EventOps, GorillaPack, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, GorillaPack, Materialize, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.{ClusteredEmbeddings, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1232,15 +1232,18 @@ object SparkEntry {
     * spelled as a fixed by-list without the store's label-key universe.
     */
   private def eventsAsSamplesGrain(s: SparkSession, dir: String): DataFrame =
+    // no map_filter needed around the null-valued `shard` entry:
+    // Tsdb.normalize (FoldNormalizeLabels) drops null-valued entries
+    // itself, and the interpreted map_filter lambda otherwise survives
+    // in every consumer's scan-stage Project (the one remaining HOF in
+    // the ratio_wo/alert_rule_wo plans)
     Tables.events(s, dir).select(
       col("event_type").as("metric"),
-      map_filter(
-        map(
-          lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"),
-          lit("noise"), pmod(col("user_id"), lit(4)).cast("string"),
-          lit("shard"), when(pmod(col("user_id"), lit(3)) === 0,
-            pmod(col("user_id"), lit(2)).cast("string"))),
-        (_, v) => v.isNotNull).as("labels"),
+      map(
+        lit("cohort"), pmod(col("user_id"), lit(10)).cast("string"),
+        lit("noise"), pmod(col("user_id"), lit(4)).cast("string"),
+        lit("shard"), when(pmod(col("user_id"), lit(3)) === 0,
+          pmod(col("user_id"), lit(2)).cast("string"))).as("labels"),
       col("ts_s").as("ts"),
       col("value"))
 
@@ -3177,23 +3180,30 @@ object SparkEntry {
 
   private def qPipelineKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // comp is the components loop's output — already materialized (its
+    // final round persists the label RDD), and TINY (pair-graph nodes
+    // only), so its two consumers below are free re-reads
     val comp = Dedup.connectedComponents(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
         hashTokens = true, maxDocFreq = Some(5L)))
-    // q feeds the representative pick AND the final output — materialize
-    // the (narrow) scored corpus once instead of re-scoring per reference
-    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
-      .select("doc_id", "n_words", "quality")
-      .localCheckpoint()
-    val reps = comp.join(q, "doc_id")
+    // representative pick: score ONLY the component members — the r15
+    // shape materialized the whole scored corpus for this join, and the
+    // x10 receipts showed that corpus-wide write costing more than the
+    // reuse saved (0.89x). Scoring the members is a pair-graph-sized
+    // pass; the full-corpus scoring below is then single-consumer and
+    // stays LAZY (exactly one corpus scan+score at any scale).
+    val reps = TextAnalysis.qualityScore(
+        docs.join(comp, "doc_id"), "doc_id", "text",
+        keep = Seq("component"))
       .groupBy("component")
       .agg(max_by(col("doc_id"),
         struct(col("quality"), -col("doc_id"))).as("doc_id"))
       .select("doc_id")
     val losers = comp.select("doc_id")
       .join(reps, Seq("doc_id"), "left_anti")
-    q.join(losers, Seq("doc_id"), "left_anti")
+    TextAnalysis.qualityScore(docs, "doc_id", "text")
       .select("doc_id", "n_words", "quality")
+      .join(losers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

@@ -31,6 +31,18 @@ import graft.model.{LabelMatcher, TsdbConf}
 class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
   import Tsdb._
 
+  // the plain-column label-lookup simplification (see
+  // graft.plans.SimplifyFoldedLabelLookup) rides the session's
+  // experimental optimizer hook so it is active in ANY session that
+  // touches a Tsdb — no session-builder cooperation (extensions config)
+  // required; idempotent across instances
+  locally {
+    val rule = graft.plans.SimplifyFoldedLabelLookup
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(rule))
+      spark.experimental.extraOptimizations = cur :+ rule
+  }
+
   spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
   private val samplesPath = s"${conf.dataPath}/samples"
@@ -143,11 +155,19 @@ class Tsdb(val spark: SparkSession, val conf: TsdbConf) {
     * (label.go:221-228), `sid` and `seg` derived.
     */
   def normalize(df: DataFrame): DataFrame = {
-    val folded = foldMetric(col("metric"),
-      normalizeLabels(coalesce(col("labels"),
-        expr("cast(map() as map<string,string>)"))))
+    // fused forms of foldMetric(normalizeLabels(coalesce(labels, map())))
+    // and sidOf's sort+render — the interpreted higher-order map chain
+    // (map_concat/map_filter/transform are CodegenFallback) otherwise
+    // re-evaluates in every query's scan-stage Project for memory-attached
+    // stores (the head union is lazy); entry-for-entry identical under
+    // LAST_WIN, spec-pinned in LabelMapSpec
+    // (no coalesce needed: the fused expression folds a NULL labels map
+    // exactly like the empty map)
+    val folded = graft.plans.FoldNormalizeLabels.fold(
+      col("metric"), col("labels"))
     df.withColumn("labels", folded)
-      .withColumn("sid", sidOf(col("labels")))
+      .withColumn("sid",
+        xxhash64(graft.plans.CanonicalLabelsRender.render(col("labels"))))
       .withColumn("seg", segOf(col("ts"), conf.segmentDuration))
       .select("sid", "metric", "labels", "seg", "ts", "value")
   }

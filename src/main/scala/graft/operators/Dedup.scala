@@ -64,7 +64,7 @@ object Dedup {
     // shingling at exactly one pass at any scale.
     val sets = shingleSets(docs, idCol, textCol, k)
       .withColumn("n", size(col("shingles")))
-      .localCheckpoint()
+      .transform(Materialize.once)
     val tokKey: Column => Column =
       if (hashTokens) xxhash64(_) else identity
     val exAll = sets
@@ -94,7 +94,7 @@ object Dedup {
     // the inverted index feeds both sides of the self-join: materialize it
     // once (posting-list-linear) instead of recomputing the
     // explode + census + anti-join + window chain per side
-    val exCk = ex.localCheckpoint()
+    val exCk = ex.transform(Materialize.once)
     val a = exCk.as("a")
     val b = exCk.as("b")
     a.join(b, col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -151,9 +151,9 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, k)
       .where(size(col("shingles")) > 0)
       .withColumn("n", size(col("shingles")))
-      .localCheckpoint()
+      .transform(Materialize.once)
     val banded = bandedBuckets(sets, numHashes, bands, maxBucket)
-      .localCheckpoint()
+      .transform(Materialize.once)
     val a = banded.as("a")
     val b = banded.as("b")
     val cands = a
@@ -197,7 +197,7 @@ object Dedup {
       // the census and the thinning join both consume the assignment
       // table — materialize the (narrow, corpus × bands) table once
       // instead of running the signature pass per consumer
-      val banded = banded0.localCheckpoint()
+      val banded = banded0.transform(Materialize.once)
       val heavy = banded.groupBy("band", "bucket")
         .agg(count(lit(1)).as("occ"))
         .where(col("occ") > maxBucket)
@@ -226,13 +226,13 @@ object Dedup {
     // cands is referenced three times (candIds + the two attach joins) —
     // materialize the (output-sized) pair set once so the candidate
     // generation join does not re-run per reference
-    val candsCk = cands.localCheckpoint()
+    val candsCk = cands.transform(Materialize.once)
     val candIds = candsCk.select(col("id1").as("doc_id"))
       .union(candsCk.select(col("id2").as("doc_id")))
       .distinct()
     val dim = sets.select(col("doc_id"), col("shingles"), col("n"))
       .join(candIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .transform(Materialize.once)
     val common = size(array_intersect(col("s1"), col("s2")))
     candsCk
       .join(dim.select(col("doc_id").as("id1"),
@@ -275,7 +275,7 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, k)
       .where(size(col("shingles")) > 0)
       .withColumn("n", size(col("shingles")))
-      .localCheckpoint()
+      .transform(Materialize.once)
     val banded = bandedBuckets(sets, numHashes, bands, maxBucket = 0)
     // one hub per cell via a whole-partition window min — ONE exchange of
     // the assignment table, never a self-join
@@ -347,7 +347,7 @@ object Dedup {
     else {
       // census + thinning join both consume the assignment table — one
       // materialized tokenize/simhash pass (see bandedBuckets)
-      val banded = banded0.localCheckpoint()
+      val banded = banded0.transform(Materialize.once)
       val heavy = banded.groupBy("band", "bucket")
         .agg(count(lit(1)).as("occ"))
         .where(col("occ") > maxBucket)
@@ -382,7 +382,7 @@ object Dedup {
     // both self-join sides consume the band table — one materialized
     // tokenize/simhash pass instead of one per side (see minHashPairs)
     val banded = simHashBands(docs, idCol, textCol, maxHamming, maxBucket)
-      .localCheckpoint()
+      .transform(Materialize.once)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -445,32 +445,46 @@ object Dedup {
     */
   private[graft] def connectedComponentsRounds(
       pairs: DataFrame): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
-    // convergence via the monotone invariant: per-node labels only ever
-    // decrease, so sum(comp) strictly decreases until the fixpoint — one
-    // cheap aggregation per round instead of a change-detection join
-    // null-safe: an EMPTY graph (no pairs survived upstream capping /
-    // thresholds) sums to NULL — coalesce to 0 so the loop converges
-    // immediately instead of throwing, matching the star form's stat()
-    def compSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
-    var prevSum = compSum(labels)
+      .transform(Materialize.once)
+    // per-round materialize + convergence stat in ONE job: the round's
+    // frame is persisted as its internal-row RDD and the statistic is an
+    // aggregate over that RDD (computing it also materializes the
+    // persist) — the former localCheckpoint-then-agg shape paid two jobs
+    // of scheduler floor per round, which at local KB-scale WAS the
+    // components queries' residual cost (~2 s over 6-9 rounds)
+    def materializeWithSum(df: DataFrame, prev: Option[
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]])
+        : (DataFrame,
+           org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+           Long) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // sum(comp): the monotone invariant — per-node labels only ever
+      // decrease, so the sum strictly decreases until the fixpoint; an
+      // EMPTY graph folds to 0 and converges immediately
+      val s = rdd.aggregate(0L)((acc, r) => acc + r.getLong(1), _ + _)
+      prev.foreach(_.unpersist(blocking = false))
+      (org.apache.spark.sql.GraftBridge.internalDf(spark, rdd, df.schema),
+        rdd, s)
+    }
+    var (labels, labelsRdd, prevSum) = materializeWithSum(
+      edges.select(col("a").as("id")).distinct()
+        .withColumn("comp", col("id")), None)
     var converged = false
     var rounds = 0
     while (!converged) {
-      val prop = labels.join(edges, labels("id") === edges("a"))
-        .select(col("b").as("id"), col("comp"))
-        .unionByName(labels)
-        .groupBy("id")
-        .agg(min("comp").as("comp"))
-        .localCheckpoint()
-      val s = compSum(prop)
+      val (prop, propRdd, s) = materializeWithSum(
+        labels.join(edges, labels("id") === edges("a"))
+          .select(col("b").as("id"), col("comp"))
+          .unionByName(labels)
+          .groupBy("id")
+          .agg(min("comp").as("comp")),
+        Some(labelsRdd))
       labels = prop
+      labelsRdd = propRdd
       rounds += 1
       converged = s == prevSum
       prevSum = s
@@ -501,22 +515,32 @@ object Dedup {
 
   private[graft] def connectedComponentsStarRounds(
       pairs: DataFrame): (DataFrame, Int) = {
-    var edges = pairs
-      .select(col("id1").as("u"), col("id2").as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
-    // convergence check: (edge count, Σ(u+v)) — the Kiveris potential is
-    // non-increasing and strictly decreases until the star fixpoint, so a
-    // stable pair means a stable edge set
-    def stat(e: DataFrame): (Long, Long) = {
-      val r = e.agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(col("u") + col("v")), lit(0L)).as("s")).head()
-      (r.getLong(0), r.getLong(1))
+    val spark = pairs.sparkSession
+    // per-round materialize + convergence stat in ONE job (see
+    // connectedComponentsRounds): the (edge count, Σ(u+v)) Kiveris
+    // potential is non-increasing and strictly decreases until the star
+    // fixpoint, so a stable pair means a stable edge set; folding it
+    // into the materialization job halves the per-round job count
+    def materializeWithStat(df: DataFrame, prev: Option[
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]])
+        : (DataFrame,
+           org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+           (Long, Long)) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st = rdd.aggregate((0L, 0L))(
+        (acc, r) => (acc._1 + 1L, acc._2 + r.getLong(0) + r.getLong(1)),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      prev.foreach(_.unpersist(blocking = false))
+      (org.apache.spark.sql.GraftBridge.internalDf(spark, rdd, df.schema),
+        rdd, st)
     }
+    var (edges, edgesRdd, cur) = materializeWithStat(
+      pairs
+        .select(col("id1").as("u"), col("id2").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct(), None)
     var prev = (-1L, -1L)
-    var cur = stat(edges)
     var rounds = 0
     while (cur != prev && rounds < 64) {
       // large-star: m = min(Γ(u) ∪ u); emit (v, m) for neighbors v > u
@@ -538,10 +562,13 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
         .unionByName(mins2.select(col("u"), col("m").as("v")))
-      edges = small.distinct().localCheckpoint()
+      val (e2, r2, st2) = materializeWithStat(
+        small.distinct(), Some(edgesRdd))
+      edges = e2
+      edgesRdd = r2
       rounds += 1
       prev = cur
-      cur = stat(edges)
+      cur = st2
     }
     // fixpoint edge set is {(node, root) : node ≠ root}; roots appear only
     // on the v side — attach their self-labels for the full node cover

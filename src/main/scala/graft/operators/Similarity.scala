@@ -463,7 +463,7 @@ object Similarity {
       // materialize the tiny probe set once: it feeds three consumers
       // (probed-cell collect, the broadcast build, and the dynamic-pruning
       // subquery) that would otherwise each recompute the centroid ranking
-      .localCheckpoint()
+      .transform(Materialize.once)
     // plan-time probed-cell set: ≤ nClusters ints, drives partition pruning
     // on the cell-partitioned store (the IVF "read only probed lists" step)
     val cellIds = probes.select("cell").distinct()
@@ -556,7 +556,7 @@ object Similarity {
       .select(col("qid"), col("cl").cast("int").as("cell"))
     val probes = q.join(rankedCells, "qid")
       .select("qid", "qvec", "qnrm", "cell")
-      .localCheckpoint()
+      .transform(Materialize.once)
     val cellIds = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     val cells = spark.read.parquet(sq8Path)

@@ -22,12 +22,25 @@ private[graft] object Spread {
     // no QueryExecution.toRdd before writeStream.start(), and micro-batch
     // partitioning is the source's concern — pass through untouched
     if (df.isStreaming) return df
+    // exchange-bearing frames pass through untouched: their output
+    // partitioning is the shuffle's (AQE-sized) concern, AND — the real
+    // hazard — under AQE `toRdd` on such a plan MATERIALIZES the upstream
+    // shuffle stages as real jobs whose results the subsequent repartition
+    // would then discard (double execution). The single-split-input
+    // problem this guard exists for is a property of scan-rooted frames
+    // only, so skipping shuffle-rooted ones loses nothing.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val exchanges = df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
+          _: RepartitionOperation) => p
+    }
+    if (exchanges.isDefined) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     // partition count from the internal-row RDD of the already-planned
     // QueryExecution — `df.rdd` would append a row-deserializing
     // conversion and build a second, throwaway RDD lineage per call;
-    // `toRdd` is the cached physical plan's own RDD (no job runs here,
-    // getNumPartitions is driver-side metadata)
+    // `toRdd` is the cached physical plan's own RDD (no job runs for an
+    // exchange-free plan, getNumPartitions is driver-side metadata)
     val have = df.queryExecution.toRdd.getNumPartitions
     if (have * 2 < want) df.repartition(want) else df
   }

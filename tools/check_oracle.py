@@ -34,6 +34,15 @@ def cmp_frames(name, spark_df, oracle_df):
     for c in s.columns:
         sv, ov = s[c], o[c]
         try:
+            # float-vs-integer dtype cross = a type-contract breach even
+            # when the values coerce equal: the driver's canonical hash
+            # stringifies ("7.0" vs "7"). DuckDB SUM(int) is HUGEINT,
+            # which pandas maps to float64 -- cast such sums to BIGINT
+            # in the oracle SQL (the r15 subquery_incr_rate gate failure).
+            if {sv.dtype.kind, ov.dtype.kind} == {"f", "i"}:
+                issues.append(
+                    f"COL {c}: dtype contract breach: spark={sv.dtype} "
+                    f"oracle={ov.dtype} (HUGEINT output? cast to BIGINT)")
             if sv.dtype.kind == "f" or ov.dtype.kind == "f":
                 sv = sv.astype(float)
                 ov = ov.astype(float)
