@@ -160,9 +160,14 @@ object Bench {
     }
     // warm the probe's own codegen/JIT before the first timed probe so
     // start-of-sweep probes measure the same steady state the mid-sweep
-    // probes do (measurement hygiene only — queries are not affected)
+    // probes do (measurement hygiene only — queries are not affected);
+    // every probe POINT (start, mid, end) is then min-of-2 — a single
+    // sample right after a heavy query reads one-off interference (the
+    // r15/r16 end-of-sweep probes read 1.4-1.6x on one sample and
+    // normal on the next), which is run noise, not host speed
     probeOnce(); probeOnce()
-    val probeSec = math.min(probeOnce(), probeOnce())
+    def probePoint(): Double = math.min(probeOnce(), probeOnce())
+    val probeSec = probePoint()
     System.err.println(f"[bench-probe] $probeSec%.3f s")
     // baseline for this sf tag, parsed BEFORE the sweep so the probe
     // hygiene check below can compare mid-sweep probes to the recorded
@@ -211,7 +216,7 @@ object Bench {
       sinceProbe += 1
       if (sinceProbe >= 50) {
         sinceProbe = 0
-        val p = probeOnce()
+        val p = probePoint()
         probeMax = math.max(probeMax, p)
         probeMin = math.min(probeMin, p)
         if (probeMax > 1.4 * probeMin)
@@ -352,7 +357,7 @@ object Bench {
     // close the probe-hygiene window: one final probe catches a sweep
     // that degraded after the last 50-query checkpoint
     locally {
-      val p = probeOnce()
+      val p = probePoint()
       probeMax = math.max(probeMax, p)
       probeMin = math.min(probeMin, p)
     }

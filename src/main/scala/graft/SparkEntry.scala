@@ -3192,8 +3192,11 @@ object SparkEntry {
     // reuse saved (0.89x). Scoring the members is a pair-graph-sized
     // pass; the full-corpus scoring below is then single-consumer and
     // stays LAZY (exactly one corpus scan+score at any scale).
+    // comp rides a LogicalRDD (statically unknown size → Catalyst
+    // estimates it huge and BROADCASTS THE TEXT CORPUS instead); the
+    // pair-graph side is the provably-small one at any scale — pin it
     val reps = TextAnalysis.qualityScore(
-        docs.join(comp, "doc_id"), "doc_id", "text",
+        docs.join(broadcast(comp), "doc_id"), "doc_id", "text",
         keep = Seq("component"))
       .groupBy("component")
       .agg(max_by(col("doc_id"),
@@ -3203,7 +3206,7 @@ object SparkEntry {
       .join(reps, Seq("doc_id"), "left_anti")
     TextAnalysis.qualityScore(docs, "doc_id", "text")
       .select("doc_id", "n_words", "quality")
-      .join(losers, Seq("doc_id"), "left_anti")
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
